@@ -1,0 +1,336 @@
+"""Posting-list codec: delta + varint compression, skip blocks, block metadata.
+
+Replaces the reference's per-(key,record) FlatBuffers write-files and merged
+``KeyRecordList`` (reference: spec/index.fbs:22-60, column.go:418-604) with a
+columnar encoding: one segment row per (term_id, chunk) holding
+delta+varint-compressed doc_ids, varint tfs and dls, skip entries every
+``BLOCK`` postings, and per-block (tf_max, dl_min) bounds from which a valid
+BM25 upper bound can be derived at query time without knowing avgdl/N at
+build time.
+
+All encode/decode paths are vectorized numpy — no per-posting Python loops.
+Blocks are self-contained (the first doc_id of each block is encoded
+absolute, not as a delta), so a block can be decoded without its
+predecessors — the analog of the reference's 512B/4096B lazy FlatBuffers
+paging (index_file.go:664-749).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+BLOCK = 128  # postings per skip block
+
+_U64 = np.uint64
+_FNV = None  # placeholder to keep lint quiet; hashing lives in hashing.py
+
+
+# ---------------------------------------------------------------------------
+# varint (LEB128) — vectorized encode/decode for uint64 arrays
+# ---------------------------------------------------------------------------
+
+def varint_encode(values: np.ndarray) -> bytes:
+    """Encode a uint64 array as concatenated LEB128 varints (vectorized)."""
+    v = np.ascontiguousarray(values, dtype=np.uint64)
+    n = len(v)
+    if n == 0:
+        return b""
+    # bytes needed per value: ceil(bitlen/7), min 1
+    nbytes = np.ones(n, dtype=np.int64)
+    tmp = v >> _U64(7)
+    while tmp.any():
+        nbytes += (tmp > 0)
+        tmp = tmp >> _U64(7)
+    ends = np.cumsum(nbytes)
+    starts = ends - nbytes
+    out = np.empty(int(ends[-1]), dtype=np.uint8)
+    maxb = int(nbytes.max())
+    for i in range(maxb):
+        m = nbytes > i
+        chunk = ((v[m] >> _U64(7 * i)) & _U64(0x7F)).astype(np.uint8)
+        cont = (nbytes[m] - 1) > i
+        chunk[cont] |= np.uint8(0x80)
+        out[starts[m] + i] = chunk
+    return out.tobytes()
+
+
+def varint_decode(buf: bytes | np.ndarray, count: int | None = None) -> np.ndarray:
+    """Decode concatenated LEB128 varints into a uint64 array (vectorized)."""
+    b = np.frombuffer(buf, dtype=np.uint8) if not isinstance(buf, np.ndarray) else buf
+    if len(b) == 0:
+        return np.empty(0, dtype=np.uint64)
+    is_end = (b & 0x80) == 0
+    n = int(is_end.sum())
+    validx = np.zeros(len(b), dtype=np.int64)
+    np.cumsum(is_end[:-1], out=validx[1:])
+    # byte position within its value
+    idx = np.arange(len(b), dtype=np.int64)
+    starts = np.empty(len(b), dtype=bool)
+    starts[0] = True
+    starts[1:] = is_end[:-1]
+    start_idx = np.maximum.accumulate(np.where(starts, idx, 0))
+    pos = idx - start_idx
+    out = np.zeros(n, dtype=np.uint64)
+    for p in range(int(pos.max()) + 1):
+        sel = pos == p
+        out[validx[sel]] |= (b[sel] & 0x7F).astype(np.uint64) << _U64(7 * p)
+    if count is not None and n != count:
+        raise ValueError(f"varint_decode: expected {count} values, got {n}")
+    return out
+
+
+def varint_count(buf: bytes) -> int:
+    b = np.frombuffer(buf, dtype=np.uint8)
+    return int(((b & 0x80) == 0).sum())
+
+
+# ---------------------------------------------------------------------------
+# posting-list chunk encode/decode
+# ---------------------------------------------------------------------------
+
+def _varint_sizes(v: np.ndarray) -> np.ndarray:
+    nbytes = np.ones(len(v), dtype=np.int64)
+    tmp = v >> _U64(7)
+    while tmp.any():
+        nbytes += (tmp > 0)
+        tmp = tmp >> _U64(7)
+    return nbytes
+
+
+def encode_chunk(doc_ids: np.ndarray, tfs: np.ndarray, dls: np.ndarray) -> dict:
+    """Encode one term's (chunk of a) posting list.
+
+    ``doc_ids`` must be strictly ascending uint64; ``tfs``/``dls`` aligned.
+    Returns a dict of binary buffers + skip/bound lists, matching the
+    segment-row schema in build.py.
+    """
+    doc_ids = np.ascontiguousarray(doc_ids, dtype=np.uint64)
+    tfs = np.ascontiguousarray(tfs, dtype=np.uint64)
+    dls = np.ascontiguousarray(dls, dtype=np.uint64)
+    n = len(doc_ids)
+    if n == 0:
+        return dict(n=0, docs=b"", tfs=b"", dls=b"",
+                    skip_doc_last=[], skip_off_doc=[], skip_off_tf=[],
+                    skip_off_dl=[], block_tf_max=[], block_dl_min=[])
+    if n > 1 and not (doc_ids[1:] > doc_ids[:-1]).all():
+        raise ValueError("doc_ids must be strictly ascending")
+
+    # delta encode with per-block restart (block starts are absolute)
+    deltas = np.empty(n, dtype=np.uint64)
+    deltas[0] = doc_ids[0]
+    deltas[1:] = doc_ids[1:] - doc_ids[:-1]
+    block_starts = np.arange(0, n, BLOCK, dtype=np.int64)
+    deltas[block_starts] = doc_ids[block_starts]  # absolute restart per block
+
+    doc_sizes = _varint_sizes(deltas)
+    tf_sizes = _varint_sizes(tfs)
+    dl_sizes = _varint_sizes(dls)
+    doc_ends = np.cumsum(doc_sizes)
+    tf_ends = np.cumsum(tf_sizes)
+    dl_ends = np.cumsum(dl_sizes)
+
+    docs_b = varint_encode(deltas)
+    tfs_b = varint_encode(tfs)
+    dls_b = varint_encode(dls)
+
+    nblocks = len(block_starts)
+    block_ends = np.minimum(block_starts + BLOCK, n)
+    # byte offset where each block starts in each buffer
+    off_doc = np.zeros(nblocks, dtype=np.int64)
+    off_doc[1:] = doc_ends[block_starts[1:] - 1]
+    off_tf = np.zeros(nblocks, dtype=np.int64)
+    off_tf[1:] = tf_ends[block_starts[1:] - 1]
+    off_dl = np.zeros(nblocks, dtype=np.int64)
+    off_dl[1:] = dl_ends[block_starts[1:] - 1]
+
+    tf_max = np.maximum.reduceat(tfs, block_starts)
+    dl_min = np.minimum.reduceat(dls, block_starts)
+    doc_last = doc_ids[block_ends - 1]
+
+    return dict(
+        n=int(n), docs=docs_b, tfs=tfs_b, dls=dls_b,
+        skip_doc_last=doc_last.tolist(),
+        skip_off_doc=off_doc.tolist(), skip_off_tf=off_tf.tolist(),
+        skip_off_dl=off_dl.tolist(),
+        block_tf_max=tf_max.tolist(), block_dl_min=dl_min.tolist(),
+    )
+
+
+def decode_chunk(row: dict) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Decode a chunk back into (doc_ids, tfs, dls) uint64 arrays."""
+    n = int(row["n"])
+    deltas = varint_decode(row["docs"], count=n)
+    tfs = varint_decode(row["tfs"], count=n)
+    dls = varint_decode(row["dls"], count=n)
+    doc_ids = np.cumsum(deltas, dtype=np.uint64)
+    # undo cumsum across block-restart boundaries: blocks are independent
+    if n > BLOCK:
+        block_starts = np.arange(BLOCK, n, BLOCK, dtype=np.int64)
+        # at each restart the stored value is absolute; cumsum added the
+        # previous prefix — subtract it per block (vectorized via repeat)
+        prefix = doc_ids[block_starts - 1].copy()
+        reps = np.diff(np.append(block_starts, n))
+        doc_ids[BLOCK:] -= np.repeat(prefix, reps)
+    return doc_ids, tfs, dls
+
+
+def encode_partition(terms: np.ndarray, docs: np.ndarray, tfs: np.ndarray,
+                     dls: np.ndarray, bucket_shift: int = 64):
+    """Encode ALL posting lists of one shuffle partition in one vectorized pass.
+
+    Inputs are the partition's postings sorted by (term_id, doc_id), doc_ids
+    strictly ascending within each term. Output: one segment row per
+    (term_id, doc_bucket) chunk, where ``doc_bucket = doc_id >> bucket_shift``
+    — the skew/salting mechanism (SURVEY §4): a head term's postings split
+    into doc-range-disjoint chunks that concatenate back in bucket order,
+    and a distributed scorer can process bucket b of every term
+    independently. ``bucket_shift=64`` ⇒ one chunk per term.
+
+    Returns a ``pyarrow.Table`` with columns
+    term_id, bucket, df, n, tf_sum, docs, tfs, dls (large_binary),
+    skip_doc_last, skip_off_doc, skip_off_tf, skip_off_dl,
+    block_tf_max, block_dl_min (lists).
+
+    No per-term Python: varint encoding runs once over the concatenated
+    delta stream and per-chunk binary columns are built zero-copy from byte
+    offsets into that single buffer.
+    """
+    import pyarrow as pa
+
+    terms = np.ascontiguousarray(terms, dtype=np.uint64)
+    docs = np.ascontiguousarray(docs, dtype=np.uint64)
+    tfs = np.ascontiguousarray(tfs, dtype=np.uint64)
+    dls = np.ascontiguousarray(dls, dtype=np.uint64)
+    n = len(terms)
+    if n == 0:
+        return _empty_segment_table()
+    shift = _U64(min(bucket_shift, 63)) if bucket_shift < 64 else None
+    buckets = (docs >> shift) if shift is not None else np.zeros(n, np.uint64)
+
+    new_term = np.empty(n, dtype=bool)
+    new_term[0] = True
+    new_term[1:] = terms[1:] != terms[:-1]
+    new_chunk = new_term.copy()
+    new_chunk[1:] |= buckets[1:] != buckets[:-1]
+    chunk_starts = np.flatnonzero(new_chunk)
+    nchunks = len(chunk_starts)
+    chunk_counts = np.diff(np.append(chunk_starts, n))
+
+    # df per term, repeated onto its chunks
+    term_starts = np.flatnonzero(new_term)
+    term_counts = np.diff(np.append(term_starts, n))
+    term_of_chunk = np.cumsum(new_term)[chunk_starts] - 1
+    df_chunk = term_counts[term_of_chunk]
+
+    # block starts: every BLOCK-th posting within a chunk
+    local = np.arange(n, dtype=np.int64) - np.repeat(chunk_starts, chunk_counts)
+    block_start_mask = (local % BLOCK) == 0
+    block_starts = np.flatnonzero(block_start_mask)
+
+    # deltas, absolute at block starts (blocks self-contained)
+    deltas = np.empty(n, dtype=np.uint64)
+    deltas[0] = docs[0]
+    deltas[1:] = docs[1:] - docs[:-1]
+    deltas[block_starts] = docs[block_starts]
+
+    doc_sizes = _varint_sizes(deltas)
+    tf_sizes = _varint_sizes(tfs)
+    dl_sizes = _varint_sizes(dls)
+    doc_ends = np.cumsum(doc_sizes)
+    tf_ends = np.cumsum(tf_sizes)
+    dl_ends = np.cumsum(dl_sizes)
+
+    def _byte_start(ends: np.ndarray, idx: np.ndarray) -> np.ndarray:
+        out = np.zeros(len(idx), dtype=np.int64)
+        nz = idx > 0
+        out[nz] = ends[idx[nz] - 1]
+        return out
+
+    docs_buf = np.frombuffer(varint_encode(deltas), np.uint8)
+    tfs_buf = np.frombuffer(varint_encode(tfs), np.uint8)
+    dls_buf = np.frombuffer(varint_encode(dls), np.uint8)
+
+    # per-block metadata
+    block_ends = np.append(block_starts[1:], n) - 1  # last posting idx of block
+    blk_doc_last = docs[block_ends]
+    blk_tf_max = np.maximum.reduceat(tfs, block_starts)
+    blk_dl_min = np.minimum.reduceat(dls, block_starts)
+    chunk_of_block = np.cumsum(new_chunk)[block_starts] - 1
+    blk_off_doc = (_byte_start(doc_ends, block_starts)
+                   - _byte_start(doc_ends, chunk_starts)[chunk_of_block])
+    blk_off_tf = (_byte_start(tf_ends, block_starts)
+                  - _byte_start(tf_ends, chunk_starts)[chunk_of_block])
+    blk_off_dl = (_byte_start(dl_ends, block_starts)
+                  - _byte_start(dl_ends, chunk_starts)[chunk_of_block])
+
+    tf_sum = np.add.reduceat(tfs, chunk_starts)
+
+    def _binary_col(buf: np.ndarray, ends: np.ndarray) -> pa.Array:
+        offs = np.empty(nchunks + 1, dtype=np.int64)
+        offs[:-1] = _byte_start(ends, chunk_starts)
+        offs[-1] = ends[-1]
+        return pa.LargeBinaryArray.from_buffers(
+            pa.large_binary(), nchunks,
+            [None, pa.py_buffer(offs.tobytes()), pa.py_buffer(buf.tobytes())])
+
+    blocks_per_chunk = np.bincount(chunk_of_block, minlength=nchunks)
+    list_offs = np.zeros(nchunks + 1, dtype=np.int32)
+    np.cumsum(blocks_per_chunk, out=list_offs[1:])
+    loffs = pa.array(list_offs, pa.int32())
+
+    def _list_col(values: np.ndarray, typ) -> pa.Array:
+        return pa.ListArray.from_arrays(loffs, pa.array(values, typ))
+
+    return pa.table({
+        "term_id": pa.array(terms[chunk_starts], pa.uint64()),
+        "bucket": pa.array(buckets[chunk_starts], pa.uint64()),
+        "df": pa.array(df_chunk.astype(np.uint64), pa.uint64()),
+        "n": pa.array(chunk_counts.astype(np.uint64), pa.uint64()),
+        "tf_sum": pa.array(tf_sum.astype(np.uint64), pa.uint64()),
+        "docs": _binary_col(docs_buf, doc_ends),
+        "tfs": _binary_col(tfs_buf, tf_ends),
+        "dls": _binary_col(dls_buf, dl_ends),
+        "skip_doc_last": _list_col(blk_doc_last, pa.uint64()),
+        "skip_off_doc": _list_col(blk_off_doc.astype(np.uint32), pa.uint32()),
+        "skip_off_tf": _list_col(blk_off_tf.astype(np.uint32), pa.uint32()),
+        "skip_off_dl": _list_col(blk_off_dl.astype(np.uint32), pa.uint32()),
+        "block_tf_max": _list_col(blk_tf_max.astype(np.uint32), pa.uint32()),
+        "block_dl_min": _list_col(blk_dl_min.astype(np.uint32), pa.uint32()),
+    })
+
+
+def _empty_segment_table():
+    import pyarrow as pa
+    return pa.table({
+        "term_id": pa.array([], pa.uint64()),
+        "bucket": pa.array([], pa.uint64()),
+        "df": pa.array([], pa.uint64()),
+        "n": pa.array([], pa.uint64()),
+        "tf_sum": pa.array([], pa.uint64()),
+        "docs": pa.array([], pa.large_binary()),
+        "tfs": pa.array([], pa.large_binary()),
+        "dls": pa.array([], pa.large_binary()),
+        "skip_doc_last": pa.array([], pa.list_(pa.uint64())),
+        "skip_off_doc": pa.array([], pa.list_(pa.uint32())),
+        "skip_off_tf": pa.array([], pa.list_(pa.uint32())),
+        "skip_off_dl": pa.array([], pa.list_(pa.uint32())),
+        "block_tf_max": pa.array([], pa.list_(pa.uint32())),
+        "block_dl_min": pa.array([], pa.list_(pa.uint32())),
+    })
+
+
+def decode_block(row: dict, bi: int) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Decode only block ``bi`` of a chunk (self-contained; for skip reads)."""
+    n = int(row["n"])
+    nblocks = (n + BLOCK - 1) // BLOCK
+    if not 0 <= bi < nblocks:
+        raise IndexError(bi)
+    cnt = min(BLOCK, n - bi * BLOCK)
+    od, ot, ol = (row["skip_off_doc"], row["skip_off_tf"], row["skip_off_dl"])
+    d_end = od[bi + 1] if bi + 1 < nblocks else len(row["docs"])
+    t_end = ot[bi + 1] if bi + 1 < nblocks else len(row["tfs"])
+    l_end = ol[bi + 1] if bi + 1 < nblocks else len(row["dls"])
+    deltas = varint_decode(row["docs"][od[bi]:d_end], count=cnt)
+    tfs = varint_decode(row["tfs"][ot[bi]:t_end], count=cnt)
+    dls = varint_decode(row["dls"][ol[bi]:l_end], count=cnt)
+    return np.cumsum(deltas, dtype=np.uint64), tfs, dls
