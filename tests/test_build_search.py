@@ -1,0 +1,150 @@
+"""Differential tests: Ray engine vs single-process oracle (SURVEY §5).
+
+The FIXTURES.md query set: term equality, AND intersection, short-query
+empty, df counts, limit, top-k BM25 rank-identical (doc ids AND fp64
+scores), distributed-path equality, determinism across parallelism."""
+
+import numpy as np
+import pyarrow.parquet as pq
+import pytest
+
+from vfs_index_ray import corpus
+
+
+@pytest.fixture(scope="module")
+def engine(built_index, pages_file):
+    from vfs_index_ray.search import SearchEngine
+
+    idx, _ = built_index
+    return SearchEngine(idx, corpus_files=[pages_file], id_col="doc_id")
+
+
+QUERIES = [
+    corpus.RARE_TERM,                       # planted rare term, df=4
+    corpus.PHRASE,                          # planted phrase
+    "bababa",                               # Zipf head term
+    "bababa babade",                        # head + mid AND
+    corpus.RARE_TERM + " bababa",           # rare + head
+    "nosuchtoken42",                        # absent term
+]
+
+
+def test_stats_match_oracle(built_index, oracle_index):
+    _, stats = built_index
+    assert stats["n_docs"] == oracle_index.ndocs
+    assert stats["avgdl"] == pytest.approx(oracle_index.avgdl, rel=1e-12)
+
+
+@pytest.mark.parametrize("q", QUERIES)
+def test_match_identical(engine, oracle_index, q):
+    assert engine.match(q).tolist() == oracle_index.match(q)
+
+
+def test_rare_term_df(engine):
+    # planted df == 4 (analog of the reference's 活動内 df test)
+    assert engine.df(corpus.RARE_TERM) == {corpus.RARE_TERM: 4}
+
+
+def test_count(engine, oracle_index):
+    assert engine.count(corpus.PHRASE) == oracle_index.count(corpus.PHRASE) == 3
+
+
+@pytest.mark.parametrize("q", QUERIES)
+@pytest.mark.parametrize("k", [3, 10, 50])
+def test_bm25_rank_identical(engine, oracle_index, q, k):
+    docs, scores = engine.bm25(q, k)
+    expected = oracle_index.bm25(q, k)
+    assert [int(d) for d in docs] == [d for d, _ in expected]
+    # fp64 scores identical (fixed accumulation order), not approx
+    assert [float(s) for s in scores] == [s for _, s in expected]
+
+
+@pytest.mark.parametrize("q", QUERIES)
+def test_bm25_maxscore_identical_to_exact(engine, q):
+    de, se = engine.bm25(q, 10, method="exact")
+    dm, sm = engine.bm25(q, 10, method="maxscore")
+    assert de.tolist() == dm.tolist()
+    assert se.tolist() == sm.tolist()
+
+
+def test_bm25_distributed_identical(built_index, engine):
+    from vfs_index_ray.search import bm25_topk_ray
+
+    idx, _ = built_index
+    d_r, s_r = bm25_topk_ray(idx, corpus.PHRASE, 10)
+    d_e, s_e = engine.bm25(corpus.PHRASE, 10)
+    assert d_r.tolist() == d_e.tolist()
+    assert s_r.tolist() == s_e.tolist()
+
+
+def test_fetch_rows_semijoin(engine, pages_file):
+    docs = engine.match(corpus.RARE_TERM)
+    rows = engine.fetch_rows(docs, columns=["url", "text"])
+    assert rows.num_rows == 4
+    assert all(corpus.RARE_TERM in t for t in rows["text"].to_pylist())
+
+
+def test_text_byte_identical_per_url(pages_file):
+    # per-row invariant (input_hint): text carried through untouched
+    tbl = pq.read_table(pages_file, columns=["url", "text"])
+    regen = corpus.generate_pages(tbl.num_rows)
+    assert tbl["text"].to_pylist() == regen["text"].to_pylist()
+
+
+def test_build_deterministic_across_parallelism(ray_session, pages_file,
+                                                tmp_path, built_index):
+    """Two builds at different parallelism → identical segment contents
+    (FIXTURES.md item 10)."""
+    from vfs_index_ray.build import IndexBuilder
+    from vfs_index_ray.search import SearchEngine
+
+    idx1, _ = built_index
+    idx2 = str(tmp_path / "idx2")
+    IndexBuilder(idx2, mode="word", num_parts=8, id_col=None,
+                 tokenize_concurrency=1, tokenize_batch_size=64
+                 ).build([pages_file])
+    e1, e2 = SearchEngine(idx1), SearchEngine(idx2)
+    for q in QUERIES:
+        d1, s1 = e1.bm25(q, 20)
+        d2, s2 = e2.bm25(q, 20)
+        assert d1.tolist() == d2.tolist()
+        assert s1.tolist() == s2.tolist()
+    # segment files logically identical
+    import os
+    import pyarrow.parquet as pq2
+    for name in sorted(os.listdir(os.path.join(idx1, "segments"))):
+        if name.endswith(".parquet"):
+            t1 = pq2.read_table(os.path.join(idx1, "segments", name))
+            t2 = pq2.read_table(os.path.join(idx2, "segments", name))
+            assert t1.equals(t2), name
+
+
+def test_bucketed_index_same_results(ray_session, pages_file, tmp_path,
+                                     engine, oracle_index):
+    """bucket_shift < 64 (doc-range chunked / salted head terms) must not
+    change any result (SURVEY §7.6 posting order under salting)."""
+    from vfs_index_ray.build import IndexBuilder
+    from vfs_index_ray.search import SearchEngine
+
+    idx = str(tmp_path / "idx_bucketed")
+    IndexBuilder(idx, mode="word", num_parts=4, bucket_shift=61,
+                 id_col=None, tokenize_concurrency=1).build([pages_file])
+    eb = SearchEngine(idx)
+    # chunking actually happened: more chunks than terms
+    import json
+    import os
+    segdir = os.path.join(idx, "segments")
+    nchunks = nterms = 0
+    for f in os.listdir(segdir):
+        if f.endswith(".json"):
+            with open(os.path.join(segdir, f)) as fh:
+                row = json.load(fh)
+            nchunks += row["n_chunks"]
+            nterms += row["n_terms"]
+    assert nchunks > nterms
+    for q in QUERIES:
+        d1, s1 = eb.bm25(q, 10)
+        expected = oracle_index.bm25(q, 10)
+        assert [int(x) for x in d1] == [d for d, _ in expected]
+        assert [float(x) for x in s1] == [s for _, s in expected]
+        assert eb.match(q).tolist() == oracle_index.match(q)

@@ -1,0 +1,107 @@
+"""Codec unit tests: varint/delta roundtrips, skip blocks, partition encode.
+
+Mirrors the reference's operator-level tests (trigram roundtrip
+vfsindex_internal_test.go:707-718, sorted-insert vfsindex_test.go:405-445)
+for our encoding."""
+
+import numpy as np
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from vfs_index_ray import codec
+
+
+def test_varint_roundtrip_edges():
+    vals = np.array([0, 1, 127, 128, 16383, 16384, 2**32, 2**63, 2**64 - 1],
+                    dtype=np.uint64)
+    assert (codec.varint_decode(codec.varint_encode(vals)) == vals).all()
+
+
+def test_varint_empty():
+    assert codec.varint_encode(np.empty(0, np.uint64)) == b""
+    assert len(codec.varint_decode(b"")) == 0
+
+
+@settings(max_examples=25, deadline=None)
+@given(st.lists(st.integers(min_value=0, max_value=2**64 - 1), max_size=500))
+def test_varint_roundtrip_property(vals):
+    arr = np.array(vals, dtype=np.uint64)
+    assert (codec.varint_decode(codec.varint_encode(arr)) == arr).all()
+
+
+def _random_postings(rng, n):
+    docs = np.unique(rng.integers(0, 2**62, n).astype(np.uint64))
+    tfs = rng.integers(1, 40, len(docs)).astype(np.uint64)
+    dls = rng.integers(20, 400, len(docs)).astype(np.uint64)
+    return docs, tfs, dls
+
+
+@pytest.mark.parametrize("n", [1, 127, 128, 129, 5000])
+def test_chunk_roundtrip(n):
+    rng = np.random.default_rng(n)
+    docs, tfs, dls = _random_postings(rng, n)
+    row = codec.encode_chunk(docs, tfs, dls)
+    d, t, l = codec.decode_chunk(row)
+    assert (d == docs).all() and (t == tfs).all() and (l == dls).all()
+
+
+def test_block_decode_matches_slices():
+    rng = np.random.default_rng(7)
+    docs, tfs, dls = _random_postings(rng, 1000)
+    row = codec.encode_chunk(docs, tfs, dls)
+    nblocks = len(row["skip_doc_last"])
+    for bi in range(nblocks):
+        bd, bt, bl = codec.decode_block(row, bi)
+        s, e = bi * codec.BLOCK, min((bi + 1) * codec.BLOCK, len(docs))
+        assert (bd == docs[s:e]).all()
+        assert (bt == tfs[s:e]).all()
+        assert (bl == dls[s:e]).all()
+
+
+def test_block_metadata_bounds():
+    rng = np.random.default_rng(11)
+    docs, tfs, dls = _random_postings(rng, 700)
+    row = codec.encode_chunk(docs, tfs, dls)
+    for bi in range(len(row["skip_doc_last"])):
+        s, e = bi * codec.BLOCK, min((bi + 1) * codec.BLOCK, len(docs))
+        assert row["skip_doc_last"][bi] == docs[e - 1]
+        assert row["block_tf_max"][bi] == tfs[s:e].max()
+        assert row["block_dl_min"][bi] == dls[s:e].min()
+
+
+def test_unsorted_rejected():
+    with pytest.raises(ValueError):
+        codec.encode_chunk(np.array([5, 3], np.uint64),
+                           np.array([1, 1], np.uint64),
+                           np.array([1, 1], np.uint64))
+
+
+@pytest.mark.parametrize("shift", [64, 58])
+def test_encode_partition_roundtrip(shift):
+    rng = np.random.default_rng(3)
+    terms_l, docs_l, tfs_l, dls_l = [], [], [], []
+    for t in sorted(rng.integers(0, 2**63, 50).astype(np.uint64).tolist()):
+        docs, tfs, dls = _random_postings(rng, int(rng.integers(1, 400)))
+        terms_l.append(np.full(len(docs), t, np.uint64))
+        docs_l.append(docs)
+        tfs_l.append(tfs)
+        dls_l.append(dls)
+    terms = np.concatenate(terms_l)
+    docs = np.concatenate(docs_l)
+    tfs = np.concatenate(tfs_l)
+    dls = np.concatenate(dls_l)
+    seg = codec.encode_partition(terms, docs, tfs, dls, bucket_shift=shift)
+    per_term: dict[int, list] = {}
+    for row in seg.to_pylist():
+        per_term.setdefault(row["term_id"], []).append(row)
+    assert len(per_term) == 50
+    for t, rows in per_term.items():
+        d = np.concatenate([codec.decode_chunk(r)[0] for r in rows])
+        tf = np.concatenate([codec.decode_chunk(r)[1] for r in rows])
+        m = terms == np.uint64(t)
+        assert (d == docs[m]).all()
+        assert (tf == tfs[m]).all()
+        assert rows[0]["df"] == int(m.sum())
+        # chunks doc-range disjoint & ascending (salt invariant, SURVEY §7.6)
+        assert (np.diff(d.astype(np.float64)) > 0).all()

@@ -1,0 +1,283 @@
+"""Index build pipeline: pages parquet → posting-list segments + manifest.
+
+Ray-Data-native re-expression of the reference's build lifecycle
+(indexer.go Regist → column.go Update/WriteDirties → baseMergeIndex,
+SURVEY §3.1):
+
+  phase 1 (postings): read_parquet(pages, columns pruned — html never read)
+      → map_batches(TokenizeStage actor pool, zero-copy Arrow)
+      → write postings parquet per *wave* of input files, committed
+        atomically (tmp dir + rename + sidecar JSON) — the analog of the
+        reference's per-record write-files with atomic SafeRename publish
+        (record.go:194-248, filelist.go:224-231), at a sane granularity.
+
+  phase 2 (segments): read postings → part = term_id % P
+      → groupby(part).map_groups(SegmentWriter) — THE build shuffle, the
+        analog of the in-RAM merge groupby (column.go:449-545) except Ray's
+        sort-based shuffle spills instead of holding it all in memory.
+        Each group writes its own segment file atomically + sidecar
+        manifest row, so a rerun skips committed partitions (resume — the
+        reference's IsExist anti-join, record.go:46-82).
+
+  finalize: stats.json (N, total tokens, avgdl) + manifest.parquet
+        (per-partition lineage + metrics) assembled from sidecars.
+
+Scale notes (100 TB / 10^12 docs): num_parts sizes the shuffle so one
+partition's postings fit a worker (tens of thousands of parts at full
+scale); bucket_shift chunks head-term posting lists into doc-range-disjoint
+sub-lists (skew handling); the only driver-side materializations are
+per-part manifest rows and scalar aggregates.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import tempfile
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+import ray.data
+
+from . import BM25_B, BM25_K1, __version__
+from .codec import encode_partition
+from .stages.tokenize import AddPartColumn, TokenizeStage
+
+
+def _atomic_write_json(path: str, obj: dict) -> None:
+    fd, tmp = tempfile.mkstemp(dir=os.path.dirname(path), suffix=".tmp")
+    with os.fdopen(fd, "w") as f:
+        json.dump(obj, f)
+    os.replace(tmp, path)
+
+
+_MANIFEST_SCHEMA = pa.schema([
+    ("part", pa.int32()), ("n_chunks", pa.int64()), ("n_terms", pa.int64()),
+    ("n_postings", pa.int64()), ("n_tokens", pa.int64()),
+    ("term_min", pa.uint64()), ("term_max", pa.uint64()),
+    ("file", pa.string()), ("status", pa.string()),
+])
+
+
+def _manifest_table(rows: list[dict]) -> pa.Table:
+    return pa.Table.from_pylist(rows, schema=_MANIFEST_SCHEMA)
+
+
+def _dedup_sorted_postings(terms, docs, tfs, dls):
+    """Collapse duplicate (term, doc) rows (tf summed, dl maxed).
+
+    Inputs sorted by (term, doc). Duplicates only occur if the same doc_id
+    appears in multiple input batches/waves (e.g. re-crawled url) — the
+    build is tolerant; true dedup is a separate operator (functions.dedup).
+    """
+    n = len(terms)
+    if n == 0:
+        return terms, docs, tfs, dls
+    new = np.empty(n, dtype=bool)
+    new[0] = True
+    new[1:] = (terms[1:] != terms[:-1]) | (docs[1:] != docs[:-1])
+    if new.all():
+        return terms, docs, tfs, dls
+    starts = np.flatnonzero(new)
+    tfs2 = np.add.reduceat(tfs, starts)
+    dls2 = np.maximum.reduceat(dls, starts)
+    return terms[starts], docs[starts], tfs2, dls2
+
+
+class SegmentWriter:
+    """map_groups fn: one shuffle partition of postings → one segment file.
+
+    Idempotent: deterministic content (lexsort + dedup), atomic publish
+    (tmp + rename), sidecar JSON row marks the partition committed.
+    """
+
+    def __init__(self, segments_dir: str, bucket_shift: int):
+        self.segments_dir = segments_dir
+        self.bucket_shift = bucket_shift
+
+    def __call__(self, group: pa.Table) -> pa.Table:
+        part = int(group["part"][0].as_py())
+        terms = group["term_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        docs = group["doc_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        tfs = group["tf"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        dls = group["dl"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        order = np.lexsort((docs, terms))
+        terms, docs, tfs, dls = (terms[order], docs[order],
+                                 tfs[order], dls[order])
+        terms, docs, tfs, dls = _dedup_sorted_postings(terms, docs, tfs, dls)
+        seg = encode_partition(terms, docs, tfs, dls, self.bucket_shift)
+
+        final = os.path.join(self.segments_dir, f"part={part:05d}.parquet")
+        tmp = os.path.join(self.segments_dir, f".tmp.part={part:05d}.parquet")
+        pq.write_table(seg, tmp, compression="zstd")
+        os.replace(tmp, final)
+        row = {
+            "part": part,
+            "n_chunks": seg.num_rows,
+            "n_terms": int(len(np.unique(terms))),
+            "n_postings": int(len(terms)),
+            "n_tokens": int(tfs.sum()),
+            "term_min": int(terms.min()) if len(terms) else 0,
+            "term_max": int(terms.max()) if len(terms) else 0,
+            "file": final,
+            "status": "committed",
+        }
+        _atomic_write_json(os.path.join(self.segments_dir,
+                                        f"part={part:05d}.json"), row)
+        return _manifest_table([row])
+
+
+class IndexBuilder:
+    def __init__(self, index_dir: str, *, mode: str = "word",
+                 num_parts: int = 16, bucket_shift: int = 64,
+                 text_col: str = "text", id_col: str | None = "doc_id",
+                 url_col: str = "url", tokenize_concurrency=None,
+                 tokenize_batch_size: int = 512):
+        self.index_dir = index_dir
+        self.mode = mode
+        self.num_parts = num_parts
+        self.bucket_shift = bucket_shift
+        self.text_col = text_col
+        self.id_col = id_col
+        self.url_col = url_col
+        self.tokenize_concurrency = tokenize_concurrency
+        self.tokenize_batch_size = tokenize_batch_size
+        self.postings_dir = os.path.join(index_dir, "postings")
+        self.segments_dir = os.path.join(index_dir, "segments")
+        self.waves_dir = os.path.join(index_dir, "waves")
+        for d in (self.postings_dir, self.segments_dir, self.waves_dir):
+            os.makedirs(d, exist_ok=True)
+
+    # ----- phase 1: tokenize → postings (per wave, resumable) ------------
+    def _wave_done(self, wave: int) -> bool:
+        return os.path.exists(os.path.join(self.waves_dir, f"wave={wave:04d}.json"))
+
+    def build_postings_wave(self, wave: int, files: list[str]) -> dict:
+        if self._wave_done(wave):
+            with open(os.path.join(self.waves_dir, f"wave={wave:04d}.json")) as f:
+                return json.load(f)
+        cols = [self.text_col]
+        schema_names = pq.read_schema(files[0]).names
+        if self.id_col and self.id_col in schema_names:
+            cols.append(self.id_col)
+        else:
+            cols.append(self.url_col)
+        ds = ray.data.read_parquet(files, columns=cols)
+        n_docs = ds.count()  # parquet metadata, no scan
+        kwargs = dict(batch_format="pyarrow",
+                      batch_size=self.tokenize_batch_size,
+                      fn_constructor_kwargs=dict(
+                          mode=self.mode, text_col=self.text_col,
+                          id_col=self.id_col, url_col=self.url_col),
+                      zero_copy_batch=True)
+        conc = self.tokenize_concurrency
+        if conc is None:
+            # autoscaling actor pool sized to the cluster, leaving CPUs for
+            # the read and write stages (SURVEY §4: don't starve the pipeline)
+            ncpu = int(ray.cluster_resources().get("CPU", 8))
+            conc = (1, max(2, (ncpu * 3) // 4))
+        kwargs["concurrency"] = conc
+        post = ds.map_batches(TokenizeStage, **kwargs)
+
+        final = os.path.join(self.postings_dir, f"wave={wave:04d}")
+        tmp = os.path.join(self.postings_dir, f".tmp.wave={wave:04d}")
+        if os.path.exists(tmp):
+            import shutil
+            shutil.rmtree(tmp)
+        post.write_parquet(tmp)
+        os.replace(tmp, final)
+        # n_tokens is NOT computed here: sum(tf) falls out of the segment
+        # phase for free (tf_sum per chunk → part sidecars → finalize)
+        meta = {"wave": wave, "files": list(files), "n_docs": int(n_docs)}
+        _atomic_write_json(os.path.join(self.waves_dir, f"wave={wave:04d}.json"),
+                           meta)
+        return meta
+
+    # ----- phase 2: shuffle → segments (per part, resumable) -------------
+    def _done_parts(self) -> set[int]:
+        out = set()
+        for name in os.listdir(self.segments_dir):
+            if name.startswith("part=") and name.endswith(".json"):
+                out.add(int(name[len("part="):-len(".json")]))
+        return out
+
+    def build_segments(self) -> list[dict]:
+        wave_dirs = [os.path.join(self.postings_dir, d)
+                     for d in sorted(os.listdir(self.postings_dir))
+                     if d.startswith("wave=")]
+        if not wave_dirs:
+            raise RuntimeError("no committed postings waves")
+        post = ray.data.read_parquet(wave_dirs)
+        post = post.map_batches(AddPartColumn(self.num_parts),
+                                batch_format="pyarrow", zero_copy_batch=True)
+        done = self._done_parts()
+        if done:
+            done_arr = pa.array(sorted(done), pa.int32())
+
+            def _drop_done(t: pa.Table) -> pa.Table:
+                return t.filter(pc.invert(pc.is_in(t["part"],
+                                                   value_set=done_arr)))
+            post = post.map_batches(_drop_done, batch_format="pyarrow",
+                                    zero_copy_batch=True)
+            if len(done) == self.num_parts:
+                return [self._read_part_manifest(p) for p in sorted(done)]
+        writer = SegmentWriter(self.segments_dir, self.bucket_shift)
+
+        def write_partition(group: pa.Table) -> pa.Table:
+            return writer(group)
+
+        out = post.groupby("part").map_groups(write_partition,
+                                              batch_format="pyarrow")
+        rows = out.take_all()  # small: one row per partition
+        return rows
+
+    def _read_part_manifest(self, part: int) -> dict:
+        with open(os.path.join(self.segments_dir, f"part={part:05d}.json")) as f:
+            return json.load(f)
+
+    # ----- finalize: stats + manifest ------------------------------------
+    def finalize(self) -> dict:
+        n_docs = n_tokens = 0
+        waves = []
+        for name in sorted(os.listdir(self.waves_dir)):
+            if name.endswith(".json"):
+                with open(os.path.join(self.waves_dir, name)) as f:
+                    w = json.load(f)
+                waves.append(w)
+                n_docs += w["n_docs"]
+        part_rows = [self._read_part_manifest(p)
+                     for p in sorted(self._done_parts())]
+        n_tokens = sum(r.get("n_tokens", 0) for r in part_rows)
+        stats = {
+            "version": __version__, "mode": self.mode,
+            "num_parts": self.num_parts, "bucket_shift": self.bucket_shift,
+            "n_docs": n_docs, "total_tokens": n_tokens,
+            "avgdl": (n_tokens / n_docs) if n_docs else 0.0,
+            "k1": BM25_K1, "b": BM25_B,
+            "waves": [w["wave"] for w in waves],
+        }
+        _atomic_write_json(os.path.join(self.index_dir, "stats.json"), stats)
+        rows = part_rows
+        if rows:
+            manifest = _manifest_table(rows)
+            pq.write_table(manifest,
+                           os.path.join(self.index_dir, "manifest.parquet"))
+        return stats
+
+    # ----- one-call build -------------------------------------------------
+    def build(self, input_files: list[str] | str, waves: int = 1) -> dict:
+        if isinstance(input_files, str):
+            input_files = [input_files]
+        chunks = np.array_split(np.array(input_files, dtype=object),
+                                min(waves, len(input_files)))
+        for i, chunk in enumerate(chunks):
+            self.build_postings_wave(i, [str(f) for f in chunk])
+        self.build_segments()
+        return self.finalize()
+
+
+def read_stats(index_dir: str) -> dict:
+    with open(os.path.join(index_dir, "stats.json")) as f:
+        return json.load(f)

@@ -1,0 +1,427 @@
+"""Query engine: term lookup, intersection, BM25 top-k over index segments.
+
+Maps the reference's query machinery onto the segment layout:
+
+- key point-lookup (index_file.go:1424-1459 FindByKey + bsearch) →
+  ``part = term_id % P`` pruning + Parquet row-group predicate pushdown on
+  the sorted ``term_id`` column;
+- posting-list AND intersection on record identity
+  (search_finder.go:108-193) → sorted-uint64 ``np.intersect1d`` in
+  df-ascending order (the reference's intended selectivity ordering,
+  search_cond.go:688-698);
+- ``Nears`` tf-share ranking (search_cond.go:297-381) → BM25 top-k, exact
+  fp64 with fixed accumulation order (ascending term_id, tie-break doc_id
+  asc) so results are rank-identical across parallelism levels and vs the
+  single-process oracle;
+- posting-result cache (cache/cache.go) → per-engine decoded-postings cache.
+
+Two scoring paths, both exact:
+- ``exact``: decode every query term's postings, one vectorized pass;
+- ``maxscore``: candidate generation via term upper bounds derived from the
+  per-block (tf_max, dl_min) metadata, then exact rescore of candidates
+  probing only the skip blocks that contain them — frequent terms' posting
+  lists are mostly never decoded. Results are bit-identical to ``exact``.
+
+Distributed path: ``bm25_topk_ray`` scores doc-range buckets independently
+(a doc's postings for every term share its bucket), then a tiny global
+sort+limit — scatter/gather with no per-doc exchange.
+"""
+
+from __future__ import annotations
+
+import math
+import os
+from dataclasses import dataclass
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+
+from . import BM25_B, BM25_K1
+from .build import read_stats
+from .codec import BLOCK, decode_block, decode_chunk
+from .tokenizer import tokenize_query
+
+
+@dataclass
+class Postings:
+    """Decoded (or decodable) postings of one term."""
+    term_id: int
+    df: int
+    chunks: list[dict]            # raw segment rows (bucket asc)
+    docs: np.ndarray | None = None
+    tfs: np.ndarray | None = None
+    dls: np.ndarray | None = None
+
+    def decode(self) -> "Postings":
+        if self.docs is None:
+            if self.chunks:
+                parts = [decode_chunk(c) for c in self.chunks]
+                self.docs = np.concatenate([p[0] for p in parts])
+                self.tfs = np.concatenate([p[1] for p in parts])
+                self.dls = np.concatenate([p[2] for p in parts])
+            else:
+                self.docs = np.empty(0, np.uint64)
+                self.tfs = np.empty(0, np.uint64)
+                self.dls = np.empty(0, np.uint64)
+        return self
+
+
+class SearchEngine:
+    def __init__(self, index_dir: str, corpus_files=None,
+                 id_col: str = "doc_id", url_col: str = "url"):
+        self.index_dir = index_dir
+        self.stats = read_stats(index_dir)
+        self.mode = self.stats["mode"]
+        self.num_parts = self.stats["num_parts"]
+        self.avgdl = float(self.stats["avgdl"]) or 1.0
+        self.ndocs = int(self.stats["n_docs"])
+        self.corpus_files = corpus_files
+        self.id_col = id_col
+        self.url_col = url_col
+        self._cache: dict[int, Postings] = {}
+
+    # ------------------------------------------------------------------
+    def _segment_file(self, part: int) -> str:
+        return os.path.join(self.index_dir, "segments",
+                            f"part={part:05d}.parquet")
+
+    def load_terms(self, term_ids: list[int]) -> dict[int, Postings]:
+        """Fetch raw segment rows for the given terms (part-pruned +
+        row-group-pushdown read), with per-engine caching."""
+        missing: dict[int, list[int]] = {}
+        for tid in term_ids:
+            if tid not in self._cache:
+                missing.setdefault(tid % self.num_parts, []).append(tid)
+        for part, tids in missing.items():
+            path = self._segment_file(part)
+            if not os.path.exists(path):
+                for tid in tids:
+                    self._cache[tid] = Postings(tid, 0, [])
+                continue
+            tbl = pq.read_table(
+                path, filters=[("term_id", "in", [np.uint64(t) for t in tids])])
+            rows_by_term: dict[int, list[dict]] = {t: [] for t in tids}
+            for row in tbl.to_pylist():
+                rows_by_term[int(row["term_id"])].append(row)
+            for tid in tids:
+                rows = rows_by_term[tid]
+                df = int(rows[0]["df"]) if rows else 0
+                self._cache[tid] = Postings(tid, df, rows)
+        return {tid: self._cache[tid] for tid in term_ids}
+
+    # ------------------------------------------------------------------
+    def query_term_ids(self, q: str) -> list[int]:
+        return [tid for _, tid in tokenize_query(q, self.mode)]
+
+    def df(self, q: str) -> dict[str, int]:
+        """df per query token (A2/A3 CountOfKey analog)."""
+        pairs = tokenize_query(q, self.mode)
+        loaded = self.load_terms([tid for _, tid in pairs])
+        return {tok: loaded[tid].df for tok, tid in pairs}
+
+    def idf(self, df: int) -> float:
+        return math.log(1.0 + (self.ndocs - df + 0.5) / (df + 0.5))
+
+    # ------------------------------------------------------------------
+    def match(self, q: str) -> np.ndarray:
+        """AND over query terms → ascending doc_ids (J3/J4 analog)."""
+        tids = self.query_term_ids(q)
+        if not tids:
+            return np.empty(0, np.uint64)
+        loaded = self.load_terms(tids)
+        # df-ascending order: cheapest list first, early-exit on empty
+        order = sorted(set(tids), key=lambda t: (loaded[t].df, t))
+        out = loaded[order[0]].decode().docs
+        for tid in order[1:]:
+            if len(out) == 0:
+                break
+            out = np.intersect1d(out, loaded[tid].decode().docs,
+                                 assume_unique=True)
+        return out
+
+    def count(self, q: str) -> int:
+        return int(len(self.match(q)))
+
+    # ------------------------------------------------------------------
+    def _term_score(self, tf: np.ndarray, dl: np.ndarray, df: int) -> np.ndarray:
+        # grouping matches the oracle exactly: idf * (tf*(k1+1) / denom)
+        tf = tf.astype(np.float64)
+        dl = dl.astype(np.float64)
+        tfn = tf * (BM25_K1 + 1.0) / (
+            tf + BM25_K1 * (1.0 - BM25_B + BM25_B * dl / self.avgdl))
+        return self.idf(df) * tfn
+
+    @staticmethod
+    def _topk(docs: np.ndarray, scores: np.ndarray, k: int):
+        """score desc, doc_id asc — deterministic."""
+        if len(docs) > max(k * 4, 64) and k < len(docs):
+            # narrow with a partition first (ties kept), then exact-sort
+            cut = np.partition(-scores, k)[k]  # (k+1)-th best, negated
+            keep = np.flatnonzero(-scores <= cut)
+            docs, scores = docs[keep], scores[keep]
+        order = np.lexsort((docs, -scores))[:k]
+        return docs[order], scores[order]
+
+    def bm25(self, q: str, k: int = 10, method: str = "exact"):
+        """Top-k BM25, OR semantics. Returns (doc_ids, scores)."""
+        tids = sorted(set(self.query_term_ids(q)))  # ascending accumulation
+        if not tids or not self.ndocs:
+            return np.empty(0, np.uint64), np.empty(0, np.float64)
+        loaded = self.load_terms(tids)
+        tids = [t for t in tids if loaded[t].df > 0]
+        if not tids:
+            return np.empty(0, np.uint64), np.empty(0, np.float64)
+        if method == "maxscore" and len(tids) > 1:
+            return self._bm25_maxscore(tids, loaded, k)
+        return self._bm25_exact(tids, loaded, k)
+
+    def _bm25_exact(self, tids, loaded, k):
+        doc_parts, score_parts = [], []
+        for tid in tids:  # ascending term_id
+            p = loaded[tid].decode()
+            doc_parts.append(p.docs)
+            score_parts.append(self._term_score(p.tfs, p.dls, p.df))
+        docs = np.concatenate(doc_parts)
+        contrib = np.concatenate(score_parts)
+        order = np.argsort(docs, kind="stable")  # keeps term order per doc
+        d, s = docs[order], contrib[order]
+        new = np.empty(len(d), dtype=bool)
+        new[0] = True
+        new[1:] = d[1:] != d[:-1]
+        starts = np.flatnonzero(new)
+        scores = np.add.reduceat(s, starts)  # sequential within doc
+        return self._topk(d[starts], scores, k)
+
+    # --- MaxScore candidate generation + exact rescore -----------------
+    def _term_ub(self, p: Postings) -> float:
+        """Upper bound of this term's contribution, from block metadata."""
+        ub = 0.0
+        for c in p.chunks:
+            tf_max = max(c["block_tf_max"]) if c["block_tf_max"] else 0
+            dl_min = min(c["block_dl_min"]) if c["block_dl_min"] else 1
+            if tf_max:
+                ub = max(ub, float(self._term_score(
+                    np.array([tf_max], np.uint64),
+                    np.array([max(dl_min, 1)], np.uint64), p.df)[0]))
+        return ub
+
+    def _probe_blocks(self, p: Postings, targets: np.ndarray):
+        """tf/dl for ``targets`` (sorted doc ids) in term ``p``, decoding
+        only the skip blocks that can contain them (J2/J4 point-probe)."""
+        tf_out = np.zeros(len(targets), np.uint64)
+        dl_out = np.ones(len(targets), np.uint64)
+        hit = np.zeros(len(targets), bool)
+        for c in p.chunks:
+            lasts = np.asarray(c["skip_doc_last"], np.uint64)
+            if len(lasts) == 0:
+                continue
+            blk = np.searchsorted(lasts, targets)  # candidate block per target
+            valid = blk < len(lasts)
+            for bi in np.unique(blk[valid]):
+                sel = np.flatnonzero(valid & (blk == bi))
+                bd, bt, bl = decode_block(c, int(bi))
+                pos = np.searchsorted(bd, targets[sel])
+                ok = (pos < len(bd))
+                pos2 = np.minimum(pos, len(bd) - 1)
+                ok &= bd[pos2] == targets[sel]
+                found = sel[ok]
+                tf_out[found] = bt[pos2[ok]]
+                dl_out[found] = bl[pos2[ok]]
+                hit[found] = True
+        return tf_out, dl_out, hit
+
+    def _bm25_maxscore(self, tids, loaded, k):
+        ubs = {t: self._term_ub(loaded[t]) for t in tids}
+        by_ub = sorted(tids, key=lambda t: (-ubs[t], t))
+        suffix = np.cumsum([ubs[t] for t in by_ub][::-1])[::-1]
+        # phase 1: accumulate partial scores term-by-term (ub desc) until
+        # the remaining suffix bound can't reach the current kth best
+        cand_docs = np.empty(0, np.uint64)
+        cand_part = np.empty(0, np.float64)
+        theta = -np.inf
+        decoded: set[int] = set()
+        for i, tid in enumerate(by_ub):
+            if i > 0 and len(cand_docs) >= k and suffix[i] < theta:
+                break
+            p = loaded[tid].decode()
+            decoded.add(tid)
+            s = self._term_score(p.tfs, p.dls, p.df)
+            docs = np.concatenate([cand_docs, p.docs])
+            part = np.concatenate([cand_part, s])
+            order = np.argsort(docs, kind="stable")
+            d, v = docs[order], part[order]
+            new = np.empty(len(d), bool)
+            new[0] = True
+            new[1:] = d[1:] != d[:-1]
+            st = np.flatnonzero(new)
+            cand_docs = d[st]
+            cand_part = np.add.reduceat(v, st)
+            if len(cand_docs) >= k:
+                theta = np.partition(cand_part, len(cand_part) - k)[-k]
+        # phase 2: exact rescore of candidates — probe undecoded terms'
+        # blocks; then recompute every candidate's score from scratch in
+        # ascending-term order (bit-identical to the exact path)
+        # prune candidates that cannot reach theta even with all skipped ubs
+        skipped = [t for t in tids if t not in decoded]
+        max_extra = float(np.sum([ubs[t] for t in skipped])) if skipped else 0.0
+        if len(cand_docs) > k:
+            keep = cand_part + max_extra >= theta
+            cand_docs = cand_docs[keep]
+        targets = np.sort(cand_docs)
+        per_term = []
+        for tid in tids:  # ascending
+            p = loaded[tid]
+            if tid in decoded or p.docs is not None:
+                p.decode()
+                pos = np.searchsorted(p.docs, targets)
+                ok = pos < len(p.docs)
+                pos2 = np.minimum(pos, max(len(p.docs) - 1, 0))
+                if len(p.docs):
+                    ok &= p.docs[pos2] == targets
+                tf = np.where(ok, p.tfs[pos2] if len(p.docs) else 0, 0)
+                dl = np.where(ok, p.dls[pos2] if len(p.docs) else 1, 1)
+            else:
+                tf, dl, ok = self._probe_blocks(p, targets)
+            per_term.append((tf.astype(np.uint64), dl.astype(np.uint64),
+                             ok, p.df))
+        scores = np.zeros(len(targets), np.float64)
+        for tf, dl, ok, df in per_term:  # ascending term order, like exact
+            contrib = np.zeros(len(targets), np.float64)
+            nz = ok & (tf > 0)
+            if nz.any():
+                contrib[nz] = self._term_score(tf[nz], dl[nz], df)
+            scores = np.where(nz, scores + contrib, scores)
+        return self._topk(targets, scores, k)
+
+    # ------------------------------------------------------------------
+    def fetch_rows(self, doc_ids: np.ndarray, columns=None) -> pa.Table:
+        """Materialize matched rows from the corpus (J5/M8 analog): a
+        broadcast semi-join — matched ids are small, corpus stays columnar."""
+        if self.corpus_files is None:
+            raise ValueError("SearchEngine built without corpus_files")
+        from .hashing import doc_ids_from_urls
+
+        want = np.sort(np.asarray(doc_ids, np.uint64))
+        first = (self.corpus_files[0] if isinstance(self.corpus_files, list)
+                 else self.corpus_files)
+        schema = pq.read_schema(first)
+        key = self.id_col if self.id_col in schema.names else self.url_col
+        read_cols = columns
+        if read_cols is not None and key not in read_cols:
+            read_cols = list(read_cols) + [key]
+        tbl = pq.read_table(self.corpus_files, columns=read_cols)
+        if key == self.id_col:
+            ids = tbl[key].to_numpy(zero_copy_only=False).astype(np.uint64)
+        else:
+            col = tbl[key]
+            if isinstance(col, pa.ChunkedArray):
+                col = col.combine_chunks()
+            ids = doc_ids_from_urls(col)
+        if len(want):
+            pos = np.minimum(np.searchsorted(want, ids), len(want) - 1)
+            mask = want[pos] == ids
+        else:
+            mask = np.zeros(len(ids), bool)
+        out = tbl.filter(pa.array(mask))
+        if columns is not None:
+            out = out.select([c for c in columns if c in out.column_names])
+        return out
+
+
+# ----------------------------------------------------------------------
+# Ray-parallel paths
+# ----------------------------------------------------------------------
+
+class QueryActor:
+    """Actor-pool batch scorer: a Dataset of query strings → top-k results.
+
+    State (stats, decoded-postings cache) loads once per actor
+    (reference T2/T5: per-process posting/page caches). Use:
+    ``queries_ds.map_batches(QueryActor, fn_constructor_kwargs=...,
+    concurrency=N, batch_format="pyarrow")``.
+    """
+
+    def __init__(self, index_dir: str, k: int = 10, method: str = "exact"):
+        self.engine = SearchEngine(index_dir)
+        self.k = k
+        self.method = method
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        q_out, rank_out, doc_out, score_out = [], [], [], []
+        for q in batch["query"].to_pylist():
+            docs, scores = self.engine.bm25(q, self.k, self.method)
+            for r, (d, s) in enumerate(zip(docs.tolist(), scores.tolist()), 1):
+                q_out.append(q)
+                rank_out.append(r)
+                doc_out.append(d)
+                score_out.append(s)
+        return pa.table({
+            "query": pa.array(q_out, pa.string()),
+            "rank": pa.array(rank_out, pa.int32()),
+            "doc_id": pa.array(doc_out, pa.uint64()),
+            "score": pa.array(score_out, pa.float64()),
+        })
+
+
+def bm25_topk_ray(index_dir: str, q: str, k: int = 10):
+    """Distributed exact top-k: score doc-range buckets independently.
+
+    Every chunk of a doc's postings shares ``bucket = doc_id >> S``, so a
+    per-bucket task sees all of its docs' query-term postings: exact
+    scores, no cross-task exchange; global merge is a tiny sort+limit.
+    """
+    import ray.data
+
+    stats = read_stats(index_dir)
+    engine = SearchEngine(index_dir)
+    tids = sorted(set(engine.query_term_ids(q)))
+    if not tids:
+        return np.empty(0, np.uint64), np.empty(0, np.float64)
+    parts = sorted({t % stats["num_parts"] for t in tids})
+    files = [engine._segment_file(p) for p in parts
+             if os.path.exists(engine._segment_file(p))]
+    if not files:
+        return np.empty(0, np.uint64), np.empty(0, np.float64)
+    tid_set = [np.uint64(t) for t in tids]
+    ds = ray.data.read_parquet(
+        files, filter=pc.field("term_id").isin(tid_set))
+    ndocs, avgdl = stats["n_docs"], stats["avgdl"]
+
+    def score_bucket(group: pa.Table) -> pa.Table:
+        rows = sorted(group.to_pylist(), key=lambda r: (r["term_id"],
+                                                        r["bucket"]))
+        doc_parts, score_parts = [], []
+        for row in rows:  # ascending term_id (+ bucket)
+            d, tf, dl = decode_chunk(row)
+            df = int(row["df"])
+            idf = math.log(1.0 + (ndocs - df + 0.5) / (df + 0.5))
+            tff = tf.astype(np.float64)
+            dlf = dl.astype(np.float64)
+            tfn = tff * (BM25_K1 + 1.0) / (
+                tff + BM25_K1 * (1.0 - BM25_B + BM25_B * dlf / avgdl))
+            s = idf * tfn
+            doc_parts.append(d)
+            score_parts.append(s)
+        docs = np.concatenate(doc_parts)
+        contrib = np.concatenate(score_parts)
+        order = np.argsort(docs, kind="stable")
+        d2, s2 = docs[order], contrib[order]
+        new = np.empty(len(d2), bool)
+        new[0] = True
+        new[1:] = d2[1:] != d2[:-1]
+        st = np.flatnonzero(new)
+        scores = np.add.reduceat(s2, st)
+        dd, ss = SearchEngine._topk(d2[st], scores, k)
+        return pa.table({"doc_id": pa.array(dd, pa.uint64()),
+                         "score": pa.array(ss, pa.float64())})
+
+    out = ds.groupby("bucket").map_groups(score_bucket,
+                                          batch_format="pyarrow")
+    rows = out.take_all()  # ≤ k per bucket
+    if not rows:
+        return np.empty(0, np.uint64), np.empty(0, np.float64)
+    docs = np.array([r["doc_id"] for r in rows], np.uint64)
+    scores = np.array([r["score"] for r in rows], np.float64)
+    return SearchEngine._topk(docs, scores, k)
