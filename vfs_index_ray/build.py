@@ -43,7 +43,7 @@ import ray.data
 
 from . import BM25_B, BM25_K1, __version__
 from .codec import encode_partition
-from .stages.tokenize import AddPartColumn, TokenizeStage
+from .stages.tokenize import AddPartColumn, TokenizeStage, tokenize_postings
 
 
 def _atomic_write_json(path: str, obj: dict) -> None:
@@ -87,22 +87,25 @@ def _dedup_sorted_postings(terms, docs, tfs, dls):
 
 
 class SegmentWriter:
-    """map_groups fn: one shuffle partition of postings → one segment file.
+    """Encodes one hash partition of postings → one segment file.
 
     Idempotent: deterministic content (lexsort + dedup), atomic publish
     (tmp + rename), sidecar JSON row marks the partition committed.
+    Used as a per-part task over the disk-partitioned postings (phase 2);
+    ``__call__`` also accepts an in-memory group table (merge path, tests).
     """
 
     def __init__(self, segments_dir: str, bucket_shift: int):
         self.segments_dir = segments_dir
         self.bucket_shift = bucket_shift
 
-    def __call__(self, group: pa.Table) -> pa.Table:
-        part = int(group["part"][0].as_py())
-        terms = group["term_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
-        docs = group["doc_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
-        tfs = group["tf"].to_numpy(zero_copy_only=False).astype(np.uint64)
-        dls = group["dl"].to_numpy(zero_copy_only=False).astype(np.uint64)
+    def encode_part(self, part: int, postings: pa.Table) -> pa.Table:
+        terms = postings["term_id"].to_numpy(zero_copy_only=False
+                                             ).astype(np.uint64)
+        docs = postings["doc_id"].to_numpy(zero_copy_only=False
+                                           ).astype(np.uint64)
+        tfs = postings["tf"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        dls = postings["dl"].to_numpy(zero_copy_only=False).astype(np.uint64)
         order = np.lexsort((docs, terms))
         terms, docs, tfs, dls = (terms[order], docs[order],
                                  tfs[order], dls[order])
@@ -128,13 +131,20 @@ class SegmentWriter:
                                         f"part={part:05d}.json"), row)
         return _manifest_table([row])
 
+    def __call__(self, group: pa.Table) -> pa.Table:
+        """Group-table form (merge path / tests): part from the column."""
+        part = int(group["part"][0].as_py())
+        return self.encode_part(part, group)
+
 
 class IndexBuilder:
     def __init__(self, index_dir: str, *, mode: str = "word",
                  num_parts: int = 16, bucket_shift: int = 64,
                  text_col: str = "text", id_col: str | None = "doc_id",
                  url_col: str = "url", tokenize_concurrency=None,
-                 tokenize_batch_size: int = 512):
+                 tokenize_batch_size: int | None = 4096,
+                 tokenize_actors: bool = False,
+                 scratch_dir: str | None = None):
         self.index_dir = index_dir
         self.mode = mode
         self.num_parts = num_parts
@@ -144,7 +154,15 @@ class IndexBuilder:
         self.url_col = url_col
         self.tokenize_concurrency = tokenize_concurrency
         self.tokenize_batch_size = tokenize_batch_size
-        self.postings_dir = os.path.join(index_dir, "postings")
+        self.tokenize_actors = tokenize_actors
+        # Shuffle spill (postings) is ephemeral per-node scratch — the
+        # Spark-local-dirs analog. On a cluster each node spills locally and
+        # aggregate bandwidth scales with nodes; point scratch_dir at fast
+        # local storage (e.g. /dev/shm) to get the same property on one
+        # node. Losing scratch only costs recomputing uncommitted waves
+        # (wave sidecars are validated against the postings dir).
+        self.postings_dir = os.path.join(scratch_dir or index_dir,
+                                         "postings")
         self.segments_dir = os.path.join(index_dir, "segments")
         self.waves_dir = os.path.join(index_dir, "waves")
         for d in (self.postings_dir, self.segments_dir, self.waves_dir):
@@ -152,7 +170,12 @@ class IndexBuilder:
 
     # ----- phase 1: tokenize → postings (per wave, resumable) ------------
     def _wave_done(self, wave: int) -> bool:
-        return os.path.exists(os.path.join(self.waves_dir, f"wave={wave:04d}.json"))
+        # committed = sidecar exists AND the postings it points at survive
+        # (scratch may be ephemeral)
+        return (os.path.exists(os.path.join(self.waves_dir,
+                                            f"wave={wave:04d}.json"))
+                and os.path.isdir(os.path.join(self.postings_dir,
+                                               f"wave={wave:04d}")))
 
     def build_postings_wave(self, wave: int, files: list[str]) -> dict:
         if self._wave_done(wave):
@@ -164,29 +187,50 @@ class IndexBuilder:
             cols.append(self.id_col)
         else:
             cols.append(self.url_col)
-        ds = ray.data.read_parquet(files, columns=cols)
-        n_docs = ds.count()  # parquet metadata, no scan
-        kwargs = dict(batch_format="pyarrow",
-                      batch_size=self.tokenize_batch_size,
-                      fn_constructor_kwargs=dict(
-                          mode=self.mode, text_col=self.text_col,
-                          id_col=self.id_col, url_col=self.url_col),
-                      zero_copy_batch=True)
-        conc = self.tokenize_concurrency
-        if conc is None:
-            # autoscaling actor pool sized to the cluster, leaving CPUs for
-            # the read and write stages (SURVEY §4: don't starve the pipeline)
-            ncpu = int(ray.cluster_resources().get("CPU", 8))
-            conc = (1, max(2, (ncpu * 3) // 4))
-        kwargs["concurrency"] = conc
-        post = ds.map_batches(TokenizeStage, **kwargs)
+        # block count = cluster CPUs (not Ray's default ~200): each write
+        # task emits one file per part it sees, so fewer/larger blocks keep
+        # the per-part file count (and phase-2 open() overhead) bounded
+        ncpu = int(ray.cluster_resources().get("CPU", 8))
+        nblocks = max(len(files), ncpu)
+        ds = ray.data.read_parquet(files, columns=cols,
+                                   override_num_blocks=nblocks)
+        n_docs = sum(pq.read_metadata(f).num_rows for f in files)
+        fn_kwargs = dict(mode=self.mode, text_col=self.text_col,
+                         id_col=self.id_col, url_col=self.url_col)
+        if self.tokenize_actors:
+            # actor pool: for stateful tokenizer configs (dict shard etc.)
+            conc = self.tokenize_concurrency
+            if conc is None:
+                ncpu = int(ray.cluster_resources().get("CPU", 8))
+                conc = (1, max(2, (ncpu * 3) // 4))
+            post = ds.map_batches(TokenizeStage,
+                                  batch_format="pyarrow",
+                                  batch_size=self.tokenize_batch_size,
+                                  fn_constructor_kwargs=fn_kwargs,
+                                  zero_copy_batch=True, concurrency=conc)
+        else:
+            # stateless tasks: no actor startup, elastic across the cluster
+            post = ds.map_batches(tokenize_postings,
+                                  batch_format="pyarrow",
+                                  batch_size=self.tokenize_batch_size,
+                                  fn_kwargs=fn_kwargs,
+                                  zero_copy_batch=True)
+        post = post.map_batches(AddPartColumn(self.num_parts),
+                                batch_format="pyarrow", zero_copy_batch=True)
 
+        # THE shuffle, as a hive-partitioned write: each write task splits
+        # its blocks by part (hash of term), so phase 2 reads each part's
+        # postings directly — no sort-based all-to-all exchange. (Measured:
+        # Ray's groupby sort+map_groups on the same data ran the per-group
+        # encode with almost no parallelism; this layout also makes the
+        # shuffle itself restartable — it lives on disk, per wave.)
         final = os.path.join(self.postings_dir, f"wave={wave:04d}")
         tmp = os.path.join(self.postings_dir, f".tmp.wave={wave:04d}")
         if os.path.exists(tmp):
             import shutil
             shutil.rmtree(tmp)
-        post.write_parquet(tmp)
+        os.makedirs(tmp, exist_ok=True)  # empty input writes no files at all
+        post.write_parquet(tmp, partition_cols=["part"])
         os.replace(tmp, final)
         # n_tokens is NOT computed here: sum(tf) falls out of the segment
         # phase for free (tf_sum per chunk → part sidecars → finalize)
@@ -209,28 +253,39 @@ class IndexBuilder:
                      if d.startswith("wave=")]
         if not wave_dirs:
             raise RuntimeError("no committed postings waves")
-        post = ray.data.read_parquet(wave_dirs)
-        post = post.map_batches(AddPartColumn(self.num_parts),
-                                batch_format="pyarrow", zero_copy_batch=True)
         done = self._done_parts()
-        if done:
-            done_arr = pa.array(sorted(done), pa.int32())
+        todo = [p for p in range(self.num_parts) if p not in done]
+        if not todo:
+            return [self._read_part_manifest(p) for p in sorted(done)]
 
-            def _drop_done(t: pa.Table) -> pa.Table:
-                return t.filter(pc.invert(pc.is_in(t["part"],
-                                                   value_set=done_arr)))
-            post = post.map_batches(_drop_done, batch_format="pyarrow",
-                                    zero_copy_batch=True)
-            if len(done) == self.num_parts:
-                return [self._read_part_manifest(p) for p in sorted(done)]
         writer = SegmentWriter(self.segments_dir, self.bucket_shift)
 
-        def write_partition(group: pa.Table) -> pa.Table:
-            return writer(group)
+        def encode_one(batch: pa.Table) -> pa.Table:
+            # one task per part: gather this part's postings from every
+            # wave (hive layout wave=*/part=p/), encode, publish
+            outs = []
+            for p in batch["p"].to_pylist():
+                tables = []
+                for wd in wave_dirs:
+                    pdir = os.path.join(wd, f"part={p}")
+                    if os.path.isdir(pdir):
+                        tables.append(pq.read_table(
+                            pdir, columns=["term_id", "doc_id", "tf", "dl"]))
+                merged = (pa.concat_tables(tables) if tables
+                          else pa.table({
+                              "term_id": pa.array([], pa.uint64()),
+                              "doc_id": pa.array([], pa.uint64()),
+                              "tf": pa.array([], pa.uint32()),
+                              "dl": pa.array([], pa.uint32())}))
+                outs.append(writer.encode_part(int(p), merged))
+            return pa.concat_tables(outs)
 
-        out = post.groupby("part").map_groups(write_partition,
-                                              batch_format="pyarrow")
-        rows = out.take_all()  # small: one row per partition
+        parts_ds = ray.data.from_items([{"p": p} for p in todo],
+                                       override_num_blocks=len(todo))
+        rows = parts_ds.map_batches(encode_one, batch_format="pyarrow",
+                                    batch_size=1).take_all()
+        if done:
+            rows = rows + [self._read_part_manifest(p) for p in sorted(done)]
         return rows
 
     def _read_part_manifest(self, part: int) -> dict:
@@ -270,6 +325,8 @@ class IndexBuilder:
     def build(self, input_files: list[str] | str, waves: int = 1) -> dict:
         if isinstance(input_files, str):
             input_files = [input_files]
+        if len(self._done_parts()) == self.num_parts:
+            return self.finalize()  # fully committed; scratch may be gone
         chunks = np.array_split(np.array(input_files, dtype=object),
                                 min(waves, len(input_files)))
         for i, chunk in enumerate(chunks):

