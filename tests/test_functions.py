@@ -1,0 +1,190 @@
+"""Tests for the training-data operators (dedup, similarity, text stats,
+multimodal plumbing) — verified against brute-force computations."""
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+
+@pytest.fixture(scope="module")
+def docs_ds(ray_session):
+    import ray.data
+    return ray.data.read_parquet("/root/testdata/sf0.001/documents.parquet")
+
+
+@pytest.fixture(scope="module")
+def docs_tbl():
+    return pq.read_table("/root/testdata/sf0.001/documents.parquet")
+
+
+def test_exact_dedup_matches_bruteforce(docs_ds, docs_tbl):
+    import hashlib
+
+    from vfs_index_ray.functions.dedup import exact_dedup
+    got = {r["h"]: (r["doc_id"], r["n"])
+           for r in exact_dedup(docs_ds).take_all()}
+    want: dict[str, list[int]] = {}
+    for d, t in zip(docs_tbl["doc_id"].to_pylist(),
+                    docs_tbl["text"].to_pylist()):
+        want.setdefault(hashlib.md5(t.encode()).hexdigest(), []).append(d)
+    assert len(got) == len(want)
+    for h, ids in want.items():
+        assert got[h] == (min(ids), len(ids))
+
+
+def test_minhash_estimates_jaccard(ray_session):
+    """Signature agreement approximates true shingle Jaccard."""
+    import ray.data
+
+    from vfs_index_ray.functions.dedup import (MinHashSignature,
+                                               minhash_candidates,
+                                               ngram_jaccard_pairs)
+    base = "the quick brown fox jumps over the lazy dog " * 5
+    rows = [
+        {"doc_id": 0, "text": base},
+        {"doc_id": 1, "text": base + " extra tail words here"},  # near-dup
+        {"doc_id": 2, "text": "completely different content entirely " * 6},
+    ]
+    ds = ray.data.from_items(rows)
+    pairs = minhash_candidates(ds, num_perm=64, num_bands=16)
+    got = {(a, b): j for a, b, j in zip(pairs["doc_a"].to_pylist(),
+                                        pairs["doc_b"].to_pylist(),
+                                        pairs["est_jaccard_x1e4"].to_pylist())}
+    assert (0, 1) in got
+    assert got[(0, 1)] > 5000          # clearly similar
+    assert (0, 2) not in got or got[(0, 2)] < 2000
+    exact = ngram_jaccard_pairs(ds, pairs)
+    ex = {(a, b): j for a, b, j in zip(exact["doc_a"].to_pylist(),
+                                       exact["doc_b"].to_pylist(),
+                                       exact["jaccard_x1e4"].to_pylist())}
+    # estimate within 0.2 of exact for the near-dup pair
+    assert abs(ex[(0, 1)] - got[(0, 1)]) < 2000
+
+
+def test_simhash_near_dups(ray_session):
+    import ray.data
+
+    from vfs_index_ray.functions.dedup import simhash_near_dups
+    # many distinct tokens → stable bit sums → a one-token edit moves the
+    # simhash only a few bits (the regime SimHash near-dup targets)
+    base = " ".join(f"tok{i:04d}" for i in range(1000))
+    rows = [
+        {"doc_id": 10, "text": base},
+        {"doc_id": 11, "text": base + " zzz"},                # tiny edit
+        {"doc_id": 12, "text": "unrelated words " * 30},
+    ]
+    out = simhash_near_dups(ray.data.from_items(rows), max_hamming=3)
+    pairs = set(zip(out["doc_a"].to_pylist(), out["doc_b"].to_pylist()))
+    assert (10, 11) in pairs
+    assert (10, 12) not in pairs
+
+
+def test_ann_topk_matches_bruteforce(ray_session):
+    import ray.data
+
+    from vfs_index_ray.functions.similarity import ann_cosine_topk
+    ds = ray.data.read_parquet("/root/testdata/sf0.001/embeddings.parquet")
+    out = ann_cosine_topk(ds, [0, 1], k=5)
+    tbl = pq.read_table("/root/testdata/sf0.001/embeddings.parquet")
+    mat = np.array(tbl["embedding"].to_pylist(), np.float64)
+    ids = np.array(tbl["vec_id"].to_pylist(), np.int64)
+    mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    for qid in (0, 1):
+        sims = mat @ mat[list(ids).index(qid)]
+        mask = ids != qid
+        order = np.lexsort((ids[mask], -sims[mask]))[:5]
+        want = ids[mask][order].tolist()
+        got = [v for q, v in zip(out["query_id"].to_pylist(),
+                                 out["vec_id"].to_pylist()) if q == qid]
+        assert got == want, qid
+
+
+def test_embedding_near_dups_finds_planted(ray_session):
+    import ray.data
+
+    from vfs_index_ray.functions.similarity import embedding_near_dups
+    rng = np.random.default_rng(5)
+    base = rng.normal(size=(20, 32)).astype(np.float32)
+    rows = [{"vec_id": i, "embedding": base[i].tolist()} for i in range(20)]
+    # plant a near-duplicate of vector 3
+    dup = base[3] + rng.normal(scale=0.01, size=32).astype(np.float32)
+    rows.append({"vec_id": 99, "embedding": dup.tolist()})
+    out = embedding_near_dups(ray.data.from_items(rows), threshold=0.95)
+    pairs = set(zip(out["doc_a"].to_pylist(), out["doc_b"].to_pylist()))
+    assert (3, 99) in pairs
+
+
+def test_token_stats_vs_python(docs_ds, docs_tbl):
+    import re
+
+    from vfs_index_ray.functions.textstats import STOPWORDS, TokenStats
+    out = docs_ds.map_batches(TokenStats(), batch_format="pyarrow",
+                              concurrency=2).take_all()
+    got = {r["doc_id"]: r for r in out}
+    for d, t in list(zip(docs_tbl["doc_id"].to_pylist(),
+                         docs_tbl["text"].to_pylist()))[:50]:
+        toks = [w for w in re.split(r"[^a-z0-9]+", t.lower()) if w]
+        assert got[d]["n_tokens"] == len(toks)
+        assert got[d]["n_uniq"] == len(set(toks))
+        stop = sum(w in STOPWORDS for w in toks) / max(len(toks), 1)
+        assert got[d]["stop_ratio_x1e4"] == int(np.floor(stop * 1e4 + 0.5))
+
+
+def test_multimodal_plumbing(ray_session):
+    import ray.data
+
+    from vfs_index_ray.functions.multimodal import (DecodeImage, FrameSample,
+                                                    decode_images)
+    rows = [{"media_id": i, "payload": bytes([i]) * (1000 + i)}
+            for i in range(10)]
+    ds = ray.data.from_items(rows)
+    out = decode_images(ds, fake=True, feat_dim=16, batch_size=4).take_all()
+    assert len(out) == 10
+    assert all(len(r["features"]) == 16 for r in out)
+    # deterministic: same payload → same features
+    again = decode_images(ray.data.from_items(rows), fake=True,
+                          feat_dim=16).take_all()
+    a = {r["media_id"]: r["features"] for r in out}
+    b = {r["media_id"]: r["features"] for r in again}
+    assert a == b
+    # real decode is an explicit stub
+    with pytest.raises(NotImplementedError):
+        DecodeImage(fake=False)(pa.table({
+            "media_id": pa.array([1], pa.int64()),
+            "payload": pa.array([b"xx"], pa.binary())}))
+    frames = ray.data.from_items(
+        [{"media_id": 1, "payload": b"z" * (1 << 17)}]
+    ).map_batches(FrameSample(), batch_format="pyarrow").take_all()
+    assert len(frames) == 2
+
+
+def test_langid_on_corpus(ray_session, pages_file):
+    import ray.data
+
+    from vfs_index_ray.functions.textstats import LangId
+    ds = ray.data.read_parquet(pages_file)
+
+    def add_doc_id(t: pa.Table) -> pa.Table:
+        from vfs_index_ray.hashing import doc_ids_from_urls
+        ids = doc_ids_from_urls(t["url"].combine_chunks()
+                                if isinstance(t["url"], pa.ChunkedArray)
+                                else t["url"])
+        return t.append_column("doc_id",
+                               pa.array(ids.astype(np.int64), pa.int64()))
+
+    out = ds.map_batches(add_doc_id, batch_format="pyarrow").map_batches(
+        LangId(), batch_format="pyarrow", concurrency=2).take_all()
+    pred_by_id = {r["doc_id"]: r["lang_pred"] for r in out}
+    from vfs_index_ray.hashing import doc_id_from_url
+    tbl = pq.read_table(pages_file, columns=["url", "lang"])
+    n_ja = ja_correct = 0
+    for url, lang in zip(tbl["url"].to_pylist(), tbl["lang"].to_pylist()):
+        if lang == "ja":
+            n_ja += 1
+            did = doc_id_from_url(url)
+            did = did - (1 << 64) if did >= (1 << 63) else did  # int64 view
+            if pred_by_id.get(did) == "ja":
+                ja_correct += 1
+    # ja rows are pure CJK — the script heuristic must catch all of them
+    assert ja_correct == n_ja > 0

@@ -1,0 +1,176 @@
+"""Planner (M6/M7), merge/compaction (P4) and repartition tests."""
+
+import os
+
+import numpy as np
+import pyarrow.parquet as pq
+import pytest
+
+from vfs_index_ray import corpus
+from vfs_index_ray.planner import Predicate, parse
+
+
+# ---------------------------------------------------------------- parser
+def test_parse_ops():
+    p = parse('id == 132763')
+    assert p.predicates == [Predicate("id", "==", 132763)]
+    p = parse('id >= 10 && id < 99')
+    assert [(x.op, x.value) for x in p.predicates] == [(">=", 10), ("<", 99)]
+
+
+def test_parse_search():
+    p = parse('title.search("拉致問") && id == 132763')
+    assert p.predicates[0] == Predicate("title", "search", "拉致問")
+    assert p.predicates[1] == Predicate("id", "==", 132763)
+
+
+def test_parse_string_value():
+    p = parse('name == "foo bar"')
+    assert p.predicates == [Predicate("name", "==", "foo bar")]
+
+
+def test_parse_errors():
+    with pytest.raises(ValueError):
+        parse("&& id == 1")
+    with pytest.raises(ValueError):
+        parse("id == 1 &&")
+    with pytest.raises(ValueError):
+        parse("id == 1 ??? bogus")
+
+
+# ------------------------------------------------------- planner executor
+@pytest.fixture(scope="module")
+def executor(built_index, pages_file):
+    from vfs_index_ray.planner import QueryExecutor
+    from vfs_index_ray.search import SearchEngine
+
+    idx, _ = built_index
+    eng = SearchEngine(idx, corpus_files=[pages_file])
+    return QueryExecutor(eng, [pages_file], text_col="text", id_col="doc_id")
+
+
+def test_executor_search_only(executor, oracle_index):
+    docs = executor.execute(f'text.search("{corpus.RARE_TERM}")')
+    assert docs.tolist() == oracle_index.match(corpus.RARE_TERM)
+
+
+def test_executor_limit(executor, oracle_index):
+    docs = executor.execute('text.search("bababa")', limit=3)
+    assert len(docs) == 3
+    assert docs.tolist() == oracle_index.match("bababa")[:3]
+
+
+def test_executor_count_all_terms(executor, oracle_index):
+    # correct AND-count semantics (NOT the reference's last-fn-only quirk,
+    # search_finder.go:325-332)
+    q = f'text.search("{corpus.PHRASE.split()[0]} {corpus.PHRASE.split()[1]}")'
+    assert executor.count(q) == len(
+        oracle_index.match(" ".join(corpus.PHRASE.split()[:2])))
+
+
+def test_executor_first(executor, oracle_index):
+    got = executor.first(f'text.search("{corpus.RARE_TERM}")')
+    assert got == oracle_index.match(corpus.RARE_TERM)[0]
+
+
+# ------------------------------------------------------------- merge
+@pytest.fixture(scope="module")
+def split_corpora(tmp_path_factory):
+    d = tmp_path_factory.mktemp("merge_corpora")
+    pages = corpus.generate_pages(500)
+    a = str(d / "a.parquet")
+    b = str(d / "b.parquet")
+    ov_a = str(d / "ov_a.parquet")
+    ov_b = str(d / "ov_b.parquet")
+    pq.write_table(pages.slice(0, 300), a)
+    pq.write_table(pages.slice(300, 200), b)
+    pq.write_table(pages.slice(0, 350), ov_a)      # rows 0-349
+    pq.write_table(pages.slice(300, 200), ov_b)    # rows 300-499 (overlap 50)
+    return dict(a=a, b=b, ov_a=ov_a, ov_b=ov_b)
+
+
+def _build(ray_session, path, out, **kw):
+    from vfs_index_ray.build import IndexBuilder
+    kw.setdefault("mode", "word")
+    kw.setdefault("num_parts", 8)
+    kw.setdefault("id_col", None)
+    return IndexBuilder(out, **kw).build([path] if isinstance(path, str)
+                                         else path)
+
+
+def test_merge_disjoint_equals_full_build(ray_session, split_corpora,
+                                          tmp_path, built_index):
+    from vfs_index_ray.merge import merge_indexes
+    from vfs_index_ray.search import SearchEngine
+
+    ia = str(tmp_path / "ia")
+    ib = str(tmp_path / "ib")
+    im = str(tmp_path / "im")
+    _build(ray_session, split_corpora["a"], ia)
+    _build(ray_session, split_corpora["b"], ib)
+    stats = merge_indexes([ia, ib], im)
+    assert stats["n_docs"] == 500
+    assert sum(r["overlap"] for r in stats["merge_report"]) == 0
+    full_idx, _ = built_index
+    ef, em = SearchEngine(full_idx), SearchEngine(im)
+    for q in [corpus.RARE_TERM, corpus.PHRASE, "bababa babade"]:
+        d1, s1 = ef.bm25(q, 20)
+        d2, s2 = em.bm25(q, 20)
+        assert d1.tolist() == d2.tolist()
+        assert s1.tolist() == s2.tolist()
+    # segment files logically identical to the full build's
+    for name in sorted(os.listdir(os.path.join(full_idx, "segments"))):
+        if name.endswith(".parquet"):
+            t1 = pq.read_table(os.path.join(full_idx, "segments", name))
+            t2 = pq.read_table(os.path.join(im, "segments", name))
+            assert t1.equals(t2), name
+
+
+def test_merge_overlap_invariant(ray_session, split_corpora, tmp_path,
+                                 built_index):
+    """count(merged) = count(a) + count(b) − overlap
+    (vfsindex_internal_test.go:752-975 analog)."""
+    from vfs_index_ray.build import read_stats
+    from vfs_index_ray.merge import merge_indexes
+    from vfs_index_ray.search import SearchEngine
+
+    ia = str(tmp_path / "ova")
+    ib = str(tmp_path / "ovb")
+    im = str(tmp_path / "ovm")
+    _build(ray_session, split_corpora["ov_a"], ia)
+    _build(ray_session, split_corpora["ov_b"], ib)
+    stats = merge_indexes([ia, ib], im, assume_doc_disjoint=False,
+                          n_docs_override=500)
+    rep = stats["merge_report"]
+    n_a = sum(r["n_sources"][0] for r in rep)
+    n_b = sum(r["n_sources"][1] for r in rep)
+    n_m = sum(r["n_merged"] for r in rep)
+    ov = sum(r["overlap"] for r in rep)
+    assert n_m == n_a + n_b - ov
+    assert ov > 0  # rows 300-349 genuinely shared
+    assert read_stats(im)["n_docs"] == 500
+    # results identical to the full 500-doc build
+    full_idx, _ = built_index
+    ef, em = SearchEngine(full_idx), SearchEngine(im)
+    for q in [corpus.RARE_TERM, corpus.PHRASE, "bababa"]:
+        d1, s1 = ef.bm25(q, 20)
+        d2, s2 = em.bm25(q, 20)
+        assert d1.tolist() == d2.tolist()
+        assert s1.tolist() == s2.tolist()
+
+
+def test_repartition_same_results(ray_session, built_index, tmp_path,
+                                  oracle_index):
+    from vfs_index_ray.merge import repartition_index
+    from vfs_index_ray.search import SearchEngine
+
+    idx, _ = built_index
+    out = str(tmp_path / "repart4")
+    st = repartition_index(idx, out, 4)
+    assert st["num_parts"] == 4
+    e = SearchEngine(out)
+    for q in [corpus.RARE_TERM, corpus.PHRASE, "bababa babade"]:
+        docs, scores = e.bm25(q, 10)
+        expected = oracle_index.bm25(q, 10)
+        assert [int(x) for x in docs] == [d for d, _ in expected]
+        assert [float(x) for x in scores] == [s for _, s in expected]

@@ -1,0 +1,99 @@
+"""Checkpoint/resume tests (FIXTURES.md items 8 + reference idempotence
+record.go:46-82: interrupted builds continue, results identical)."""
+
+import os
+import shutil
+
+import pyarrow.parquet as pq
+import pytest
+
+from vfs_index_ray import corpus
+
+
+@pytest.fixture(scope="module")
+def two_files(tmp_path_factory):
+    d = tmp_path_factory.mktemp("resume_corpora")
+    pages = corpus.generate_pages(400)
+    a = str(d / "a.parquet")
+    b = str(d / "b.parquet")
+    pq.write_table(pages.slice(0, 200), a)
+    pq.write_table(pages.slice(200, 200), b)
+    return [a, b]
+
+
+def _bm25_fingerprint(idx, queries=(corpus.RARE_TERM, corpus.PHRASE,
+                                    "bababa babade")):
+    from vfs_index_ray.search import SearchEngine
+    eng = SearchEngine(idx)
+    out = []
+    for q in queries:
+        d, s = eng.bm25(q, 20)
+        out.append((d.tolist(), s.tolist()))
+    return out
+
+
+def test_resume_after_wave_interrupt(ray_session, two_files, tmp_path):
+    """Kill after wave 0 of 2 → a fresh builder completes only the missing
+    wave and all segments; results identical to an uninterrupted build."""
+    from vfs_index_ray.build import IndexBuilder
+
+    clean = str(tmp_path / "clean")
+    IndexBuilder(clean, mode="word", num_parts=8, id_col=None
+                 ).build(two_files, waves=2)
+
+    inter = str(tmp_path / "interrupted")
+    b1 = IndexBuilder(inter, mode="word", num_parts=8, id_col=None)
+    b1.build_postings_wave(0, [two_files[0]])  # "crash" here
+    b2 = IndexBuilder(inter, mode="word", num_parts=8, id_col=None)
+    b2.build(two_files, waves=2)
+    assert _bm25_fingerprint(clean) == _bm25_fingerprint(inter)
+
+
+def test_resume_after_partial_segments(ray_session, two_files, tmp_path):
+    """Kill mid-phase-2 (3 of 8 partitions committed) → resume completes
+    the other 5; no duplicate postings, identical results."""
+    from vfs_index_ray.build import IndexBuilder, SegmentWriter
+
+    clean = str(tmp_path / "clean2")
+    IndexBuilder(clean, mode="word", num_parts=8, id_col=None
+                 ).build(two_files)
+
+    inter = str(tmp_path / "inter2")
+    b1 = IndexBuilder(inter, mode="word", num_parts=8, id_col=None)
+    b1.build_postings_wave(0, two_files)
+    w = SegmentWriter(b1.segments_dir, 64)
+    for p in range(3):
+        pdir = os.path.join(b1.postings_dir, "wave=0000", f"part={p}")
+        t = pq.read_table(pdir, columns=["term_id", "doc_id", "tf", "dl"])
+        w.encode_part(p, t)
+    assert sorted(b1._done_parts()) == [0, 1, 2]
+    b2 = IndexBuilder(inter, mode="word", num_parts=8, id_col=None)
+    b2.build(two_files)
+    assert _bm25_fingerprint(clean) == _bm25_fingerprint(inter)
+    # committed partitions were not rebuilt with different content
+    for name in os.listdir(os.path.join(clean, "segments")):
+        if name.endswith(".parquet"):
+            t1 = pq.read_table(os.path.join(clean, "segments", name))
+            t2 = pq.read_table(os.path.join(inter, "segments", name))
+            assert t1.equals(t2), name
+
+
+def test_wave_sidecar_requires_postings(ray_session, two_files, tmp_path):
+    """Scratch loss before segments are built → wave recomputed, not
+    trusted from the orphaned sidecar."""
+    from vfs_index_ray.build import IndexBuilder
+
+    idx = str(tmp_path / "scratchloss")
+    scratch = str(tmp_path / "scratch")
+    b1 = IndexBuilder(idx, mode="word", num_parts=8, id_col=None,
+                      scratch_dir=scratch)
+    b1.build_postings_wave(0, two_files)
+    shutil.rmtree(scratch)  # lose the spill before phase 2
+    b2 = IndexBuilder(idx, mode="word", num_parts=8, id_col=None,
+                      scratch_dir=scratch)
+    assert not b2._wave_done(0)  # sidecar alone must not count
+    b2.build(two_files)
+    clean = str(tmp_path / "clean3")
+    IndexBuilder(clean, mode="word", num_parts=8, id_col=None
+                 ).build(two_files)
+    assert _bm25_fingerprint(clean) == _bm25_fingerprint(idx)

@@ -1,0 +1,214 @@
+"""Segment merge / compaction (reference §3.3: baseMergeIndex,
+IndexFileMerged.Merge/Split, merged_index_file.go:272-456).
+
+The reference k-way-merges sorted KeyRecordLists with overlap resolution
+(MergeKerRecordList, merged_index_file.go:300-422); its invariant tests
+assert count(merged) = count(a) + count(b) − overlap
+(vfsindex_internal_test.go:752-975). Here:
+
+- ``merge_indexes([a, b, ...], out)``: per hash partition, decode all
+  sources' posting chunks, stack with source priority (later wins on a
+  duplicate (term, doc)), re-encode. One Ray task per partition — same
+  shape as the build's encode phase, no global shuffle (sources share the
+  partition function).
+- ``repartition_index(src, out, new_num_parts)``: the Split/Merge analog —
+  re-hash terms into a different partition count.
+
+Assumption (documented): inputs are doc-disjoint, or a doc shared between
+inputs has identical content (the reference has the same property through
+its (fileID, offset) record identity). True doc replacement needs
+doc-level tombstones — out of scope, as in the reference.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+import ray.data
+
+from .build import IndexBuilder, SegmentWriter, read_stats
+from .codec import decode_chunk
+
+
+def decode_segment_table(tbl: pa.Table):
+    """Expand segment rows back into flat posting arrays
+    (terms, docs, tfs, dls), ordered (term asc, bucket asc → doc asc)."""
+    terms_l, docs_l, tfs_l, dls_l = [], [], [], []
+    for row in tbl.to_pylist():
+        d, tf, dl = decode_chunk(row)
+        terms_l.append(np.full(len(d), np.uint64(row["term_id"])))
+        docs_l.append(d)
+        tfs_l.append(tf)
+        dls_l.append(dl)
+    if not terms_l:
+        e = np.empty(0, np.uint64)
+        return e, e.copy(), e.copy(), e.copy()
+    return (np.concatenate(terms_l), np.concatenate(docs_l),
+            np.concatenate(tfs_l), np.concatenate(dls_l))
+
+
+def _merge_part(part: int, src_files: list[str], writer: SegmentWriter):
+    """Merge one partition across sources. Later sources win duplicates."""
+    terms_l, docs_l, tfs_l, dls_l, prio_l = [], [], [], [], []
+    counts = []
+    for pri, f in enumerate(src_files):
+        if not os.path.exists(f):
+            counts.append(0)
+            continue
+        t, d, tf, dl = decode_segment_table(pq.read_table(f))
+        counts.append(len(t))
+        terms_l.append(t)
+        docs_l.append(d)
+        tfs_l.append(tf)
+        dls_l.append(dl)
+        prio_l.append(np.full(len(t), pri, np.int64))
+    if not terms_l:
+        empty = pa.table({"term_id": pa.array([], pa.uint64()),
+                          "doc_id": pa.array([], pa.uint64()),
+                          "tf": pa.array([], pa.uint32()),
+                          "dl": pa.array([], pa.uint32())})
+        writer.encode_part(part, empty)
+        return {"part": part, "n_sources": counts, "n_merged": 0,
+                "overlap": 0}
+    terms = np.concatenate(terms_l)
+    docs = np.concatenate(docs_l)
+    tfs = np.concatenate(tfs_l)
+    dls = np.concatenate(dls_l)
+    prio = np.concatenate(prio_l)
+    # sort by (term, doc, prio); keep the LAST (highest prio) of each dup
+    order = np.lexsort((prio, docs, terms))
+    t, d, tf, dl = terms[order], docs[order], tfs[order], dls[order]
+    n = len(t)
+    keep = np.empty(n, bool)
+    keep[:-1] = (t[:-1] != t[1:]) | (d[:-1] != d[1:])
+    keep[-1] = True
+    overlap = int(n - keep.sum())
+    sel = np.flatnonzero(keep)
+    postings = pa.table({
+        "term_id": pa.array(t[sel], pa.uint64()),
+        "doc_id": pa.array(d[sel], pa.uint64()),
+        "tf": pa.array(tf[sel].astype(np.uint32), pa.uint32()),
+        "dl": pa.array(dl[sel].astype(np.uint32), pa.uint32()),
+    })
+    writer.encode_part(part, postings)
+    return {"part": part, "n_sources": counts, "n_merged": int(keep.sum()),
+            "overlap": overlap}
+
+
+def merge_indexes(src_dirs: list[str], out_dir: str,
+                  assume_doc_disjoint: bool = True,
+                  n_docs_override: int | None = None) -> dict:
+    """Merge several indexes built with identical (mode, num_parts) into
+    ``out_dir``. Returns merged stats + per-part merge report."""
+    stats = [read_stats(s) for s in src_dirs]
+    num_parts = stats[0]["num_parts"]
+    mode = stats[0]["mode"]
+    for s in stats[1:]:
+        if s["num_parts"] != num_parts or s["mode"] != mode:
+            raise ValueError("sources must share num_parts and mode; "
+                             "use repartition_index first")
+    out = IndexBuilder(out_dir, mode=mode, num_parts=num_parts,
+                       bucket_shift=stats[0]["bucket_shift"])
+    writer = SegmentWriter(out.segments_dir, out.bucket_shift)
+
+    def merge_batch(batch: pa.Table) -> pa.Table:
+        reports = []
+        for p in batch["p"].to_pylist():
+            files = [os.path.join(s, "segments", f"part={p:05d}.parquet")
+                     for s in src_dirs]
+            reports.append(_merge_part(int(p), files, writer))
+        return pa.table({
+            "part": pa.array([r["part"] for r in reports], pa.int32()),
+            "n_merged": pa.array([r["n_merged"] for r in reports],
+                                 pa.int64()),
+            "overlap": pa.array([r["overlap"] for r in reports], pa.int64()),
+            "n_sources": pa.array([r["n_sources"] for r in reports],
+                                  pa.list_(pa.int64())),
+        })
+
+    todo = [p for p in range(num_parts)
+            if p not in out._done_parts()]
+    reports = []
+    if todo:
+        parts_ds = ray.data.from_items([{"p": p} for p in todo],
+                                       override_num_blocks=len(todo))
+        reports = parts_ds.map_batches(merge_batch, batch_format="pyarrow",
+                                       batch_size=1).take_all()
+    # stats: docs per the disjointness contract; tokens from part sidecars
+    if n_docs_override is not None:
+        n_docs = n_docs_override
+    elif assume_doc_disjoint:
+        n_docs = sum(s["n_docs"] for s in stats)
+    else:
+        raise ValueError("need n_docs_override when inputs share docs")
+    # synthesize a wave sidecar so finalize() has the doc count + lineage
+    from .build import _atomic_write_json
+    _atomic_write_json(os.path.join(out.waves_dir, "wave=0000.json"),
+                       {"wave": 0, "files": [f"merge:{s}" for s in src_dirs],
+                        "n_docs": int(n_docs)})
+    merged_stats = out.finalize()
+    merged_stats["merge_report"] = reports
+    return merged_stats
+
+
+def repartition_index(src_dir: str, out_dir: str, new_num_parts: int) -> dict:
+    """Split/Merge analog: rewrite an index with a different partition
+    count (term_id % new_P). Decode per old part, tag new part, shuffle by
+    the new key via the same disk-partition layout the build uses."""
+    st = read_stats(src_dir)
+    out = IndexBuilder(out_dir, mode=st["mode"], num_parts=new_num_parts,
+                       bucket_shift=st["bucket_shift"])
+    writer = SegmentWriter(out.segments_dir, out.bucket_shift)
+    old_parts = st["num_parts"]
+
+    def rewrite_batch(batch: pa.Table) -> pa.Table:
+        # one task per NEW part: gather matching terms from every old part
+        outs = []
+        for np_ in batch["p"].to_pylist():
+            terms_l, docs_l, tfs_l, dls_l = [], [], [], []
+            for op in range(old_parts):
+                f = os.path.join(src_dir, "segments",
+                                 f"part={op:05d}.parquet")
+                if not os.path.exists(f):
+                    continue
+                tbl = pq.read_table(f)
+                t, d, tf, dl = decode_segment_table(tbl)
+                m = (t % np.uint64(new_num_parts)) == np.uint64(np_)
+                if m.any():
+                    terms_l.append(t[m])
+                    docs_l.append(d[m])
+                    tfs_l.append(tf[m])
+                    dls_l.append(dl[m])
+            if terms_l:
+                postings = pa.table({
+                    "term_id": pa.array(np.concatenate(terms_l), pa.uint64()),
+                    "doc_id": pa.array(np.concatenate(docs_l), pa.uint64()),
+                    "tf": pa.array(np.concatenate(tfs_l).astype(np.uint32),
+                                   pa.uint32()),
+                    "dl": pa.array(np.concatenate(dls_l).astype(np.uint32),
+                                   pa.uint32()),
+                })
+            else:
+                postings = pa.table({
+                    "term_id": pa.array([], pa.uint64()),
+                    "doc_id": pa.array([], pa.uint64()),
+                    "tf": pa.array([], pa.uint32()),
+                    "dl": pa.array([], pa.uint32())})
+            outs.append(writer.encode_part(int(np_), postings))
+        return pa.concat_tables(outs)
+
+    todo = [p for p in range(new_num_parts) if p not in out._done_parts()]
+    if todo:
+        ray.data.from_items([{"p": p} for p in todo],
+                            override_num_blocks=len(todo)
+                            ).map_batches(rewrite_batch,
+                                          batch_format="pyarrow",
+                                          batch_size=1).take_all()
+    from .build import _atomic_write_json
+    _atomic_write_json(os.path.join(out.waves_dir, "wave=0000.json"),
+                       {"wave": 0, "files": [f"repartition:{src_dir}"],
+                        "n_docs": int(st["n_docs"])})
+    return out.finalize()

@@ -1,0 +1,150 @@
+"""Query-expression parser + planner (reference M6/M7).
+
+The reference parses ``expr (&& expr)*`` with
+``expr := col op value | col.search("v")``, ops ``== <= < >= >``
+(PEG grammar expr/expr.peg:8-31, API expr/qexpr.go:24-37), then rewrites
+per column type: numeric → uint64 key + range op, string → trigram keys
+(search_cond.go:626-651, 676-703).
+
+Here: a small recursive-descent parser producing ``Plan`` dataclasses,
+executed as (a) index lookups for text predicates (eq and .search), and
+(b) Parquet predicate-pushdown reads for numeric predicates — the new
+engine's "numeric index" is the row-group statistics of the column
+itself. The AND of all predicates is a doc-id intersection
+(search_finder.go:108-193 analog).
+
+Deliberate divergence from the reference (documented, SURVEY §7.6): the
+reference maps string ``>`` to ``>=`` (StringOp search_cond.go:793-799)
+and ``Count`` returns only the last term's count
+(search_finder.go:325-332) — both bugs we do not replicate.
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass, field
+
+import numpy as np
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+
+OPS = ("==", "<=", ">=", "<", ">")
+
+
+@dataclass
+class Predicate:
+    column: str
+    op: str                 # one of OPS or "search"
+    value: str | int | float
+
+
+@dataclass
+class Plan:
+    predicates: list[Predicate] = field(default_factory=list)
+
+
+_TOKEN_RE = re.compile(
+    r"""\s*(?:
+        (?P<and>&&) |
+        (?P<search>(?P<scol>\w+)\.search\(\s*"(?P<sval>[^"]*)"\s*\)) |
+        (?P<cmp>(?P<col>\w+)\s*(?P<op>==|<=|>=|<|>)\s*
+            (?P<val>"[^"]*"|\S+))
+    )""", re.VERBOSE)
+
+
+def parse(q: str) -> Plan:
+    """Parse ``expr (&& expr)*`` into a Plan. Raises ValueError on junk."""
+    plan = Plan()
+    pos = 0
+    expect_expr = True
+    while pos < len(q):
+        m = _TOKEN_RE.match(q, pos)
+        if not m:
+            if q[pos:].strip() == "":
+                break
+            raise ValueError(f"parse error at {q[pos:]!r}")
+        pos = m.end()
+        if m.group("and"):
+            if expect_expr:
+                raise ValueError("unexpected &&")
+            expect_expr = True
+            continue
+        if not expect_expr:
+            raise ValueError("expected && between expressions")
+        expect_expr = False
+        if m.group("search"):
+            plan.predicates.append(
+                Predicate(m.group("scol"), "search", m.group("sval")))
+        else:
+            val: str | int | float = m.group("val")
+            if val.startswith('"'):
+                val = val[1:-1]
+            else:
+                try:
+                    val = int(val)
+                except ValueError:
+                    try:
+                        val = float(val)
+                    except ValueError:
+                        pass
+            plan.predicates.append(
+                Predicate(m.group("col"), m.group("op"), val))
+    if expect_expr and plan.predicates:
+        raise ValueError("dangling &&")
+    return plan
+
+
+class QueryExecutor:
+    """Executes a Plan against an index + corpus parquet.
+
+    Text predicates (``search`` or ``==`` on the indexed text column) use
+    the inverted index; everything else is a vectorized pushdown filter on
+    the corpus. Results: ascending doc ids (deterministic).
+    """
+
+    def __init__(self, engine, corpus_files, text_col: str = "text",
+                 id_col: str = "doc_id"):
+        self.engine = engine
+        self.corpus_files = corpus_files
+        self.text_col = text_col
+        self.id_col = id_col
+
+    def _numeric_docs(self, preds: list[Predicate]) -> np.ndarray:
+        expr = None
+        for p in preds:
+            f = pc.field(p.column)
+            e = {"==": f == p.value, "<=": f <= p.value, "<": f < p.value,
+                 ">=": f >= p.value, ">": f > p.value}[p.op]
+            expr = e if expr is None else (expr & e)
+        tbl = pq.read_table(self.corpus_files, columns=[self.id_col],
+                            filters=expr)
+        ids = tbl[self.id_col].to_numpy(zero_copy_only=False
+                                        ).astype(np.uint64)
+        return np.sort(ids)
+
+    def execute(self, q: str, limit: int | None = None) -> np.ndarray:
+        plan = parse(q)
+        text_preds = [p for p in plan.predicates
+                      if p.op == "search" or
+                      (p.op == "==" and p.column == self.text_col)]
+        other = [p for p in plan.predicates if p not in text_preds]
+        doc_sets = []
+        for p in text_preds:
+            doc_sets.append(self.engine.match(str(p.value)))
+        if other:
+            doc_sets.append(self._numeric_docs(other))
+        if not doc_sets:
+            return np.empty(0, np.uint64)
+        out = doc_sets[0]
+        for s in doc_sets[1:]:
+            out = np.intersect1d(out, s, assume_unique=True)
+        if limit is not None:
+            out = out[:limit]  # ascending-doc-id order, deterministic
+        return out
+
+    def count(self, q: str) -> int:
+        return int(len(self.execute(q)))
+
+    def first(self, q: str):
+        docs = self.execute(q, limit=1)
+        return None if len(docs) == 0 else int(docs[0])

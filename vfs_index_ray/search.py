@@ -178,21 +178,19 @@ class SearchEngine:
         return self._bm25_exact(tids, loaded, k)
 
     def _bm25_exact(self, tids, loaded, k):
-        doc_parts, score_parts = [], []
-        for tid in tids:  # ascending term_id
-            p = loaded[tid].decode()
-            doc_parts.append(p.docs)
-            score_parts.append(self._term_score(p.tfs, p.dls, p.df))
-        docs = np.concatenate(doc_parts)
-        contrib = np.concatenate(score_parts)
-        order = np.argsort(docs, kind="stable")  # keeps term order per doc
-        d, s = docs[order], contrib[order]
-        new = np.empty(len(d), dtype=bool)
-        new[0] = True
-        new[1:] = d[1:] != d[:-1]
-        starts = np.flatnonzero(new)
-        scores = np.add.reduceat(s, starts)  # sequential within doc
-        return self._topk(d[starts], scores, k)
+        # accumulate term-by-term in ascending term_id order: each doc's
+        # score is built by the same sequential fp64 additions as the
+        # oracle (np.add.reduceat would sum pairwise — NOT order-exact)
+        ps = [loaded[t].decode() for t in tids]
+        if len(ps) == 1:
+            docs_all = ps[0].docs
+        else:
+            docs_all = np.unique(np.concatenate([p.docs for p in ps]))
+        scores = np.zeros(len(docs_all), np.float64)
+        for p in ps:  # ascending term_id
+            pos = np.searchsorted(docs_all, p.docs)
+            scores[pos] += self._term_score(p.tfs, p.dls, p.df)
+        return self._topk(docs_all, scores, k)
 
     # --- MaxScore candidate generation + exact rescore -----------------
     def _term_ub(self, p: Postings) -> float:
@@ -242,8 +240,9 @@ class SearchEngine:
         cand_part = np.empty(0, np.float64)
         theta = -np.inf
         decoded: set[int] = set()
+        eps = 1e-9  # partial sums are pairwise-accumulated; guard ulp noise
         for i, tid in enumerate(by_ub):
-            if i > 0 and len(cand_docs) >= k and suffix[i] < theta:
+            if i > 0 and len(cand_docs) >= k and suffix[i] < theta - eps:
                 break
             p = loaded[tid].decode()
             decoded.add(tid)
@@ -267,7 +266,7 @@ class SearchEngine:
         skipped = [t for t in tids if t not in decoded]
         max_extra = float(np.sum([ubs[t] for t in skipped])) if skipped else 0.0
         if len(cand_docs) > k:
-            keep = cand_part + max_extra >= theta
+            keep = cand_part + max_extra >= theta - eps
             cand_docs = cand_docs[keep]
         targets = np.sort(cand_docs)
         per_term = []
@@ -392,7 +391,7 @@ def bm25_topk_ray(index_dir: str, q: str, k: int = 10):
     def score_bucket(group: pa.Table) -> pa.Table:
         rows = sorted(group.to_pylist(), key=lambda r: (r["term_id"],
                                                         r["bucket"]))
-        doc_parts, score_parts = [], []
+        decoded = []
         for row in rows:  # ascending term_id (+ bucket)
             d, tf, dl = decode_chunk(row)
             df = int(row["df"])
@@ -401,19 +400,15 @@ def bm25_topk_ray(index_dir: str, q: str, k: int = 10):
             dlf = dl.astype(np.float64)
             tfn = tff * (BM25_K1 + 1.0) / (
                 tff + BM25_K1 * (1.0 - BM25_B + BM25_B * dlf / avgdl))
-            s = idf * tfn
-            doc_parts.append(d)
-            score_parts.append(s)
-        docs = np.concatenate(doc_parts)
-        contrib = np.concatenate(score_parts)
-        order = np.argsort(docs, kind="stable")
-        d2, s2 = docs[order], contrib[order]
-        new = np.empty(len(d2), bool)
-        new[0] = True
-        new[1:] = d2[1:] != d2[:-1]
-        st = np.flatnonzero(new)
-        scores = np.add.reduceat(s2, st)
-        dd, ss = SearchEngine._topk(d2[st], scores, k)
+            decoded.append((d, idf * tfn))
+        if len(decoded) == 1:
+            docs_all = decoded[0][0]
+        else:
+            docs_all = np.unique(np.concatenate([d for d, _ in decoded]))
+        scores = np.zeros(len(docs_all), np.float64)
+        for d, s in decoded:  # sequential per doc, ascending term order
+            scores[np.searchsorted(docs_all, d)] += s
+        dd, ss = SearchEngine._topk(docs_all, scores, k)
         return pa.table({"doc_id": pa.array(dd, pa.uint64()),
                          "score": pa.array(ss, pa.float64())})
 
