@@ -262,7 +262,10 @@ class IndexBuilder:
 
         def encode_one(batch: pa.Table) -> pa.Table:
             # one task per part: gather this part's postings from every
-            # wave (hive layout wave=*/part=p/), encode, publish
+            # wave (hive layout wave=*/part=p/), encode, publish.
+            # use_threads=False: each task owns ONE cpu — 64 concurrent
+            # tasks each spinning up Arrow's full thread pool thrash the
+            # node (threads = tasks × cores without it)
             outs = []
             for p in batch["p"].to_pylist():
                 tables = []
@@ -270,7 +273,8 @@ class IndexBuilder:
                     pdir = os.path.join(wd, f"part={p}")
                     if os.path.isdir(pdir):
                         tables.append(pq.read_table(
-                            pdir, columns=["term_id", "doc_id", "tf", "dl"]))
+                            pdir, columns=["term_id", "doc_id", "tf", "dl"],
+                            use_threads=False))
                 merged = (pa.concat_tables(tables) if tables
                           else pa.table({
                               "term_id": pa.array([], pa.uint64()),
@@ -280,6 +284,19 @@ class IndexBuilder:
                 outs.append(writer.encode_part(int(p), merged))
             return pa.concat_tables(outs)
 
+        # LPT order: launch the biggest partitions first so the Zipf-head
+        # part (every doc contains the head terms) doesn't become the tail
+        # straggler of the whole phase
+        def _part_bytes(p: int) -> int:
+            total = 0
+            for wd in wave_dirs:
+                pdir = os.path.join(wd, f"part={p}")
+                if os.path.isdir(pdir):
+                    for f in os.listdir(pdir):
+                        total += os.path.getsize(os.path.join(pdir, f))
+            return total
+
+        todo.sort(key=_part_bytes, reverse=True)
         parts_ds = ray.data.from_items([{"p": p} for p in todo],
                                        override_num_blocks=len(todo))
         rows = parts_ds.map_batches(encode_one, batch_format="pyarrow",
