@@ -181,8 +181,13 @@ class IndexBuilder:
         if self._wave_done(wave):
             with open(os.path.join(self.waves_dir, f"wave={wave:04d}.json")) as f:
                 return json.load(f)
+        is_parquet = all(f.endswith(".parquet") for f in files)
+        if is_parquet:
+            schema_names = pq.read_schema(files[0]).names
+        else:
+            from .sinks import read_corpus
+            schema_names = read_corpus([files[0]]).schema().names
         cols = [self.text_col]
-        schema_names = pq.read_schema(files[0]).names
         if self.id_col and self.id_col in schema_names:
             cols.append(self.id_col)
         else:
@@ -192,9 +197,15 @@ class IndexBuilder:
         # the per-part file count (and phase-2 open() overhead) bounded
         ncpu = int(ray.cluster_resources().get("CPU", 8))
         nblocks = max(len(files), ncpu)
-        ds = ray.data.read_parquet(files, columns=cols,
-                                   override_num_blocks=nblocks)
-        n_docs = sum(pq.read_metadata(f).num_rows for f in files)
+        if is_parquet:
+            ds = ray.data.read_parquet(files, columns=cols,
+                                       override_num_blocks=nblocks)
+            n_docs = sum(pq.read_metadata(f).num_rows for f in files)
+        else:
+            # json/csv ingestion (reference S1-S5 decoder registry analog)
+            from .sinks import read_corpus
+            ds = read_corpus(files, columns=cols)
+            n_docs = ds.count()
         fn_kwargs = dict(mode=self.mode, text_col=self.text_col,
                          id_col=self.id_col, url_col=self.url_col)
         if self.tokenize_actors:

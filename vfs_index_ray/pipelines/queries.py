@@ -132,6 +132,23 @@ def q_short_query_empty(sf_dir: str) -> pa.Table:
 # dedup / text-analysis / similarity (training-data extension set)
 # ---------------------------------------------------------------------------
 
+COOCCUR_PAIRS = [("spark", "join"), ("spark", "window"), ("batch", "stream")]
+
+
+def q_cooccur_distance(sf_dir: str) -> pa.Table:
+    """A6 analog: 1 − |A∩B| / max(|A|,|B|) per token pair."""
+    eng = get_engine(sf_dir)
+    rows = []
+    for ta, tb in COOCCUR_PAIRS:
+        d = eng.cooccur_distance(ta, tb)
+        rows.append((ta, tb, int(np.floor(d * 10000.0 + 0.5))))
+    return pa.table({
+        "token_a": pa.array([r[0] for r in rows], pa.string()),
+        "token_b": pa.array([r[1] for r in rows], pa.string()),
+        "dist_x1e4": pa.array([r[2] for r in rows], pa.int64()),
+    })
+
+
 def q_dedup_exact(sf_dir: str) -> pa.Table:
     from ..functions.dedup import exact_dedup
     out = exact_dedup(_docs_ds(sf_dir, columns=["doc_id", "text"]))
@@ -254,6 +271,7 @@ QUERIES = {
     "search_and_fetch": q_search_and_fetch,
     "range_limit": q_range_limit,
     "short_query_empty": q_short_query_empty,
+    "cooccur_distance": q_cooccur_distance,
     "dedup_exact": q_dedup_exact,
     "fingerprint": q_fingerprint,
     "token_count": q_token_count,
@@ -319,6 +337,26 @@ SELECT doc_id, n_chars FROM documents WHERE n_chars >= 450
 ORDER BY doc_id LIMIT 3
 """,
     "short_query_empty": "SELECT doc_id FROM documents WHERE 1=0",
+    "cooccur_distance": f"""
+WITH tok AS (
+  SELECT doc_id, unnest({TOKS}) AS tok FROM documents
+), dt AS (
+  SELECT DISTINCT tok, doc_id FROM tok
+), pairs(ta, tb) AS (
+  VALUES ('spark','join'), ('spark','window'), ('batch','stream')
+), stats AS (
+  SELECT p.ta, p.tb,
+    (SELECT count(*) FROM dt WHERE tok = p.ta) AS ca,
+    (SELECT count(*) FROM dt WHERE tok = p.tb) AS cb,
+    (SELECT count(*) FROM dt a JOIN dt b USING(doc_id)
+      WHERE a.tok = p.ta AND b.tok = p.tb) AS inter
+  FROM pairs p
+)
+SELECT ta AS token_a, tb AS token_b,
+  CAST(floor((1 - inter::DOUBLE / greatest(ca, cb, 1))*10000 + 0.5)
+       AS BIGINT) AS dist_x1e4
+FROM stats
+""",
     "dedup_exact": """
 SELECT md5(text) AS h, min(doc_id)::BIGINT AS doc_id, count(*)::BIGINT AS n
 FROM documents GROUP BY md5(text)

@@ -295,6 +295,32 @@ class SearchEngine:
         return self._topk(targets, scores, k)
 
     # ------------------------------------------------------------------
+    def cooccur_distance(self, qa: str, qb: str) -> float:
+        """Approximate co-occurrence distance between two queries
+        (reference A6: search_cond.go:552-612):
+        ``1 − |A∩B| / max(|A|,|B|)`` per key pair, averaged over the
+        cross product of the two queries' keys (distanceOfKeys,
+        search_cond.go:448-536). 1.0 = never co-occur, 0.0 = identical
+        doc sets. Uses cached postings + sorted intersections."""
+        keys_a = self.query_term_ids(qa)
+        keys_b = self.query_term_ids(qb)
+        if not keys_a or not keys_b:
+            return 1.0
+        loaded = self.load_terms(list(set(keys_a) | set(keys_b)))
+        dists = []
+        for ta in keys_a:
+            for tb in keys_b:
+                pa_, pb_ = loaded[ta].decode(), loaded[tb].decode()
+                denom = max(len(pa_.docs), len(pb_.docs))
+                if denom == 0:
+                    dists.append(1.0)
+                    continue
+                inter = len(np.intersect1d(pa_.docs, pb_.docs,
+                                           assume_unique=True))
+                dists.append(1.0 - inter / denom)
+        return float(np.mean(dists))
+
+    # ------------------------------------------------------------------
     def fetch_rows(self, doc_ids: np.ndarray, columns=None) -> pa.Table:
         """Materialize matched rows from the corpus (J5/M8 analog): a
         broadcast semi-join — matched ids are small, corpus stays columnar."""

@@ -1,0 +1,81 @@
+"""Result sinks and ingestion helpers (reference K1-K6, S1-S6 parity).
+
+The reference writes matched records as indented JSON or header-inferred
+CSV (search_finder.go:426-450, indexer.go:127-191) and streams results
+through a bounded channel (search_finder.go:451-486). Here:
+
+- ``write_results``: pyarrow Table → json / jsonl / csv / parquet file.
+- ``stream_results``: bounded streaming iterator over a Ray Dataset
+  (`iter_batches` = the channel-with-backpressure analog).
+- ``read_corpus``: format-dispatched ingestion (parquet / jsonl / csv —
+  the decoder-registry analog, util.go:216-255); compressed variants
+  (.gz etc.) ride on Arrow's transparent decompression, the reference's
+  lz4 path analog (decompress/lz4.go).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pyarrow as pa
+import pyarrow.csv as pacsv
+import pyarrow.parquet as pq
+
+
+def write_results(tbl: pa.Table, path: str, fmt: str | None = None) -> str:
+    """Write a (small, driver-side) result table; fmt from extension."""
+    if fmt is None:
+        fmt = os.path.splitext(path)[1].lstrip(".") or "json"
+    if fmt == "parquet":
+        pq.write_table(tbl, path)
+    elif fmt == "csv":
+        pacsv.write_csv(tbl, path)
+    elif fmt in ("json", "jsonl"):
+        rows = tbl.to_pylist()
+        with open(path, "w") as f:
+            if fmt == "json":
+                json.dump(rows, f, indent=2, default=str)
+            else:
+                for r in rows:
+                    f.write(json.dumps(r, default=str) + "\n")
+    else:
+        raise ValueError(f"unknown format {fmt!r}")
+    return path
+
+
+def stream_results(ds, batch_size: int = 1024, limit: int | None = None):
+    """Streaming result iterator with an optional row limit — the
+    reference's result channel + Limit SkipFn (search_finder.go:78-106,
+    250-280) as Ray Data streaming consumption."""
+    seen = 0
+    for batch in ds.iter_batches(batch_size=batch_size,
+                                 batch_format="pyarrow"):
+        if limit is not None and seen + batch.num_rows > limit:
+            yield batch.slice(0, limit - seen)
+            return
+        seen += batch.num_rows
+        yield batch
+
+
+def read_corpus(files: list[str], columns: list[str] | None = None):
+    """Format-dispatched corpus reader: one Dataset from parquet / jsonl /
+    csv inputs (extension decides, like the reference's decoder registry).
+    All files in one call must share a format."""
+    import ray.data
+
+    exts = {os.path.splitext(f.removesuffix(".gz"))[1] for f in files}
+    if len(exts) != 1:
+        raise ValueError(f"mixed input formats: {sorted(exts)}")
+    ext = exts.pop()
+    if ext == ".parquet":
+        return ray.data.read_parquet(files, columns=columns)
+    if ext in (".json", ".jsonl"):
+        ds = ray.data.read_json(files)
+    elif ext == ".csv":
+        ds = ray.data.read_csv(files)
+    else:
+        raise ValueError(f"no reader for {ext!r}")
+    if columns:
+        ds = ds.select_columns(columns)
+    return ds
