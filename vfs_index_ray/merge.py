@@ -100,9 +100,16 @@ def _merge_part(part: int, src_files: list[str], writer: SegmentWriter):
 
 def merge_indexes(src_dirs: list[str], out_dir: str,
                   assume_doc_disjoint: bool = True,
-                  n_docs_override: int | None = None) -> dict:
+                  n_docs_override: int | None = None,
+                  max_parts: int | None = None) -> dict:
     """Merge several indexes built with identical (mode, num_parts) into
-    ``out_dir``. Returns merged stats + per-part merge report."""
+    ``out_dir``. Returns merged stats + per-part merge report.
+
+    ``max_parts`` bounds one merge round (the reference's time-budgeted,
+    cancellable MergeDuration, config.go:5-9 / column.go:512-518):
+    committed partitions survive, the next call resumes the rest; a
+    partial round returns ``{"status": "partial", ...}`` without
+    finalizing."""
     stats = [read_stats(s) for s in src_dirs]
     num_parts = stats[0]["num_parts"]
     mode = stats[0]["mode"]
@@ -131,12 +138,18 @@ def merge_indexes(src_dirs: list[str], out_dir: str,
 
     todo = [p for p in range(num_parts)
             if p not in out._done_parts()]
+    deferred = []
+    if max_parts is not None and len(todo) > max_parts:
+        todo, deferred = todo[:max_parts], todo[max_parts:]
     reports = []
     if todo:
         parts_ds = ray.data.from_items([{"p": p} for p in todo],
                                        override_num_blocks=len(todo))
         reports = parts_ds.map_batches(merge_batch, batch_format="pyarrow",
                                        batch_size=1).take_all()
+    if deferred:
+        return {"status": "partial", "parts_done": len(out._done_parts()),
+                "parts_remaining": len(deferred), "merge_report": reports}
     # stats: docs per the disjointness contract; tokens from part sidecars
     if n_docs_override is not None:
         n_docs = n_docs_override

@@ -259,6 +259,29 @@ def q_events_hourly(sf_dir: str) -> pa.Table:
     })
 
 
+def q_events_sessions(sf_dir: str) -> pa.Table:
+    """Gap-based session windows (30 min) per user (§2.10)."""
+    import ray.data
+
+    from ..functions.windows import sessionize_table
+    ds = ray.data.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                               columns=["event_id", "user_id", "ts"])
+    return sessionize_table(ds, gap_minutes=30)
+
+
+def q_nearest(sf_dir: str) -> pa.Table:
+    """J7 nearest-key lookup on a numeric column."""
+    eng = get_engine(sf_dir)
+    from ..planner import QueryExecutor
+    ex = QueryExecutor(eng, [_doc_file(sf_dir)], text_col="text",
+                       id_col="doc_id")
+    hit = ex.nearest("n_chars", 300)
+    return pa.table({
+        "doc_id": pa.array([hit["doc_id"]], pa.int64()),
+        "n_chars": pa.array([int(hit["n_chars"])], pa.int64()),
+    })
+
+
 # ---------------------------------------------------------------------------
 # registry + oracle SQL
 # ---------------------------------------------------------------------------
@@ -283,6 +306,8 @@ QUERIES = {
     "embedding_near_dup": q_embedding_near_dup,
     "langid": q_langid,
     "events_hourly": q_events_hourly,
+    "events_sessions": q_events_sessions,
+    "nearest": q_nearest,
 }
 
 _STOP_SQL = "['the','and','of','to','a','in','is','it']"
@@ -399,6 +424,27 @@ SELECT event_type, date_trunc('hour', ts) AS window_start,
        count(*)::BIGINT AS n,
        CAST(floor(sum(value)*100 + 0.5) AS BIGINT) AS sum_value_x100
 FROM events GROUP BY event_type, date_trunc('hour', ts)
+""",
+    "events_sessions": """
+WITH e AS (
+  SELECT user_id, ts, event_id,
+    CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id
+                                 ORDER BY ts, event_id)
+              > INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS new_sess
+  FROM events
+), s AS (
+  SELECT *, sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM e
+)
+SELECT user_id, session_id::BIGINT AS session_id,
+       min(ts) AS session_start, max(ts) AS session_end,
+       count(*)::BIGINT AS n_events
+FROM s GROUP BY user_id, session_id
+""",
+    "nearest": """
+SELECT doc_id, n_chars FROM documents
+ORDER BY abs(n_chars - 300), n_chars, doc_id LIMIT 1
 """,
     # minhash_near_dup / simhash_near_dup / embedding_near_dup / langid:
     # non-SQL-expressible (sketches, LSH, heuristics) → rows-only checks.

@@ -148,3 +148,25 @@ class QueryExecutor:
     def first(self, q: str):
         docs = self.execute(q, limit=1)
         return None if len(docs) == 0 else int(docs[0])
+
+    def last(self, q: str):
+        """Last match in key order (reference O6, index_file.go:539-618)."""
+        docs = self.execute(q)
+        return None if len(docs) == 0 else int(docs[-1])
+
+    def nearest(self, column: str, value: float):
+        """Nearest-key lookup (reference J7, FindNearByKey
+        index_file.go:1461-1534): the row whose ``column`` is closest to
+        ``value``; ties break toward the smaller column value, then
+        smaller doc id — deterministic."""
+        tbl = pq.read_table(self.corpus_files,
+                            columns=[self.id_col, column])
+        vals = tbl[column].to_numpy(zero_copy_only=False).astype(np.float64)
+        ids = tbl[self.id_col].to_numpy(zero_copy_only=False)
+        if len(vals) == 0:
+            return None
+        dist = np.abs(vals - float(value))
+        order = np.lexsort((ids, vals, dist))
+        i = order[0]
+        return {"doc_id": int(ids[i]), column: vals[i].item(),
+                "distance": float(dist[i])}

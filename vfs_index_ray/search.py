@@ -295,18 +295,33 @@ class SearchEngine:
         return self._topk(targets, scores, k)
 
     # ------------------------------------------------------------------
-    def cooccur_distance(self, qa: str, qb: str) -> float:
+    def cooccur_distance(self, qa: str, qb: str,
+                         filter_head: bool = False) -> float:
         """Approximate co-occurrence distance between two queries
         (reference A6: search_cond.go:552-612):
         ``1 − |A∩B| / max(|A|,|B|)`` per key pair, averaged over the
         cross product of the two queries' keys (distanceOfKeys,
         search_cond.go:448-536). 1.0 = never co-occur, 0.0 = identical
-        doc sets. Uses cached postings + sorted intersections."""
+        doc sets. Uses cached postings + sorted intersections.
+
+        ``filter_head=True`` mirrors the reference's filterByAvg
+        (search_cond.go:240-280, O9): with >10 keys per side, keys with
+        df above the median are dropped (stop-trigram suppression)."""
         keys_a = self.query_term_ids(qa)
         keys_b = self.query_term_ids(qb)
         if not keys_a or not keys_b:
             return 1.0
         loaded = self.load_terms(list(set(keys_a) | set(keys_b)))
+        if filter_head:
+            def suppress(keys: list[int]) -> list[int]:
+                if len(keys) <= 10:
+                    return keys
+                dfs = np.array([loaded[t].df for t in keys], np.float64)
+                med = float(np.median(dfs))
+                kept = [t for t, d in zip(keys, dfs) if d <= med]
+                return kept or keys
+            keys_a = suppress(keys_a)
+            keys_b = suppress(keys_b)
         dists = []
         for ta in keys_a:
             for tb in keys_b:
