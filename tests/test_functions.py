@@ -188,3 +188,53 @@ def test_langid_on_corpus(ray_session, pages_file):
                 ja_correct += 1
     # ja rows are pure CJK — the script heuristic must catch all of them
     assert ja_correct == n_ja > 0
+
+def test_ivf_fullprobe_equals_bruteforce(ray_session, tmp_path):
+    import ray.data
+
+    from vfs_index_ray.functions.similarity import IVFIndex
+    src = "/root/testdata/sf0.001/embeddings.parquet"
+    ds = ray.data.read_parquet(src)
+    ivf = IVFIndex.build(ds, str(tmp_path / "ivf"), num_centroids=8)
+    tbl = pq.read_table(src)
+    mat = np.array(tbl["embedding"].to_pylist(), np.float64)
+    ids = np.array(tbl["vec_id"].to_pylist(), np.int64)
+    matn = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    for qid in (0, 7):
+        qi = list(ids).index(qid)
+        got_ids, got_sims = ivf.search(mat[qi], k=5, nprobe=8,
+                                       exclude_id=qid)
+        sims = matn @ matn[qi]
+        m = ids != qid
+        order = np.lexsort((ids[m], -sims[m]))[:5]
+        assert got_ids.tolist() == ids[m][order].tolist()
+    # reloading from disk gives identical results (persisted index)
+    ivf2 = IVFIndex(str(tmp_path / "ivf"))
+    a = ivf.search(mat[0], k=5, nprobe=8)
+    b = ivf2.search(mat[0], k=5, nprobe=8)
+    assert a[0].tolist() == b[0].tolist()
+
+
+def test_ivf_probe_recall(ray_session, tmp_path):
+    """nprobe < num_centroids trades recall for pruning; top-1 self-bucket
+    recall must be decent even on near-random embeddings."""
+    import ray.data
+
+    from vfs_index_ray.functions.similarity import IVFIndex
+    src = "/root/testdata/sf0.001/embeddings.parquet"
+    ds = ray.data.read_parquet(src)
+    ivf = IVFIndex.build(ds, str(tmp_path / "ivf2"), num_centroids=8)
+    tbl = pq.read_table(src)
+    mat = np.array(tbl["embedding"].to_pylist(), np.float64)
+    ids = np.array(tbl["vec_id"].to_pylist(), np.int64)
+    matn = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    hits = total = 0
+    for qi in range(0, 50):
+        got_ids, _ = ivf.search(mat[qi], k=5, nprobe=4, exclude_id=int(ids[qi]))
+        sims = matn @ matn[qi]
+        m = ids != ids[qi]
+        order = np.lexsort((ids[m], -sims[m]))[:5]
+        want = set(ids[m][order].tolist())
+        hits += len(want & set(got_ids.tolist()))
+        total += 5
+    assert hits / total >= 0.5, hits / total

@@ -13,6 +13,8 @@ deterministic and reproducible against the DuckDB
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 import pyarrow as pa
 
@@ -131,6 +133,97 @@ def ann_cosine_topk(ds, query_ids: list[int], k: int = 5,
         "rank": pa.array(out_r, pa.int64()),
         "sim_x1e4": pa.array(out_s, pa.int64()),
     })
+
+
+class IVFIndex:
+    """IVF (inverted-file) ANN index — the scale path for similarity
+    search: k-means centroids partition the vectors; a query probes only
+    the ``nprobe`` nearest centroids' buckets (pruned parquet read), then
+    scores exactly within them. ``nprobe == num_centroids`` degrades to
+    exact brute force. Deterministic: seeded centroid init, fixed Lloyd
+    iterations, ties by vec_id.
+
+    Layout: ``dir/centroids.npy`` + ``dir/bucket=NNN.parquet`` (vec_id,
+    embedding) — one file per centroid so a probe reads only its buckets.
+    """
+
+    def __init__(self, path: str):
+        self.path = path
+        self.centroids = np.load(os.path.join(path, "centroids.npy"))
+
+    @staticmethod
+    def _normalize(mat: np.ndarray) -> np.ndarray:
+        return mat / np.maximum(np.linalg.norm(mat, axis=1, keepdims=True),
+                                1e-30)
+
+    @classmethod
+    def build(cls, ds, path: str, *, num_centroids: int = 16,
+              sample: int = 4096, iters: int = 5, seed: int = 11,
+              vec_col: str = "embedding", id_col: str = "vec_id"
+              ) -> "IVFIndex":
+        import pyarrow.parquet as pq
+        os.makedirs(path, exist_ok=True)
+        # deterministic training sample: lowest vec_ids up to `sample`
+        rows = sorted(ds.take_all(), key=lambda r: r[id_col])
+        ids = np.array([r[id_col] for r in rows], np.int64)
+        mat = cls._normalize(np.array([r[vec_col] for r in rows],
+                                      np.float64))
+        train = mat[:sample]
+        rng = np.random.Generator(np.random.Philox(key=[seed, 0]))
+        cent = train[rng.choice(len(train),
+                                min(num_centroids, len(train)),
+                                replace=False)]
+        for _ in range(iters):  # spherical k-means (cosine)
+            assign = np.argmax(train @ cent.T, axis=1)
+            for c in range(len(cent)):
+                m = assign == c
+                if m.any():
+                    v = train[m].mean(axis=0)
+                    n = np.linalg.norm(v)
+                    if n > 1e-12:
+                        cent[c] = v / n
+        np.save(os.path.join(path, "centroids.npy"), cent)
+        assign = np.argmax(mat @ cent.T, axis=1)
+        for c in range(len(cent)):
+            m = assign == c
+            pq.write_table(pa.table({
+                id_col: pa.array(ids[m], pa.int64()),
+                vec_col: pa.array([list(map(float, v)) for v in mat[m]],
+                                  pa.list_(pa.float64())),
+            }), os.path.join(path, f"bucket={c:03d}.parquet"))
+        return cls(path)
+
+    def search(self, query_vec: np.ndarray, k: int = 5,
+               nprobe: int = 4, exclude_id: int | None = None):
+        """Returns (vec_ids, sims) — exact cosine within probed buckets,
+        ties sim desc then vec_id asc."""
+        import pyarrow.parquet as pq
+        q = np.asarray(query_vec, np.float64)
+        q = q / max(np.linalg.norm(q), 1e-30)
+        csims = self.centroids @ q
+        probe = np.argsort(-csims, kind="stable")[:nprobe]
+        ids_l, sims_l = [], []
+        for c in probe:
+            f = os.path.join(self.path, f"bucket={c:03d}.parquet")
+            tbl = pq.read_table(f)
+            if tbl.num_rows == 0:
+                continue
+            ids = tbl["vec_id"].to_numpy(zero_copy_only=False)
+            flat = tbl["embedding"].combine_chunks().values.to_numpy(
+                zero_copy_only=False).astype(np.float64)
+            mat = flat.reshape(len(ids), len(q))
+            s = mat @ q
+            if exclude_id is not None:
+                m = ids != exclude_id
+                ids, s = ids[m], s[m]
+            ids_l.append(ids)
+            sims_l.append(s)
+        if not ids_l:
+            return np.empty(0, np.int64), np.empty(0, np.float64)
+        ids = np.concatenate(ids_l)
+        sims = np.concatenate(sims_l)
+        order = np.lexsort((ids, -sims))[:k]
+        return ids[order].astype(np.int64), sims[order]
 
 
 def embedding_near_dups(ds, threshold: float = 0.95,

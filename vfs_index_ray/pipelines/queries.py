@@ -200,6 +200,38 @@ def q_ann_cosine_topk(sf_dir: str) -> pa.Table:
     return ann_cosine_topk(ds, ANN_QUERY_IDS, k=5)
 
 
+def q_ann_ivf_topk(sf_dir: str) -> pa.Table:
+    """IVF ANN scale path (rows-only: approximate under nprobe<k)."""
+    import ray.data
+
+    from ..functions.similarity import IVFIndex
+    src = os.path.join(sf_dir, "embeddings.parquet")
+    name = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    path = os.path.join("/tmp", "vfsray_cache", f"ivf_{name}")
+    if not os.path.exists(os.path.join(path, "centroids.npy")):
+        IVFIndex.build(ray.data.read_parquet(src), path, num_centroids=8)
+    ivf = IVFIndex(path)
+    import pyarrow.parquet as pqq
+    tbl = pqq.read_table(src)
+    ids = tbl["vec_id"].to_pylist()
+    out_q, out_v, out_r, out_s = [], [], [], []
+    for qid in ANN_QUERY_IDS:
+        vec = np.asarray(tbl["embedding"][ids.index(qid)].as_py(),
+                         np.float64)
+        vids, sims = ivf.search(vec, k=5, nprobe=4, exclude_id=qid)
+        for r, (v, s) in enumerate(zip(vids.tolist(), sims.tolist()), 1):
+            out_q.append(qid)
+            out_v.append(v)
+            out_r.append(r)
+            out_s.append(int(np.floor(s * 10000 + 0.5)))
+    return pa.table({
+        "query_id": pa.array(out_q, pa.int64()),
+        "vec_id": pa.array(out_v, pa.int64()),
+        "rank": pa.array(out_r, pa.int64()),
+        "sim_x1e4": pa.array(out_s, pa.int64()),
+    })
+
+
 def q_minhash_near_dup(sf_dir: str) -> pa.Table:
     from ..functions.dedup import minhash_candidates
     return minhash_candidates(_docs_ds(sf_dir, columns=["doc_id", "text"]))
@@ -301,6 +333,7 @@ QUERIES = {
     "token_stats": q_token_stats,
     "lang_distribution": q_lang_distribution,
     "ann_cosine_topk": q_ann_cosine_topk,
+    "ann_ivf_topk": q_ann_ivf_topk,
     "minhash_near_dup": q_minhash_near_dup,
     "simhash_near_dup": q_simhash_near_dup,
     "embedding_near_dup": q_embedding_near_dup,
