@@ -134,7 +134,19 @@ def run_bench() -> dict:
     timings["bm25_p50_ms"] = round(float(np.percentile(lat, 50)) * 1e3, 3)
     timings["bm25_p99_ms"] = round(float(np.percentile(lat, 99)) * 1e3, 3)
 
+    # batch-query throughput via the actor-pool scorer (T2/T5 analog)
     import ray.data
+
+    from vfs_index_ray.search import QueryActor
+    qds = ray.data.from_items(
+        [{"query": QUERY_SET[i % len(QUERY_SET)]} for i in range(400)])
+    t0 = time.perf_counter()
+    n = qds.map_batches(QueryActor,
+                        fn_constructor_kwargs=dict(index_dir=idx, k=10),
+                        batch_format="pyarrow", batch_size=50,
+                        concurrency=4).count()
+    qsec = time.perf_counter() - t0
+    timings["batch_query_qps"] = round(400 / qsec, 1)
 
     from vfs_index_ray.functions.dedup import exact_dedup
     from vfs_index_ray.functions.similarity import ann_cosine_topk

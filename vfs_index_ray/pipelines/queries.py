@@ -37,6 +37,18 @@ def _doc_file(sf_dir: str) -> str:
     return os.path.join(sf_dir, "documents.parquet")
 
 
+def _tune_context() -> None:
+    """Push-based sort shuffle for the groupby queries (the default
+    pull-based sort measured 2-10x slower at >8 workers; see build.py)."""
+    try:
+        from ray.data.context import DataContext, ShuffleStrategy
+        ctx = DataContext.get_current()
+        if ctx.shuffle_strategy == ShuffleStrategy.SORT_SHUFFLE_PULL_BASED:
+            ctx.shuffle_strategy = ShuffleStrategy.SORT_SHUFFLE_PUSH_BASED
+    except Exception:  # noqa: BLE001  (older Ray: keep defaults)
+        pass
+
+
 def get_engine(sf_dir: str) -> SearchEngine:
     """Build (or resume) the word-mode index for sf_dir; memoized."""
     if sf_dir not in _ENGINES:
@@ -53,6 +65,7 @@ def get_engine(sf_dir: str) -> SearchEngine:
 
 def _docs_ds(sf_dir: str, columns=None):
     import ray.data
+    _tune_context()
     return ray.data.read_parquet(_doc_file(sf_dir), columns=columns)
 
 
