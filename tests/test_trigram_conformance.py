@@ -114,3 +114,14 @@ def test_numeric_query_via_planner(ray_session, tri_indexes, ref_file):
     got = ex.execute('title.search("拉致問") && id == 132763')
     assert got.tolist() == [132763]
     assert ex.first("id > 0") == min(pq.read_table(ref_file)["id"].to_pylist())
+
+
+def test_trigram_df_multiterm(tri_indexes):
+    """df() keys are the rune 3-grams, one entry per distinct trigram."""
+    from vfs_index_ray.search import SearchEngine
+
+    _, content_idx = tri_indexes
+    eng = SearchEngine(content_idx)
+    dfs = eng.df("活動内容")  # two trigrams: 活動内, 動内容
+    assert set(dfs.keys()) == {"活動内", "動内容"}
+    assert dfs["活動内"] == 4

@@ -196,10 +196,18 @@ def minhash_candidates(ds, *, num_perm: int = 64, num_bands: int = 16,
     key = (pair_tbl["doc_a"].to_numpy(zero_copy_only=False).astype(np.int64),
            pair_tbl["doc_b"].to_numpy(zero_copy_only=False).astype(np.int64))
     uniq = np.unique(np.stack(key, axis=1), axis=0)
-    # gather signatures of candidate docs only
+    # gather signatures of candidate docs only — filter INSIDE the
+    # dataset (broadcast candidate-id set), never materialize all sigs
     need = np.unique(uniq)
+    need_arr = pa.array(need, pa.int64())
+
+    def _keep_candidates(t: pa.Table) -> pa.Table:
+        return t.filter(pc.is_in(t["doc_id"], value_set=need_arr))
+
+    cand_rows = sig_mat.map_batches(_keep_candidates,
+                                    batch_format="pyarrow").take_all()
     sig_rows = {r["doc_id"]: np.asarray(r["sig"], np.uint64)
-                for r in sig_mat.take_all() if r["doc_id"] in set(need.tolist())}
+                for r in cand_rows}
     a_s = np.stack([sig_rows[a] for a in uniq[:, 0]])
     b_s = np.stack([sig_rows[b] for b in uniq[:, 1]])
     est = (a_s == b_s).mean(axis=1)

@@ -141,10 +141,10 @@ def tokenize_query(q: str, mode: str = "word") -> list[tuple[str, int]]:
                 seen.add(tok)
                 out.append((tok, fnv1a64(tok)))
     elif mode == "trigram":
-        for key in pack_trigram(q):
+        for i, key in enumerate(pack_trigram(q)):
             if key not in seen:
                 seen.add(key)
-                out.append((q, key))
+                out.append((q[i:i + 3], key))
     else:
         raise ValueError(mode)
     return out
