@@ -1,0 +1,72 @@
+"""Index-build job entry point (``ray job submit`` target).
+
+    ray job submit -- python scripts/build_index.py \
+        --input '/data/pages/*.parquet' --index /data/index \
+        --mode word --num-parts 4096 --waves 8 --scratch /local/scratch
+
+Owns its Ray session (guarded init — works standalone or under an
+existing cluster driver)."""
+
+from __future__ import annotations
+
+import argparse
+import glob
+import json
+import os
+import sys
+import time
+
+_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, _REPO)
+
+
+def main(argv=None) -> int:
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--input", required=True,
+                    help="input file glob (parquet/jsonl/csv)")
+    ap.add_argument("--index", required=True, help="index output dir")
+    ap.add_argument("--mode", default="word", choices=["word", "trigram"])
+    ap.add_argument("--text-col", default="text")
+    ap.add_argument("--id-col", default="doc_id")
+    ap.add_argument("--url-col", default="url")
+    ap.add_argument("--num-parts", type=int, default=64)
+    ap.add_argument("--bucket-shift", type=int, default=64,
+                    help="doc-range chunking for head terms (<64 chunks)")
+    ap.add_argument("--waves", type=int, default=1,
+                    help="input waves (resume granularity)")
+    ap.add_argument("--scratch", default=None,
+                    help="ephemeral spill dir (fast local storage)")
+    args = ap.parse_args(argv)
+
+    files = sorted(glob.glob(args.input))
+    if not files:
+        print(f"no input files match {args.input!r}", file=sys.stderr)
+        return 2
+
+    import ray
+    if not ray.is_initialized():
+        ray.init(address="local", include_dashboard=False,
+                 logging_level="ERROR",
+                 runtime_env={"env_vars": {"PYTHONPATH": _REPO}})
+    from ray.data import DataContext
+    DataContext.get_current().enable_progress_bars = False
+
+    from vfs_index_ray.build import IndexBuilder
+
+    t0 = time.perf_counter()
+    stats = IndexBuilder(
+        args.index, mode=args.mode, num_parts=args.num_parts,
+        bucket_shift=args.bucket_shift, text_col=args.text_col,
+        id_col=args.id_col, url_col=args.url_col,
+        scratch_dir=args.scratch,
+    ).build(files, waves=args.waves)
+    stats["build_seconds"] = round(time.perf_counter() - t0, 3)
+    stats["docs_per_sec"] = round(stats["n_docs"] /
+                                  max(stats["build_seconds"], 1e-9), 1)
+    print(json.dumps(stats))
+    ray.shutdown()
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

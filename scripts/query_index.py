@@ -1,0 +1,73 @@
+"""Query CLI (``ray job submit`` target for batch query jobs).
+
+    python scripts/query_index.py --index /data/index --q "spark join" \
+        [--k 10] [--method exact|maxscore] [--corpus '/data/pages/*.parquet']
+    python scripts/query_index.py --index /data/index \
+        --expr 'text.search("spark") && n_chars >= 100' \
+        --corpus '/data/pages/*.parquet'
+"""
+
+from __future__ import annotations
+
+import argparse
+import glob
+import json
+import os
+import sys
+
+_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, _REPO)
+
+
+def main(argv=None) -> int:
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--index", required=True)
+    ap.add_argument("--q", help="BM25 top-k query")
+    ap.add_argument("--expr", help="planner expression (AND query)")
+    ap.add_argument("--k", type=int, default=10)
+    ap.add_argument("--method", default="exact",
+                    choices=["exact", "maxscore"])
+    ap.add_argument("--corpus", default=None,
+                    help="corpus glob for --expr / row fetch")
+    ap.add_argument("--out", default=None,
+                    help="write results here (.json/.jsonl/.csv/.parquet)")
+    args = ap.parse_args(argv)
+
+    import ray
+    if not ray.is_initialized():
+        ray.init(address="local", include_dashboard=False,
+                 logging_level="ERROR",
+                 runtime_env={"env_vars": {"PYTHONPATH": _REPO}})
+
+    import pyarrow as pa
+
+    from vfs_index_ray.search import SearchEngine
+
+    corpus_files = sorted(glob.glob(args.corpus)) if args.corpus else None
+    eng = SearchEngine(args.index, corpus_files=corpus_files)
+    if args.q:
+        docs, scores = eng.bm25(args.q, args.k, method=args.method)
+        tbl = pa.table({"doc_id": pa.array(docs, pa.uint64()),
+                        "score": pa.array(scores, pa.float64())})
+    elif args.expr:
+        from vfs_index_ray.planner import QueryExecutor
+        if not corpus_files:
+            ap.error("--expr requires --corpus")
+        ex = QueryExecutor(eng, corpus_files)
+        docs = ex.execute(args.expr, limit=args.k)
+        tbl = pa.table({"doc_id": pa.array(docs, pa.uint64())})
+    else:
+        ap.error("need --q or --expr")
+        return 2
+    if args.out:
+        from vfs_index_ray.sinks import write_results
+        write_results(tbl, args.out)
+        print(json.dumps({"rows": tbl.num_rows, "out": args.out}))
+    else:
+        print(json.dumps(tbl.to_pylist(), default=str))
+    ray.shutdown()
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
