@@ -49,6 +49,16 @@ def fnv1a64_tokens(arr: pa.Array) -> np.ndarray:
     data, offsets = _string_array_buffers(arr)
     starts = offsets[:-1]
     lens = offsets[1:] - starts
+    return fnv1a64_spans(data, starts, lens)
+
+
+def fnv1a64_spans(data: np.ndarray, starts: np.ndarray,
+                  lens: np.ndarray) -> np.ndarray:
+    """FNV-1a 64 over byte spans (starts, lens) of one buffer — the
+    shared kernel for Arrow string arrays and the byte-level tokenizer."""
+    n = len(starts)
+    if n == 0:
+        return np.empty(0, dtype=np.uint64)
     h = np.full(n, FNV_OFFSET, dtype=np.uint64)
     capped = np.minimum(lens, MAX_TOKEN_BYTES)
     with np.errstate(over="ignore"):

@@ -26,13 +26,61 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
-from .hashing import fnv1a64_tokens
+from .hashing import _string_array_buffers, fnv1a64_spans, fnv1a64_tokens
 
 WORD_SPLIT = "[^a-z0-9]+"
 
+# byte-level tokenizer tables: lowercase A-Z, then membership in [a-z0-9].
+# Tokens are maximal ASCII-alnum byte runs — identical to the regex
+# ``[^a-z0-9]+`` split on the lowercased text, because every non-ASCII
+# codepoint's UTF-8 bytes are >= 0x80 and therefore separators in both
+# views, and case-folding outside A-Z only affects discarded codepoints.
+_LOWER = np.arange(256, dtype=np.uint8)
+_LOWER[ord("A"):ord("Z") + 1] += 32
+_ALNUM = np.zeros(256, dtype=bool)
+_ALNUM[ord("a"):ord("z") + 1] = True
+_ALNUM[ord("0"):ord("9") + 1] = True
+
+
+def word_spans(texts: pa.Array):
+    """Byte-level word tokenization (the hot-path kernel).
+
+    Returns (low_buffer, tok_starts, tok_lens, parent, dl): byte spans of
+    every token in the lowercased UTF-8 buffer, the row each token belongs
+    to, and per-row token counts. No per-token materialization.
+    """
+    if isinstance(texts, pa.ChunkedArray):
+        texts = texts.combine_chunks()
+    n = len(texts)
+    data, offsets = _string_array_buffers(texts)
+    if len(data) == 0:
+        return (data, np.empty(0, np.int64), np.empty(0, np.int64),
+                np.empty(0, np.int64), np.zeros(n, np.uint64))
+    low = _LOWER[data]
+    isal = _ALNUM[low]
+    doc_starts = offsets[:-1]
+    prev = np.empty_like(isal)
+    prev[0] = False
+    prev[1:] = isal[:-1]
+    nxt = np.empty_like(isal)
+    nxt[-1] = False
+    nxt[:-1] = isal[1:]
+    # force token breaks at document boundaries (buffer is contiguous);
+    # empty docs at the tail have start == len(data) — skip those
+    inner = doc_starts[(doc_starts > 0) & (doc_starts < len(data))]
+    prev[inner] = False
+    nxt[inner - 1] = False
+    ts = np.flatnonzero(isal & ~prev)
+    te = np.flatnonzero(isal & ~nxt)
+    lens = te - ts + 1
+    parent = np.searchsorted(offsets[1:], ts, side="right").astype(np.int64)
+    dl = np.bincount(parent, minlength=n).astype(np.uint64)
+    return low, ts, lens, parent, dl
+
 
 def word_tokens_flat(texts: pa.Array) -> tuple[pa.Array, np.ndarray, np.ndarray]:
-    """Split a string column into word tokens.
+    """Split a string column into word tokens (materialized variant, used
+    by the text-stats operators that need the token strings).
 
     Returns (flat_tokens, parent_index, dl) where ``flat_tokens`` is the
     flattened non-empty token array, ``parent_index[i]`` the row each token
@@ -112,8 +160,8 @@ def postings_from_texts(texts: pa.Array, doc_ids: np.ndarray,
     doc→dl lookup table could not be broadcast.
     """
     if mode == "word":
-        flat, parent, dl = word_tokens_flat(texts)
-        term_ids = fnv1a64_tokens(flat)
+        low, ts, lens, parent, dl = word_spans(texts)
+        term_ids = fnv1a64_spans(low, ts, lens)
     elif mode == "trigram":
         term_ids, parent, dl = trigram_ids_flat(texts)
     else:
