@@ -1,0 +1,56 @@
+"""Scale cross-validation (opt-in: GRAFT_SCALE_TESTS=1, needs the bench
+corpus): at 1.6M docs the exact, MaxScore, salted/bucketed, and
+distributed BM25 paths must agree bit-for-bit, with no oracle —
+mutual-agreement evidence at a scale the Python oracle can't reach."""
+
+import os
+import shutil
+
+import pytest
+
+pytestmark = pytest.mark.skipif(
+    os.environ.get("GRAFT_SCALE_TESTS") != "1",
+    reason="scale test: set GRAFT_SCALE_TESTS=1 (uses the bench corpus)")
+
+SRC = "/tmp/vfsray_bench/pages_1600000"
+
+
+@pytest.fixture(scope="module")
+def scale_indexes(ray_session):
+    from vfs_index_ray.build import IndexBuilder
+
+    if not os.path.isdir(SRC):
+        pytest.skip("bench corpus missing; run bench.py first")
+    files = sorted(os.path.join(SRC, f) for f in os.listdir(SRC)
+                   if f.endswith(".parquet"))
+    idx = "/tmp/xval_idx"
+    if not os.path.exists(os.path.join(idx, "stats.json")):
+        IndexBuilder(idx, mode="word", num_parts=64, id_col=None,
+                     scratch_dir="/dev/shm/xv").build(files)
+        shutil.rmtree("/dev/shm/xv", ignore_errors=True)
+    idx_b = "/tmp/xval_idx_bucketed"
+    if not os.path.exists(os.path.join(idx_b, "stats.json")):
+        IndexBuilder(idx_b, mode="word", num_parts=64, bucket_shift=58,
+                     id_col=None, scratch_dir="/dev/shm/xv2").build(files)
+        shutil.rmtree("/dev/shm/xv2", ignore_errors=True)
+    return idx, idx_b
+
+
+QS = ["bababa", "bababa babade xenolithite",
+      "aurora borealis polar night", "dedupe kekeke bababa"]
+
+
+@pytest.mark.parametrize("q", QS)
+def test_paths_agree_at_scale(scale_indexes, q):
+    from vfs_index_ray.search import SearchEngine, bm25_topk_ray
+
+    idx, idx_b = scale_indexes
+    eng, eng_b = SearchEngine(idx), SearchEngine(idx_b)
+    de, se = eng.bm25(q, 20, method="exact")
+    dm, sm = eng.bm25(q, 20, method="maxscore")
+    assert de.tolist() == dm.tolist() and se.tolist() == sm.tolist()
+    db, sb = eng_b.bm25(q, 20)
+    assert de.tolist() == db.tolist() and se.tolist() == sb.tolist()
+    dr, sr = bm25_topk_ray(idx_b, q, 20)
+    assert de.tolist() == dr.tolist() and se.tolist() == sr.tolist()
+    assert eng.match(q).tolist() == eng_b.match(q).tolist()
