@@ -58,6 +58,8 @@ _MANIFEST_SCHEMA = pa.schema([
     ("n_postings", pa.int64()), ("n_tokens", pa.int64()),
     ("term_min", pa.uint64()), ("term_max", pa.uint64()),
     ("file", pa.string()), ("status", pa.string()),
+    ("inputs", pa.list_(pa.string())), ("encode_seconds", pa.float64()),
+    ("output_bytes", pa.int64()),
 ])
 
 
@@ -95,11 +97,15 @@ class SegmentWriter:
     ``__call__`` also accepts an in-memory group table (merge path, tests).
     """
 
-    def __init__(self, segments_dir: str, bucket_shift: int):
+    def __init__(self, segments_dir: str, bucket_shift: int,
+                 lineage: list[str] | None = None):
         self.segments_dir = segments_dir
         self.bucket_shift = bucket_shift
+        self.lineage = lineage or []
 
     def encode_part(self, part: int, postings: pa.Table) -> pa.Table:
+        import time
+        t_start = time.perf_counter()
         terms = postings["term_id"].to_numpy(zero_copy_only=False
                                              ).astype(np.uint64)
         docs = postings["doc_id"].to_numpy(zero_copy_only=False
@@ -126,6 +132,10 @@ class SegmentWriter:
             "term_max": int(terms.max()) if len(terms) else 0,
             "file": final,
             "status": "committed",
+            # per-partition lineage + metrics (north_rule)
+            "inputs": list(self.lineage),
+            "encode_seconds": round(time.perf_counter() - t_start, 4),
+            "output_bytes": os.path.getsize(final),
         }
         _atomic_write_json(os.path.join(self.segments_dir,
                                         f"part={part:05d}.json"), row)
@@ -269,7 +279,9 @@ class IndexBuilder:
         if not todo:
             return [self._read_part_manifest(p) for p in sorted(done)]
 
-        writer = SegmentWriter(self.segments_dir, self.bucket_shift)
+        writer = SegmentWriter(self.segments_dir, self.bucket_shift,
+                               lineage=[os.path.basename(w)
+                                        for w in wave_dirs])
 
         def encode_one(batch: pa.Table) -> pa.Table:
             # one task per part: gather this part's postings from every
