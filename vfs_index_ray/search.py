@@ -15,12 +15,21 @@ Maps the reference's query machinery onto the segment layout:
   single-process oracle;
 - posting-result cache (cache/cache.go) → per-engine decoded-postings cache.
 
-Two scoring paths, both exact:
+Three scoring paths, all exact (bit-identical results; fuzz + scale
+tests assert it):
 - ``exact``: decode every query term's postings, one vectorized pass;
-- ``maxscore``: candidate generation via term upper bounds derived from the
-  per-block (tf_max, dl_min) metadata, then exact rescore of candidates
-  probing only the skip blocks that contain them — frequent terms' posting
-  lists are mostly never decoded. Results are bit-identical to ``exact``.
+  per-term contribution arrays are cached (query-independent), so warm
+  queries only pay the accumulate + top-k.
+- ``maxscore``: candidate generation via term-level upper bounds derived
+  from the per-block (tf_max, dl_min) metadata, then exact rescore of
+  candidates probing only the skip blocks that contain them — frequent
+  terms' posting lists are mostly never decoded. Best p99.
+- ``blockmax``: Block-Max-WAND-style pruning — an event sweep over every
+  term's block doc-ranges finds the doc regions whose summed block upper
+  bounds can beat a bootstrap threshold; only those regions are decoded
+  and rescored. On corpora with tight block bounds this prunes best; on
+  this synthetic Zipf corpus the bounds are loose (every block contains
+  a short doc) and ``maxscore`` wins — measured numbers in BASELINE.md.
 
 Distributed path: ``bm25_topk_ray`` scores doc-range buckets independently
 (a doc's postings for every term share its bucket), then a tiny global
@@ -53,6 +62,7 @@ class Postings:
     docs: np.ndarray | None = None
     tfs: np.ndarray | None = None
     dls: np.ndarray | None = None
+    scores: np.ndarray | None = None  # cached BM25 contributions (T2/T3)
 
     def decode(self) -> "Postings":
         if self.docs is None:
@@ -175,6 +185,8 @@ class SearchEngine:
             return np.empty(0, np.uint64), np.empty(0, np.float64)
         if method == "maxscore" and len(tids) > 1:
             return self._bm25_maxscore(tids, loaded, k)
+        if method == "blockmax":
+            return self._bm25_blockmax(tids, loaded, k)
         return self._bm25_exact(tids, loaded, k)
 
     def _bm25_exact(self, tids, loaded, k):
@@ -182,6 +194,9 @@ class SearchEngine:
         # score is built by the same sequential fp64 additions as the
         # oracle (np.add.reduceat would sum pairwise — NOT order-exact)
         ps = [loaded[t].decode() for t in tids]
+        for p in ps:  # per-term contribution arrays are query-independent
+            if p.scores is None:
+                p.scores = self._term_score(p.tfs, p.dls, p.df)
         if len(ps) == 1:
             docs_all = ps[0].docs
         else:
@@ -189,7 +204,7 @@ class SearchEngine:
         scores = np.zeros(len(docs_all), np.float64)
         for p in ps:  # ascending term_id
             pos = np.searchsorted(docs_all, p.docs)
-            scores[pos] += self._term_score(p.tfs, p.dls, p.df)
+            scores[pos] += p.scores
         return self._topk(docs_all, scores, k)
 
     # --- MaxScore candidate generation + exact rescore -----------------
@@ -293,6 +308,150 @@ class SearchEngine:
                 contrib[nz] = self._term_score(tf[nz], dl[nz], df)
             scores = np.where(nz, scores + contrib, scores)
         return self._topk(targets, scores, k)
+
+    # --- Block-Max WAND-style pruning (event sweep over block ranges) ---
+    def _block_meta(self, p: Postings):
+        """(block_lo, block_hi, block_ub) arrays for one term: each skip
+        block's inclusive doc range and its BM25 upper bound from the
+        stored (tf_max, dl_min)."""
+        los, his, ubs = [], [], []
+        for c in p.chunks:
+            lasts = np.asarray(c["skip_doc_last"], np.uint64)
+            if len(lasts) == 0:
+                continue
+            tf_max = np.asarray(c["block_tf_max"], np.uint64)
+            dl_min = np.maximum(np.asarray(c["block_dl_min"], np.uint64), 1)
+            ub = self._term_score(tf_max, dl_min, p.df)
+            lo = np.empty_like(lasts)
+            lo[0] = np.uint64(0)
+            lo[1:] = lasts[:-1]  # exclusive-prev → treat as inclusive-lo:
+            # conservative (range slightly wider than actual) = still a
+            # valid upper bound region
+            los.append(lo)
+            his.append(lasts)
+            ubs.append(ub)
+        if not los:
+            e = np.empty(0, np.uint64)
+            return e, e.copy(), np.empty(0, np.float64)
+        return (np.concatenate(los), np.concatenate(his),
+                np.concatenate(ubs))
+
+    def _bm25_blockmax(self, tids, loaded, k):
+        """Exact top-k with block-max pruning: sweep all terms' block
+        doc-ranges; only doc regions whose summed block upper bounds can
+        beat a bootstrap threshold are decoded and exactly rescored.
+        Bit-identical to the exact path (validated in tests)."""
+        # bootstrap θ: exact-score the docs of the rarest terms
+        by_df = sorted(tids, key=lambda t: (loaded[t].df, t))
+        boot: np.ndarray | None = None
+        for t in by_df:
+            p = loaded[t].decode()
+            boot = p.docs if boot is None else \
+                np.union1d(boot, p.docs)
+            if len(boot) >= k:
+                break
+        if boot is None or len(boot) == 0:
+            return np.empty(0, np.uint64), np.empty(0, np.float64)
+        boot_scores = self._score_targets(tids, loaded, np.sort(boot))
+        if len(boot) < k:
+            # fewer candidates than k anywhere near: fall back to exact
+            return self._bm25_exact(tids, loaded, k)
+        theta = np.partition(boot_scores, len(boot_scores) - k)[-k]
+
+        # event sweep: +ub at block lo, -ub after block hi (conservative
+        # boundary handling keeps the bound valid)
+        blk = [(t, *self._block_meta(loaded[t])) for t in tids]
+        starts = np.concatenate([b[1] for b in blk])
+        ends = np.concatenate([b[2] for b in blk])
+        ubs = np.concatenate([b[3] for b in blk])
+        pos = np.concatenate([starts, ends])
+        kind = np.concatenate([np.zeros(len(starts), np.int8),
+                               np.ones(len(ends), np.int8)])
+        delta = np.concatenate([ubs, -ubs])
+        order = np.lexsort((kind, pos))
+        pos, delta = pos[order], delta[order]
+        cum = np.cumsum(delta)
+        # qualifying positions: cum ≥ θ (within fp slack)
+        ok = cum >= theta - 1e-9
+        if not ok.any():
+            dd, ss = self._topk(np.sort(boot), boot_scores, k)
+            return dd, ss
+        # merge qualifying sweep segments into doc intervals
+        seg_lo = pos[ok]
+        nxt = np.empty(len(pos), np.uint64)
+        nxt[:-1] = pos[1:]
+        nxt[-1] = np.uint64(0xFFFFFFFFFFFFFFFF)
+        seg_hi = nxt[ok]
+        # candidates: decode blocks overlapping any qualifying segment,
+        # keep docs inside the segments
+        targets = [np.sort(boot)]
+        for t in tids:
+            p = loaded[t]
+            if p.docs is not None:
+                d = p.docs
+                inside = self._in_intervals(d, seg_lo, seg_hi)
+                targets.append(d[inside])
+                continue
+            for c in p.chunks:
+                lasts = np.asarray(c["skip_doc_last"], np.uint64)
+                if len(lasts) == 0:
+                    continue
+                lo = np.empty_like(lasts)
+                lo[0] = np.uint64(0)
+                lo[1:] = lasts[:-1]
+                hit = np.flatnonzero(self._ranges_overlap(
+                    lo, lasts, seg_lo, seg_hi))
+                for bi in hit:
+                    d, _, _ = decode_block(c, int(bi))
+                    inside = self._in_intervals(d, seg_lo, seg_hi)
+                    targets.append(d[inside])
+        cand = np.unique(np.concatenate(targets))
+        scores = self._score_targets(tids, loaded, cand)
+        return self._topk(cand, scores, k)
+
+    @staticmethod
+    def _in_intervals(docs: np.ndarray, lo: np.ndarray,
+                      hi: np.ndarray) -> np.ndarray:
+        """Membership of each doc in any [lo_i, hi_i] interval (lo sorted)."""
+        if len(lo) == 0:
+            return np.zeros(len(docs), bool)
+        i = np.searchsorted(lo, docs, side="right") - 1
+        i = np.maximum(i, 0)
+        return (docs >= lo[i]) & (docs <= hi[i])
+
+    @staticmethod
+    def _ranges_overlap(blo, bhi, seg_lo, seg_hi) -> np.ndarray:
+        """For each block range, does it overlap any qualifying segment?"""
+        if len(seg_lo) == 0:
+            return np.zeros(len(blo), bool)
+        j = np.searchsorted(seg_hi, blo, side="left")
+        j = np.minimum(j, len(seg_lo) - 1)
+        return (seg_lo[j] <= bhi) & (seg_hi[j] >= blo)
+
+    def _score_targets(self, tids, loaded, targets: np.ndarray) -> np.ndarray:
+        """Exact scores for sorted target docs — ascending-term sequential
+        accumulation, probing undecoded terms' blocks only."""
+        scores = np.zeros(len(targets), np.float64)
+        for t in tids:  # ascending term_id
+            p = loaded[t]
+            if p.docs is not None:
+                pos = np.searchsorted(p.docs, targets)
+                ok = pos < len(p.docs)
+                pos2 = np.minimum(pos, max(len(p.docs) - 1, 0))
+                if len(p.docs):
+                    ok &= p.docs[pos2] == targets
+                tf = np.where(ok, p.tfs[pos2] if len(p.docs) else 0, 0)
+                dl = np.where(ok, p.dls[pos2] if len(p.docs) else 1, 1)
+            else:
+                tf, dl, ok = self._probe_blocks(p, targets)
+            nz = ok & (tf > 0)
+            if nz.any():
+                contrib = np.zeros(len(targets), np.float64)
+                contrib[nz] = self._term_score(
+                    tf[nz].astype(np.uint64), dl[nz].astype(np.uint64),
+                    p.df)
+                scores = np.where(nz, scores + contrib, scores)
+        return scores
 
     # ------------------------------------------------------------------
     def cooccur_distance(self, qa: str, qb: str,
