@@ -238,3 +238,48 @@ def test_ivf_probe_recall(ray_session, tmp_path):
         hits += len(want & set(got_ids.tolist()))
         total += 5
     assert hits / total >= 0.5, hits / total
+
+
+def test_cluster_and_drop_near_dups(ray_session):
+    import ray.data
+
+    from vfs_index_ray.functions.dedup import cluster_pairs, drop_near_dups
+    pairs = pa.table({"doc_a": pa.array([1, 2, 7], pa.int64()),
+                      "doc_b": pa.array([2, 3, 9], pa.int64())})
+    reps = cluster_pairs(pairs)
+    assert reps[2] == 1 and reps[3] == 1 and reps[9] == 7
+    rows = [{"doc_id": i, "text": f"d{i}"} for i in range(10)]
+    kept = sorted(r["doc_id"] for r in
+                  drop_near_dups(ray.data.from_items(rows), pairs).take_all())
+    # drops 2, 3 (cluster rep 1) and 9 (cluster rep 7)
+    assert kept == [0, 1, 4, 5, 6, 7, 8]
+
+
+def test_nears_ranking(ray_session, built_index, oracle_index):
+    """Reference Nears tf-share ranking parity (A7)."""
+    from vfs_index_ray import corpus as corp
+    from vfs_index_ray.search import SearchEngine
+
+    idx, _ = built_index
+    eng = SearchEngine(idx)
+    docs, dists = eng.nears("bababa " + corp.RARE_TERM, k=10)
+    # docs containing BOTH terms must rank before single-term docs
+    both = set(oracle_index.match("bababa")) & set(
+        oracle_index.match(corp.RARE_TERM))
+    if both:
+        top = set(int(d) for d in docs[:len(both)])
+        assert top == both
+    # distances quantized to 1e-5 and ascending
+    assert all(dists[i] <= dists[i + 1] for i in range(len(dists) - 1))
+    assert all(abs(d * 1e5 - round(d * 1e5)) < 1e-6 for d in dists)
+
+
+def test_query_stats(built_index):
+    from vfs_index_ray import corpus as corp
+    from vfs_index_ray.search import SearchEngine
+
+    idx, _ = built_index
+    eng = SearchEngine(idx)
+    eng.bm25("bababa " + corp.RARE_TERM, 5)
+    st = eng.last_query_stats
+    assert st["n_terms"] == 2 and st["ms"] > 0 and st["total_df"] > 4

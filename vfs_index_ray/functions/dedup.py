@@ -258,6 +258,46 @@ def ngram_jaccard_pairs(ds, pairs: pa.Table, *, shingle: int = 3,
 
 
 # ---------------------------------------------------------------------------
+# cluster assembly + corpus filtering
+# ---------------------------------------------------------------------------
+
+def cluster_pairs(pairs: pa.Table) -> dict[int, int]:
+    """Union near-dup pairs into clusters: doc_id → representative
+    (cluster min). Driver-side union-find — the candidate PAIR set is
+    small by construction (LSH-bucketed); the corpus never is.
+    (ray_guide.md: union-find on the driver only when the candidate set
+    is provably small; min-label propagation via groupby otherwise.)"""
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        while parent.get(x, x) != x:
+            parent[x] = parent.get(parent[x], parent[x])
+            x = parent[x]
+        return x
+
+    for a, b in zip(pairs["doc_a"].to_pylist(), pairs["doc_b"].to_pylist()):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            lo, hi = (ra, rb) if ra < rb else (rb, ra)
+            parent[hi] = lo
+    return {x: find(x) for x in list(parent)}
+
+
+def drop_near_dups(ds, pairs: pa.Table, id_col: str = "doc_id"):
+    """Filter a corpus Dataset to one representative (min doc_id) per
+    near-dup cluster: broadcast the drop-set, filter inside map_batches —
+    no shuffle of the corpus."""
+    reps = cluster_pairs(pairs)
+    drop = sorted(d for d, r in reps.items() if d != r)
+    drop_arr = pa.array(drop, pa.int64())
+
+    def keep(t: pa.Table) -> pa.Table:
+        return t.filter(pc.invert(pc.is_in(t[id_col], value_set=drop_arr)))
+
+    return ds.map_batches(keep, batch_format="pyarrow", zero_copy_batch=True)
+
+
+# ---------------------------------------------------------------------------
 # SimHash
 # ---------------------------------------------------------------------------
 

@@ -91,6 +91,9 @@ class SearchEngine:
         self.id_col = id_col
         self.url_col = url_col
         self._cache: dict[int, Postings] = {}
+        # per-query instrumentation (reference EnableStats/OptQueryStat,
+        # search_cond.go:57-80): last_query_stats after each bm25/match
+        self.last_query_stats: dict = {}
 
     # ------------------------------------------------------------------
     def _segment_file(self, part: int) -> str:
@@ -176,6 +179,8 @@ class SearchEngine:
 
     def bm25(self, q: str, k: int = 10, method: str = "exact"):
         """Top-k BM25, OR semantics. Returns (doc_ids, scores)."""
+        import time
+        t0 = time.perf_counter()
         tids = sorted(set(self.query_term_ids(q)))  # ascending accumulation
         if not tids or not self.ndocs:
             return np.empty(0, np.uint64), np.empty(0, np.float64)
@@ -184,10 +189,21 @@ class SearchEngine:
         if not tids:
             return np.empty(0, np.uint64), np.empty(0, np.float64)
         if method == "maxscore" and len(tids) > 1:
-            return self._bm25_maxscore(tids, loaded, k)
-        if method == "blockmax":
-            return self._bm25_blockmax(tids, loaded, k)
-        return self._bm25_exact(tids, loaded, k)
+            out = self._bm25_maxscore(tids, loaded, k)
+        elif method == "blockmax":
+            out = self._bm25_blockmax(tids, loaded, k)
+        else:
+            out = self._bm25_exact(tids, loaded, k)
+        self.last_query_stats = {
+            "query": q, "method": method, "k": k,
+            "n_terms": len(tids),
+            "total_df": int(sum(loaded[t].df for t in tids)),
+            "n_decoded": int(sum(len(loaded[t].docs)
+                                 for t in tids
+                                 if loaded[t].docs is not None)),
+            "ms": round((time.perf_counter() - t0) * 1e3, 3),
+        }
+        return out
 
     def _bm25_exact(self, tids, loaded, k):
         # accumulate term-by-term in ascending term_id order: each doc's
@@ -308,6 +324,34 @@ class SearchEngine:
                 contrib[nz] = self._term_score(tf[nz], dl[nz], df)
             scores = np.where(nz, scores + contrib, scores)
         return self._topk(targets, scores, k)
+
+    # ------------------------------------------------------------------
+    def nears(self, q: str, k: int | None = None):
+        """The reference's ``Nears`` tf-share ranking (search_cond.go:
+        297-381), kept for API parity — BM25 replaces it as the primary
+        ranking (north_rule). Per doc: score = Σ_{matching keys}
+        df_key / Σ df; distance = ceil((1−score)·1e5)/1e5; results sorted
+        by distance ascending. Divergence: ties break by doc_id
+        (the reference's sort is unstable)."""
+        tids = sorted(set(self.query_term_ids(q)))
+        if not tids:
+            return np.empty(0, np.uint64), np.empty(0, np.float64)
+        loaded = self.load_terms(tids)
+        tids = [t for t in tids if loaded[t].df > 0]
+        if not tids:
+            return np.empty(0, np.uint64), np.empty(0, np.float64)
+        total_df = float(sum(loaded[t].df for t in tids))
+        ps = [loaded[t].decode() for t in tids]
+        docs_all = ps[0].docs if len(ps) == 1 else \
+            np.unique(np.concatenate([p.docs for p in ps]))
+        score = np.zeros(len(docs_all), np.float64)
+        for p in ps:
+            score[np.searchsorted(docs_all, p.docs)] += p.df / total_df
+        dist = np.ceil((1.0 - score) * 1e5) / 1e5
+        order = np.lexsort((docs_all, dist))
+        if k is not None:
+            order = order[:k]
+        return docs_all[order], dist[order]
 
     # --- Block-Max WAND-style pruning (event sweep over block ranges) ---
     def _block_meta(self, p: Postings):
