@@ -52,8 +52,11 @@ def _tune_context() -> None:
 def get_engine(sf_dir: str) -> SearchEngine:
     """Build (or resume) the word-mode index for sf_dir; memoized."""
     if sf_dir not in _ENGINES:
+        from .. import __version__
         name = os.path.basename(os.path.normpath(sf_dir)) or "sf"
-        idx = os.path.join("/tmp", "vfsray_cache", name)
+        # version-keyed so a future segment-format change never reads a
+        # stale cached index
+        idx = os.path.join("/tmp", "vfsray_cache", f"{name}-v{__version__}")
         src = _doc_file(sf_dir)
         if not os.path.exists(os.path.join(idx, "stats.json")):
             IndexBuilder(idx, mode="word", num_parts=8,
