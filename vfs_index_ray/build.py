@@ -37,7 +37,7 @@ import tempfile
 
 import numpy as np
 import pyarrow as pa
-import pyarrow.compute as pc
+
 import pyarrow.parquet as pq
 import ray.data
 

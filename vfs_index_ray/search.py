@@ -49,7 +49,7 @@ import pyarrow.parquet as pq
 
 from . import BM25_B, BM25_K1
 from .build import read_stats
-from .codec import BLOCK, decode_block, decode_chunk
+from .codec import decode_block, decode_chunk
 from .tokenizer import tokenize_query
 
 

@@ -26,7 +26,7 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
-from .hashing import _string_array_buffers, fnv1a64_spans, fnv1a64_tokens
+from .hashing import _string_array_buffers, fnv1a64_spans
 
 WORD_SPLIT = "[^a-z0-9]+"
 
