@@ -125,3 +125,26 @@ def test_trigram_df_multiterm(tri_indexes):
     dfs = eng.df("活動内容")  # two trigrams: 活動内, 動内容
     assert set(dfs.keys()) == {"活動内", "動内容"}
     assert dfs["活動内"] == 4
+
+
+def test_trigram_fuzz_vs_oracle(tri_indexes, ref_file):
+    """Random CJK substring queries: match + bm25 rank-identical."""
+    import numpy as np
+
+    from vfs_index_ray.search import SearchEngine
+
+    _, content_idx = tri_indexes
+    tbl = pq.read_table(ref_file)
+    contents = tbl["content"].to_pylist()
+    oi = OracleIndex.build(contents, tbl["id"].to_pylist(), mode="trigram")
+    eng = SearchEngine(content_idx)
+    rng = np.random.Generator(np.random.Philox(key=[21, 0]))
+    for _ in range(40):
+        doc = contents[int(rng.integers(0, len(contents)))]
+        i = int(rng.integers(0, max(len(doc) - 6, 1)))
+        q = doc[i:i + int(rng.integers(2, 7))]  # includes <3-rune cases
+        assert eng.match(q).tolist() == oi.match(q), q
+        d_e, s_e = eng.bm25(q, 10)
+        expected = oi.bm25(q, 10)
+        assert [int(x) for x in d_e] == [d for d, _ in expected], q
+        assert [float(x) for x in s_e] == [s for _, s in expected], q
