@@ -97,3 +97,27 @@ def test_wave_sidecar_requires_postings(ray_session, two_files, tmp_path):
     IndexBuilder(clean, mode="word", num_parts=8, id_col=None
                  ).build(two_files)
     assert _bm25_fingerprint(clean) == _bm25_fingerprint(idx)
+
+
+def test_absorb_incremental_equals_full(ray_session, two_files, tmp_path):
+    """build(a) + absorb(b) == build([a, b]) — tokenized waves reused,
+    segments re-encoded (the reference's incremental Regist + merge)."""
+    import pyarrow.parquet as pq2
+
+    from vfs_index_ray.build import IndexBuilder
+
+    full = str(tmp_path / "full")
+    IndexBuilder(full, mode="word", num_parts=8, id_col=None
+                 ).build(two_files, waves=2)
+    inc = str(tmp_path / "inc")
+    b = IndexBuilder(inc, mode="word", num_parts=8, id_col=None)
+    b.build([two_files[0]])
+    stats = b.absorb([two_files[1]])
+    assert stats["n_docs"] == 400
+    assert _bm25_fingerprint(full) == _bm25_fingerprint(inc)
+    import os
+    for name in sorted(os.listdir(os.path.join(full, "segments"))):
+        if name.endswith(".parquet"):
+            t1 = pq2.read_table(os.path.join(full, "segments", name))
+            t2 = pq2.read_table(os.path.join(inc, "segments", name))
+            assert t1.equals(t2), name

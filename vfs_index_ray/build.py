@@ -361,6 +361,28 @@ class IndexBuilder:
                            os.path.join(self.index_dir, "manifest.parquet"))
         return stats
 
+    # ----- incremental absorb --------------------------------------------
+    def absorb(self, new_files: list[str] | str) -> dict:
+        """Incremental maintenance (the reference's Regist-picks-up-new-
+        files story, indexer.go:77-93): tokenize ONLY the new files as a
+        fresh wave, then re-encode segments from all waves. Existing
+        waves' postings are reused (no re-tokenize); segment re-encode is
+        the merge step, resumable per partition like any build."""
+        if isinstance(new_files, str):
+            new_files = [new_files]
+        next_wave = 0
+        for name in os.listdir(self.waves_dir):
+            if name.startswith("wave=") and name.endswith(".json"):
+                next_wave = max(next_wave,
+                                int(name[len("wave="):-len(".json")]) + 1)
+        self.build_postings_wave(next_wave, new_files)
+        # invalidate committed partitions: their inputs changed
+        for name in os.listdir(self.segments_dir):
+            path = os.path.join(self.segments_dir, name)
+            os.remove(path)
+        self.build_segments()
+        return self.finalize()
+
     # ----- one-call build -------------------------------------------------
     def build(self, input_files: list[str] | str, waves: int = 1) -> dict:
         if isinstance(input_files, str):
