@@ -148,3 +148,22 @@ def test_bucketed_index_same_results(ray_session, pages_file, tmp_path,
         assert [int(x) for x in d1] == [d for d, _ in expected]
         assert [float(x) for x in s1] == [s for _, s in expected]
         assert eb.match(q).tolist() == oracle_index.match(q)
+
+
+def test_phrase_match(engine, pages_file):
+    """Index-AND candidates + substring verification (phrase search)."""
+    import pyarrow.parquet as pqx
+
+    docs = engine.phrase_match(corpus.PHRASE)
+    assert len(docs) == 3  # the planted phrase rows
+    texts = {t for t in engine.fetch_rows(docs, columns=["text"])
+             ["text"].to_pylist()}
+    assert all(corpus.PHRASE in t for t in texts)
+    # tokens co-occur but not adjacent → verified out
+    tbl = pqx.read_table(pages_file, columns=["text"])
+    scattered = [t for t in tbl["text"].to_pylist()
+                 if all(w in t.split() for w in corpus.PHRASE.split())
+                 and corpus.PHRASE not in t]
+    n_all_tokens = len(engine.match(corpus.PHRASE))
+    assert n_all_tokens == len(docs) + len(scattered)
+    assert engine.phrase_match("nosuchtokenzz phrase").tolist() == []

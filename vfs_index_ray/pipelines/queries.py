@@ -119,6 +119,16 @@ def q_search_and_fetch(sf_dir: str) -> pa.Table:
     return rows
 
 
+PHRASE_QUERY = "order sort table"
+
+
+def q_phrase_match(sf_dir: str) -> pa.Table:
+    """Phrase search: index-AND candidates + exact substring verify."""
+    eng = get_engine(sf_dir)
+    docs = eng.phrase_match(PHRASE_QUERY)
+    return pa.table({"doc_id": pa.array(docs.astype(np.int64), pa.int64())})
+
+
 def q_range_limit(sf_dir: str) -> pa.Table:
     """J6/O5: numeric range via parquet predicate pushdown + limit.
 
@@ -340,6 +350,7 @@ QUERIES = {
     "count_match": q_count_match,
     "term_df": q_term_df,
     "search_and_fetch": q_search_and_fetch,
+    "phrase_match": q_phrase_match,
     "range_limit": q_range_limit,
     "short_query_empty": q_short_query_empty,
     "cooccur_distance": q_cooccur_distance,
@@ -405,6 +416,12 @@ WHERE tok IN ('spark','join','window','batch') GROUP BY tok
     "search_and_fetch": f"""
 SELECT doc_id, lang, n_chars FROM documents
 WHERE list_contains({TOKS}, 'spark') AND list_contains({TOKS}, 'window')
+""",
+    "phrase_match": f"""
+SELECT doc_id FROM documents
+WHERE list_contains({TOKS}, 'order') AND list_contains({TOKS}, 'sort')
+  AND list_contains({TOKS}, 'table')
+  AND strpos(lower(text), 'order sort table') > 0
 """,
     "range_limit": """
 SELECT doc_id, n_chars FROM documents WHERE n_chars >= 450

@@ -326,6 +326,40 @@ class SearchEngine:
         return self._topk(targets, scores, k)
 
     # ------------------------------------------------------------------
+    def phrase_match(self, phrase: str, text_col: str = "text"
+                     ) -> np.ndarray:
+        """Exact phrase search: AND of the phrase's index keys gives
+        candidates (the reference's trigram-AND pattern), then the small
+        candidate set is verified by a vectorized substring check on the
+        corpus text. The reference skips verification and can
+        false-positive across token boundaries (e.g. two trigrams from
+        different positions) — we verify, documented divergence.
+        Semantics: all tokens present AND lower(text) contains the
+        lowercased phrase as a substring."""
+        cands = self.match(phrase)
+        if len(cands) == 0 or self.corpus_files is None:
+            return cands
+        rows = self.fetch_rows(cands, columns=[self.id_col, self.url_col,
+                                               text_col])
+        texts = rows[text_col]
+        if isinstance(texts, pa.ChunkedArray):
+            texts = texts.combine_chunks()
+        needle = phrase.lower() if self.mode == "word" else phrase
+        hay = pc.utf8_lower(texts) if self.mode == "word" else texts
+        ok = pc.match_substring(hay, pattern=needle
+                                ).to_numpy(zero_copy_only=False)
+        if self.id_col in rows.column_names:
+            ids = rows[self.id_col].to_numpy(zero_copy_only=False
+                                             ).astype(np.uint64)
+        else:
+            from .hashing import doc_ids_from_urls
+            col = rows[self.url_col]
+            if isinstance(col, pa.ChunkedArray):
+                col = col.combine_chunks()
+            ids = doc_ids_from_urls(col)
+        return np.sort(ids[ok])
+
+    # ------------------------------------------------------------------
     def nears(self, q: str, k: int | None = None):
         """The reference's ``Nears`` tf-share ranking (search_cond.go:
         297-381), kept for API parity — BM25 replaces it as the primary
@@ -552,8 +586,10 @@ class SearchEngine:
         schema = pq.read_schema(first)
         key = self.id_col if self.id_col in schema.names else self.url_col
         read_cols = columns
-        if read_cols is not None and key not in read_cols:
-            read_cols = list(read_cols) + [key]
+        if read_cols is not None:
+            read_cols = [c for c in read_cols if c in schema.names]
+            if key not in read_cols:
+                read_cols = read_cols + [key]
         tbl = pq.read_table(self.corpus_files, columns=read_cols)
         if key == self.id_col:
             ids = tbl[key].to_numpy(zero_copy_only=False).astype(np.uint64)
