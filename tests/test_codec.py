@@ -105,3 +105,46 @@ def test_encode_partition_roundtrip(shift):
         assert rows[0]["df"] == int(m.sum())
         # chunks doc-range disjoint & ascending (salt invariant, SURVEY §7.6)
         assert (np.diff(d.astype(np.float64)) > 0).all()
+
+
+@pytest.mark.parametrize("enc", ["varint", "fixed", "auto"])
+def test_encode_partition_doc_encodings(enc):
+    rng = np.random.default_rng(9)
+    terms_l, docs_l = [], []
+    for t in sorted(rng.integers(0, 2**63, 20).astype(np.uint64).tolist()):
+        d = np.unique(rng.integers(0, 2**62, 300).astype(np.uint64))
+        terms_l.append(np.full(len(d), t, np.uint64))
+        docs_l.append(d)
+    terms = np.concatenate(terms_l)
+    docs = np.concatenate(docs_l)
+    tfs = rng.integers(1, 9, len(terms)).astype(np.uint64)
+    dls = rng.integers(20, 400, len(terms)).astype(np.uint64)
+    seg = codec.encode_partition(terms, docs, tfs, dls,
+                                 doc_encoding=enc)
+    rows = seg.to_pylist()
+    if enc == "fixed":
+        assert all(r["denc"] == 1 for r in rows)
+    if enc == "auto":
+        # hash doc-ids → varint loses → fixed64 chosen
+        assert all(r["denc"] == 1 for r in rows)
+    for r in rows:
+        d, tf, dl = codec.decode_chunk(r)
+        m = terms == np.uint64(r["term_id"])
+        # single-bucket mode: one chunk per term
+        assert (d == docs[m]).all() and (tf == tfs[m]).all()
+        for bi in range(len(r["skip_doc_last"])):
+            bd, bt, _ = codec.decode_block(r, bi)
+            s, e = bi * codec.BLOCK, min((bi + 1) * codec.BLOCK, int(m.sum()))
+            assert (bd == docs[m][s:e]).all()
+
+
+def test_auto_picks_varint_for_dense_ids():
+    # dense doc ids (small deltas) → varint wins → denc == 0
+    docs = np.arange(1, 2000, dtype=np.uint64)
+    terms = np.zeros(len(docs), np.uint64)
+    tfs = np.ones(len(docs), np.uint64)
+    dls = np.full(len(docs), 100, np.uint64)
+    seg = codec.encode_partition(terms, docs, tfs, dls)
+    assert seg.to_pylist()[0]["denc"] == 0
+    d, _, _ = codec.decode_chunk(seg.to_pylist()[0])
+    assert (d == docs).all()

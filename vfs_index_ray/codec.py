@@ -159,9 +159,14 @@ def encode_chunk(doc_ids: np.ndarray, tfs: np.ndarray, dls: np.ndarray) -> dict:
 def decode_chunk(row: dict) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
     """Decode a chunk back into (doc_ids, tfs, dls) uint64 arrays."""
     n = int(row["n"])
-    deltas = varint_decode(row["docs"], count=n)
     tfs = varint_decode(row["tfs"], count=n)
     dls = varint_decode(row["dls"], count=n)
+    if row.get("denc", 0):
+        doc_ids = np.frombuffer(row["docs"], "<u8").copy()
+        if len(doc_ids) != n:
+            raise ValueError(f"fixed64 docs: expected {n}")
+        return doc_ids, tfs, dls
+    deltas = varint_decode(row["docs"], count=n)
     doc_ids = np.cumsum(deltas, dtype=np.uint64)
     # undo cumsum across block-restart boundaries: blocks are independent
     if n > BLOCK:
@@ -175,7 +180,8 @@ def decode_chunk(row: dict) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
 
 
 def encode_partition(terms: np.ndarray, docs: np.ndarray, tfs: np.ndarray,
-                     dls: np.ndarray, bucket_shift: int = 64):
+                     dls: np.ndarray, bucket_shift: int = 64,
+                     doc_encoding: str = "auto"):
     """Encode ALL posting lists of one shuffle partition in one vectorized pass.
 
     Inputs are the partition's postings sorted by (term_id, doc_id), doc_ids
@@ -234,6 +240,17 @@ def encode_partition(terms: np.ndarray, docs: np.ndarray, tfs: np.ndarray,
     deltas[block_starts] = docs[block_starts]
 
     doc_sizes = _varint_sizes(deltas)
+    # doc-stream encoding: hash doc-ids make deltas ~as wide as raw
+    # values; when varint would not beat raw 8-byte little-endian, store
+    # fixed64 (denc=1) — zero encode passes, frombuffer decode
+    if doc_encoding == "fixed":
+        denc = 1
+    elif doc_encoding == "varint":
+        denc = 0
+    else:  # auto
+        denc = 1 if int(doc_sizes.sum()) > int(0.9 * 8 * n) else 0
+    if denc:
+        doc_sizes = np.full(n, 8, dtype=np.int64)
     tf_sizes = _varint_sizes(tfs)
     dl_sizes = _varint_sizes(dls)
     doc_ends = np.cumsum(doc_sizes)
@@ -246,7 +263,11 @@ def encode_partition(terms: np.ndarray, docs: np.ndarray, tfs: np.ndarray,
         out[nz] = ends[idx[nz] - 1]
         return out
 
-    docs_buf = np.frombuffer(varint_encode(deltas), np.uint8)
+    if denc:
+        docs_buf = np.frombuffer(
+            np.ascontiguousarray(docs).astype("<u8").tobytes(), np.uint8)
+    else:
+        docs_buf = np.frombuffer(varint_encode(deltas), np.uint8)
     tfs_buf = np.frombuffer(varint_encode(tfs), np.uint8)
     dls_buf = np.frombuffer(varint_encode(dls), np.uint8)
 
@@ -283,6 +304,7 @@ def encode_partition(terms: np.ndarray, docs: np.ndarray, tfs: np.ndarray,
 
     return pa.table({
         "term_id": pa.array(terms[chunk_starts], pa.uint64()),
+        "denc": pa.array(np.full(nchunks, denc, np.uint8), pa.uint8()),
         "bucket": pa.array(buckets[chunk_starts], pa.uint64()),
         "df": pa.array(df_chunk.astype(np.uint64), pa.uint64()),
         "n": pa.array(chunk_counts.astype(np.uint64), pa.uint64()),
@@ -330,7 +352,10 @@ def decode_block(row: dict, bi: int) -> tuple[np.ndarray, np.ndarray, np.ndarray
     d_end = od[bi + 1] if bi + 1 < nblocks else len(row["docs"])
     t_end = ot[bi + 1] if bi + 1 < nblocks else len(row["tfs"])
     l_end = ol[bi + 1] if bi + 1 < nblocks else len(row["dls"])
-    deltas = varint_decode(row["docs"][od[bi]:d_end], count=cnt)
     tfs = varint_decode(row["tfs"][ot[bi]:t_end], count=cnt)
     dls = varint_decode(row["dls"][ol[bi]:l_end], count=cnt)
+    if row.get("denc", 0):
+        docs = np.frombuffer(row["docs"][od[bi]:d_end], "<u8").copy()
+        return docs, tfs, dls
+    deltas = varint_decode(row["docs"][od[bi]:d_end], count=cnt)
     return np.cumsum(deltas, dtype=np.uint64), tfs, dls
