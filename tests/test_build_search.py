@@ -167,3 +167,42 @@ def test_phrase_match(engine, pages_file):
     n_all_tokens = len(engine.match(corpus.PHRASE))
     assert n_all_tokens == len(docs) + len(scattered)
     assert engine.phrase_match("nosuchtokenzz phrase").tolist() == []
+
+
+def test_query_actor_batch(ray_session, built_index, oracle_index):
+    """Actor-pool batch scorer returns per-query ranked results."""
+    import ray.data
+
+    from vfs_index_ray.search import QueryActor
+
+    idx, _ = built_index
+    qs = [corpus.RARE_TERM, corpus.PHRASE, "bababa"]
+    out = ray.data.from_items([{"query": q} for q in qs]).map_batches(
+        QueryActor, fn_constructor_kwargs=dict(index_dir=idx, k=5),
+        batch_format="pyarrow", concurrency=1).take_all()
+    by_q = {}
+    for r in out:
+        by_q.setdefault(r["query"], []).append((r["rank"], r["doc_id"],
+                                                r["score"]))
+    for q in qs:
+        got = sorted(by_q.get(q, []))
+        expected = oracle_index.bm25(q, 5)
+        assert [d for _, d, _ in got] == [d for d, _ in expected], q
+        assert [s for _, _, s in got] == [s for _, s in expected], q
+
+
+def test_distributed_on_bucketed_index(ray_session, pages_file, tmp_path,
+                                       oracle_index):
+    """bm25_topk_ray over a doc-range-chunked index: per-bucket scoring
+    must still be exact (all of a doc's postings share its bucket)."""
+    from vfs_index_ray.build import IndexBuilder
+    from vfs_index_ray.search import bm25_topk_ray
+
+    idx = str(tmp_path / "idx_dist_bucketed")
+    IndexBuilder(idx, mode="word", num_parts=4, bucket_shift=61,
+                 id_col=None).build([pages_file])
+    for q in [corpus.PHRASE, "bababa babade"]:
+        docs, scores = bm25_topk_ray(idx, q, 10)
+        expected = oracle_index.bm25(q, 10)
+        assert [int(x) for x in docs] == [d for d, _ in expected], q
+        assert [float(x) for x in scores] == [s for _, s in expected], q
