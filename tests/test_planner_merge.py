@@ -174,3 +174,25 @@ def test_repartition_same_results(ray_session, built_index, tmp_path,
         expected = oracle_index.bm25(q, 10)
         assert [int(x) for x in docs] == [d for d, _ in expected]
         assert [float(x) for x in scores] == [s for _, s in expected]
+
+
+def test_merge_bucketed_indexes(ray_session, split_corpora, tmp_path,
+                                oracle_index):
+    """Merging doc-range-chunked (salted) indexes preserves results."""
+    from vfs_index_ray.build import IndexBuilder
+    from vfs_index_ray.merge import merge_indexes
+    from vfs_index_ray.search import SearchEngine
+
+    ia = str(tmp_path / "ba")
+    ib = str(tmp_path / "bb")
+    im = str(tmp_path / "bm")
+    for src, out in [(split_corpora["a"], ia), (split_corpora["b"], ib)]:
+        IndexBuilder(out, mode="word", num_parts=8, bucket_shift=61,
+                     id_col=None).build([src])
+    merge_indexes([ia, ib], im)
+    em = SearchEngine(im)
+    for q in [corpus.RARE_TERM, corpus.PHRASE, "bababa babade"]:
+        docs, scores = em.bm25(q, 20)
+        expected = oracle_index.bm25(q, 20)
+        assert [int(x) for x in docs] == [d for d, _ in expected], q
+        assert [float(x) for x in scores] == [s for _, s in expected], q
