@@ -154,7 +154,8 @@ class IndexBuilder:
                  url_col: str = "url", tokenize_concurrency=None,
                  tokenize_batch_size: int | None = 4096,
                  tokenize_actors: bool = False,
-                 scratch_dir: str | None = None):
+                 scratch_dir: str | None = None,
+                 positions: bool = False):
         self.index_dir = index_dir
         self.mode = mode
         self.num_parts = num_parts
@@ -165,6 +166,13 @@ class IndexBuilder:
         self.tokenize_concurrency = tokenize_concurrency
         self.tokenize_batch_size = tokenize_batch_size
         self.tokenize_actors = tokenize_actors
+        # positions=True (word mode): token ordinals ride through the
+        # shuffle as a delta+varint binary column and land in parallel
+        # positions/part=N.parquet files — token-adjacency phrase queries
+        # then need no corpus access. Segment codec is untouched.
+        self.positions = positions
+        if positions and mode != "word":
+            raise ValueError("positions require word mode")
         # Shuffle spill (postings) is ephemeral per-node scratch — the
         # Spark-local-dirs analog. On a cluster each node spills locally and
         # aggregate bandwidth scales with nodes; point scratch_dir at fast
@@ -217,7 +225,8 @@ class IndexBuilder:
             ds = read_corpus(files, columns=cols)
             n_docs = ds.count()
         fn_kwargs = dict(mode=self.mode, text_col=self.text_col,
-                         id_col=self.id_col, url_col=self.url_col)
+                         id_col=self.id_col, url_col=self.url_col,
+                         positions=self.positions)
         if self.tokenize_actors:
             # actor pool: for stateful tokenizer configs (dict shard etc.)
             conc = self.tokenize_concurrency
@@ -283,12 +292,19 @@ class IndexBuilder:
                                lineage=[os.path.basename(w)
                                         for w in wave_dirs])
 
+        want_pos = self.positions
+        pos_dir = os.path.join(self.index_dir, "positions")
+        if want_pos:
+            os.makedirs(pos_dir, exist_ok=True)
+
         def encode_one(batch: pa.Table) -> pa.Table:
             # one task per part: gather this part's postings from every
             # wave (hive layout wave=*/part=p/), encode, publish.
             # use_threads=False: each task owns ONE cpu — 64 concurrent
             # tasks each spinning up Arrow's full thread pool thrash the
             # node (threads = tasks × cores without it)
+            cols = ["term_id", "doc_id", "tf", "dl"] + \
+                (["pos"] if want_pos else [])
             outs = []
             for p in batch["p"].to_pylist():
                 tables = []
@@ -296,14 +312,28 @@ class IndexBuilder:
                     pdir = os.path.join(wd, f"part={p}")
                     if os.path.isdir(pdir):
                         tables.append(pq.read_table(
-                            pdir, columns=["term_id", "doc_id", "tf", "dl"],
-                            use_threads=False))
+                            pdir, columns=cols, use_threads=False))
                 merged = (pa.concat_tables(tables) if tables
                           else pa.table({
                               "term_id": pa.array([], pa.uint64()),
                               "doc_id": pa.array([], pa.uint64()),
                               "tf": pa.array([], pa.uint32()),
                               "dl": pa.array([], pa.uint32())}))
+                if want_pos and "pos" in merged.column_names:
+                    # positions land in a parallel per-part file, sorted
+                    # by (term, doc) for pushdown reads; the segment
+                    # codec never sees them
+                    t = merged["term_id"].to_numpy(zero_copy_only=False)
+                    d = merged["doc_id"].to_numpy(zero_copy_only=False)
+                    order = np.lexsort((d, t))
+                    ptab = merged.select(["term_id", "doc_id", "pos"]
+                                         ).take(order)
+                    tmp_p = os.path.join(pos_dir,
+                                         f".tmp.part={int(p):05d}.parquet")
+                    pq.write_table(ptab, tmp_p, compression="zstd")
+                    os.replace(tmp_p, os.path.join(
+                        pos_dir, f"part={int(p):05d}.parquet"))
+                    merged = merged.drop(["pos"])
                 outs.append(writer.encode_part(int(p), merged))
             return pa.concat_tables(outs)
 
@@ -350,7 +380,7 @@ class IndexBuilder:
             "num_parts": self.num_parts, "bucket_shift": self.bucket_shift,
             "n_docs": n_docs, "total_tokens": n_tokens,
             "avgdl": (n_tokens / n_docs) if n_docs else 0.0,
-            "k1": BM25_K1, "b": BM25_B,
+            "k1": BM25_K1, "b": BM25_B, "positions": self.positions,
             "waves": [w["wave"] for w in waves],
         }
         _atomic_write_json(os.path.join(self.index_dir, "stats.json"), stats)

@@ -360,6 +360,78 @@ class SearchEngine:
         return np.sort(ids[ok])
 
     # ------------------------------------------------------------------
+    def positions_for(self, term_ids: list[int], docs: np.ndarray
+                      ) -> dict[tuple[int, int], np.ndarray]:
+        """Token-ordinal lists for (term, doc) pairs from the positional
+        files (part-pruned, term-pushdown read). Requires an index built
+        with positions=True."""
+        from .codec import varint_decode
+        if not self.stats.get("positions"):
+            raise ValueError("index was built without positions=True")
+        out: dict[tuple[int, int], np.ndarray] = {}
+        doc_set = np.sort(np.asarray(docs, np.uint64))
+        by_part: dict[int, list[int]] = {}
+        for tid in term_ids:
+            by_part.setdefault(tid % self.num_parts, []).append(tid)
+        for part, tids in by_part.items():
+            path = os.path.join(self.index_dir, "positions",
+                                f"part={part:05d}.parquet")
+            if not os.path.exists(path):
+                continue
+            tbl = pq.read_table(path, filters=[
+                ("term_id", "in", [np.uint64(t) for t in tids])])
+            t = tbl["term_id"].to_numpy(zero_copy_only=False)
+            d = tbl["doc_id"].to_numpy(zero_copy_only=False)
+            if len(doc_set):
+                pos_in = np.minimum(np.searchsorted(doc_set, d),
+                                    len(doc_set) - 1)
+                keep = np.flatnonzero(doc_set[pos_in] == d)
+            else:
+                keep = np.empty(0, np.int64)
+            pos_col = tbl["pos"]
+            for i in keep:
+                deltas = varint_decode(pos_col[int(i)].as_py())
+                out[(int(t[i]), int(d[i]))] = np.cumsum(deltas,
+                                                        dtype=np.uint64)
+        return out
+
+    def phrase_match_positional(self, phrase: str) -> np.ndarray:
+        """Token-adjacency phrase matching from positional postings — no
+        corpus access (the proper IR semantics: the exact token sequence
+        appears, regardless of the separators between tokens)."""
+        # token sequence WITH duplicates, in order (dedup would break
+        # repeated-token phrases)
+        import re
+
+        from .hashing import fnv1a64
+        from .tokenizer import WORD_SPLIT
+        seq = [fnv1a64(tok) for tok in re.split(WORD_SPLIT, phrase.lower())
+               if tok]
+        if not seq:
+            return np.empty(0, np.uint64)
+        cands = self.match(phrase)
+        if len(cands) == 0:
+            return cands
+        pos = self.positions_for(sorted(set(seq)), cands)
+        hits = []
+        one = np.uint64(1)
+        for doc in cands.tolist():
+            # P = ordinals where the matched prefix currently ends
+            P = pos.get((seq[0], doc))
+            for tid in seq[1:]:
+                if P is None or len(P) == 0:
+                    P = None
+                    break
+                nxt = pos.get((tid, doc))
+                if nxt is None:
+                    P = None
+                    break
+                P = np.intersect1d(P + one, nxt, assume_unique=True)
+            if P is not None and len(P) > 0:
+                hits.append(doc)
+        return np.array(sorted(hits), np.uint64)
+
+    # ------------------------------------------------------------------
     def nears(self, q: str, k: int | None = None):
         """The reference's ``Nears`` tf-share ranking (search_cond.go:
         297-381), kept for API parity — BM25 replaces it as the primary

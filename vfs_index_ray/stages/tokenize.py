@@ -22,11 +22,13 @@ class TokenizeStage:
     """pages (url|doc_id, text) → postings (term_id, doc_id, tf, dl)."""
 
     def __init__(self, mode: str = "word", text_col: str = "text",
-                 id_col: str | None = "doc_id", url_col: str = "url"):
+                 id_col: str | None = "doc_id", url_col: str = "url",
+                 positions: bool = False):
         self.mode = mode
         self.text_col = text_col
         self.id_col = id_col
         self.url_col = url_col
+        self.positions = positions
 
     def _doc_ids(self, batch: pa.Table) -> np.ndarray:
         if self.id_col and self.id_col in batch.column_names:
@@ -42,12 +44,14 @@ class TokenizeStage:
         texts = batch[self.text_col]
         if isinstance(texts, pa.ChunkedArray):
             texts = texts.combine_chunks()
-        return postings_from_texts(texts, self._doc_ids(batch), self.mode)
+        return postings_from_texts(texts, self._doc_ids(batch), self.mode,
+                                   positions=self.positions)
 
 
 def tokenize_postings(batch: pa.Table, *, mode: str = "word",
                       text_col: str = "text", id_col: str | None = "doc_id",
-                      url_col: str = "url") -> pa.Table:
+                      url_col: str = "url",
+                      positions: bool = False) -> pa.Table:
     """Stateless twin of TokenizeStage for plain-task map_batches.
 
     With hash term-ids there is no per-actor state to amortize, so
@@ -67,7 +71,7 @@ def tokenize_postings(batch: pa.Table, *, mode: str = "word",
     texts = batch[text_col]
     if isinstance(texts, pa.ChunkedArray):
         texts = texts.combine_chunks()
-    return postings_from_texts(texts, ids, mode)
+    return postings_from_texts(texts, ids, mode, positions=positions)
 
 
 class AddPartColumn:

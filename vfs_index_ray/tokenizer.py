@@ -150,30 +150,90 @@ def _tf_aggregate(parent: np.ndarray, term_ids: np.ndarray
     return p[idx], t[idx], tf
 
 
+def _positions_per_posting(parent: np.ndarray, term_ids: np.ndarray
+                           ) -> tuple[np.ndarray, np.ndarray, np.ndarray,
+                                      pa.Array]:
+    """Like _tf_aggregate, but also emits each posting's token positions
+    as a delta+varint binary (ascending ordinals within the doc).
+
+    Returns (rows, terms, tf, pos_binary)."""
+    from .codec import varint_encode, _varint_sizes
+
+    n = len(parent)
+    if n == 0:
+        e = np.empty(0, np.int64)
+        return (e, np.empty(0, np.uint64), np.empty(0, np.uint64),
+                pa.array([], pa.large_binary()))
+    idx = np.arange(n, dtype=np.int64)
+    # ordinal of each token within its doc (parent ascending by constr.)
+    firsts = np.empty(n, dtype=np.int64)
+    new_doc = np.empty(n, dtype=bool)
+    new_doc[0] = True
+    new_doc[1:] = parent[1:] != parent[:-1]
+    doc_start = np.maximum.accumulate(np.where(new_doc, idx, 0))
+    ordinal = (idx - doc_start).astype(np.uint64)
+    order = np.lexsort((ordinal, term_ids, parent))
+    p = parent[order]
+    t = term_ids[order]
+    o = ordinal[order]
+    new = np.empty(n, dtype=bool)
+    new[0] = True
+    new[1:] = (p[1:] != p[:-1]) | (t[1:] != t[:-1])
+    starts = np.flatnonzero(new)
+    tf = np.diff(np.append(starts, n)).astype(np.uint64)
+    # delta-encode positions with an absolute restart at each posting
+    deltas = np.empty(n, dtype=np.uint64)
+    deltas[0] = o[0]
+    deltas[1:] = o[1:] - o[:-1]
+    deltas[starts] = o[starts]
+    sizes = _varint_sizes(deltas)
+    ends = np.cumsum(sizes)
+    buf = varint_encode(deltas)
+    offs = np.empty(len(starts) + 1, dtype=np.int64)
+    offs[0] = 0
+    offs[1:-1] = ends[starts[1:] - 1]
+    offs[-1] = ends[-1]
+    pos_col = pa.LargeBinaryArray.from_buffers(
+        pa.large_binary(), len(starts),
+        [None, pa.py_buffer(offs.tobytes()), pa.py_buffer(buf)])
+    return p[starts], t[starts], tf, pos_col
+
+
 def postings_from_texts(texts: pa.Array, doc_ids: np.ndarray,
-                        mode: str = "word") -> pa.Table:
+                        mode: str = "word",
+                        positions: bool = False) -> pa.Table:
     """Per-batch kernel: text column + doc ids → posting rows.
 
-    Output schema: term_id:uint64, doc_id:uint64, tf:uint32, dl:uint32.
-    ``dl`` (doc length in tokens) rides along on every posting so the
-    segment encoder never needs a doc-length broadcast — at 10^12 docs a
-    doc→dl lookup table could not be broadcast.
+    Output schema: term_id:uint64, doc_id:uint64, tf:uint32, dl:uint32
+    (+ pos:large_binary when ``positions=True`` — delta+varint token
+    ordinals per posting, enabling token-adjacency phrase matching with
+    no corpus access). ``dl`` (doc length in tokens) rides along on every
+    posting so the segment encoder never needs a doc-length broadcast —
+    at 10^12 docs a doc→dl lookup table could not be broadcast.
     """
     if mode == "word":
         low, ts, lens, parent, dl = word_spans(texts)
         term_ids = fnv1a64_spans(low, ts, lens)
     elif mode == "trigram":
+        if positions:
+            raise ValueError("positions are supported in word mode only")
         term_ids, parent, dl = trigram_ids_flat(texts)
     else:
         raise ValueError(f"unknown tokenizer mode {mode!r}")
-    rows, terms, tf = _tf_aggregate(parent, term_ids)
+    if positions:
+        rows, terms, tf, pos_col = _positions_per_posting(parent, term_ids)
+    else:
+        rows, terms, tf = _tf_aggregate(parent, term_ids)
     doc_ids = np.ascontiguousarray(doc_ids, dtype=np.uint64)
-    return pa.table({
+    cols = {
         "term_id": pa.array(terms, type=pa.uint64()),
         "doc_id": pa.array(doc_ids[rows], type=pa.uint64()),
         "tf": pa.array(tf.astype(np.uint32), type=pa.uint32()),
         "dl": pa.array(dl[rows].astype(np.uint32), type=pa.uint32()),
-    })
+    }
+    if positions:
+        cols["pos"] = pos_col
+    return pa.table(cols)
 
 
 def tokenize_query(q: str, mode: str = "word") -> list[tuple[str, int]]:
