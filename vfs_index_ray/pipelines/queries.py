@@ -55,12 +55,13 @@ def get_engine(sf_dir: str) -> SearchEngine:
         from .. import __version__
         name = os.path.basename(os.path.normpath(sf_dir)) or "sf"
         # version-keyed so a future segment-format change never reads a
-        # stale cached index
-        idx = os.path.join("/tmp", "vfsray_cache", f"{name}-v{__version__}")
+        # stale cached index; positional (additive — serves all queries)
+        idx = os.path.join("/tmp", "vfsray_cache",
+                           f"{name}-v{__version__}-pos")
         src = _doc_file(sf_dir)
         if not os.path.exists(os.path.join(idx, "stats.json")):
-            IndexBuilder(idx, mode="word", num_parts=8,
-                         id_col="doc_id").build([src])
+            IndexBuilder(idx, mode="word", num_parts=8, id_col="doc_id",
+                         positions=True).build([src])
         _ENGINES[sf_dir] = SearchEngine(idx, corpus_files=[src],
                                         id_col="doc_id")
     return _ENGINES[sf_dir]
@@ -126,6 +127,13 @@ def q_phrase_match(sf_dir: str) -> pa.Table:
     """Phrase search: index-AND candidates + exact substring verify."""
     eng = get_engine(sf_dir)
     docs = eng.phrase_match(PHRASE_QUERY)
+    return pa.table({"doc_id": pa.array(docs.astype(np.int64), pa.int64())})
+
+
+def q_phrase_positional(sf_dir: str) -> pa.Table:
+    """Token-adjacency phrase matching from positional postings."""
+    eng = get_engine(sf_dir)
+    docs = eng.phrase_match_positional(PHRASE_QUERY)
     return pa.table({"doc_id": pa.array(docs.astype(np.int64), pa.int64())})
 
 
@@ -351,6 +359,7 @@ QUERIES = {
     "term_df": q_term_df,
     "search_and_fetch": q_search_and_fetch,
     "phrase_match": q_phrase_match,
+    "phrase_positional": q_phrase_positional,
     "range_limit": q_range_limit,
     "short_query_empty": q_short_query_empty,
     "cooccur_distance": q_cooccur_distance,
@@ -422,6 +431,17 @@ SELECT doc_id FROM documents
 WHERE list_contains({TOKS}, 'order') AND list_contains({TOKS}, 'sort')
   AND list_contains({TOKS}, 'table')
   AND strpos(lower(text), 'order sort table') > 0
+""",
+    "phrase_positional": f"""
+WITH t AS (SELECT doc_id, {TOKS} AS toks FROM documents),
+p AS (SELECT doc_id, unnest(toks) AS tok,
+             generate_subscripts(toks, 1) AS ord FROM t)
+SELECT DISTINCT p1.doc_id FROM p p1
+JOIN p p2 ON p2.doc_id = p1.doc_id AND p2.ord = p1.ord + 1
+         AND p2.tok = 'sort'
+JOIN p p3 ON p3.doc_id = p1.doc_id AND p3.ord = p1.ord + 2
+         AND p3.tok = 'table'
+WHERE p1.tok = 'order'
 """,
     "range_limit": """
 SELECT doc_id, n_chars FROM documents WHERE n_chars >= 450
