@@ -124,3 +124,35 @@ def test_positions_require_flag(built_index):
     eng = SearchEngine(idx)
     with pytest.raises(ValueError):
         eng.phrase_match_positional("bababa babade")
+
+
+def test_proximity_vs_python(pos_index, pages_file):
+    from vfs_index_ray.hashing import doc_id_from_url
+    from vfs_index_ray.search import SearchEngine
+
+    eng = SearchEngine(pos_index)
+    tbl = pq.read_table(pages_file, columns=["url", "text"])
+    texts = tbl["text"].to_pylist()
+    ids = [doc_id_from_url(u) for u in tbl["url"].to_pylist()]
+
+    def py_prox(qtoks, window):
+        out = []
+        for i, t in zip(ids, texts):
+            toks = _tokens(t)
+            poss = [[j for j, w in enumerate(toks) if w == qt]
+                    for qt in qtoks]
+            if any(not p for p in poss):
+                continue
+            import itertools
+            best = min(max(c) - min(c)
+                       for c in itertools.product(*poss))
+            if best <= window:
+                out.append(i)
+        return sorted(out)
+
+    for q, w in [("bababa babade", 3), ("bababa babade", 20),
+                 (corpus.PHRASE, 3)]:
+        got = eng.proximity_match(q, w).tolist()
+        assert got == py_prox(sorted(set(q.split())), w), (q, w)
+    # window 0 with two distinct terms → impossible
+    assert eng.proximity_match("bababa babade", 0).tolist() == []

@@ -137,6 +137,13 @@ def q_phrase_positional(sf_dir: str) -> pa.Table:
     return pa.table({"doc_id": pa.array(docs.astype(np.int64), pa.int64())})
 
 
+def q_proximity(sf_dir: str) -> pa.Table:
+    """Proximity: 'spark' and 'window' within 5 tokens."""
+    eng = get_engine(sf_dir)
+    docs = eng.proximity_match("spark window", 5)
+    return pa.table({"doc_id": pa.array(docs.astype(np.int64), pa.int64())})
+
+
 def q_range_limit(sf_dir: str) -> pa.Table:
     """J6/O5: numeric range via parquet predicate pushdown + limit.
 
@@ -360,6 +367,7 @@ QUERIES = {
     "search_and_fetch": q_search_and_fetch,
     "phrase_match": q_phrase_match,
     "phrase_positional": q_phrase_positional,
+    "proximity": q_proximity,
     "range_limit": q_range_limit,
     "short_query_empty": q_short_query_empty,
     "cooccur_distance": q_cooccur_distance,
@@ -442,6 +450,15 @@ JOIN p p2 ON p2.doc_id = p1.doc_id AND p2.ord = p1.ord + 1
 JOIN p p3 ON p3.doc_id = p1.doc_id AND p3.ord = p1.ord + 2
          AND p3.tok = 'table'
 WHERE p1.tok = 'order'
+""",
+    "proximity": f"""
+WITH t AS (SELECT doc_id, {TOKS} AS toks FROM documents),
+p AS (SELECT doc_id, unnest(toks) AS tok,
+             generate_subscripts(toks, 1) AS ord FROM t)
+SELECT DISTINCT p1.doc_id FROM p p1
+JOIN p p2 ON p2.doc_id = p1.doc_id AND p2.tok = 'window'
+         AND abs(p1.ord - p2.ord) <= 5
+WHERE p1.tok = 'spark'
 """,
     "range_limit": """
 SELECT doc_id, n_chars FROM documents WHERE n_chars >= 450

@@ -431,6 +431,54 @@ class SearchEngine:
                 hits.append(doc)
         return np.array(sorted(hits), np.uint64)
 
+    def proximity_match(self, q: str, window: int) -> np.ndarray:
+        """Positional proximity: docs where some occurrence of every
+        query term fits in a token window of ``window`` (max ordinal −
+        min ordinal ≤ window). Classic k-sorted-lists minimal-range scan
+        per candidate doc."""
+        tids = sorted(set(self.query_term_ids(q)))
+        if not tids:
+            return np.empty(0, np.uint64)
+        cands = self.match(q)
+        if len(cands) == 0:
+            return cands
+        pos = self.positions_for(tids, cands)
+        win = np.uint64(window)
+        hits = []
+        for doc in cands.tolist():
+            lists = [pos.get((t, doc)) for t in tids]
+            if any(p is None or len(p) == 0 for p in lists):
+                continue
+            # merge all (ordinal, list-id) and slide a window that
+            # covers every list
+            allpos = np.concatenate(lists)
+            owner = np.concatenate([np.full(len(p), i, np.int64)
+                                    for i, p in enumerate(lists)])
+            order = np.argsort(allpos, kind="stable")
+            ap, ow = allpos[order], owner[order]
+            need = len(lists)
+            count = np.zeros(need, np.int64)
+            covered = 0
+            lo = 0
+            found = False
+            for hi in range(len(ap)):
+                if count[ow[hi]] == 0:
+                    covered += 1
+                count[ow[hi]] += 1
+                while covered == need:
+                    if ap[hi] - ap[lo] <= win:
+                        found = True
+                        break
+                    count[ow[lo]] -= 1
+                    if count[ow[lo]] == 0:
+                        covered -= 1
+                    lo += 1
+                if found:
+                    break
+            if found:
+                hits.append(doc)
+        return np.array(sorted(hits), np.uint64)
+
     # ------------------------------------------------------------------
     def nears(self, q: str, k: int | None = None):
         """The reference's ``Nears`` tf-share ranking (search_cond.go:
