@@ -27,7 +27,20 @@ SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
 NCPU = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
 BENCH_DOCS = int(os.environ.get("GRAFT_BENCH_DOCS", "1200000"))
 SCALE_ROUNDS = int(os.environ.get("GRAFT_SCALE_ROUNDS", "3"))
-SCRATCH = "/dev/shm/vfsray_scratch"  # ephemeral shuffle spill (see build.py)
+def _pick_scratch() -> str:
+    """Prefer RAM-backed scratch for the shuffle spill; fall back to /tmp
+    if /dev/shm is missing or unwritable in the runner's sandbox."""
+    base = "/dev/shm"
+    try:
+        probe = os.path.join(base, ".vfsray_probe")
+        open(probe, "w").close()
+        os.remove(probe)
+    except OSError:
+        base = "/tmp"
+    return os.path.join(base, "vfsray_scratch")
+
+
+SCRATCH = _pick_scratch()  # ephemeral shuffle spill (see build.py)
 # N and 4N parallelism levels for --scaling. Default (2, 8): this
 # single-VM sandbox saturates MEMORY BANDWIDTH well below 32 cores (a
 # pure-compute encode task: 1.26s alone, 11.3s when 32 run concurrently),
