@@ -156,3 +156,54 @@ def test_proximity_vs_python(pos_index, pages_file):
         assert got == py_prox(sorted(set(q.split())), w), (q, w)
     # window 0 with two distinct terms → impossible
     assert eng.proximity_match("bababa babade", 0).tolist() == []
+
+
+def test_trigram_positional_exact_substring(ray_session, tmp_path):
+    """Trigram-positional chaining makes CJK substring search EXACT: doc
+    B has both query trigrams scattered (the reference's unverified AND
+    would return it); the positional chain rejects it."""
+    from vfs_index_ray.build import IndexBuilder
+    from vfs_index_ray.search import SearchEngine
+
+    rows = pa.table({
+        "doc_id": pa.array([1, 2], pa.int64()),
+        "text": pa.array(["前置活動内容後置",      # contains 活動内容
+                          "活動内と動内容は別々"],  # scattered trigrams
+                         pa.string()),
+    })
+    src = str(tmp_path / "cjk.parquet")
+    pq.write_table(rows, src)
+    idx = str(tmp_path / "idx")
+    IndexBuilder(idx, mode="trigram", num_parts=2, id_col="doc_id",
+                 positions=True).build([src])
+    eng = SearchEngine(idx)
+    q = "活動内容"
+    # unverified AND (reference semantics): both docs
+    assert eng.match(q).tolist() == [1, 2]
+    # positional chain: only the true substring match
+    assert eng.phrase_match_positional(q).tolist() == [1]
+    # short query still yields nothing (reference conformance)
+    assert eng.phrase_match_positional("鬼滅").tolist() == []
+
+
+def test_trigram_positional_fuzz(ray_session, tmp_path):
+    from vfs_index_ray.build import IndexBuilder
+    from vfs_index_ray.search import SearchEngine
+
+    ref = corpus.generate_ref_records()
+    src = str(tmp_path / "ref.parquet")
+    pq.write_table(ref, src)
+    idx = str(tmp_path / "idx")
+    IndexBuilder(idx, mode="trigram", num_parts=4, text_col="content",
+                 id_col="id", positions=True).build([src])
+    eng = SearchEngine(idx)
+    contents = ref["content"].to_pylist()
+    ids = ref["id"].to_pylist()
+    rng = np.random.Generator(np.random.Philox(key=[41, 0]))
+    for _ in range(20):
+        doc = contents[int(rng.integers(0, len(contents)))]
+        i = int(rng.integers(0, len(doc) - 6))
+        q = doc[i:i + int(rng.integers(3, 7))]
+        got = eng.phrase_match_positional(q).tolist()
+        want = sorted(i_ for i_, c in zip(ids, contents) if q in c)
+        assert got == want, q

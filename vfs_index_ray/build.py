@@ -171,8 +171,6 @@ class IndexBuilder:
         # positions/part=N.parquet files — token-adjacency phrase queries
         # then need no corpus access. Segment codec is untouched.
         self.positions = positions
-        if positions and mode != "word":
-            raise ValueError("positions require word mode")
         # Shuffle spill (postings) is ephemeral per-node scratch — the
         # Spark-local-dirs analog. On a cluster each node spills locally and
         # aggregate bandwidth scales with nodes; point scratch_dir at fast

@@ -399,14 +399,21 @@ class SearchEngine:
         """Token-adjacency phrase matching from positional postings — no
         corpus access (the proper IR semantics: the exact token sequence
         appears, regardless of the separators between tokens)."""
-        # token sequence WITH duplicates, in order (dedup would break
-        # repeated-token phrases)
-        import re
+        # key sequence WITH duplicates, in order (dedup would break
+        # repeated keys). Word mode: token hashes; trigram mode: packed
+        # trigram windows — chaining consecutive windows makes the
+        # trigram AND *exact* (the reference's unverified AND can
+        # false-positive on scattered trigrams)
+        if self.mode == "trigram":
+            from .tokenizer import pack_trigram
+            seq = pack_trigram(phrase)
+        else:
+            import re
 
-        from .hashing import fnv1a64
-        from .tokenizer import WORD_SPLIT
-        seq = [fnv1a64(tok) for tok in re.split(WORD_SPLIT, phrase.lower())
-               if tok]
+            from .hashing import fnv1a64
+            from .tokenizer import WORD_SPLIT
+            seq = [fnv1a64(tok)
+                   for tok in re.split(WORD_SPLIT, phrase.lower()) if tok]
         if not seq:
             return np.empty(0, np.uint64)
         cands = self.match(phrase)

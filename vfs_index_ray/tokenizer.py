@@ -215,8 +215,8 @@ def postings_from_texts(texts: pa.Array, doc_ids: np.ndarray,
         low, ts, lens, parent, dl = word_spans(texts)
         term_ids = fnv1a64_spans(low, ts, lens)
     elif mode == "trigram":
-        if positions:
-            raise ValueError("positions are supported in word mode only")
+        # trigram occurrences come out in window order, so the generic
+        # positional aggregation applies: ordinal = window start index
         term_ids, parent, dl = trigram_ids_flat(texts)
     else:
         raise ValueError(f"unknown tokenizer mode {mode!r}")
