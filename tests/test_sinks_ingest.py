@@ -110,3 +110,16 @@ def test_cooccur_distance(built_index, oracle_index):
     # identical queries → distance 0; absent term → 1
     assert eng.cooccur_distance("bababa", "bababa") == 0.0
     assert eng.cooccur_distance("nosuchtokenzz", "bababa") == 1.0
+
+
+def test_read_corpus_gzip(ray_session, tmp_path):
+    """S6 parity: transparent .gz decompression on the read path."""
+    import gzip
+
+    rows = [{"doc_id": i, "text": f"alpha beta doc{i}"} for i in range(10)]
+    p = str(tmp_path / "c.json.gz")
+    with gzip.open(p, "wt") as f:
+        for r in rows:
+            f.write(json.dumps(r) + "\n")
+    ds = read_corpus([p])
+    assert sorted(r["doc_id"] for r in ds.take_all()) == list(range(10))
