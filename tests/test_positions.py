@@ -207,3 +207,29 @@ def test_trigram_positional_fuzz(ray_session, tmp_path):
         got = eng.phrase_match_positional(q).tolist()
         want = sorted(i_ for i_, c in zip(ids, contents) if q in c)
         assert got == want, q
+
+
+def test_absorb_rewrites_positions(ray_session, tmp_path, pages_file):
+    """Incremental absorb regenerates positional files — positional
+    queries on an absorbed index equal the full build's."""
+    from vfs_index_ray.build import IndexBuilder
+    from vfs_index_ray.search import SearchEngine
+
+    pages = pq.read_table(pages_file)
+    a = str(tmp_path / "a.parquet")
+    b = str(tmp_path / "b.parquet")
+    pq.write_table(pages.slice(0, 250), a)
+    pq.write_table(pages.slice(250, 250), b)
+    full = str(tmp_path / "full")
+    IndexBuilder(full, mode="word", num_parts=4, id_col=None,
+                 positions=True).build([a, b], waves=2)
+    inc = str(tmp_path / "inc")
+    bi = IndexBuilder(inc, mode="word", num_parts=4, id_col=None,
+                      positions=True)
+    bi.build([a])
+    bi.absorb([b])
+    ef, ei = SearchEngine(full), SearchEngine(inc)
+    got_f = ef.phrase_match_positional(corpus.PHRASE)
+    got_i = ei.phrase_match_positional(corpus.PHRASE)
+    assert got_f.tolist() == got_i.tolist()
+    assert len(got_f) == 3
