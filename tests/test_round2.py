@@ -1,0 +1,136 @@
+"""Round-2 hardening: fetch_rows row-group pruning, truncated-index
+detection, absorb scratch-loss recovery, empty-segment schema parity."""
+
+import os
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from vfs_index_ray import corpus
+
+
+@pytest.fixture(scope="module")
+def id_corpus(tmp_path_factory):
+    """doc_id-keyed pages, doc_id-sorted, small row groups (8 of 50)."""
+    d = tmp_path_factory.mktemp("idpages")
+    path = str(d / "docs.parquet")
+    pages = corpus.generate_pages(400)
+    ids = pa.array(np.arange(400, dtype=np.int64), pa.int64())
+    tbl = pages.append_column("doc_id", ids)
+    pq.write_table(tbl, path, row_group_size=50)
+    return path
+
+
+@pytest.fixture(scope="module")
+def id_engine(ray_session, id_corpus, tmp_path_factory):
+    from vfs_index_ray.build import IndexBuilder
+    from vfs_index_ray.search import SearchEngine
+
+    idx = str(tmp_path_factory.mktemp("idx") / "word")
+    IndexBuilder(idx, mode="word", num_parts=4,
+                 id_col="doc_id").build([id_corpus])
+    return SearchEngine(idx, corpus_files=[id_corpus], id_col="doc_id")
+
+
+def test_fetch_rows_prunes_row_groups(id_engine):
+    """The semi-join must read ONLY row groups whose id stats intersect
+    the wanted set — 3 ids inside one 50-row group → 1 of 8 groups."""
+    rows = id_engine.fetch_rows(np.array([101, 120, 140], np.uint64),
+                                columns=["doc_id", "text"])
+    assert rows["doc_id"].to_pylist() == [101, 120, 140]
+    st = id_engine.last_fetch_stats
+    assert st["row_groups_total"] == 8
+    assert st["row_groups_read"] == 1
+
+
+def test_fetch_rows_empty_and_spread(id_engine):
+    rows = id_engine.fetch_rows(np.array([], np.uint64), columns=["doc_id"])
+    assert rows.num_rows == 0
+    rows = id_engine.fetch_rows(np.array([0, 399], np.uint64),
+                                columns=["doc_id"])
+    assert rows["doc_id"].to_pylist() == [0, 399]
+    assert id_engine.last_fetch_stats["row_groups_read"] == 2
+
+
+def test_missing_part_file_raises(ray_session, id_corpus, tmp_path):
+    """A truncated index (segment partition file deleted) must fail
+    loudly, not silently answer df=0 (ADVICE item 2)."""
+    from vfs_index_ray.build import IndexBuilder
+    from vfs_index_ray.search import SearchEngine
+
+    idx = str(tmp_path / "trunc")
+    IndexBuilder(idx, mode="word", num_parts=4,
+                 id_col="doc_id").build([id_corpus])
+    eng = SearchEngine(idx)
+    tid = eng.query_term_ids("bababa")[0]
+    os.remove(os.path.join(idx, "segments",
+                           f"part={tid % 4:05d}.parquet"))
+    eng._cache.clear()
+    with pytest.raises(RuntimeError, match="partition file missing"):
+        eng.match("bababa")
+
+
+def test_absorb_recovers_lost_scratch(ray_session, tmp_path):
+    """absorb() after scratch loss re-tokenizes lost waves instead of
+    silently dropping their docs (ADVICE item 1)."""
+    import shutil
+
+    from vfs_index_ray.build import IndexBuilder
+    from vfs_index_ray.search import SearchEngine
+
+    pages = corpus.generate_pages(120)
+    ids = pa.array(np.arange(120, dtype=np.int64), pa.int64())
+    tbl = pages.append_column("doc_id", ids)
+    f1, f2 = str(tmp_path / "a.parquet"), str(tmp_path / "b.parquet")
+    pq.write_table(tbl.slice(0, 80), f1)
+    pq.write_table(tbl.slice(80), f2)
+
+    idx = str(tmp_path / "idx")
+    scratch = str(tmp_path / "scratch")
+    b = IndexBuilder(idx, mode="word", num_parts=4, id_col="doc_id",
+                     scratch_dir=scratch)
+    b.build([f1])
+    shutil.rmtree(os.path.join(scratch, "postings"))  # simulate /dev/shm loss
+    os.makedirs(os.path.join(scratch, "postings"), exist_ok=True)
+    stats = b.absorb([f2])
+    assert stats["n_docs"] == 120
+    eng = SearchEngine(idx, corpus_files=[f1, f2], id_col="doc_id")
+    # docs from BOTH waves are searchable
+    docs = eng.match("bababa")
+    assert (docs < 80).any() and (docs >= 80).any()
+
+
+def test_build_segments_raises_on_lost_scratch(ray_session, tmp_path):
+    import shutil
+
+    from vfs_index_ray.build import IndexBuilder
+
+    pages = corpus.generate_pages(40)
+    ids = pa.array(np.arange(40, dtype=np.int64), pa.int64())
+    f1 = str(tmp_path / "a.parquet")
+    pq.write_table(pages.append_column("doc_id", ids), f1)
+    idx = str(tmp_path / "idx")
+    scratch = str(tmp_path / "scratch")
+    b = IndexBuilder(idx, mode="word", num_parts=2, id_col="doc_id",
+                     scratch_dir=scratch)
+    b.build_postings_wave(0, [f1])
+    shutil.rmtree(os.path.join(scratch, "postings"))
+    os.makedirs(os.path.join(scratch, "postings"), exist_ok=True)
+    with pytest.raises(RuntimeError, match="postings lost"):
+        b.build_segments()
+
+
+def test_empty_segment_schema_matches_nonempty():
+    """Empty and non-empty segment tables share one schema (concat-safe)."""
+    from vfs_index_ray.codec import _empty_segment_table, encode_partition
+
+    t = np.array([1, 1, 2], np.uint64)
+    d = np.array([10, 20, 10], np.uint64)
+    tf = np.array([1, 2, 3], np.uint64)
+    dl = np.array([5, 6, 5], np.uint64)
+    seg = encode_partition(t, d, tf, dl, 64)
+    empty = _empty_segment_table()
+    assert empty.schema == seg.schema
+    assert pa.concat_tables([empty, seg]).num_rows == seg.num_rows

@@ -276,6 +276,18 @@ class IndexBuilder:
         return out
 
     def build_segments(self) -> list[dict]:
+        # every committed wave sidecar must still have its postings on
+        # scratch — otherwise the segments would silently drop those
+        # waves' docs while finalize() still counts their sidecars
+        missing = [name for name in sorted(os.listdir(self.waves_dir))
+                   if name.startswith("wave=") and name.endswith(".json")
+                   and not self._wave_done(
+                       int(name[len("wave="):-len(".json")]))]
+        if missing:
+            raise RuntimeError(
+                f"wave postings lost from scratch for {missing}; re-run "
+                "build()/absorb() (they re-tokenize lost waves) or point "
+                "scratch_dir at durable storage")
         wave_dirs = [os.path.join(self.postings_dir, d)
                      for d in sorted(os.listdir(self.postings_dir))
                      if d.startswith("wave=")]
@@ -398,11 +410,21 @@ class IndexBuilder:
         the merge step, resumable per partition like any build."""
         if isinstance(new_files, str):
             new_files = [new_files]
+        # scratch_dir may be ephemeral (/dev/shm): any committed wave whose
+        # postings dir is gone must be re-tokenized BEFORE segments are
+        # rebuilt, or the new segments silently drop those waves' docs
+        # while finalize() still counts their sidecars (corrupting n_docs/
+        # avgdl and every BM25 score)
         next_wave = 0
-        for name in os.listdir(self.waves_dir):
+        for name in sorted(os.listdir(self.waves_dir)):
             if name.startswith("wave=") and name.endswith(".json"):
-                next_wave = max(next_wave,
-                                int(name[len("wave="):-len(".json")]) + 1)
+                w = int(name[len("wave="):-len(".json")])
+                next_wave = max(next_wave, w + 1)
+                if not self._wave_done(w):
+                    with open(os.path.join(self.waves_dir, name)) as f:
+                        meta = json.load(f)
+                    os.remove(os.path.join(self.waves_dir, name))
+                    self.build_postings_wave(w, meta["files"])
         self.build_postings_wave(next_wave, new_files)
         # invalidate committed partitions: their inputs changed
         for name in os.listdir(self.segments_dir):

@@ -323,8 +323,12 @@ def encode_partition(terms: np.ndarray, docs: np.ndarray, tfs: np.ndarray,
 
 def _empty_segment_table():
     import pyarrow as pa
+    # column order/types must exactly mirror encode_partition's non-empty
+    # output so empty and non-empty segment tables share one schema
+    # (pa.concat_tables over mixed segments raises otherwise)
     return pa.table({
         "term_id": pa.array([], pa.uint64()),
+        "denc": pa.array([], pa.uint8()),
         "bucket": pa.array([], pa.uint64()),
         "df": pa.array([], pa.uint64()),
         "n": pa.array([], pa.uint64()),

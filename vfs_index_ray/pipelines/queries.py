@@ -49,16 +49,27 @@ def _tune_context() -> None:
         pass
 
 
+def _corpus_key(sf_dir: str, src: str) -> str:
+    """Cache key tied to the corpus identity: abs path + source file
+    size/mtime, so two corpora sharing a basename (or a regenerated one)
+    never reuse each other's cached index."""
+    import hashlib
+    st = os.stat(src)
+    raw = f"{os.path.abspath(sf_dir)}|{st.st_size}|{int(st.st_mtime)}"
+    return hashlib.sha1(raw.encode()).hexdigest()[:12]
+
+
 def get_engine(sf_dir: str) -> SearchEngine:
     """Build (or resume) the word-mode index for sf_dir; memoized."""
     if sf_dir not in _ENGINES:
         from .. import __version__
         name = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+        src = _doc_file(sf_dir)
         # version-keyed so a future segment-format change never reads a
         # stale cached index; positional (additive — serves all queries)
         idx = os.path.join("/tmp", "vfsray_cache",
-                           f"{name}-v{__version__}-pos")
-        src = _doc_file(sf_dir)
+                           f"{name}-{_corpus_key(sf_dir, src)}"
+                           f"-v{__version__}-pos")
         if not os.path.exists(os.path.join(idx, "stats.json")):
             IndexBuilder(idx, mode="word", num_parts=8, id_col="doc_id",
                          positions=True).build([src])
@@ -426,9 +437,12 @@ WHERE list_contains({TOKS}, 'spark')
     "term_df": f"""
 WITH tok AS (
   SELECT doc_id, unnest({TOKS}) AS tok FROM documents
-)
-SELECT tok AS token, count(DISTINCT doc_id)::BIGINT AS df FROM tok
-WHERE tok IN ('spark','join','window','batch') GROUP BY tok
+), counts AS (
+  SELECT tok, count(DISTINCT doc_id)::BIGINT AS df FROM tok
+  WHERE tok IN ('spark','join','window','batch') GROUP BY tok
+), probes(token) AS (VALUES ('spark'),('join'),('window'),('batch'))
+SELECT p.token, COALESCE(c.df, 0)::BIGINT AS df
+FROM probes p LEFT JOIN counts c ON c.tok = p.token
 """,
     "search_and_fetch": f"""
 SELECT doc_id, lang, n_chars FROM documents

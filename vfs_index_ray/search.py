@@ -94,6 +94,7 @@ class SearchEngine:
         # per-query instrumentation (reference EnableStats/OptQueryStat,
         # search_cond.go:57-80): last_query_stats after each bm25/match
         self.last_query_stats: dict = {}
+        self.last_fetch_stats: dict = {}
 
     # ------------------------------------------------------------------
     def _segment_file(self, part: int) -> str:
@@ -110,9 +111,15 @@ class SearchEngine:
         for part, tids in missing.items():
             path = self._segment_file(part)
             if not os.path.exists(path):
-                for tid in tids:
-                    self._cache[tid] = Postings(tid, 0, [])
-                continue
+                # 'term absent' is an empty pushdown read on an existing
+                # part file; a MISSING part file means the index is
+                # truncated (e.g. mid-absorb segment invalidation, partial
+                # copy) — silently answering df=0 would return wrong
+                # results from an index whose stats.json claims coverage
+                raise RuntimeError(
+                    f"index partition file missing: {path} (stats.json "
+                    f"claims num_parts={self.num_parts}); the index is "
+                    "truncated or mid-rebuild")
             tbl = pq.read_table(
                 path, filters=[("term_id", "in", [np.uint64(t) for t in tids])])
             rows_by_term: dict[int, list[dict]] = {t: [] for t in tids}
@@ -700,40 +707,115 @@ class SearchEngine:
         return float(np.mean(dists))
 
     # ------------------------------------------------------------------
+    @staticmethod
+    def _prune_row_groups(pf: "pq.ParquetFile", key: str,
+                          want: np.ndarray) -> list[int] | None:
+        """Row groups whose [min,max] statistics of ``key`` intersect the
+        sorted ``want`` id set; None = stats unavailable, read all."""
+        md = pf.metadata
+        try:
+            ki = pf.schema_arrow.names.index(key)
+        except ValueError:
+            return None
+        keep = []
+        for gi in range(md.num_row_groups):
+            stats = md.row_group(gi).column(ki).statistics
+            if stats is None or not stats.has_min_max:
+                return None
+            lo, hi = np.uint64(stats.min), np.uint64(stats.max)
+            # any want id in [lo, hi]?
+            a = np.searchsorted(want, lo, side="left")
+            if a < len(want) and want[a] <= hi:
+                keep.append(gi)
+        return keep
+
     def fetch_rows(self, doc_ids: np.ndarray, columns=None) -> pa.Table:
-        """Materialize matched rows from the corpus (J5/M8 analog): a
-        broadcast semi-join — matched ids are small, corpus stays columnar."""
+        """Materialize matched rows from the corpus (J5/M8 analog) as a
+        true broadcast semi-join: per-file row-group pruning on the id
+        column's parquet statistics (doc_id-sorted corpora read only the
+        groups containing matches), then an in-group sorted-set filter.
+        Never reads row groups that cannot contain a match; falls back to
+        a streaming Ray map_batches filter when ids must be derived from
+        the url column (no pushdown possible).
+
+        ``last_fetch_stats`` records row_groups_total / row_groups_read
+        so pruning is assertable in tests."""
         if self.corpus_files is None:
             raise ValueError("SearchEngine built without corpus_files")
-        from .hashing import doc_ids_from_urls
 
-        want = np.sort(np.asarray(doc_ids, np.uint64))
-        first = (self.corpus_files[0] if isinstance(self.corpus_files, list)
-                 else self.corpus_files)
-        schema = pq.read_schema(first)
+        want = np.unique(np.asarray(doc_ids, np.uint64))
+        files = (self.corpus_files if isinstance(self.corpus_files, list)
+                 else [self.corpus_files])
+        schema = pq.read_schema(files[0])
         key = self.id_col if self.id_col in schema.names else self.url_col
         read_cols = columns
         if read_cols is not None:
             read_cols = [c for c in read_cols if c in schema.names]
             if key not in read_cols:
                 read_cols = read_cols + [key]
-        tbl = pq.read_table(self.corpus_files, columns=read_cols)
-        if key == self.id_col:
-            ids = tbl[key].to_numpy(zero_copy_only=False).astype(np.uint64)
+        if key != self.id_col:
+            out = self._fetch_rows_by_url(files, want, read_cols)
         else:
-            col = tbl[key]
-            if isinstance(col, pa.ChunkedArray):
-                col = col.combine_chunks()
-            ids = doc_ids_from_urls(col)
-        if len(want):
-            pos = np.minimum(np.searchsorted(want, ids), len(want) - 1)
-            mask = want[pos] == ids
-        else:
-            mask = np.zeros(len(ids), bool)
-        out = tbl.filter(pa.array(mask))
+            total = read = 0
+            parts: list[pa.Table] = []
+            for f in files:
+                pf = pq.ParquetFile(f)
+                total += pf.metadata.num_row_groups
+                if len(want) == 0:
+                    continue
+                groups = self._prune_row_groups(pf, key, want)
+                if groups is None:
+                    groups = list(range(pf.metadata.num_row_groups))
+                read += len(groups)
+                if not groups:
+                    continue
+                tbl = pf.read_row_groups(groups, columns=read_cols,
+                                         use_threads=False)
+                ids = tbl[key].to_numpy(zero_copy_only=False
+                                        ).astype(np.uint64)
+                pos = np.minimum(np.searchsorted(want, ids), len(want) - 1)
+                parts.append(tbl.filter(pa.array(want[pos] == ids)))
+            self.last_fetch_stats = {"row_groups_total": total,
+                                     "row_groups_read": read}
+            out = (pa.concat_tables(parts) if parts
+                   else schema.empty_table() if read_cols is None
+                   else schema.empty_table().select(read_cols))
         if columns is not None:
             out = out.select([c for c in columns if c in out.column_names])
         return out
+
+    def _fetch_rows_by_url(self, files, want: np.ndarray,
+                           read_cols) -> pa.Table:
+        """Streaming semi-join for url-keyed corpora: broadcast the sorted
+        id set, derive ids per batch, return only matches — the corpus is
+        never materialized anywhere."""
+        import ray
+        import ray.data
+
+        from .hashing import doc_ids_from_urls
+        url_col = self.url_col
+        if len(want) == 0:
+            empty = pq.read_schema(files[0]).empty_table()
+            return empty if read_cols is None else empty.select(read_cols)
+        want_ref = ray.put(want)
+
+        def keep(batch: pa.Table) -> pa.Table:
+            w = ray.get(want_ref)
+            col = batch[url_col]
+            if isinstance(col, pa.ChunkedArray):
+                col = col.combine_chunks()
+            ids = doc_ids_from_urls(col)
+            pos = np.minimum(np.searchsorted(w, ids), len(w) - 1)
+            return batch.filter(pa.array(w[pos] == ids))
+
+        ds = ray.data.read_parquet(files, columns=read_cols)
+        batches = list(ds.map_batches(keep, batch_format="pyarrow",
+                                      zero_copy_batch=True)
+                       .iter_batches(batch_format="pyarrow"))
+        if not batches:
+            empty = pq.read_schema(files[0]).empty_table()
+            return empty if read_cols is None else empty.select(read_cols)
+        return pa.concat_tables(batches)
 
 
 # ----------------------------------------------------------------------
@@ -786,10 +868,11 @@ def bm25_topk_ray(index_dir: str, q: str, k: int = 10):
     if not tids:
         return np.empty(0, np.uint64), np.empty(0, np.float64)
     parts = sorted({t % stats["num_parts"] for t in tids})
-    files = [engine._segment_file(p) for p in parts
-             if os.path.exists(engine._segment_file(p))]
-    if not files:
-        return np.empty(0, np.uint64), np.empty(0, np.float64)
+    files = [engine._segment_file(p) for p in parts]
+    for f in files:
+        if not os.path.exists(f):
+            raise RuntimeError(f"index partition file missing: {f}; the "
+                               "index is truncated or mid-rebuild")
     tid_set = [np.uint64(t) for t in tids]
     ds = ray.data.read_parquet(
         files, filter=pc.field("term_id").isin(tid_set))
