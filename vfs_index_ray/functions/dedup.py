@@ -158,65 +158,80 @@ class BandEmit:
 
 def minhash_candidates(ds, *, num_perm: int = 64, num_bands: int = 16,
                        shingle: int = 3, text_col: str = "text",
-                       id_col: str = "doc_id"):
+                       id_col: str = "doc_id",
+                       spill_dir: str | None = None):
     """MinHash-LSH near-dup candidate pairs with signature-agreement sim.
 
-    Pipeline: signatures (map_batches) → band rows (map_batches) →
-    groupby(band, band_hash) → within-bucket pairs → dedup pairs →
-    estimate sim from signature agreement. Returns a pyarrow Table
-    (doc_a, doc_b, est_jaccard_x1e4) sorted by (doc_a, doc_b).
+    Pipeline: signatures (map_batches) → spilled to parquet (one
+    execution; the object store never holds all signatures) → band rows
+    (map_batches over the spill) → groupby(band, band_hash) →
+    within-bucket pairs → dedup pairs → estimate sim from signature
+    agreement. Returns a pyarrow Table (doc_a, doc_b, est_jaccard_x1e4)
+    sorted by (doc_a, doc_b).
 
-    Scale note: bucket sizes are capped implicitly by banding; the final
-    pair verification touches only candidate docs' signatures (gathered
-    via a filtered read, not a full materialization).
+    Scale shape: the signature spill is partitioned parquet (512 B/doc
+    stays on disk, not the driver or object store); the candidate-only
+    gather is a predicate-pushdown read of the spill; bucket sizes are
+    capped; the pair pipeline executes exactly once.
     """
+    import shutil
+    import tempfile
+
+    import ray.data
+
     sigs = ds.map_batches(MinHashSignature(num_perm, shingle, text_col,
                                            id_col),
                           batch_format="pyarrow", concurrency=2)
-    sig_mat = sigs.materialize()  # signatures are small: n_docs × 8·num_perm
-    bands = sig_mat.map_batches(BandEmit(num_bands), batch_format="pyarrow")
+    own_spill = spill_dir is None
+    spill = spill_dir or tempfile.mkdtemp(prefix="minhash_sigs_",
+                                          dir="/tmp")
+    try:
+        sigs.write_parquet(spill)
+        sig_ds = ray.data.read_parquet(spill)
+        bands = sig_ds.map_batches(BandEmit(num_bands),
+                                   batch_format="pyarrow")
 
-    def bucket_pairs(group: pa.Table) -> pa.Table:
-        docs = np.unique(group["doc_id"].to_numpy(zero_copy_only=False))
-        if len(docs) < 2 or len(docs) > 64:  # cap pathological buckets
+        def bucket_pairs(group: pa.Table) -> pa.Table:
+            docs = np.unique(group["doc_id"].to_numpy(zero_copy_only=False))
+            if len(docs) < 2 or len(docs) > 64:  # cap pathological buckets
+                return pa.table({"doc_a": pa.array([], pa.int64()),
+                                 "doc_b": pa.array([], pa.int64())})
+            ia, ib = np.triu_indices(len(docs), k=1)
+            return pa.table({"doc_a": pa.array(docs[ia], pa.int64()),
+                             "doc_b": pa.array(docs[ib], pa.int64())})
+
+        pair_rows = (bands.groupby(["band", "band_hash"])
+                     .map_groups(bucket_pairs, batch_format="pyarrow")
+                     .take_all())  # ONE execution of the banded pipeline
+        if not pair_rows:
             return pa.table({"doc_a": pa.array([], pa.int64()),
-                             "doc_b": pa.array([], pa.int64())})
-        ia, ib = np.triu_indices(len(docs), k=1)
-        return pa.table({"doc_a": pa.array(docs[ia], pa.int64()),
-                         "doc_b": pa.array(docs[ib], pa.int64())})
-
-    pairs = (bands.groupby(["band", "band_hash"])
-             .map_groups(bucket_pairs, batch_format="pyarrow"))
-    pair_tbl = pa.Table.from_pylist(pairs.take_all()) if pairs.count() else None
-    if pair_tbl is None or pair_tbl.num_rows == 0:
-        return pa.table({"doc_a": pa.array([], pa.int64()),
-                         "doc_b": pa.array([], pa.int64()),
-                         "est_jaccard_x1e4": pa.array([], pa.int64())})
-    # dedup pairs found in multiple bands
-    key = (pair_tbl["doc_a"].to_numpy(zero_copy_only=False).astype(np.int64),
-           pair_tbl["doc_b"].to_numpy(zero_copy_only=False).astype(np.int64))
-    uniq = np.unique(np.stack(key, axis=1), axis=0)
-    # gather signatures of candidate docs only — filter INSIDE the
-    # dataset (broadcast candidate-id set), never materialize all sigs
-    need = np.unique(uniq)
-    need_arr = pa.array(need, pa.int64())
-
-    def _keep_candidates(t: pa.Table) -> pa.Table:
-        return t.filter(pc.is_in(t["doc_id"], value_set=need_arr))
-
-    cand_rows = sig_mat.map_batches(_keep_candidates,
-                                    batch_format="pyarrow").take_all()
-    sig_rows = {r["doc_id"]: np.asarray(r["sig"], np.uint64)
-                for r in cand_rows}
-    a_s = np.stack([sig_rows[a] for a in uniq[:, 0]])
-    b_s = np.stack([sig_rows[b] for b in uniq[:, 1]])
-    est = (a_s == b_s).mean(axis=1)
-    return pa.table({
-        "doc_a": pa.array(uniq[:, 0], pa.int64()),
-        "doc_b": pa.array(uniq[:, 1], pa.int64()),
-        "est_jaccard_x1e4": pa.array(
-            np.floor(est * 10000.0 + 0.5).astype(np.int64), pa.int64()),
-    })
+                             "doc_b": pa.array([], pa.int64()),
+                             "est_jaccard_x1e4": pa.array([], pa.int64())})
+        # dedup pairs found in multiple bands
+        a = np.array([r["doc_a"] for r in pair_rows], np.int64)
+        b = np.array([r["doc_b"] for r in pair_rows], np.int64)
+        uniq = np.unique(np.stack([a, b], axis=1), axis=0)
+        # gather signatures of candidate docs only: predicate-pushdown
+        # read of the spill (row-group pruning; never all signatures)
+        import pyarrow.parquet as pq
+        need = np.unique(uniq)
+        cand = pq.read_table(
+            spill, filters=[("doc_id", "in", need.tolist())])
+        sig_rows = {did: np.asarray(sig, np.uint64)
+                    for did, sig in zip(cand["doc_id"].to_pylist(),
+                                        cand["sig"].to_pylist())}
+        a_s = np.stack([sig_rows[x] for x in uniq[:, 0]])
+        b_s = np.stack([sig_rows[x] for x in uniq[:, 1]])
+        est = (a_s == b_s).mean(axis=1)
+        return pa.table({
+            "doc_a": pa.array(uniq[:, 0], pa.int64()),
+            "doc_b": pa.array(uniq[:, 1], pa.int64()),
+            "est_jaccard_x1e4": pa.array(
+                np.floor(est * 10000.0 + 0.5).astype(np.int64), pa.int64()),
+        })
+    finally:
+        if own_spill:
+            shutil.rmtree(spill, ignore_errors=True)
 
 
 # ---------------------------------------------------------------------------
@@ -264,9 +279,10 @@ def ngram_jaccard_pairs(ds, pairs: pa.Table, *, shingle: int = 3,
 def cluster_pairs(pairs: pa.Table) -> dict[int, int]:
     """Union near-dup pairs into clusters: doc_id → representative
     (cluster min). Driver-side union-find — the candidate PAIR set is
-    small by construction (LSH-bucketed); the corpus never is.
-    (ray_guide.md: union-find on the driver only when the candidate set
-    is provably small; min-label propagation via groupby otherwise.)"""
+    small by construction (LSH-bucketed); the corpus never is. Union-find
+    on the driver is correct only because of that bound; at a scale where
+    pairs outgrow the driver, switch to min-label propagation via
+    iterated groupby."""
     parent: dict[int, int] = {}
 
     def find(x: int) -> int:
@@ -331,46 +347,72 @@ class SimHash:
         })
 
 
+def _simhash_band_rows(batch: pa.Table) -> pa.Table:
+    """(doc_id, simhash) → 4 rows per doc: (band, key, doc_id, simhash).
+    The full hash rides along so buckets verify hamming in-group — the
+    driver only ever sees the (tiny) verified pair set."""
+    hv = batch["simhash"].to_numpy(zero_copy_only=False).astype(np.uint64)
+    doc = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+    n = len(hv)
+    bands, keys = [], []
+    for band in range(4):
+        bands.append(np.full(n, band, np.int32))
+        keys.append((hv >> np.uint64(16 * band)) & np.uint64(0xFFFF))
+    return pa.table({
+        "band": pa.array(np.concatenate(bands), pa.int32()),
+        "key": pa.array(np.concatenate(keys), pa.uint64()),
+        "doc_id": pa.array(np.tile(doc, 4), pa.int64()),
+        "simhash": pa.array(np.tile(hv, 4), pa.uint64()),
+    })
+
+
 def simhash_near_dups(ds, *, max_hamming: int = 3, text_col: str = "text",
                       id_col: str = "doc_id") -> pa.Table:
     """Near-dup pairs by SimHash: 4-band LSH on 16-bit chunks guarantees
-    recall for hamming ≤ 3 (pigeonhole), verified exactly."""
+    recall for hamming ≤ 3 (pigeonhole), verified exactly.
+
+    Scale shape: band rows are a uniform (band, key) groupby — the same
+    shuffle as MinHash banding; hamming is verified inside each bucket
+    (hashes travel with the band rows), so only verified pairs reach the
+    driver. Nothing materializes the corpus or the hash table."""
     sh = ds.map_batches(SimHash(text_col, id_col), batch_format="pyarrow")
-    rows = sh.take_all()  # (doc_id, simhash): 16 B/doc — driver-safe for
-    # test scale; at 10^12 docs this becomes a groupby per 16-bit band.
-    docs = np.array([r["doc_id"] for r in rows], np.int64)
-    hv = np.array([r["simhash"] for r in rows], np.uint64)
-    order = np.argsort(docs, kind="stable")
-    docs, hv = docs[order], hv[order]
-    cand = set()
-    for band in range(4):
-        chunk = (hv >> np.uint64(16 * band)) & np.uint64(0xFFFF)
-        o = np.argsort(chunk, kind="stable")
-        c, d = chunk[o], docs[o]
-        new = np.empty(len(c), bool)
-        if len(c) == 0:
-            continue
-        new[0] = True
-        new[1:] = c[1:] != c[:-1]
-        starts = np.flatnonzero(new)
-        ends = np.append(starts[1:], len(c))
-        for s, e in zip(starts, ends):
-            if 2 <= e - s <= 64:
-                grp = np.sort(d[s:e])
-                ia, ib = np.triu_indices(len(grp), k=1)
-                cand.update(zip(grp[ia].tolist(), grp[ib].tolist()))
-    if not cand:
+    bands = sh.map_batches(_simhash_band_rows, batch_format="pyarrow")
+
+    def bucket_pairs(group: pa.Table) -> pa.Table:
+        d = group["doc_id"].to_numpy(zero_copy_only=False)
+        h = group["simhash"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        # one row per distinct doc (a doc can land once per bucket only,
+        # but be defensive about duplicate input rows)
+        d, first = np.unique(d, return_index=True)
+        h = h[first]
+        if len(d) < 2 or len(d) > 64:  # cap pathological buckets
+            return pa.table({"doc_a": pa.array([], pa.int64()),
+                             "doc_b": pa.array([], pa.int64()),
+                             "hamming": pa.array([], pa.int64())})
+        ia, ib = np.triu_indices(len(d), k=1)
+        x = h[ia] ^ h[ib]
+        ham = np.bitwise_count(x) if hasattr(np, "bitwise_count") else \
+            np.unpackbits(x[:, None].view(np.uint8), axis=1).sum(axis=1)
+        keep = ham <= max_hamming
+        return pa.table({
+            "doc_a": pa.array(d[ia[keep]], pa.int64()),
+            "doc_b": pa.array(d[ib[keep]], pa.int64()),
+            "hamming": pa.array(ham[keep].astype(np.int64), pa.int64()),
+        })
+
+    rows = (bands.groupby(["band", "key"])
+            .map_groups(bucket_pairs, batch_format="pyarrow").take_all())
+    if not rows:
         return pa.table({"doc_a": pa.array([], pa.int64()),
                          "doc_b": pa.array([], pa.int64()),
                          "hamming": pa.array([], pa.int64())})
-    hmap = dict(zip(docs.tolist(), hv.tolist()))
-    out = []
-    for a, b in sorted(cand):
-        ham = bin(hmap[a] ^ hmap[b]).count("1")
-        if ham <= max_hamming:
-            out.append((a, b, ham))
+    a = np.array([r["doc_a"] for r in rows], np.int64)
+    b = np.array([r["doc_b"] for r in rows], np.int64)
+    ham = np.array([r["hamming"] for r in rows], np.int64)
+    uniq, idx = np.unique(np.stack([a, b], axis=1), axis=0,
+                          return_index=True)
     return pa.table({
-        "doc_a": pa.array([r[0] for r in out], pa.int64()),
-        "doc_b": pa.array([r[1] for r in out], pa.int64()),
-        "hamming": pa.array([r[2] for r in out], pa.int64()),
+        "doc_a": pa.array(uniq[:, 0], pa.int64()),
+        "doc_b": pa.array(uniq[:, 1], pa.int64()),
+        "hamming": pa.array(ham[idx], pa.int64()),
     })

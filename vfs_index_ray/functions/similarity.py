@@ -143,8 +143,10 @@ class IVFIndex:
     exact brute force. Deterministic: seeded centroid init, fixed Lloyd
     iterations, ties by vec_id.
 
-    Layout: ``dir/centroids.npy`` + ``dir/bucket=NNN.parquet`` (vec_id,
-    embedding) — one file per centroid so a probe reads only its buckets.
+    Layout: ``dir/centroids.npy`` + ``dir/buckets/bucket=N/*.parquet``
+    (vec_id, embedding) — one hive partition per centroid, written by a
+    distributed map_batches assignment pass, so a probe reads only its
+    buckets and a failed build can be re-run atomically.
     """
 
     def __init__(self, path: str):
@@ -157,18 +159,40 @@ class IVFIndex:
                                 1e-30)
 
     @classmethod
+    def _training_sample(cls, ds, sample: int, vec_col: str,
+                         id_col: str) -> np.ndarray:
+        """Deterministic bounded training sample: each batch keeps its
+        ``sample`` lowest vec_ids (local top-k), the driver merges —
+        ≤ sample rows per block ever reach the driver."""
+
+        def local_lowest(t: pa.Table) -> pa.Table:
+            ids = t[id_col].to_numpy(zero_copy_only=False)
+            keep = np.argsort(ids, kind="stable")[:sample]
+            return t.select([id_col, vec_col]).take(np.sort(keep))
+
+        rows = ds.map_batches(local_lowest,
+                              batch_format="pyarrow").take_all()
+        rows.sort(key=lambda r: r[id_col])
+        rows = rows[:sample]
+        return cls._normalize(np.array([r[vec_col] for r in rows],
+                                       np.float64))
+
+    @classmethod
     def build(cls, ds, path: str, *, num_centroids: int = 16,
               sample: int = 4096, iters: int = 5, seed: int = 11,
               vec_col: str = "embedding", id_col: str = "vec_id"
               ) -> "IVFIndex":
-        import pyarrow.parquet as pq
+        """Distributed build: centroids are trained on a bounded sample
+        (driver k-means — the sample is small by construction), then
+        every vector is assigned and written via map_batches +
+        hive-partitioned write_parquet. No full-table materialization
+        anywhere; the assignment pass streams."""
+        import shutil
+
+        import ray
+
         os.makedirs(path, exist_ok=True)
-        # deterministic training sample: lowest vec_ids up to `sample`
-        rows = sorted(ds.take_all(), key=lambda r: r[id_col])
-        ids = np.array([r[id_col] for r in rows], np.int64)
-        mat = cls._normalize(np.array([r[vec_col] for r in rows],
-                                      np.float64))
-        train = mat[:sample]
+        train = cls._training_sample(ds, sample, vec_col, id_col)
         rng = np.random.Generator(np.random.Philox(key=[seed, 0]))
         cent = train[rng.choice(len(train),
                                 min(num_centroids, len(train)),
@@ -182,15 +206,40 @@ class IVFIndex:
                     n = np.linalg.norm(v)
                     if n > 1e-12:
                         cent[c] = v / n
+        cent_ref = ray.put(cent)
+
+        def assign_bucket(t: pa.Table) -> pa.Table:
+            cm = ray.get(cent_ref)
+            mat = _embedding_matrix(t, vec_col)
+            if mat.shape[0] == 0:
+                return pa.table({id_col: pa.array([], pa.int64()),
+                                 vec_col: pa.array([],
+                                                   pa.list_(pa.float64())),
+                                 "bucket": pa.array([], pa.int32())})
+            mat = cls._normalize(mat)
+            b = np.argmax(mat @ cm.T, axis=1).astype(np.int32)
+            flat = mat.ravel()
+            offs = np.arange(0, (len(b) + 1) * mat.shape[1],
+                             mat.shape[1], dtype=np.int32)
+            vec = pa.ListArray.from_arrays(pa.array(offs, pa.int32()),
+                                           pa.array(flat, pa.float64()))
+            return pa.table({
+                id_col: t[id_col].cast(pa.int64()),
+                vec_col: vec,
+                "bucket": pa.array(b, pa.int32()),
+            })
+
+        # hive-partitioned write: one dir per centroid, so a probe reads
+        # only its buckets; tmp + rename = atomic publish
+        tmp = os.path.join(path, ".tmp.buckets")
+        final = os.path.join(path, "buckets")
+        shutil.rmtree(tmp, ignore_errors=True)
+        os.makedirs(tmp, exist_ok=True)
+        (ds.map_batches(assign_bucket, batch_format="pyarrow")
+           .write_parquet(tmp, partition_cols=["bucket"]))
+        shutil.rmtree(final, ignore_errors=True)
+        os.replace(tmp, final)
         np.save(os.path.join(path, "centroids.npy"), cent)
-        assign = np.argmax(mat @ cent.T, axis=1)
-        for c in range(len(cent)):
-            m = assign == c
-            pq.write_table(pa.table({
-                id_col: pa.array(ids[m], pa.int64()),
-                vec_col: pa.array([list(map(float, v)) for v in mat[m]],
-                                  pa.list_(pa.float64())),
-            }), os.path.join(path, f"bucket={c:03d}.parquet"))
         return cls(path)
 
     def search(self, query_vec: np.ndarray, k: int = 5,
@@ -204,8 +253,10 @@ class IVFIndex:
         probe = np.argsort(-csims, kind="stable")[:nprobe]
         ids_l, sims_l = [], []
         for c in probe:
-            f = os.path.join(self.path, f"bucket={c:03d}.parquet")
-            tbl = pq.read_table(f)
+            d = os.path.join(self.path, "buckets", f"bucket={c}")
+            if not os.path.isdir(d):  # empty centroid bucket
+                continue
+            tbl = pq.read_table(d, use_threads=False)
             if tbl.num_rows == 0:
                 continue
             ids = tbl["vec_id"].to_numpy(zero_copy_only=False)
@@ -226,54 +277,115 @@ class IVFIndex:
         return ids[order].astype(np.int64), sims[order]
 
 
+class HyperplaneBands:
+    """Per-batch banded hyperplane LSH keys: one row per (band, vec).
+
+    Planes are regenerated from the seed in ``__init__`` (once per actor,
+    deterministic — cheaper than broadcasting a plane matrix); dimension
+    is discovered from the first batch."""
+
+    def __init__(self, num_bands: int = 8, band_bits: int = 4,
+                 seed: int = 13, vec_col: str = "embedding",
+                 id_col: str = "vec_id"):
+        self.num_bands = num_bands
+        self.band_bits = band_bits
+        self.seed = seed
+        self.vec_col = vec_col
+        self.id_col = id_col
+        self.planes: np.ndarray | None = None
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        mat = _embedding_matrix(batch, self.vec_col)
+        n = mat.shape[0]
+        if n == 0:
+            return pa.table({"band": pa.array([], pa.int32()),
+                             "key": pa.array([], pa.uint32()),
+                             "vec_id": pa.array([], pa.int64())})
+        if self.planes is None:
+            rng = np.random.Generator(np.random.Philox(key=[self.seed, 0]))
+            self.planes = rng.normal(
+                size=(mat.shape[1], self.num_bands * self.band_bits))
+        mat = mat / np.maximum(np.linalg.norm(mat, axis=1, keepdims=True),
+                               1e-30)
+        signs = (mat @ self.planes) > 0
+        ids = batch[self.id_col].to_numpy(zero_copy_only=False
+                                          ).astype(np.int64)
+        bands, keys = [], []
+        for bi in range(self.num_bands):
+            seg = signs[:, bi * self.band_bits:(bi + 1) * self.band_bits]
+            key = np.zeros(n, np.uint32)
+            for j in range(self.band_bits):
+                key |= seg[:, j].astype(np.uint32) << j
+            bands.append(np.full(n, bi, np.int32))
+            keys.append(key)
+        return pa.table({
+            "band": pa.array(np.concatenate(bands), pa.int32()),
+            "key": pa.array(np.concatenate(keys), pa.uint32()),
+            "vec_id": pa.array(np.tile(ids, self.num_bands), pa.int64()),
+        })
+
+
 def embedding_near_dups(ds, threshold: float = 0.95,
                         vec_col: str = "embedding",
                         id_col: str = "vec_id",
                         num_bands: int = 8, band_bits: int = 4) -> pa.Table:
     """Cosine near-dup pairs (sim ≥ threshold) via banded hyperplane LSH
-    + exact within-bucket verification — the embedding analog of
-    MinHash-LSH. A pair collides in a band iff all ``band_bits``
-    hyperplane signs agree; ``num_bands`` independent bands give recall
-    1-(1-p^bits)^bands with p = 1-θ/π. Deterministic (seeded planes).
+    + exact verification — the embedding analog of MinHash-LSH. A pair
+    collides in a band iff all ``band_bits`` hyperplane signs agree;
+    ``num_bands`` independent bands give recall 1-(1-p^bits)^bands with
+    p = 1-θ/π. Deterministic (seeded planes).
 
-    Driver-side gather here is the test-scale path; the scale path is the
-    same per-band (band, key) groupby as MinHash-LSH banding."""
-    rows = ds.take_all()
-    ids = np.array([r[id_col] for r in rows], np.int64)
-    mat = np.array([r[vec_col] for r in rows], np.float64)
-    mat = mat / np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-30)
-    rng = np.random.Generator(np.random.Philox(key=[13, 0]))
-    planes = rng.normal(size=(mat.shape[1], num_bands * band_bits))
-    signs = (mat @ planes) > 0
-    cand: set[tuple[int, int]] = set()
-    for bi in range(num_bands):
-        seg = signs[:, bi * band_bits:(bi + 1) * band_bits]
-        key = np.zeros(len(mat), np.uint32)
-        for j in range(band_bits):
-            key |= seg[:, j].astype(np.uint32) << j
-        order = np.argsort(key, kind="stable")
-        k, idx = key[order], order
-        if len(k) == 0:
-            continue
-        new = np.empty(len(k), bool)
-        new[0] = True
-        new[1:] = k[1:] != k[:-1]
-        starts = np.flatnonzero(new)
-        ends = np.append(starts[1:], len(k))
-        for s, e in zip(starts, ends):
-            if 2 <= e - s <= 512:
-                grp = np.sort(idx[s:e])
-                ia, ib = np.triu_indices(len(grp), k=1)
-                cand.update(zip(grp[ia].tolist(), grp[ib].tolist()))
+    Scale shape: band keys are emitted per batch (map_batches), candidate
+    pairs come from a uniform (band, key) groupby, and only the candidate
+    docs' vectors are gathered back (broadcast-id filtered read) for the
+    exact cosine verify — the embedding table is never materialized."""
+    import pyarrow.compute as pc
+
+    bands = ds.map_batches(
+        HyperplaneBands,
+        fn_constructor_kwargs=dict(num_bands=num_bands, band_bits=band_bits,
+                                   vec_col=vec_col, id_col=id_col),
+        batch_format="pyarrow", concurrency=2)
+
+    def bucket_pairs(group: pa.Table) -> pa.Table:
+        docs = np.unique(group["vec_id"].to_numpy(zero_copy_only=False))
+        if len(docs) < 2 or len(docs) > 512:  # cap pathological buckets
+            return pa.table({"doc_a": pa.array([], pa.int64()),
+                             "doc_b": pa.array([], pa.int64())})
+        ia, ib = np.triu_indices(len(docs), k=1)
+        return pa.table({"doc_a": pa.array(docs[ia], pa.int64()),
+                         "doc_b": pa.array(docs[ib], pa.int64())})
+
+    pair_rows = (bands.groupby(["band", "key"])
+                 .map_groups(bucket_pairs, batch_format="pyarrow")
+                 .take_all())
+    empty = pa.table({"doc_a": pa.array([], pa.int64()),
+                      "doc_b": pa.array([], pa.int64()),
+                      "sim_x1e4": pa.array([], pa.int64())})
+    if not pair_rows:
+        return empty
+    a = np.array([r["doc_a"] for r in pair_rows], np.int64)
+    b = np.array([r["doc_b"] for r in pair_rows], np.int64)
+    uniq = np.unique(np.stack([a, b], axis=1), axis=0)
+    # exact verify: gather ONLY candidate vectors (broadcast id filter)
+    need = np.unique(uniq)
+    need_arr = pa.array(need, pa.int64())
+
+    def grab(t: pa.Table) -> pa.Table:
+        return t.filter(pc.is_in(t[id_col], value_set=need_arr))
+
+    cand_rows = ds.map_batches(grab, batch_format="pyarrow").take_all()
+    vecs = {}
+    for r in cand_rows:
+        v = np.asarray(r[vec_col], np.float64)
+        vecs[r[id_col]] = v / max(np.linalg.norm(v), 1e-30)
     out = []
-    for a, b in cand:
-        s = float(mat[a] @ mat[b])
+    for lo, hi in uniq.tolist():
+        s = float(vecs[lo] @ vecs[hi])
         if s >= threshold:
-            lo, hi = sorted((int(ids[a]), int(ids[b])))
             out.append((lo, hi, int(np.floor(s * 10000 + 0.5))))
-    out.sort()
     return pa.table({
         "doc_a": pa.array([r[0] for r in out], pa.int64()),
         "doc_b": pa.array([r[1] for r in out], pa.int64()),
         "sim_x1e4": pa.array([r[2] for r in out], pa.int64()),
-    })
+    }) if out else empty

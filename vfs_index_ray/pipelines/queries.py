@@ -161,15 +161,23 @@ def q_range_limit(sf_dir: str) -> pa.Table:
     The reference's numeric-key range scan (index_file.go:1208-1422)
     becomes row-group pruning on the column itself."""
     ds = _docs_ds(sf_dir, columns=["doc_id", "n_chars"])
-    ds = ds.map_batches(
-        lambda t: t.filter(pc.greater_equal(t["n_chars"], 450)),
-        batch_format="pyarrow")
-    out = ds.sort("doc_id").limit(3)
-    tbl = pa.Table.from_pylist(out.take_all())
-    if tbl.num_rows == 0:
+
+    def local_top3(t: pa.Table) -> pa.Table:
+        # per-block filter + local lowest-3 doc_ids: the global result is
+        # the merge of ≤3 rows per block — no full sort shuffle
+        t = t.filter(pc.greater_equal(t["n_chars"], 450))
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        keep = np.sort(np.argsort(ids, kind="stable")[:3])
+        return t.take(keep)
+
+    rows = ds.map_batches(local_top3, batch_format="pyarrow").take_all()
+    if not rows:
         return pa.table({"doc_id": pa.array([], pa.int64()),
                          "n_chars": pa.array([], pa.int64())})
-    return tbl.select(["doc_id", "n_chars"])
+    tbl = pa.Table.from_pylist(rows)
+    order = np.argsort(tbl["doc_id"].to_numpy(zero_copy_only=False),
+                       kind="stable")[:3]
+    return tbl.take(order).select(["doc_id", "n_chars"])
 
 
 def q_short_query_empty(sf_dir: str) -> pa.Table:
@@ -252,25 +260,37 @@ def q_ann_cosine_topk(sf_dir: str) -> pa.Table:
     return ann_cosine_topk(ds, ANN_QUERY_IDS, k=5)
 
 
-def q_ann_ivf_topk(sf_dir: str) -> pa.Table:
-    """IVF ANN scale path (rows-only: approximate under nprobe<k)."""
+def _get_ivf(sf_dir: str, num_centroids: int = 8):
+    """Build-or-reuse the IVF index for sf_dir (corpus-keyed cache)."""
     import ray.data
 
     from ..functions.similarity import IVFIndex
     src = os.path.join(sf_dir, "embeddings.parquet")
     name = os.path.basename(os.path.normpath(sf_dir)) or "sf"
-    path = os.path.join("/tmp", "vfsray_cache", f"ivf_{name}")
+    st = os.stat(src)
+    import hashlib
+    key = hashlib.sha1(f"{os.path.abspath(src)}|{st.st_size}|"
+                       f"{int(st.st_mtime)}".encode()).hexdigest()[:12]
+    path = os.path.join("/tmp", "vfsray_cache",
+                        f"ivf_{name}_{key}_c{num_centroids}")
     if not os.path.exists(os.path.join(path, "centroids.npy")):
-        IVFIndex.build(ray.data.read_parquet(src), path, num_centroids=8)
-    ivf = IVFIndex(path)
+        IVFIndex.build(ray.data.read_parquet(src), path,
+                       num_centroids=num_centroids)
+    return IVFIndex(path), src
+
+
+def _ivf_query_table(sf_dir: str, nprobe: int,
+                     num_centroids: int = 8) -> pa.Table:
     import pyarrow.parquet as pqq
-    tbl = pqq.read_table(src)
-    ids = tbl["vec_id"].to_pylist()
+    ivf, src = _get_ivf(sf_dir, num_centroids)
+    tbl = pqq.read_table(
+        src, filters=[("vec_id", "in", list(ANN_QUERY_IDS))])
+    by_id = dict(zip(tbl["vec_id"].to_pylist(),
+                     tbl["embedding"].to_pylist()))
     out_q, out_v, out_r, out_s = [], [], [], []
     for qid in ANN_QUERY_IDS:
-        vec = np.asarray(tbl["embedding"][ids.index(qid)].as_py(),
-                         np.float64)
-        vids, sims = ivf.search(vec, k=5, nprobe=4, exclude_id=qid)
+        vec = np.asarray(by_id[qid], np.float64)
+        vids, sims = ivf.search(vec, k=5, nprobe=nprobe, exclude_id=qid)
         for r, (v, s) in enumerate(zip(vids.tolist(), sims.tolist()), 1):
             out_q.append(qid)
             out_v.append(v)
@@ -282,6 +302,17 @@ def q_ann_ivf_topk(sf_dir: str) -> pa.Table:
         "rank": pa.array(out_r, pa.int64()),
         "sim_x1e4": pa.array(out_s, pa.int64()),
     })
+
+
+def q_ann_ivf_topk(sf_dir: str) -> pa.Table:
+    """IVF ANN scale path (rows-only: approximate under nprobe<C)."""
+    return _ivf_query_table(sf_dir, nprobe=4)
+
+
+def q_ann_ivf_exact(sf_dir: str) -> pa.Table:
+    """IVF with nprobe == num_centroids degrades to exact brute force —
+    DuckDB-checkable against the same cosine-top-k oracle."""
+    return _ivf_query_table(sf_dir, nprobe=8)
 
 
 def q_minhash_near_dup(sf_dir: str) -> pa.Table:
@@ -389,6 +420,7 @@ QUERIES = {
     "lang_distribution": q_lang_distribution,
     "ann_cosine_topk": q_ann_cosine_topk,
     "ann_ivf_topk": q_ann_ivf_topk,
+    "ann_ivf_exact": q_ann_ivf_exact,
     "minhash_near_dup": q_minhash_near_dup,
     "simhash_near_dup": q_simhash_near_dup,
     "embedding_near_dup": q_embedding_near_dup,
@@ -522,6 +554,22 @@ FROM t
 SELECT lang, count(*)::BIGINT AS n_docs FROM documents GROUP BY lang
 """,
     "ann_cosine_topk": """
+WITH q AS (
+  SELECT vec_id AS query_id, embedding AS qe FROM embeddings
+  WHERE vec_id IN (0,1,2)
+), sims AS (
+  SELECT q.query_id, e.vec_id,
+         list_cosine_similarity(q.qe, e.embedding) AS sim
+  FROM q CROSS JOIN embeddings e WHERE e.vec_id <> q.query_id
+)
+SELECT query_id, vec_id,
+       row_number() OVER (PARTITION BY query_id
+                          ORDER BY sim DESC, vec_id)::BIGINT AS rank,
+       CAST(floor(sim*10000 + 0.5) AS BIGINT) AS sim_x1e4
+FROM sims QUALIFY rank <= 5 ORDER BY query_id, rank
+""",
+    # IVF probing every centroid == exact brute force: same oracle
+    "ann_ivf_exact": """
 WITH q AS (
   SELECT vec_id AS query_id, embedding AS qe FROM embeddings
   WHERE vec_id IN (0,1,2)

@@ -158,15 +158,36 @@ class QueryExecutor:
         """Nearest-key lookup (reference J7, FindNearByKey
         index_file.go:1461-1534): the row whose ``column`` is closest to
         ``value``; ties break toward the smaller column value, then
-        smaller doc id — deterministic."""
-        tbl = pq.read_table(self.corpus_files,
-                            columns=[self.id_col, column])
-        vals = tbl[column].to_numpy(zero_copy_only=False).astype(np.float64)
-        ids = tbl[self.id_col].to_numpy(zero_copy_only=False)
-        if len(vals) == 0:
+        smaller doc id — deterministic.
+
+        Distributed: each batch reduces to its single local best row
+        (map_batches), the driver merges ≤1 row per block — the column is
+        never read whole to the driver."""
+        import pyarrow as pa
+        import ray.data
+
+        id_col = self.id_col
+        target = float(value)
+
+        def local_best(t: pa.Table) -> pa.Table:
+            if t.num_rows == 0:
+                return t
+            vals = t[column].to_numpy(zero_copy_only=False
+                                      ).astype(np.float64)
+            ids = t[id_col].to_numpy(zero_copy_only=False)
+            dist = np.abs(vals - target)
+            i = int(np.lexsort((ids, vals, dist))[0])
+            return t.slice(i, 1)
+
+        ds = ray.data.read_parquet(self.corpus_files,
+                                   columns=[id_col, column])
+        rows = ds.map_batches(local_best,
+                              batch_format="pyarrow").take_all()
+        if not rows:
             return None
-        dist = np.abs(vals - float(value))
-        order = np.lexsort((ids, vals, dist))
-        i = order[0]
+        vals = np.array([r[column] for r in rows], np.float64)
+        ids = np.array([r[id_col] for r in rows], np.int64)
+        dist = np.abs(vals - target)
+        i = int(np.lexsort((ids, vals, dist))[0])
         return {"doc_id": int(ids[i]), column: vals[i].item(),
                 "distance": float(dist[i])}
