@@ -148,3 +148,92 @@ def test_trigram_fuzz_vs_oracle(tri_indexes, ref_file):
         expected = oi.bm25(q, 10)
         assert [int(x) for x in d_e] == [d for d, _ in expected], q
         assert [float(x) for x in s_e] == [s for _, s in expected], q
+
+
+def _all_trigram_keys(texts, ids):
+    """Python oracle: {packed trigram key: set(ids)} over the fixture."""
+    from vfs_index_ray.tokenizer import pack_trigram
+    out = {}
+    for i, s in zip(ids, texts):
+        for k in pack_trigram(s):
+            out.setdefault(k, set()).add(i)
+    return out
+
+
+def test_key_range_scan_exact_count(tri_indexes, ref_file):
+    """J6 string semantics (index_file.go:1208-1422; 24-row assertion
+    shape of vfsindex_internal_test.go:550-581): key-space range scan
+    returns exactly the docs the trigram-key oracle predicts."""
+    from vfs_index_ray.search import SearchEngine
+    from vfs_index_ray.tokenizer import pack_trigram
+
+    _, content_idx = tri_indexes
+    eng = SearchEngine(content_idx)
+    tbl = pq.read_table(ref_file)
+    keymap = _all_trigram_keys(tbl["content"].to_pylist(),
+                               tbl["id"].to_pylist())
+    lo = pack_trigram("活動内")[0]
+    hi = lo + (1 << 32)  # one first-rune step up the key space
+    expect = sorted(set().union(*(v for k, v in keymap.items()
+                                  if lo <= k <= hi)) or set())
+    got = eng.term_range_docs(lo, hi)
+    assert got.tolist() == expect
+    assert len(got) > 0
+    # open bounds degrade to all docs with any key
+    all_docs = sorted(set().union(*keymap.values()))
+    assert eng.term_range_docs(None, None).tolist() == all_docs
+
+
+def test_nearest_key_climbs_key_space(tri_indexes, ref_file):
+    """J7 on the key space (FindNearByKey index_file.go:1461-1534):
+    exact hit returns itself; a probe between keys climbs to the
+    closest indexed key below/above."""
+    from vfs_index_ray.search import SearchEngine
+    from vfs_index_ray.tokenizer import pack_trigram
+
+    _, content_idx = tri_indexes
+    eng = SearchEngine(content_idx)
+    tbl = pq.read_table(ref_file)
+    keymap = _all_trigram_keys(tbl["content"].to_pylist(),
+                               tbl["id"].to_pylist())
+    keys = sorted(keymap)
+    # exact hit
+    k = pack_trigram("活動内")[0]
+    term, df = eng.nearest_term(k, less=True)
+    assert term == k and df == len(keymap[k]) == 4
+    # probe strictly between two indexed keys → climbs down / up
+    import bisect
+    probe = keys[len(keys) // 2] + 1
+    while probe in keymap:
+        probe += 1
+    below = keys[bisect.bisect_right(keys, probe) - 1]
+    above = keys[bisect.bisect_left(keys, probe)]
+    t_lo, df_lo = eng.nearest_term(probe, less=True)
+    t_hi, df_hi = eng.nearest_term(probe, less=False)
+    assert t_lo == below and df_lo == len(keymap[below])
+    assert t_hi == above and df_hi == len(keymap[above])
+    # below the smallest key there is nothing
+    assert eng.nearest_term(keys[0] - 1, less=True) is None
+
+
+def test_planner_string_range(tri_indexes, ref_file):
+    """Planner routes string range ops on the indexed text column to the
+    key-space scan; strict > excludes the bound key (documented
+    divergence from the reference's >-as->= mapping)."""
+    from vfs_index_ray.planner import QueryExecutor
+    from vfs_index_ray.search import SearchEngine
+    from vfs_index_ray.tokenizer import pack_trigram
+
+    _, content_idx = tri_indexes
+    eng = SearchEngine(content_idx, corpus_files=[ref_file], id_col="id")
+    ex = QueryExecutor(eng, [ref_file], text_col="content", id_col="id")
+    tbl = pq.read_table(ref_file)
+    keymap = _all_trigram_keys(tbl["content"].to_pylist(),
+                               tbl["id"].to_pylist())
+    k = pack_trigram("活動内")[0]
+    le = sorted(set().union(*(v for kk, v in keymap.items() if kk <= k)))
+    lt = sorted(set().union(*(v for kk, v in keymap.items() if kk < k)))
+    assert ex.execute('content <= "活動内"').tolist() == le
+    assert ex.execute('content < "活動内"').tolist() == lt
+    # 2-rune bound → no extractable key → empty
+    assert len(ex.execute('content < "活動"')) == 0

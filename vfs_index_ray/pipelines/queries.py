@@ -180,6 +180,57 @@ def q_range_limit(sf_dir: str) -> pa.Table:
     return tbl.take(order).select(["doc_id", "n_chars"])
 
 
+_TRI_ENGINES: dict[str, SearchEngine] = {}
+TRI_RANGE = ("spa", "spc")   # inclusive packed-key bounds
+TRI_PROBE = "spz"            # nearest-key probe (no exact hit likely)
+
+
+def get_trigram_engine(sf_dir: str) -> SearchEngine:
+    """Build (or resume) the trigram-mode index for sf_dir; memoized.
+    Serves the key-space range / nearest-key queries (reference J6/J7
+    string semantics)."""
+    if sf_dir not in _TRI_ENGINES:
+        from .. import __version__
+        name = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+        src = _doc_file(sf_dir)
+        idx = os.path.join("/tmp", "vfsray_cache",
+                           f"{name}-{_corpus_key(sf_dir, src)}"
+                           f"-v{__version__}-tri")
+        if not os.path.exists(os.path.join(idx, "stats.json")):
+            IndexBuilder(idx, mode="trigram", num_parts=8,
+                         id_col="doc_id").build([src])
+        _TRI_ENGINES[sf_dir] = SearchEngine(idx, corpus_files=[src],
+                                            id_col="doc_id")
+    return _TRI_ENGINES[sf_dir]
+
+
+def q_range_string(sf_dir: str) -> pa.Table:
+    """J6 string semantics: key-space range scan over the trigram index —
+    docs containing any trigram in [TRI_RANGE] (packed-key order ==
+    lexicographic 3-char order)."""
+    from ..tokenizer import pack_trigram
+    eng = get_trigram_engine(sf_dir)
+    lo = pack_trigram(TRI_RANGE[0])[0]
+    hi = pack_trigram(TRI_RANGE[1])[0]
+    docs = eng.term_range_docs(lo, hi)
+    return pa.table({"doc_id": pa.array(docs.astype(np.int64), pa.int64())})
+
+
+def q_nearest_key(sf_dir: str) -> pa.Table:
+    """J7 on the key space: largest indexed trigram key <= probe, with
+    its df (reference FindNearByKey climbing the sorted key space)."""
+    from ..tokenizer import pack_trigram
+    eng = get_trigram_engine(sf_dir)
+    best = eng.nearest_term(pack_trigram(TRI_PROBE)[0], less=True)
+    if best is None:
+        return pa.table({"tri": pa.array([], pa.string()),
+                         "df": pa.array([], pa.int64())})
+    term, df = best
+    tri = "".join(chr((term >> s) & 0xFFFF) for s in (32, 16, 0))
+    return pa.table({"tri": pa.array([tri], pa.string()),
+                     "df": pa.array([df], pa.int64())})
+
+
 def q_short_query_empty(sf_dir: str) -> pa.Table:
     """Reference semantics: a query with no extractable keys matches
     nothing (vfsindex_test.go:149-159)."""
@@ -411,6 +462,8 @@ QUERIES = {
     "phrase_positional": q_phrase_positional,
     "proximity": q_proximity,
     "range_limit": q_range_limit,
+    "range_string": q_range_string,
+    "nearest_key": q_nearest_key,
     "short_query_empty": q_short_query_empty,
     "cooccur_distance": q_cooccur_distance,
     "dedup_exact": q_dedup_exact,
@@ -511,6 +564,30 @@ SELECT doc_id, n_chars FROM documents WHERE n_chars >= 450
 ORDER BY doc_id LIMIT 3
 """,
     "short_query_empty": "SELECT doc_id FROM documents WHERE 1=0",
+    # trigram key-space scans: every 3-char window of text; packed-key
+    # order == string order for 3-char BMP windows, so SQL BETWEEN on the
+    # window strings reproduces the engine's uint64 key-range scan
+    "range_string": """
+WITH t AS (
+  SELECT doc_id, text, unnest(generate_series(1, length(text) - 2)) AS i
+  FROM documents WHERE length(text) >= 3
+), g AS (
+  SELECT doc_id, substr(text, CAST(i AS INTEGER), 3) AS tri FROM t
+)
+SELECT DISTINCT doc_id FROM g WHERE tri >= 'spa' AND tri <= 'spc'
+""",
+    "nearest_key": """
+WITH t AS (
+  SELECT doc_id, text, unnest(generate_series(1, length(text) - 2)) AS i
+  FROM documents WHERE length(text) >= 3
+), g AS (
+  SELECT doc_id, substr(text, CAST(i AS INTEGER), 3) AS tri FROM t
+), best AS (
+  SELECT max(tri) AS tri FROM g WHERE tri <= 'spz'
+)
+SELECT b.tri AS tri, count(DISTINCT g.doc_id)::BIGINT AS df
+FROM g JOIN best b ON g.tri = b.tri GROUP BY b.tri
+""",
     "cooccur_distance": f"""
 WITH tok AS (
   SELECT doc_id, unnest({TOKS}) AS tok FROM documents

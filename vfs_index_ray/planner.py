@@ -122,15 +122,51 @@ class QueryExecutor:
                                         ).astype(np.uint64)
         return np.sort(ids)
 
+    def _string_range_docs(self, p: Predicate) -> np.ndarray:
+        """Range op on the indexed text column → key-space range scan
+        (reference J6 string semantics, index_file.go:1208-1422): the
+        bound string's first trigram key is the scan bound; packed-key
+        order == lexicographic 3-rune order, so e.g. ``col < "abc"``
+        returns docs containing any trigram below "abc". Requires a
+        trigram-mode index. Divergence documented in the module
+        docstring: the reference maps string ``>`` to ``>=`` — we keep
+        strict semantics."""
+        if self.engine.mode != "trigram":
+            raise ValueError(
+                f"string range {p.op!r} on {p.column!r} requires a "
+                "trigram-mode index (word-mode keys are hashed — "
+                "their order is meaningless)")
+        from .tokenizer import pack_trigram
+        keys = pack_trigram(str(p.value))
+        if not keys:  # <3 runes: no extractable key → no matches
+            return np.empty(0, np.uint64)
+        key = keys[0]
+        lo = hi = None
+        if p.op == "<":
+            hi = key - 1
+        elif p.op == "<=":
+            hi = key
+        elif p.op == ">":
+            lo = key + 1
+        elif p.op == ">=":
+            lo = key
+        return self.engine.term_range_docs(lo, hi)
+
     def execute(self, q: str, limit: int | None = None) -> np.ndarray:
         plan = parse(q)
         text_preds = [p for p in plan.predicates
                       if p.op == "search" or
                       (p.op == "==" and p.column == self.text_col)]
-        other = [p for p in plan.predicates if p not in text_preds]
+        range_preds = [p for p in plan.predicates
+                       if p.column == self.text_col and p.op in
+                       ("<", "<=", ">", ">=") and isinstance(p.value, str)]
+        other = [p for p in plan.predicates
+                 if p not in text_preds and p not in range_preds]
         doc_sets = []
         for p in text_preds:
             doc_sets.append(self.engine.match(str(p.value)))
+        for p in range_preds:
+            doc_sets.append(self._string_range_docs(p))
         if other:
             doc_sets.append(self._numeric_docs(other))
         if not doc_sets:

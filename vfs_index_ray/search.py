@@ -494,6 +494,98 @@ class SearchEngine:
         return np.array(sorted(hits), np.uint64)
 
     # ------------------------------------------------------------------
+    def term_range_docs(self, lo: int | None, hi: int | None
+                        ) -> np.ndarray:
+        """Key-space range scan (reference J6 full semantics: string/
+        trigram range, index_file.go:1208-1422 keyRecordsBy +
+        commonNearFnByKey): ascending doc_ids of every indexed term with
+        ``lo <= term_id <= hi`` (None = open bound).
+
+        Every part is touched (terms are hash-partitioned), but the
+        sorted ``term_id`` layout makes each read a parquet row-group
+        pushdown — only groups overlapping the key range are decoded.
+        In trigram mode the packed key order IS the lexicographic order
+        of the 3-rune windows, so this is a string-range scan."""
+        filters = []
+        if lo is not None:
+            filters.append(("term_id", ">=", np.uint64(lo)))
+        if hi is not None:
+            filters.append(("term_id", "<=", np.uint64(hi)))
+        out = []
+        for part in range(self.num_parts):
+            path = self._segment_file(part)
+            if not os.path.exists(path):
+                raise RuntimeError(
+                    f"index partition file missing: {path}; the index "
+                    "is truncated or mid-rebuild")
+            tbl = pq.read_table(path, filters=filters or None,
+                                use_threads=False)
+            for row in tbl.to_pylist():
+                out.append(decode_chunk(row)[0])
+        if not out:
+            return np.empty(0, np.uint64)
+        return np.unique(np.concatenate(out))
+
+    def nearest_term(self, key: int, less: bool = True
+                     ) -> tuple[int, int] | None:
+        """Nearest indexed key (reference J7 on the KEY space:
+        FindNearByKey index_file.go:1461-1534 — exact hit if present,
+        else climb to the closest indexed key below/above).
+
+        Returns (term_id, df) of the largest indexed term <= key
+        (``less=True``) or the smallest >= key. Per part this reads ONE
+        row group picked from the term_id min/max statistics (terms are
+        sorted within a segment file); the driver merges one candidate
+        per part."""
+        key_u = np.uint64(key)
+        best: tuple[int, int] | None = None
+        for part in range(self.num_parts):
+            path = self._segment_file(part)
+            if not os.path.exists(path):
+                raise RuntimeError(
+                    f"index partition file missing: {path}; the index "
+                    "is truncated or mid-rebuild")
+            pf = pq.ParquetFile(path)
+            md = pf.metadata
+            ki = pf.schema_arrow.names.index("term_id")
+            cand_gi = None
+            ok_stats = True
+            for gi in range(md.num_row_groups):
+                st = md.row_group(gi).column(ki).statistics
+                if st is None or not st.has_min_max:
+                    ok_stats = False
+                    break
+                if less:
+                    if np.uint64(st.min) <= key_u:
+                        cand_gi = gi  # last group containing keys <= key
+                else:
+                    if np.uint64(st.max) >= key_u:
+                        cand_gi = gi  # first group containing keys >= key
+                        break
+            if ok_stats and cand_gi is None:
+                continue
+            if ok_stats:
+                tbl = pf.read_row_groups([cand_gi],
+                                         columns=["term_id", "df"],
+                                         use_threads=False)
+            else:  # stats unavailable: filtered full read of 2 columns
+                tbl = pq.read_table(path, columns=["term_id", "df"],
+                                    use_threads=False)
+            terms = tbl["term_id"].to_numpy(zero_copy_only=False)
+            dfs = tbl["df"].to_numpy(zero_copy_only=False)
+            mask = terms <= key_u if less else terms >= key_u
+            if not mask.any():
+                continue
+            idx = np.flatnonzero(mask)
+            i = idx[-1] if less else idx[0]
+            cand = (int(terms[i]), int(dfs[i]))
+            if best is None or \
+                    (less and cand[0] > best[0]) or \
+                    (not less and cand[0] < best[0]):
+                best = cand
+        return best
+
+    # ------------------------------------------------------------------
     def nears(self, q: str, k: int | None = None):
         """The reference's ``Nears`` tf-share ranking (search_cond.go:
         297-381), kept for API parity — BM25 replaces it as the primary
