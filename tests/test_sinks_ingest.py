@@ -123,3 +123,79 @@ def test_read_corpus_gzip(ray_session, tmp_path):
             f.write(json.dumps(r) + "\n")
     ds = read_corpus([p])
     assert sorted(r["doc_id"] for r in ds.take_all()) == list(range(10))
+
+
+def test_read_corpus_lz4(ray_session, tmp_path):
+    """S6 full parity (decompress/lz4.go:16-58): transparent .lz4
+    (frame) decompression for json and csv inputs."""
+    import pyarrow as pa
+
+    rows = [{"doc_id": i, "text": f"alpha beta doc{i}"} for i in range(10)]
+    jp = str(tmp_path / "c.json.lz4")
+    with pa.output_stream(jp, compression="lz4") as f:
+        for r in rows:
+            f.write((json.dumps(r) + "\n").encode())
+    ds = read_corpus([jp], columns=["doc_id", "text"])
+    assert sorted(r["doc_id"] for r in ds.take_all()) == list(range(10))
+
+    import io
+
+    import pyarrow.csv as pacsv
+    buf = io.BytesIO()
+    pacsv.write_csv(pa.Table.from_pylist(rows), buf)
+    cp = str(tmp_path / "c.csv.lz4")
+    with pa.output_stream(cp, compression="lz4") as f:
+        f.write(buf.getvalue())
+    ds = read_corpus([cp])
+    assert sorted(r["doc_id"] for r in ds.take_all()) == list(range(10))
+
+
+def test_build_from_lz4_corpus(ray_session, tmp_path):
+    """End-to-end: index build from an lz4-compressed JSONL corpus."""
+    import pyarrow as pa
+
+    from vfs_index_ray.build import IndexBuilder
+    from vfs_index_ray.search import SearchEngine
+
+    pages = corpus.generate_pages(60)
+    jp = str(tmp_path / "pages.json.lz4")
+    with pa.output_stream(jp, compression="lz4") as f:
+        for url, text in zip(pages["url"].to_pylist(),
+                             pages["text"].to_pylist()):
+            f.write((json.dumps({"url": url, "text": text}) + "\n"
+                     ).encode())
+    idx = str(tmp_path / "lzidx")
+    stats = IndexBuilder(idx, mode="word", num_parts=4, id_col=None
+                         ).build([jp])
+    assert stats["n_docs"] == 60
+    eng = SearchEngine(idx)
+    assert len(eng.match("bababa")) > 0
+
+
+def test_register_decoder(ray_session, tmp_path):
+    """S5 full parity (util.go:216-255 setDecoder): a user-registered
+    format decoder dispatches by extension."""
+    import ray.data
+
+    from vfs_index_ray import sinks
+
+    p = str(tmp_path / "c.kv")
+    with open(p, "w") as f:
+        for i in range(5):
+            f.write(f"{i}|text number {i}\n")
+
+    def read_kv(files, columns):
+        rows = []
+        for fp in files:
+            for line in open(fp):
+                did, text = line.rstrip("\n").split("|", 1)
+                rows.append({"doc_id": int(did), "text": text})
+        ds = ray.data.from_items(rows)
+        return ds.select_columns(columns) if columns else ds
+
+    sinks.register_decoder(".kv", read_kv)
+    try:
+        ds = read_corpus([p], columns=["doc_id", "text"])
+        assert sorted(r["doc_id"] for r in ds.take_all()) == list(range(5))
+    finally:
+        sinks._DECODERS.pop(".kv", None)

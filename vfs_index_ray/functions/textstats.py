@@ -116,16 +116,19 @@ class LangId:
             flat, value_set=self.es).to_numpy(zero_copy_only=False
                                               ).astype(np.float64),
             minlength=n)
-        # CJK fraction per row (vectorized over the UTF-32 view)
+        # CJK fraction per row — one UTF-32 buffer for the whole batch,
+        # per-row segment sums via cumsum differences (no Python loop;
+        # same join-then-window pattern as the trigram tokenizer)
         py = texts.to_pylist()
-        cjk_frac = np.zeros(n, np.float64)
-        for i, s in enumerate(py):
-            if not s:
-                continue
-            codes = np.frombuffer(s.encode("utf-32-le"), np.uint32)
-            cjk = ((codes >= 0x3040) & (codes <= 0x30FF)) | \
-                  ((codes >= 0x4E00) & (codes <= 0x9FFF))
-            cjk_frac[i] = cjk.mean()
+        joined = "".join(s or "" for s in py)
+        codes = np.frombuffer(joined.encode("utf-32-le"), np.uint32)
+        lens = np.fromiter((len(s or "") for s in py), np.int64, count=n)
+        cjk = ((codes >= 0x3040) & (codes <= 0x30FF)) | \
+              ((codes >= 0x4E00) & (codes <= 0x9FFF))
+        csum = np.concatenate([[0], np.cumsum(cjk, dtype=np.int64)])
+        ends = np.cumsum(lens)
+        row_cjk = csum[ends] - csum[ends - lens]
+        cjk_frac = row_cjk / np.maximum(lens, 1)
         nt = np.maximum(dl.astype(np.float64), 1.0)
         pred = np.where(cjk_frac > 0.2, "ja",
                         np.where(de_cnt / nt > 0.05, "de",

@@ -1,11 +1,13 @@
 """Event-time windowing over a stream-shaped table (SURVEY §2.10).
 
 Ray Data is a (streaming-)batch engine with no watermarks; windows are
-expressed as groupbys over an ordered, partitioned log: partition by key
-(user), order by event time within the partition, window inside
-``map_groups`` (ray_guide.md pattern). Ordering assumption: per-key
-event order is fully determined by (ts, event_id) — both carried in the
-table — so results are deterministic under any shuffle.
+expressed as groupbys over an ordered, partitioned log: hash-partition by
+user, then ONE vectorized numpy session-assignment kernel per partition
+(all of a partition's users at once — not a per-user pandas fn; a
+partition holds many users, so the per-group call count is the partition
+count, not the user count). Ordering assumption: per-key event order is
+fully determined by (ts, event_id) — both carried in the table — so
+results are deterministic under any shuffle.
 
 - ``sessionize``: gap-based session windows per user (session breaks when
   the gap to the previous event exceeds ``gap``). SQL-oracle-equivalent
@@ -17,32 +19,78 @@ table — so results are deterministic under any shuffle.
 from __future__ import annotations
 
 import numpy as np
-import pandas as pd
 import pyarrow as pa
+
+
+def _sessions_kernel(t: pa.Table, gap_us: int, user_col: str,
+                     ts_col: str, id_col: str) -> pa.Table:
+    """All rows of one user-partition → one row per (user, session).
+    Fully vectorized: lexsort by (user, ts, id), break sessions at user
+    boundaries and at gaps > gap_us, reduce per session run."""
+    n = t.num_rows
+    if n == 0:
+        return pa.table({
+            user_col: pa.array([], pa.int64()),
+            "session_id": pa.array([], pa.int64()),
+            "session_start": pa.array([], pa.timestamp("us")),
+            "session_end": pa.array([], pa.timestamp("us")),
+            "n_events": pa.array([], pa.int64()),
+        })
+    u = t[user_col].to_numpy(zero_copy_only=False).astype(np.int64)
+    ts = t[ts_col].to_numpy(zero_copy_only=False).astype("datetime64[us]"
+                                                         ).astype(np.int64)
+    ids = t[id_col].to_numpy(zero_copy_only=False)
+    order = np.lexsort((ids, ts, u))
+    u, ts = u[order], ts[order]
+
+    new_user = np.empty(n, bool)
+    new_user[0] = True
+    new_user[1:] = u[1:] != u[:-1]
+    new_sess = new_user.copy()
+    new_sess[1:] |= (ts[1:] - ts[:-1]) > gap_us
+
+    starts = np.flatnonzero(new_sess)
+    counts = np.diff(np.append(starts, n))
+    ends = starts + counts - 1
+    nsess = len(starts)
+    # 0-based per-user session index: session ordinal minus the ordinal
+    # of the user's first session (user starts are always session starts)
+    sess_ord = np.arange(nsess, dtype=np.int64)
+    user_first = np.maximum.accumulate(
+        np.where(new_user[starts], sess_ord, 0))
+    return pa.table({
+        user_col: pa.array(u[starts], pa.int64()),
+        "session_id": pa.array(sess_ord - user_first, pa.int64()),
+        "session_start": pa.array(ts[starts].astype("datetime64[us]")),
+        "session_end": pa.array(ts[ends].astype("datetime64[us]")),
+        "n_events": pa.array(counts.astype(np.int64), pa.int64()),
+    })
 
 
 def sessionize(events_ds, *, gap_minutes: int = 30,
                user_col: str = "user_id", ts_col: str = "ts",
-               id_col: str = "event_id"):
+               id_col: str = "event_id", num_partitions: int = 32):
     """events → one row per (user, session): session_id (0-based per
-    user, in time order), session_start, session_end, n_events."""
-    gap = pd.Timedelta(minutes=gap_minutes)
+    user, in time order), session_start, session_end, n_events.
 
-    def per_user(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values([ts_col, id_col])
-        breaks = g[ts_col].diff() > gap
-        sess = breaks.cumsum().astype(np.int64)
-        out = g.groupby(sess).agg(
-            session_start=(ts_col, "min"),
-            session_end=(ts_col, "max"),
-            n_events=(id_col, "count"),
-        ).reset_index(names="session_id")
-        out.insert(0, user_col, g[user_col].iloc[0])
-        out["n_events"] = out["n_events"].astype(np.int64)
-        return out
+    Shuffle shape: ONE uniform hash-partition groupby on
+    ``user % num_partitions`` (size it to the cluster); the per-group fn
+    is a single vectorized kernel over the whole partition."""
+    gap_us = gap_minutes * 60_000_000
 
-    return events_ds.groupby(user_col).map_groups(per_user,
-                                                  batch_format="pandas")
+    def add_part(t: pa.Table) -> pa.Table:
+        uid = t[user_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        return t.append_column(
+            "upart", pa.array(uid % num_partitions, pa.int64()))
+
+    def per_part(g: pa.Table) -> pa.Table:
+        return _sessions_kernel(g, gap_us, user_col, ts_col, id_col)
+
+    return (events_ds
+            .map_batches(add_part, batch_format="pyarrow",
+                         zero_copy_batch=True)
+            .groupby("upart")
+            .map_groups(per_part, batch_format="pyarrow"))
 
 
 def sessionize_table(events_ds, **kw) -> pa.Table:

@@ -630,6 +630,27 @@ FROM t
     "lang_distribution": """
 SELECT lang, count(*)::BIGINT AS n_docs FROM documents GROUP BY lang
 """,
+    # the LangId heuristic replicated exactly: CJK codepoint fraction,
+    # then marker-stopword ratios over the shared tokenizer contract
+    "langid": f"""
+WITH t AS (SELECT doc_id, text, {TOKS} AS toks FROM documents),
+m AS (SELECT doc_id,
+  greatest(length(text), 1) AS nchars,
+  length(text) - length(regexp_replace(text,
+      '[\\x{{3040}}-\\x{{30FF}}\\x{{4E00}}-\\x{{9FFF}}]', '', 'g')) AS ncjk,
+  greatest(len(toks), 1) AS nt,
+  len(list_filter(toks, x -> list_contains(
+      ['der','die','und','das','ist','nicht'], x))) AS de_cnt,
+  len(list_filter(toks, x -> list_contains(
+      ['el','la','los','de','que','es'], x))) AS es_cnt
+  FROM t)
+SELECT doc_id,
+  CASE WHEN ncjk::DOUBLE / nchars > 0.2 THEN 'ja'
+       WHEN de_cnt::DOUBLE / nt > 0.05 THEN 'de'
+       WHEN es_cnt::DOUBLE / nt > 0.08 THEN 'es'
+       ELSE 'en' END AS lang_pred
+FROM m
+""",
     "ann_cosine_topk": """
 WITH q AS (
   SELECT vec_id AS query_id, embedding AS qe FROM embeddings
@@ -688,6 +709,6 @@ FROM s GROUP BY user_id, session_id
 SELECT doc_id, n_chars FROM documents
 ORDER BY abs(n_chars - 300), n_chars, doc_id LIMIT 1
 """,
-    # minhash_near_dup / simhash_near_dup / embedding_near_dup / langid:
-    # non-SQL-expressible (sketches, LSH, heuristics) → rows-only checks.
+    # minhash_near_dup / simhash_near_dup / embedding_near_dup:
+    # non-SQL-expressible (sketches, LSH) → rows-only checks.
 }

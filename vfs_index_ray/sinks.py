@@ -58,24 +58,63 @@ def stream_results(ds, batch_size: int = 1024, limit: int | None = None):
         yield batch
 
 
+# user-pluggable decoder registry (reference S5, util.go:216-255
+# setDecoder): extension → fn(files, columns) -> ray Dataset. Built-in
+# formats are dispatched below; register_decoder overrides or extends.
+_DECODERS: dict[str, object] = {}
+
+# transparent decompression suffixes (reference S6, decompress/lz4.go):
+# Arrow decodes both stream formats on the read path
+_COMPRESSION_SUFFIXES = {".gz": "gzip", ".lz4": "lz4"}
+
+
+def register_decoder(ext: str, fn) -> None:
+    """Register a custom format decoder: ``fn(files, columns) ->
+    ray.data.Dataset`` for files with extension ``ext`` (e.g.
+    ``".ndjson"``). The transparent-compression suffixes (.gz/.lz4) are
+    stripped before dispatch, so a registered format composes with
+    compressed inputs for free if ``fn`` handles them."""
+    _DECODERS[ext if ext.startswith(".") else "." + ext] = fn
+
+
+def _strip_compression(f: str) -> tuple[str, str | None]:
+    for suf, codec in _COMPRESSION_SUFFIXES.items():
+        if f.endswith(suf):
+            return f[: -len(suf)], codec
+    return f, None
+
+
 def read_corpus(files: list[str], columns: list[str] | None = None):
     """Format-dispatched corpus reader: one Dataset from parquet / jsonl /
-    csv inputs (extension decides, like the reference's decoder registry).
-    All files in one call must share a format."""
+    csv inputs (extension decides, like the reference's decoder registry),
+    with transparent .gz / .lz4 decompression. All files in one call must
+    share a format and compression."""
     import ray.data
 
-    exts = {os.path.splitext(f.removesuffix(".gz"))[1] for f in files}
+    stripped = [_strip_compression(f) for f in files]
+    exts = {os.path.splitext(s)[1] for s, _ in stripped}
+    codecs = {c for _, c in stripped}
     if len(exts) != 1:
         raise ValueError(f"mixed input formats: {sorted(exts)}")
+    if len(codecs) != 1:
+        raise ValueError("mixed compression codecs in one read")
     ext = exts.pop()
+    codec = codecs.pop()
+    if ext in _DECODERS:
+        return _DECODERS[ext](files, columns)
+    open_args = {"compression": codec} if codec else None
     if ext == ".parquet":
+        if codec:
+            raise ValueError("parquet is internally compressed; "
+                             f"{codec} wrapping is not supported")
         return ray.data.read_parquet(files, columns=columns)
     if ext in (".json", ".jsonl"):
-        ds = ray.data.read_json(files)
+        ds = ray.data.read_json(files, arrow_open_stream_args=open_args)
     elif ext == ".csv":
-        ds = ray.data.read_csv(files)
+        ds = ray.data.read_csv(files, arrow_open_stream_args=open_args)
     else:
-        raise ValueError(f"no reader for {ext!r}")
+        raise ValueError(f"no reader for {ext!r} (register_decoder to "
+                         "add one)")
     if columns:
         ds = ds.select_columns(columns)
     return ds
