@@ -283,3 +283,71 @@ def test_query_stats(built_index):
     eng.bm25("bababa " + corp.RARE_TERM, 5)
     st = eng.last_query_stats
     assert st["n_terms"] == 2 and st["ms"] > 0 and st["total_df"] > 4
+
+
+def test_ppm_roundtrip_and_decode():
+    from vfs_index_ray.functions.multimodal import (DecodeImage, decode_ppm,
+                                                    encode_ppm)
+    rng = np.random.Generator(np.random.Philox(key=[5, 0]))
+    pix = rng.integers(0, 256, (11, 7, 3), dtype=np.int64).astype(np.uint8)
+    payload = encode_ppm(pix)
+    w, h, back = decode_ppm(payload)
+    assert (w, h) == (7, 11)
+    assert np.array_equal(back, pix)
+    # comments + arbitrary whitespace in the header parse too
+    hacked = b"P6\n# a comment\n 7\t11 # w h\n255\n" + payload.split(b"255\n", 1)[1]
+    assert np.array_equal(decode_ppm(hacked)[2], pix)
+    # real decode through the stage: grid-pooled features
+    out = DecodeImage(fake=False, feat_dim=16)(pa.table({
+        "media_id": pa.array([1], pa.int64()),
+        "payload": pa.array([payload], pa.binary())}))
+    assert out["width"].to_pylist() == [7]
+    assert out["height"].to_pylist() == [11]
+    f = out["features"].to_pylist()[0]
+    assert len(f) == 16
+    # pooled means live in [0,1] and match a brute-force cell check
+    gray = pix.astype(np.float64).mean(axis=2) / 255.0
+    assert abs(f[0] - gray[:3, :2].mean()) < 1e-6
+
+
+def test_wav_roundtrip_and_audio_stage(ray_session):
+    import ray.data
+
+    from vfs_index_ray.functions.multimodal import (DecodeAudio, decode_wav,
+                                                    encode_wav)
+    t = np.arange(8000)
+    tone = (np.sin(2 * np.pi * 440 * t / 16000) * 20000).astype(np.int16)
+    payload = encode_wav(tone, rate=16000)
+    rate, back = decode_wav(payload)
+    assert rate == 16000
+    assert np.array_equal(back[:, 0], tone)
+    rows = [{"media_id": 1, "payload": payload},
+            {"media_id": 2, "payload": encode_wav(
+                np.zeros(1600, np.int16), rate=8000)}]
+    out = (ray.data.from_items(rows)
+           .map_batches(DecodeAudio(), batch_format="pyarrow",
+                        batch_size=2).take_all())
+    got = {r["media_id"]: r for r in out}
+    assert got[1]["sample_rate"] == 16000 and got[1]["n_frames"] == 8000
+    # a 440 Hz tone has rms ~ amplitude/sqrt(2)
+    assert abs(got[1]["rms"][0] - (20000 / 32768) / np.sqrt(2)) < 0.01
+    assert got[2]["sample_rate"] == 8000
+    assert all(v == 0.0 for v in got[2]["rms"])
+
+
+def test_synth_media_decodes_deterministically(ray_session):
+    import ray.data
+
+    from vfs_index_ray.functions.multimodal import (decode_images,
+                                                    synth_media_table)
+    media = synth_media_table(np.arange(12))
+    out = decode_images(ray.data.from_items(media.to_pylist()),
+                        feat_dim=16, batch_size=4).take_all()
+    assert len(out) == 12
+    again = decode_images(ray.data.from_items(media.to_pylist()),
+                          feat_dim=16, batch_size=4).take_all()
+    a = {r["media_id"]: (r["width"], r["height"], r["features"])
+         for r in out}
+    b = {r["media_id"]: (r["width"], r["height"], r["features"])
+         for r in again}
+    assert a == b

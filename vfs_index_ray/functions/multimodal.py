@@ -1,11 +1,12 @@
 """Multimodal column plumbing: image/audio/video as opaque binary columns
 with typed metadata, processed by actor-pool map_batches stages.
 
-The decode kernels themselves are STUBBED (no image/audio libraries in
-this environment): ``DecodeImage`` raises NotImplementedError unless
-``fake=True``, in which case it produces a deterministic fake decode
-(hash-seeded pseudo-pixels) so the Ray-side plumbing — schema, batch
-sizing, actor signature, output layout — is real and tested end-to-end.
+The decode boundary is REAL for two uncompressed container formats,
+implemented in pure numpy (no image/audio libraries in this
+environment): PPM (P6, 8-bit) images and RIFF/WAVE PCM16 audio.
+Compressed formats (JPEG/PNG/MP3/...) would slot into the same stage
+behind PIL/av and raise NotImplementedError here; ``fake=True`` keeps
+the deterministic hash-seeded pseudo-decode for plumbing tests.
 
 Scale notes: binary payloads dominate block size; callers should lower
 ``batch_size`` (a 1 MB image × 1024-row batch = 1 GB per batch) and rely
@@ -29,8 +30,110 @@ IMAGE_META_SCHEMA = pa.schema([
 ])
 
 
+# ---------------------------------------------------------------------------
+# pure-numpy codecs (uncompressed containers)
+# ---------------------------------------------------------------------------
+
+def decode_ppm(payload: bytes) -> tuple[int, int, np.ndarray]:
+    """P6 (binary, 8-bit) PPM → (width, height, HxWx3 uint8)."""
+    if not payload.startswith(b"P6"):
+        raise ValueError("not a P6 PPM payload")
+    # header: magic, width, height, maxval — whitespace separated with
+    # optional '#' comment lines
+    pos = 2
+    fields: list[int] = []
+    while len(fields) < 3:
+        while pos < len(payload) and payload[pos:pos + 1].isspace():
+            pos += 1
+        if payload[pos:pos + 1] == b"#":
+            while pos < len(payload) and payload[pos] != 0x0A:
+                pos += 1
+            continue
+        start = pos
+        while pos < len(payload) and not payload[pos:pos + 1].isspace():
+            pos += 1
+        fields.append(int(payload[start:pos]))
+    pos += 1  # single whitespace after maxval
+    w, h, maxval = fields
+    if maxval != 255:
+        raise NotImplementedError("only 8-bit PPM supported")
+    need = w * h * 3
+    pix = np.frombuffer(payload, np.uint8, count=need, offset=pos)
+    return w, h, pix.reshape(h, w, 3)
+
+
+def encode_ppm(pixels: np.ndarray) -> bytes:
+    """HxWx3 uint8 → P6 payload (test/synthesis twin of decode_ppm)."""
+    h, w, c = pixels.shape
+    assert c == 3
+    return b"P6\n%d %d\n255\n" % (w, h) + \
+        np.ascontiguousarray(pixels, np.uint8).tobytes()
+
+
+def decode_wav(payload: bytes) -> tuple[int, np.ndarray]:
+    """RIFF/WAVE PCM16 → (sample_rate, frames×channels int16)."""
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    pos = 12
+    rate = None
+    channels = 1
+    data = None
+    while pos + 8 <= len(payload):
+        cid = payload[pos:pos + 4]
+        size = int.from_bytes(payload[pos + 4:pos + 8], "little")
+        body = payload[pos + 8:pos + 8 + size]
+        if cid == b"fmt ":
+            fmt = int.from_bytes(body[0:2], "little")
+            if fmt != 1:
+                raise NotImplementedError("only PCM WAV supported")
+            channels = int.from_bytes(body[2:4], "little")
+            rate = int.from_bytes(body[4:8], "little")
+            bits = int.from_bytes(body[14:16], "little")
+            if bits != 16:
+                raise NotImplementedError("only 16-bit PCM supported")
+        elif cid == b"data":
+            data = np.frombuffer(body, "<i2")
+        pos += 8 + size + (size & 1)  # chunks are word-aligned
+    if rate is None or data is None:
+        raise ValueError("missing fmt/data chunk")
+    return rate, data.reshape(-1, channels)
+
+
+def encode_wav(samples: np.ndarray, rate: int = 16000) -> bytes:
+    """frames×channels int16 → RIFF/WAVE PCM payload."""
+    if samples.ndim == 1:
+        samples = samples[:, None]
+    ch = samples.shape[1]
+    body = np.ascontiguousarray(samples, "<i2").tobytes()
+    fmt = (b"fmt " + (16).to_bytes(4, "little")
+           + (1).to_bytes(2, "little") + ch.to_bytes(2, "little")
+           + rate.to_bytes(4, "little")
+           + (rate * ch * 2).to_bytes(4, "little")
+           + (ch * 2).to_bytes(2, "little") + (16).to_bytes(2, "little"))
+    data = b"data" + len(body).to_bytes(4, "little") + body
+    riff_body = b"WAVE" + fmt + data
+    return b"RIFF" + len(riff_body).to_bytes(4, "little") + riff_body
+
+
+def _pool_grid(gray: np.ndarray, grid: int) -> np.ndarray:
+    """Mean-pool a 2-D array onto a grid×grid feature map (float32)."""
+    h, w = gray.shape
+    ys = np.minimum((np.arange(h) * grid) // max(h, 1), grid - 1)
+    xs = np.minimum((np.arange(w) * grid) // max(w, 1), grid - 1)
+    cell = ys[:, None] * grid + xs[None, :]
+    sums = np.bincount(cell.ravel(), weights=gray.ravel(),
+                       minlength=grid * grid)
+    cnts = np.maximum(np.bincount(cell.ravel(), minlength=grid * grid), 1)
+    return (sums / cnts).astype(np.float32)
+
+
 class DecodeImage:
     """binary payload → fixed-size float feature row.
+
+    Real path: P6 PPM via the pure-numpy decoder; features are a
+    grid-mean-pooled grayscale map (grid² == ``feat_dim``). Other
+    formats raise NotImplementedError (they need PIL). ``fake=True``
+    keeps the deterministic hash-seeded pseudo-decode.
 
     Output: media_id:int64, width:int32, height:int32,
     features:list<float> (dim ``feat_dim``).
@@ -42,20 +145,19 @@ class DecodeImage:
         self.payload_col = payload_col
         self.id_col = id_col
         self.feat_dim = feat_dim
+        self.grid = int(np.sqrt(feat_dim))
+        if self.grid * self.grid != feat_dim:
+            raise ValueError("feat_dim must be a square (grid pooling)")
         self.fake = fake
-        if not fake:
-            try:
-                import PIL.Image  # noqa: F401
-                self._pil = True
-            except ImportError:
-                self._pil = False
 
-    def _decode_real(self, payload: bytes):
-        if not getattr(self, "_pil", False):
-            raise NotImplementedError(
-                "image decoding requires PIL (not in this environment); "
-                "construct DecodeImage(fake=True) for plumbing tests")
-        raise NotImplementedError("real decode path not implemented")
+    def _decode_real(self, payload: bytes) -> tuple[int, int, np.ndarray]:
+        if payload.startswith(b"P6"):
+            w, h, pix = decode_ppm(payload)
+            gray = pix.astype(np.float64).mean(axis=2) / 255.0
+            return w, h, _pool_grid(gray, self.grid)
+        raise NotImplementedError(
+            "only P6 PPM decodes natively; other image formats require "
+            "PIL (not in this environment)")
 
     def _decode_fake(self, payload: bytes) -> tuple[int, int, np.ndarray]:
         """Deterministic pseudo-decode: dims + features from sha1(payload)."""
@@ -78,7 +180,7 @@ class DecodeImage:
             ids.append(mid)
             ws.append(w)
             hs.append(h)
-            feats.append(f)
+            feats.append(np.asarray(f, np.float32).ravel())
         return pa.table({
             "media_id": pa.array(ids, pa.int64()),
             "width": pa.array(ws, pa.int32()),
@@ -88,9 +190,46 @@ class DecodeImage:
         })
 
 
+class DecodeAudio:
+    """WAV binary payload → per-clip features: sample_rate, n_frames,
+    rms energy per fixed window (``n_windows`` of them, float32)."""
+
+    def __init__(self, payload_col: str = "payload",
+                 id_col: str = "media_id", n_windows: int = 16):
+        self.payload_col = payload_col
+        self.id_col = id_col
+        self.n_windows = n_windows
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids, rates, nframes, energies = [], [], [], []
+        for mid, p in zip(batch[self.id_col].to_pylist(),
+                          batch[self.payload_col].to_pylist()):
+            rate, samples = decode_wav(p)
+            mono = samples.astype(np.float64).mean(axis=1) / 32768.0
+            n = len(mono)
+            w = self.n_windows
+            edges = (np.arange(w + 1) * n) // w
+            rms = np.empty(w, np.float32)
+            for i in range(w):
+                seg = mono[edges[i]:edges[i + 1]]
+                rms[i] = np.sqrt(np.mean(seg * seg)) if len(seg) else 0.0
+            ids.append(mid)
+            rates.append(rate)
+            nframes.append(n)
+            energies.append(rms)
+        return pa.table({
+            "media_id": pa.array(ids, pa.int64()),
+            "sample_rate": pa.array(rates, pa.int32()),
+            "n_frames": pa.array(nframes, pa.int64()),
+            "rms": pa.array([e.tolist() for e in energies],
+                            pa.list_(pa.float32())),
+        })
+
+
 class FrameSample:
     """video binary → one row per sampled frame offset (metadata only;
-    the decode is the same stubbed boundary as DecodeImage)."""
+    compressed video decode stays behind the same NotImplementedError
+    boundary as non-PPM images)."""
 
     def __init__(self, payload_col: str = "payload",
                  id_col: str = "media_id", every_n_bytes: int = 1 << 16):
@@ -115,7 +254,7 @@ class FrameSample:
         })
 
 
-def decode_images(ds, *, fake: bool = True, feat_dim: int = 64,
+def decode_images(ds, *, fake: bool = False, feat_dim: int = 64,
                   batch_size: int = 64, concurrency=2):
     """Actor-pool decode stage over a media dataset (small batches: binary
     payloads dominate memory)."""
@@ -124,3 +263,27 @@ def decode_images(ds, *, fake: bool = True, feat_dim: int = 64,
                                                      feat_dim=feat_dim),
                           batch_format="pyarrow", batch_size=batch_size,
                           concurrency=concurrency)
+
+
+def synth_media_table(doc_ids: np.ndarray) -> pa.Table:
+    """Deterministic synthetic media table derived from doc ids: one
+    small P6 image per doc (seeded gradient + noise). Used by the driver
+    media query and tests — real container bytes through the real
+    decoder."""
+    ids, payloads = [], []
+    for did in np.asarray(doc_ids, np.int64).tolist():
+        rng = np.random.Generator(np.random.Philox(key=[did, 0]))
+        w = 24 + did % 17
+        h = 20 + did % 13
+        yy, xx = np.mgrid[0:h, 0:w]
+        base = ((xx * 255) // max(w - 1, 1) + (yy * 131) // max(h - 1, 1))
+        noise = rng.integers(0, 32, (h, w, 3), dtype=np.int64)
+        pix = np.clip(base[:, :, None] + noise, 0, 255).astype(np.uint8)
+        ids.append(did)
+        payloads.append(encode_ppm(pix))
+    return pa.table({
+        "media_id": pa.array(ids, pa.int64()),
+        "mime": pa.array(["image/x-portable-pixmap"] * len(ids),
+                         pa.string()),
+        "payload": pa.array(payloads, pa.binary()),
+    })

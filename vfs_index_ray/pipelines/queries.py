@@ -393,6 +393,30 @@ def q_langid(sf_dir: str) -> pa.Table:
         ["doc_id", "lang_pred"])
 
 
+def q_media_decode(sf_dir: str) -> pa.Table:
+    """Multimodal decode pipeline (rows-only): a deterministic P6 media
+    table derived from the first 64 doc_ids is decoded by the real
+    pure-numpy PPM decoder in an actor-pool map_batches stage; output is
+    per-image dims + a fixed-point feature checksum."""
+    import ray.data
+
+    from ..functions.multimodal import decode_images, synth_media_table
+    ids = (_docs_ds(sf_dir, columns=["doc_id"]).take(64))
+    doc_ids = np.sort(np.array([r["doc_id"] for r in ids], np.int64))
+    media = synth_media_table(doc_ids)
+    out = decode_images(ray.data.from_items(media.to_pylist()),
+                        feat_dim=16, batch_size=16).take_all()
+    out.sort(key=lambda r: r["media_id"])
+    fsum = [int(np.floor(float(np.sum(r["features"])) * 10000 + 0.5))
+            for r in out]
+    return pa.table({
+        "media_id": pa.array([r["media_id"] for r in out], pa.int64()),
+        "width": pa.array([r["width"] for r in out], pa.int64()),
+        "height": pa.array([r["height"] for r in out], pa.int64()),
+        "feat_sum_x1e4": pa.array(fsum, pa.int64()),
+    })
+
+
 # ---------------------------------------------------------------------------
 # streaming-shaped: event-time tumbling window (§2.10 analog)
 # ---------------------------------------------------------------------------
@@ -478,6 +502,7 @@ QUERIES = {
     "simhash_near_dup": q_simhash_near_dup,
     "embedding_near_dup": q_embedding_near_dup,
     "langid": q_langid,
+    "media_decode": q_media_decode,
     "events_hourly": q_events_hourly,
     "events_sessions": q_events_sessions,
     "nearest": q_nearest,
