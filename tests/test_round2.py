@@ -134,3 +134,31 @@ def test_empty_segment_schema_matches_nonempty():
     empty = _empty_segment_table()
     assert empty.schema == seg.schema
     assert pa.concat_tables([empty, seg]).num_rows == seg.num_rows
+
+
+def test_query_service_matches_engine(id_engine, ray_session, id_corpus,
+                                      tmp_path_factory):
+    """QueryService replicas return bit-identical results to the local
+    engine, reuse actors across calls, and route deterministically."""
+    from vfs_index_ray.service import QueryService
+
+    svc = QueryService(id_engine.index_dir, replicas=3)
+    try:
+        queries = ["bababa", "bababa babade", "nosuchtoken42",
+                   corpus.RARE_TERM]
+        results = svc.bm25_batch(queries, k=10)
+        for q, (docs, scores) in zip(queries, results):
+            ed, es = id_engine.bm25(q, 10)
+            assert docs.tolist() == ed.tolist()
+            assert scores.tolist() == es.tolist()
+        # second call reuses the same resident actors (call counters grow)
+        before = svc.calls_per_worker()
+        svc.bm25_batch(queries, k=10)
+        after = svc.calls_per_worker()
+        assert sum(after) > sum(before)
+        # deterministic routing: repeated query hits the same replica
+        assert svc._route("bababa") == svc._route("bababa")
+        assert svc.match("bababa").tolist() == \
+            id_engine.match("bababa").tolist()
+    finally:
+        svc.shutdown()
