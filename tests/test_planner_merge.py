@@ -196,3 +196,52 @@ def test_merge_bucketed_indexes(ray_session, split_corpora, tmp_path,
         expected = oracle_index.bm25(q, 20)
         assert [int(x) for x in docs] == [d for d, _ in expected], q
         assert [float(x) for x in scores] == [s for _, s in expected], q
+
+
+def test_federated_engine_matches_merged(ray_session, tmp_path):
+    """FederatedEngine over doc-disjoint indexes is fp64-identical to
+    the merged index; merge-on-search compacts budgeted rounds per query
+    and transparently swaps once complete (search_cond.go:828-837)."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from vfs_index_ray import corpus
+    from vfs_index_ray.build import IndexBuilder
+    from vfs_index_ray.merge import FederatedEngine, merge_indexes
+    from vfs_index_ray.search import SearchEngine
+
+    pages = corpus.generate_pages(200)
+    ids = pa.array(np.arange(200, dtype=np.int64), pa.int64())
+    tbl = pages.append_column("doc_id", ids)
+    f1, f2 = str(tmp_path / "a.parquet"), str(tmp_path / "b.parquet")
+    pq.write_table(tbl.slice(0, 120), f1)
+    pq.write_table(tbl.slice(120), f2)
+    ia, ib = str(tmp_path / "ia"), str(tmp_path / "ib")
+    IndexBuilder(ia, mode="word", num_parts=4, id_col="doc_id").build([f1])
+    IndexBuilder(ib, mode="word", num_parts=4, id_col="doc_id").build([f2])
+    ref_dir = str(tmp_path / "ref_merged")
+    merge_indexes([ia, ib], ref_dir)
+    ref = SearchEngine(ref_dir)
+
+    fed = FederatedEngine([ia, ib])
+    for q in ["bababa", "bababa babade", corpus.RARE_TERM,
+              "nosuchtokenzz"]:
+        rd, rs = ref.bm25(q, 10)
+        fd, fs = fed.bm25(q, 10)
+        assert fd.tolist() == rd.tolist(), q
+        assert fs.tolist() == rs.tolist(), q          # fp64-identical
+        assert fed.match(q).tolist() == ref.match(q).tolist()
+    assert fed.df("bababa") == ref.df("bababa")
+
+    # merge-on-search: budget 2 parts/query → compacts over 2 queries,
+    # then swaps to the merged engine; answers identical throughout
+    out = str(tmp_path / "mos")
+    mos = FederatedEngine([ia, ib], out_dir=out, merge_budget=2)
+    d1, s1 = mos.bm25("bababa", 10)
+    assert mos.merged is None                         # round 1: partial
+    d2, s2 = mos.bm25("bababa", 10)
+    assert mos.merged is not None                     # round 2: complete
+    rd, rs = ref.bm25("bababa", 10)
+    assert d1.tolist() == d2.tolist() == rd.tolist()
+    assert s1.tolist() == s2.tolist() == rs.tolist()

@@ -167,6 +167,111 @@ def merge_indexes(src_dirs: list[str], out_dir: str,
     return merged_stats
 
 
+class FederatedEngine:
+    """Query across several doc-disjoint segment indexes as if they were
+    one, with opportunistic merge-on-search (reference
+    search_cond.go:828-837 MergeOnSearch: queries over unmerged index
+    files trigger background merging; answers never wait for it).
+
+    Scoring uses GLOBAL statistics (N = Σ n_docs, avgdl from summed token
+    counts, df = Σ per-source df), and per-term postings are the sorted
+    union of the sources' — so BM25 results are fp64-identical to
+    querying the fully merged index (tests assert it).
+
+    ``merge_budget`` > 0 merges that many partitions into ``out_dir``
+    per query (budgeted compaction rounds, the MergeDuration analog);
+    once all partitions are committed the engine transparently swaps to
+    the merged index.
+    """
+
+    def __init__(self, src_dirs: list[str], out_dir: str | None = None,
+                 merge_budget: int = 0):
+        from .search import SearchEngine
+        self.src_dirs = list(src_dirs)
+        self.engines = [SearchEngine(s) for s in src_dirs]
+        stats = [e.stats for e in self.engines]
+        self.mode = stats[0]["mode"]
+        self.ndocs = sum(s["n_docs"] for s in stats)
+        total_tokens = sum(s["total_tokens"] for s in stats)
+        self.avgdl = (total_tokens / self.ndocs) if self.ndocs else 1.0
+        self.out_dir = out_dir
+        self.merge_budget = merge_budget
+        self.merged = None  # becomes a SearchEngine when compaction ends
+
+    def _maybe_merge(self) -> None:
+        if self.merged is not None or not self.out_dir or \
+                self.merge_budget <= 0:
+            return
+        report = merge_indexes(self.src_dirs, self.out_dir,
+                               max_parts=self.merge_budget)
+        if report.get("status") != "partial":
+            from .search import SearchEngine
+            self.merged = SearchEngine(self.out_dir)
+
+    def df(self, q: str) -> dict[str, int]:
+        out: dict[str, int] = {}
+        for e in self.engines:
+            for tok, d in e.df(q).items():
+                out[tok] = out.get(tok, 0) + d
+        return out
+
+    def match(self, q: str) -> np.ndarray:
+        self._maybe_merge()
+        if self.merged is not None:
+            return self.merged.match(q)
+        return np.sort(np.concatenate(
+            [e.match(q) for e in self.engines]))
+
+    def bm25(self, q: str, k: int = 10):
+        """Exact global BM25 over the union of sources (fp64-identical
+        to the merged index's exact path)."""
+        import math
+
+        from . import BM25_B, BM25_K1
+        from .search import SearchEngine
+        self._maybe_merge()
+        if self.merged is not None:
+            return self.merged.bm25(q, k)
+        tids = sorted({tid for e in self.engines
+                       for tid in e.query_term_ids(q)})
+        if not tids or not self.ndocs:
+            return np.empty(0, np.uint64), np.empty(0, np.float64)
+        per_term = []
+        for tid in tids:  # ascending accumulation, like _bm25_exact
+            docs_l, tfs_l, dls_l = [], [], []
+            df = 0
+            for e in self.engines:
+                p = e.load_terms([tid])[tid].decode()
+                df += p.df
+                if len(p.docs):
+                    docs_l.append(p.docs)
+                    tfs_l.append(p.tfs)
+                    dls_l.append(p.dls)
+            if df == 0:
+                continue
+            docs = np.concatenate(docs_l)
+            tfs = np.concatenate(tfs_l)
+            dls = np.concatenate(dls_l)
+            order = np.argsort(docs, kind="stable")  # doc-disjoint sources
+            per_term.append((docs[order], tfs[order], dls[order], df))
+        if not per_term:
+            return np.empty(0, np.uint64), np.empty(0, np.float64)
+        if len(per_term) == 1:
+            docs_all = per_term[0][0]
+        else:
+            docs_all = np.unique(np.concatenate(
+                [d for d, _, _, _ in per_term]))
+        scores = np.zeros(len(docs_all), np.float64)
+        for docs, tfs, dls, df in per_term:
+            tf = tfs.astype(np.float64)
+            dl = dls.astype(np.float64)
+            tfn = tf * (BM25_K1 + 1.0) / (
+                tf + BM25_K1 * (1.0 - BM25_B + BM25_B * dl / self.avgdl))
+            idf = math.log(1.0 + (self.ndocs - df + 0.5) / (df + 0.5))
+            scores[np.searchsorted(docs_all, docs)] += idf * tfn
+        return SearchEngine._topk(docs_all, scores, k)
+
+
 def repartition_index(src_dir: str, out_dir: str, new_num_parts: int) -> dict:
     """Split/Merge analog: rewrite an index with a different partition
     count (term_id % new_P). Decode per old part, tag new part, shuffle by
