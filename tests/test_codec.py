@@ -148,3 +148,33 @@ def test_auto_picks_varint_for_dense_ids():
     assert seg.to_pylist()[0]["denc"] == 0
     d, _, _ = codec.decode_chunk(seg.to_pylist()[0])
     assert (d == docs).all()
+
+
+def test_block_size_roundtrip_and_decode():
+    """Non-default skip-block sizes roundtrip; bsz rides in the chunk row
+    so mixed-block-size segments decode correctly side by side."""
+    import numpy as np
+
+    from vfs_index_ray.codec import (decode_block, decode_chunk,
+                                     encode_chunk, encode_partition)
+
+    rng = np.random.Generator(np.random.Philox(key=[3, 0]))
+    docs = np.cumsum(rng.integers(1, 50, 500).astype(np.uint64))
+    tfs = rng.integers(1, 9, 500).astype(np.uint64)
+    dls = rng.integers(20, 300, 500).astype(np.uint64)
+    for bs in (32, 64, 128, 7):
+        row = encode_chunk(docs, tfs, dls, block_size=bs)
+        assert row["bsz"] == bs
+        assert len(row["skip_doc_last"]) == (500 + bs - 1) // bs
+        d, t, l = decode_chunk(row)
+        assert np.array_equal(d, docs)
+        assert np.array_equal(t, tfs)
+        assert np.array_equal(l, dls)
+        bd, bt, bl = decode_block(row, 1)
+        assert np.array_equal(bd, docs[bs:2 * bs])
+    # partition encode carries bsz per chunk row
+    terms = np.repeat(np.uint64(9), 500)
+    seg = encode_partition(terms, docs, tfs, dls, 64, block_size=32)
+    assert seg["bsz"].to_pylist() == [32]
+    d, t, l = decode_chunk(seg.to_pylist()[0])
+    assert np.array_equal(d, docs)

@@ -98,10 +98,13 @@ class SegmentWriter:
     """
 
     def __init__(self, segments_dir: str, bucket_shift: int,
-                 lineage: list[str] | None = None):
+                 lineage: list[str] | None = None,
+                 block_size: int | None = None):
+        from .codec import BLOCK
         self.segments_dir = segments_dir
         self.bucket_shift = bucket_shift
         self.lineage = lineage or []
+        self.block_size = int(block_size or BLOCK)
 
     def encode_part(self, part: int, postings: pa.Table) -> pa.Table:
         import time
@@ -116,7 +119,8 @@ class SegmentWriter:
         terms, docs, tfs, dls = (terms[order], docs[order],
                                  tfs[order], dls[order])
         terms, docs, tfs, dls = _dedup_sorted_postings(terms, docs, tfs, dls)
-        seg = encode_partition(terms, docs, tfs, dls, self.bucket_shift)
+        seg = encode_partition(terms, docs, tfs, dls, self.bucket_shift,
+                               block_size=self.block_size)
 
         final = os.path.join(self.segments_dir, f"part={part:05d}.parquet")
         tmp = os.path.join(self.segments_dir, f".tmp.part={part:05d}.parquet")
@@ -155,7 +159,8 @@ class IndexBuilder:
                  tokenize_batch_size: int | None = 4096,
                  tokenize_actors: bool = False,
                  scratch_dir: str | None = None,
-                 positions: bool = False):
+                 positions: bool = False,
+                 block_size: int | None = None):
         self.index_dir = index_dir
         self.mode = mode
         self.num_parts = num_parts
@@ -166,6 +171,10 @@ class IndexBuilder:
         self.tokenize_concurrency = tokenize_concurrency
         self.tokenize_batch_size = tokenize_batch_size
         self.tokenize_actors = tokenize_actors
+        from .codec import BLOCK
+        # skip-block granularity: smaller blocks → tighter block-max
+        # bounds (better blockmax pruning) at more skip entries/bytes
+        self.block_size = int(block_size or BLOCK)
         # positions=True (word mode): token ordinals ride through the
         # shuffle as a delta+varint binary column and land in parallel
         # positions/part=N.parquet files — token-adjacency phrase queries
@@ -300,7 +309,8 @@ class IndexBuilder:
 
         writer = SegmentWriter(self.segments_dir, self.bucket_shift,
                                lineage=[os.path.basename(w)
-                                        for w in wave_dirs])
+                                        for w in wave_dirs],
+                               block_size=self.block_size)
 
         want_pos = self.positions
         pos_dir = os.path.join(self.index_dir, "positions")
@@ -389,6 +399,7 @@ class IndexBuilder:
             "version": __version__, "mode": self.mode,
             "num_parts": self.num_parts, "bucket_shift": self.bucket_shift,
             "n_docs": n_docs, "total_tokens": n_tokens,
+            "block_size": self.block_size,
             "avgdl": (n_tokens / n_docs) if n_docs else 0.0,
             "k1": BM25_K1, "b": BM25_B, "positions": self.positions,
             "waves": [w["wave"] for w in waves],

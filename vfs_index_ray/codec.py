@@ -97,19 +97,23 @@ def _varint_sizes(v: np.ndarray) -> np.ndarray:
     return nbytes
 
 
-def encode_chunk(doc_ids: np.ndarray, tfs: np.ndarray, dls: np.ndarray) -> dict:
+def encode_chunk(doc_ids: np.ndarray, tfs: np.ndarray, dls: np.ndarray,
+                 block_size: int = BLOCK) -> dict:
     """Encode one term's (chunk of a) posting list.
 
     ``doc_ids`` must be strictly ascending uint64; ``tfs``/``dls`` aligned.
     Returns a dict of binary buffers + skip/bound lists, matching the
-    segment-row schema in build.py.
+    segment-row schema in build.py. ``block_size`` tunes skip-block
+    granularity (smaller → tighter block-max bounds, more skip entries);
+    it is stored per chunk (``bsz``) so decode never guesses.
     """
+    B = int(block_size)
     doc_ids = np.ascontiguousarray(doc_ids, dtype=np.uint64)
     tfs = np.ascontiguousarray(tfs, dtype=np.uint64)
     dls = np.ascontiguousarray(dls, dtype=np.uint64)
     n = len(doc_ids)
     if n == 0:
-        return dict(n=0, docs=b"", tfs=b"", dls=b"",
+        return dict(n=0, bsz=B, docs=b"", tfs=b"", dls=b"",
                     skip_doc_last=[], skip_off_doc=[], skip_off_tf=[],
                     skip_off_dl=[], block_tf_max=[], block_dl_min=[])
     if n > 1 and not (doc_ids[1:] > doc_ids[:-1]).all():
@@ -119,7 +123,7 @@ def encode_chunk(doc_ids: np.ndarray, tfs: np.ndarray, dls: np.ndarray) -> dict:
     deltas = np.empty(n, dtype=np.uint64)
     deltas[0] = doc_ids[0]
     deltas[1:] = doc_ids[1:] - doc_ids[:-1]
-    block_starts = np.arange(0, n, BLOCK, dtype=np.int64)
+    block_starts = np.arange(0, n, B, dtype=np.int64)
     deltas[block_starts] = doc_ids[block_starts]  # absolute restart per block
 
     doc_sizes = _varint_sizes(deltas)
@@ -134,7 +138,7 @@ def encode_chunk(doc_ids: np.ndarray, tfs: np.ndarray, dls: np.ndarray) -> dict:
     dls_b = varint_encode(dls)
 
     nblocks = len(block_starts)
-    block_ends = np.minimum(block_starts + BLOCK, n)
+    block_ends = np.minimum(block_starts + B, n)
     # byte offset where each block starts in each buffer
     off_doc = np.zeros(nblocks, dtype=np.int64)
     off_doc[1:] = doc_ends[block_starts[1:] - 1]
@@ -148,7 +152,7 @@ def encode_chunk(doc_ids: np.ndarray, tfs: np.ndarray, dls: np.ndarray) -> dict:
     doc_last = doc_ids[block_ends - 1]
 
     return dict(
-        n=int(n), docs=docs_b, tfs=tfs_b, dls=dls_b,
+        n=int(n), bsz=B, docs=docs_b, tfs=tfs_b, dls=dls_b,
         skip_doc_last=doc_last.tolist(),
         skip_off_doc=off_doc.tolist(), skip_off_tf=off_tf.tolist(),
         skip_off_dl=off_dl.tolist(),
@@ -159,6 +163,7 @@ def encode_chunk(doc_ids: np.ndarray, tfs: np.ndarray, dls: np.ndarray) -> dict:
 def decode_chunk(row: dict) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
     """Decode a chunk back into (doc_ids, tfs, dls) uint64 arrays."""
     n = int(row["n"])
+    B = int(row.get("bsz") or BLOCK)
     tfs = varint_decode(row["tfs"], count=n)
     dls = varint_decode(row["dls"], count=n)
     if row.get("denc", 0):
@@ -169,19 +174,20 @@ def decode_chunk(row: dict) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
     deltas = varint_decode(row["docs"], count=n)
     doc_ids = np.cumsum(deltas, dtype=np.uint64)
     # undo cumsum across block-restart boundaries: blocks are independent
-    if n > BLOCK:
-        block_starts = np.arange(BLOCK, n, BLOCK, dtype=np.int64)
+    if n > B:
+        block_starts = np.arange(B, n, B, dtype=np.int64)
         # at each restart the stored value is absolute; cumsum added the
         # previous prefix — subtract it per block (vectorized via repeat)
         prefix = doc_ids[block_starts - 1].copy()
         reps = np.diff(np.append(block_starts, n))
-        doc_ids[BLOCK:] -= np.repeat(prefix, reps)
+        doc_ids[B:] -= np.repeat(prefix, reps)
     return doc_ids, tfs, dls
 
 
 def encode_partition(terms: np.ndarray, docs: np.ndarray, tfs: np.ndarray,
                      dls: np.ndarray, bucket_shift: int = 64,
-                     doc_encoding: str = "auto"):
+                     doc_encoding: str = "auto",
+                     block_size: int = BLOCK):
     """Encode ALL posting lists of one shuffle partition in one vectorized pass.
 
     Inputs are the partition's postings sorted by (term_id, doc_id), doc_ids
@@ -207,6 +213,7 @@ def encode_partition(terms: np.ndarray, docs: np.ndarray, tfs: np.ndarray,
     docs = np.ascontiguousarray(docs, dtype=np.uint64)
     tfs = np.ascontiguousarray(tfs, dtype=np.uint64)
     dls = np.ascontiguousarray(dls, dtype=np.uint64)
+    B = int(block_size)
     n = len(terms)
     if n == 0:
         return _empty_segment_table()
@@ -228,9 +235,9 @@ def encode_partition(terms: np.ndarray, docs: np.ndarray, tfs: np.ndarray,
     term_of_chunk = np.cumsum(new_term)[chunk_starts] - 1
     df_chunk = term_counts[term_of_chunk]
 
-    # block starts: every BLOCK-th posting within a chunk
+    # block starts: every B-th posting within a chunk
     local = np.arange(n, dtype=np.int64) - np.repeat(chunk_starts, chunk_counts)
-    block_start_mask = (local % BLOCK) == 0
+    block_start_mask = (local % B) == 0
     block_starts = np.flatnonzero(block_start_mask)
 
     # deltas, absolute at block starts (blocks self-contained)
@@ -305,6 +312,7 @@ def encode_partition(terms: np.ndarray, docs: np.ndarray, tfs: np.ndarray,
     return pa.table({
         "term_id": pa.array(terms[chunk_starts], pa.uint64()),
         "denc": pa.array(np.full(nchunks, denc, np.uint8), pa.uint8()),
+        "bsz": pa.array(np.full(nchunks, B, np.uint32), pa.uint32()),
         "bucket": pa.array(buckets[chunk_starts], pa.uint64()),
         "df": pa.array(df_chunk.astype(np.uint64), pa.uint64()),
         "n": pa.array(chunk_counts.astype(np.uint64), pa.uint64()),
@@ -329,6 +337,7 @@ def _empty_segment_table():
     return pa.table({
         "term_id": pa.array([], pa.uint64()),
         "denc": pa.array([], pa.uint8()),
+        "bsz": pa.array([], pa.uint32()),
         "bucket": pa.array([], pa.uint64()),
         "df": pa.array([], pa.uint64()),
         "n": pa.array([], pa.uint64()),
@@ -348,10 +357,11 @@ def _empty_segment_table():
 def decode_block(row: dict, bi: int) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
     """Decode only block ``bi`` of a chunk (self-contained; for skip reads)."""
     n = int(row["n"])
-    nblocks = (n + BLOCK - 1) // BLOCK
+    B = int(row.get("bsz") or BLOCK)
+    nblocks = (n + B - 1) // B
     if not 0 <= bi < nblocks:
         raise IndexError(bi)
-    cnt = min(BLOCK, n - bi * BLOCK)
+    cnt = min(B, n - bi * B)
     od, ot, ol = (row["skip_off_doc"], row["skip_off_tf"], row["skip_off_dl"])
     d_end = od[bi + 1] if bi + 1 < nblocks else len(row["docs"])
     t_end = ot[bi + 1] if bi + 1 < nblocks else len(row["tfs"])
