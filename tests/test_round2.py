@@ -162,3 +162,26 @@ def test_query_service_matches_engine(id_engine, ray_session, id_corpus,
             id_engine.match("bababa").tolist()
     finally:
         svc.shutdown()
+
+
+def test_bloom_negative_lookup_skips_parquet(id_engine):
+    """Absent terms are answered df=0 from the per-part bloom filter
+    without opening the segment parquet; present terms are unaffected."""
+    from vfs_index_ray.codec import bloom_build, bloom_test
+
+    id_engine._cache.clear()
+    dfs = id_engine.df("zzqqxyzzy bababa")
+    assert dfs["zzqqxyzzy"] == 0 and dfs["bababa"] > 0
+    st = id_engine.last_load_stats
+    assert st["bloom_skips"] >= 1
+    # all-absent query reads no parquet at all
+    id_engine._cache.clear()
+    assert id_engine.match("zzqqxyzzy qqqzzz9x") .tolist() == []
+    assert id_engine.last_load_stats["parts_read"] == 0
+    # bloom primitives: no false negatives ever
+    terms = np.arange(1000, dtype=np.uint64) * np.uint64(2654435761)
+    b = bloom_build(terms)
+    assert bloom_test(b, terms).all()
+    probe = np.arange(50000, 60000, dtype=np.uint64)
+    fp = bloom_test(b, probe).mean()
+    assert fp < 0.05  # ~0.6% expected at 16 bits/term

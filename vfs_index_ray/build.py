@@ -126,6 +126,15 @@ class SegmentWriter:
         tmp = os.path.join(self.segments_dir, f".tmp.part={part:05d}.parquet")
         pq.write_table(seg, tmp, compression="zstd")
         os.replace(tmp, final)
+        # term bloom filter beside the segment: absent-term lookups skip
+        # the parquet read entirely (segment-level negative cache)
+        from .codec import bloom_build
+        bloom_tmp = os.path.join(self.segments_dir,
+                                 f".tmp.part={part:05d}.bloom")
+        with open(bloom_tmp, "wb") as f:
+            f.write(bloom_build(terms))
+        os.replace(bloom_tmp, os.path.join(self.segments_dir,
+                                           f"part={part:05d}.bloom"))
         row = {
             "part": part,
             "n_chunks": seg.num_rows,

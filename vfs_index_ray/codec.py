@@ -354,6 +354,56 @@ def _empty_segment_table():
     })
 
 
+# ---------------------------------------------------------------------------
+# per-partition term bloom filter (negative-lookup fast path)
+# ---------------------------------------------------------------------------
+
+_BLOOM_K = 7  # hash functions; with m = 16 bits/term → fp rate ~0.6%
+
+
+def _bloom_hashes(terms: np.ndarray, m: int) -> np.ndarray:
+    """(k, n) bit indices for each term — splitmix64 finalizer over
+    term ^ seed_i, vectorized. ``m`` must be a power of two."""
+    t = np.ascontiguousarray(terms, np.uint64)
+    out = np.empty((_BLOOM_K, len(t)), np.int64)
+    mask = _U64(m - 1)
+    with np.errstate(over="ignore"):
+        for i in range(_BLOOM_K):
+            z = t + _U64(0x9E3779B97F4A7C15) * _U64(i + 1)
+            z = (z ^ (z >> _U64(30))) * _U64(0xBF58476D1CE4E5B9)
+            z = (z ^ (z >> _U64(27))) * _U64(0x94D049BB133111EB)
+            z = z ^ (z >> _U64(31))
+            out[i] = (z & mask).astype(np.int64)
+    return out
+
+
+def bloom_build(terms: np.ndarray, bits_per_term: int = 16) -> bytes:
+    """Bloom filter over a partition's distinct term_ids, as packed
+    bytes. Sized to the next power of two of n·bits_per_term (min 1024
+    bits) → ~0.6% false positives at 16 bits/term with k=7."""
+    t = np.unique(np.ascontiguousarray(terms, np.uint64))
+    m = 1024
+    while m < len(t) * bits_per_term:
+        m <<= 1
+    bits = np.zeros(m, bool)
+    if len(t):
+        idx = _bloom_hashes(t, m)
+        bits[idx.ravel()] = True
+    return np.packbits(bits, bitorder="little").tobytes()
+
+
+def bloom_test(bloom: bytes, terms: np.ndarray) -> np.ndarray:
+    """Vectorized membership test: True = possibly present, False =
+    definitely absent."""
+    t = np.ascontiguousarray(terms, np.uint64)
+    if len(t) == 0:
+        return np.zeros(0, bool)
+    bits = np.unpackbits(np.frombuffer(bloom, np.uint8),
+                         bitorder="little")
+    idx = _bloom_hashes(t, len(bits))
+    return bits[idx].all(axis=0).astype(bool)
+
+
 def decode_block(row: dict, bi: int) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
     """Decode only block ``bi`` of a chunk (self-contained; for skip reads)."""
     n = int(row["n"])

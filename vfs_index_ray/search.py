@@ -95,19 +95,55 @@ class SearchEngine:
         # search_cond.go:57-80): last_query_stats after each bm25/match
         self.last_query_stats: dict = {}
         self.last_fetch_stats: dict = {}
+        self._blooms: dict[int, bytes | None] = {}  # per-part term bloom
+        self.last_load_stats: dict = {}
 
     # ------------------------------------------------------------------
     def _segment_file(self, part: int) -> str:
         return os.path.join(self.index_dir, "segments",
                             f"part={part:05d}.parquet")
 
+    def _bloom(self, part: int) -> bytes | None:
+        """Lazy-load the part's term bloom filter (None if absent —
+        older indexes have no bloom files)."""
+        if part not in self._blooms:
+            path = os.path.join(self.index_dir, "segments",
+                                f"part={part:05d}.bloom")
+            try:
+                with open(path, "rb") as f:
+                    self._blooms[part] = f.read()
+            except OSError:
+                self._blooms[part] = None
+        return self._blooms[part]
+
     def load_terms(self, term_ids: list[int]) -> dict[int, Postings]:
         """Fetch raw segment rows for the given terms (part-pruned +
-        row-group-pushdown read), with per-engine caching."""
+        row-group-pushdown read), with per-engine caching. Terms the
+        part's bloom filter rules out short-circuit to df=0 without
+        touching the segment file (negative-lookup fast path)."""
+        from .codec import bloom_test
         missing: dict[int, list[int]] = {}
+        bloom_skips = 0
         for tid in term_ids:
             if tid not in self._cache:
                 missing.setdefault(tid % self.num_parts, []).append(tid)
+        for part in list(missing):
+            bloom = self._bloom(part)
+            if bloom is None:
+                continue
+            tids = missing[part]
+            maybe = bloom_test(bloom, np.array(tids, np.uint64))
+            for tid, ok in zip(tids, maybe):
+                if not ok:  # definitely absent: no parquet read
+                    self._cache[tid] = Postings(tid, 0, [])
+                    bloom_skips += 1
+            kept = [t for t, ok in zip(tids, maybe) if ok]
+            if kept:
+                missing[part] = kept
+            else:
+                del missing[part]
+        self.last_load_stats = {"parts_read": len(missing),
+                                "bloom_skips": bloom_skips}
         for part, tids in missing.items():
             path = self._segment_file(part)
             if not os.path.exists(path):
