@@ -121,3 +121,46 @@ def test_absorb_incremental_equals_full(ray_session, two_files, tmp_path):
             t1 = pq2.read_table(os.path.join(full, "segments", name))
             t2 = pq2.read_table(os.path.join(inc, "segments", name))
             assert t1.equals(t2), name
+
+
+def test_watch_absorb_once(ray_session, tmp_path):
+    """watch_absorb --once ingests only files not yet in any wave; a
+    second scan with no new files is a no-op; restartable by design."""
+    import subprocess
+    import sys
+
+    import numpy as np
+    import pyarrow as pa
+
+    from vfs_index_ray import corpus
+    from vfs_index_ray.search import SearchEngine
+
+    pages = corpus.generate_pages(90)
+    ids = pa.array(np.arange(90, dtype=np.int64), pa.int64())
+    tbl = pages.append_column("doc_id", ids)
+    inc = tmp_path / "incoming"
+    inc.mkdir()
+    pq.write_table(tbl.slice(0, 60), str(inc / "a.parquet"))
+    idx = str(tmp_path / "idx")
+
+    def run_once():
+        return subprocess.run(
+            [sys.executable, "scripts/watch_absorb.py", "--index", idx,
+             "--input", str(inc / "*.parquet"), "--num-parts", "4",
+             "--once"],
+            capture_output=True, text=True, cwd="/root/repo", check=True)
+
+    out = run_once()
+    assert '"absorbed": 1' in out.stdout
+    assert SearchEngine(idx).ndocs == 60
+    # new file arrives → only it is absorbed
+    pq.write_table(tbl.slice(60), str(inc / "b.parquet"))
+    out = run_once()
+    assert '"absorbed": 1' in out.stdout
+    eng = SearchEngine(idx)
+    assert eng.ndocs == 90
+    docs = eng.match("bababa")
+    assert (docs < 60).any() and (docs >= 60).any()
+    # nothing new → no absorb line
+    out = run_once()
+    assert "absorbed" not in out.stdout
