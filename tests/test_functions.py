@@ -351,3 +351,72 @@ def test_synth_media_decodes_deterministically(ray_session):
     b = {r["media_id"]: (r["width"], r["height"], r["features"])
          for r in again}
     assert a == b
+
+
+def test_bpe_token_count_matches_re(ray_session):
+    import ray.data
+
+    from vfs_index_ray.functions.textstats import BPE_SPLIT, BpeTokenCount
+    texts = ["Hello world, it's 42 tests!", "", "a'll b've c's",
+             "foo-bar  baz\nnew line", "日本語 text 123"]
+    rows = [{"doc_id": i, "text": t} for i, t in enumerate(texts)]
+    out = (ray.data.from_items(rows)
+           .map_batches(BpeTokenCount(), batch_format="pyarrow")
+           .take_all())
+    got = {r["doc_id"]: r["n_bpe_tokens"] for r in out}
+    # DuckDB's regexp_extract_all is an independent RE2 implementation
+    # of the same pattern — the cross-engine contract the driver checks
+    import duckdb
+    con = duckdb.connect()
+    for i, t in enumerate(texts):
+        want = con.execute("SELECT len(regexp_extract_all(?, ?))",
+                           [t, BPE_SPLIT]).fetchone()[0]
+        assert got[i] == want, t
+
+
+def test_gopher_quality_bruteforce(ray_session):
+    import ray.data
+
+    from vfs_index_ray.functions.textstats import GopherQuality
+    texts = ["line a\nline a\nline b", "- one\n* two\nthree",
+             "no newline!!!", "", "$$$ @@@ %%%"]
+    rows = [{"doc_id": i, "text": t} for i, t in enumerate(texts)]
+    out = (ray.data.from_items(rows)
+           .map_batches(GopherQuality(), batch_format="pyarrow")
+           .take_all())
+    got = {r["doc_id"]: r for r in out}
+    for i, t in enumerate(texts):
+        lines = t.split("\n")
+        nl = max(len(lines), 1)
+        dup = (len(lines) - len(set(lines))) / nl
+        bullets = sum(x.startswith(("- ", "* ")) for x in lines) / nl
+        sym = sum(not (c.isascii() and (c.isalnum() or c == " "))
+                  for c in t) / max(len(t), 1)
+        r = got[i]
+        assert r["n_lines"] == len(lines)
+        assert r["dup_line_frac_x1e4"] == int(np.floor(dup * 1e4 + 0.5))
+        assert r["bullet_ratio_x1e4"] == int(np.floor(bullets * 1e4 + 0.5))
+        assert r["symbol_ratio_x1e4"] == int(np.floor(sym * 1e4 + 0.5))
+
+
+def test_quantize_int8_roundtrip(ray_session):
+    import ray.data
+
+    from vfs_index_ray.functions.similarity import QuantizeInt8
+    rng = np.random.Generator(np.random.Philox(key=[21, 0]))
+    rows = [{"vec_id": i, "embedding": rng.normal(size=8).tolist()}
+            for i in range(20)]
+    out = (ray.data.from_items(rows)
+           .map_batches(QuantizeInt8(), batch_format="pyarrow")
+           .take_all())
+    got = {r["vec_id"]: r for r in out}
+    for row in rows:
+        v = np.asarray(row["embedding"])
+        scale = 127.0 / np.abs(v).max()
+        q = np.floor(v * scale + 0.5)
+        r = got[row["vec_id"]]
+        assert r["q"] == q.astype(np.int8).tolist()
+        assert r["qsum"] == int(q.sum())
+        assert r["qmax"] <= 127 and r["qmin"] >= -127
+        # dequantized vector stays close (int8 symmetric error bound)
+        assert np.abs(q / scale - v).max() <= 0.5 / scale + 1e-12

@@ -277,6 +277,51 @@ class IVFIndex:
         return ids[order].astype(np.int64), sims[order]
 
 
+class QuantizeInt8:
+    """Symmetric per-vector int8 quantization of an embedding column —
+    the standard 4× storage/bandwidth cut before ANN at scale. Per
+    vector: scale = 127 / max|x|, q_i = floor(x_i·scale + 0.5).
+
+    Output keeps scalar summaries alongside (qsum, qmin, qmax,
+    scale_x1e8) so results are hash-comparable against a DuckDB
+    list_transform oracle without list-column hashing."""
+
+    def __init__(self, vec_col: str = "embedding",
+                 id_col: str = "vec_id"):
+        self.vec_col = vec_col
+        self.id_col = id_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        mat = _embedding_matrix(batch, self.vec_col)
+        n = mat.shape[0]
+        if n == 0:
+            return pa.table({
+                "vec_id": pa.array([], pa.int64()),
+                "q": pa.array([], pa.list_(pa.int8())),
+                "qsum": pa.array([], pa.int64()),
+                "qmin": pa.array([], pa.int64()),
+                "qmax": pa.array([], pa.int64()),
+                "scale_x1e8": pa.array([], pa.int64()),
+            })
+        absmax = np.abs(mat).max(axis=1)
+        scale = 127.0 / np.maximum(absmax, 1e-30)
+        q = np.floor(mat * scale[:, None] + 0.5)
+        flat = q.ravel().astype(np.int8)
+        offs = np.arange(0, (n + 1) * mat.shape[1], mat.shape[1],
+                         dtype=np.int32)
+        qcol = pa.ListArray.from_arrays(pa.array(offs, pa.int32()),
+                                        pa.array(flat, pa.int8()))
+        return pa.table({
+            "vec_id": batch[self.id_col].cast(pa.int64()),
+            "q": qcol,
+            "qsum": pa.array(q.sum(axis=1).astype(np.int64), pa.int64()),
+            "qmin": pa.array(q.min(axis=1).astype(np.int64), pa.int64()),
+            "qmax": pa.array(q.max(axis=1).astype(np.int64), pa.int64()),
+            "scale_x1e8": pa.array(
+                np.floor(scale * 1e8 + 0.5).astype(np.int64), pa.int64()),
+        })
+
+
 class HyperplaneBands:
     """Per-batch banded hyperplane LSH keys: one row per (band, vec).
 

@@ -90,6 +90,98 @@ class Fingerprint:
         })
 
 
+# GPT-2-style pre-tokenizer, RE2-compatible (no lookahead): contraction
+# suffixes, letter runs, digit runs, punctuation runs, whitespace runs.
+# pyarrow and DuckDB both run RE2, so counts agree exactly.
+BPE_SPLIT = r"'(?:s|t|re|ve|m|ll|d)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+"
+
+
+class BpeTokenCount:
+    """Subword-style token counting: the number of BPE pre-tokenizer
+    segments (the standard proxy for LLM token budgets before merges).
+    Fully vectorized via RE2 (``pc.count_substring_regex``)."""
+
+    def __init__(self, text_col: str = "text", id_col: str = "doc_id"):
+        self.text_col = text_col
+        self.id_col = id_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        n = pc.count_substring_regex(batch[self.text_col],
+                                     pattern=BPE_SPLIT)
+        return pa.table({
+            "doc_id": batch[self.id_col],
+            "n_bpe_tokens": n.cast(pa.int64()),
+        })
+
+
+class GopherQuality:
+    """Gopher-style document quality signals (Rae et al. 2021, public
+    recipe), the ones that are exactly SQL-checkable:
+
+    - ``n_lines``, ``dup_line_frac_x1e4``: repeated-line fraction
+      (repetition filter);
+    - ``symbol_ratio_x1e4``: codepoints outside [a-zA-Z0-9 ] over all
+      codepoints (symbol-to-char ratio);
+    - ``bullet_ratio_x1e4``: lines starting with '- ' or '* '.
+
+    All fixed-point ints; vectorized (line hashing via lexsort runs, CJK
+    -safe codepoint classes over one UTF-32 buffer)."""
+
+    def __init__(self, text_col: str = "text", id_col: str = "doc_id"):
+        self.text_col = text_col
+        self.id_col = id_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from ..hashing import fnv1a64_tokens
+        texts = batch[self.text_col]
+        if isinstance(texts, pa.ChunkedArray):
+            texts = texts.combine_chunks()
+        n = batch.num_rows
+        lines = pc.split_pattern(texts, pattern="\n")
+        parent = pc.list_parent_indices(lines).to_numpy(
+            zero_copy_only=False)
+        flat = pc.list_flatten(lines)
+        n_lines = np.bincount(parent, minlength=n).astype(np.int64)
+        # distinct lines per doc: (parent, line-hash) run starts
+        h = fnv1a64_tokens(flat)
+        if len(h):
+            order = np.lexsort((h, parent))
+            p, t = parent[order], h[order]
+            new = np.empty(len(p), bool)
+            new[0] = True
+            new[1:] = (p[1:] != p[:-1]) | (t[1:] != t[:-1])
+            uniq = np.bincount(p[np.flatnonzero(new)], minlength=n)
+        else:
+            uniq = np.zeros(n, np.int64)
+        safe_lines = np.maximum(n_lines, 1).astype(np.float64)
+        dup_frac = (n_lines - uniq) / safe_lines
+        # bullet lines
+        is_bullet = pc.or_(pc.starts_with(flat, pattern="- "),
+                           pc.starts_with(flat, pattern="* ")
+                           ).to_numpy(zero_copy_only=False)
+        bullet = np.bincount(parent, weights=is_bullet.astype(np.float64),
+                             minlength=n) / safe_lines
+        # symbol ratio over codepoints (one UTF-32 buffer for the batch)
+        py = texts.to_pylist()
+        joined = "".join(s or "" for s in py)
+        codes = np.frombuffer(joined.encode("utf-32-le"), np.uint32)
+        lens = np.fromiter((len(s or "") for s in py), np.int64, count=n)
+        ok = ((codes >= ord("a")) & (codes <= ord("z"))) | \
+             ((codes >= ord("A")) & (codes <= ord("Z"))) | \
+             ((codes >= ord("0")) & (codes <= ord("9"))) | \
+             (codes == ord(" "))
+        csum = np.concatenate([[0], np.cumsum(~ok, dtype=np.int64)])
+        ends = np.cumsum(lens)
+        sym = (csum[ends] - csum[ends - lens]) / np.maximum(lens, 1)
+        return pa.table({
+            "doc_id": batch[self.id_col],
+            "n_lines": pa.array(n_lines, pa.int64()),
+            "dup_line_frac_x1e4": pa.array(_x1e4(dup_frac), pa.int64()),
+            "symbol_ratio_x1e4": pa.array(_x1e4(sym), pa.int64()),
+            "bullet_ratio_x1e4": pa.array(_x1e4(bullet), pa.int64()),
+        })
+
+
 class LangId:
     """n-gram/script heuristic language ID (en/ja/de/es fallback en).
 

@@ -393,6 +393,34 @@ def q_langid(sf_dir: str) -> pa.Table:
         ["doc_id", "lang_pred"])
 
 
+def q_bpe_token_count(sf_dir: str) -> pa.Table:
+    from ..functions.textstats import BpeTokenCount
+    out = _docs_ds(sf_dir, columns=["doc_id", "text"]).map_batches(
+        BpeTokenCount(), batch_format="pyarrow", concurrency=2)
+    return pa.Table.from_pylist(out.take_all()).select(
+        ["doc_id", "n_bpe_tokens"])
+
+
+def q_gopher_quality(sf_dir: str) -> pa.Table:
+    from ..functions.textstats import GopherQuality
+    out = _docs_ds(sf_dir, columns=["doc_id", "text"]).map_batches(
+        GopherQuality(), batch_format="pyarrow", concurrency=2)
+    return pa.Table.from_pylist(out.take_all()).select(
+        ["doc_id", "n_lines", "dup_line_frac_x1e4", "symbol_ratio_x1e4",
+         "bullet_ratio_x1e4"])
+
+
+def q_quantize_embeddings(sf_dir: str) -> pa.Table:
+    import ray.data
+
+    from ..functions.similarity import QuantizeInt8
+    ds = ray.data.read_parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    out = ds.map_batches(QuantizeInt8(), batch_format="pyarrow",
+                         concurrency=2)
+    return pa.Table.from_pylist(out.take_all()).select(
+        ["vec_id", "qsum", "qmin", "qmax", "scale_x1e8"])
+
+
 def q_media_decode(sf_dir: str) -> pa.Table:
     """Multimodal decode pipeline (rows-only): a deterministic P6 media
     table derived from the first 64 doc_ids is decoded by the real
@@ -502,6 +530,9 @@ QUERIES = {
     "simhash_near_dup": q_simhash_near_dup,
     "embedding_near_dup": q_embedding_near_dup,
     "langid": q_langid,
+    "bpe_token_count": q_bpe_token_count,
+    "gopher_quality": q_gopher_quality,
+    "quantize_embeddings": q_quantize_embeddings,
     "media_decode": q_media_decode,
     "events_hourly": q_events_hourly,
     "events_sessions": q_events_sessions,
@@ -733,6 +764,55 @@ FROM s GROUP BY user_id, session_id
     "nearest": """
 SELECT doc_id, n_chars FROM documents
 ORDER BY abs(n_chars - 300), n_chars, doc_id LIMIT 1
+""",
+    # pyarrow and DuckDB both use RE2: identical BPE-segment counts
+    "bpe_token_count": r"""
+SELECT doc_id, len(regexp_extract_all(text,
+  '''(?:s|t|re|ve|m|ll|d)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+'
+  ))::BIGINT AS n_bpe_tokens
+FROM documents
+""",
+    "gopher_quality": """
+WITH t AS (
+  SELECT doc_id, text, string_split(text, chr(10)) AS lines
+  FROM documents
+), m AS (
+  SELECT doc_id,
+    len(lines) AS n_lines,
+    greatest(len(lines), 1) AS nl,
+    len(lines) - len(list_distinct(lines)) AS dup_lines,
+    len(list_filter(lines, x -> starts_with(x, '- ')
+                            OR starts_with(x, '* '))) AS bullets,
+    greatest(length(text), 1) AS nchars,
+    length(regexp_replace(text, '[a-zA-Z0-9 ]', '', 'g')) AS syms
+  FROM t)
+SELECT doc_id,
+  n_lines::BIGINT AS n_lines,
+  CAST(floor(dup_lines::DOUBLE / nl * 10000 + 0.5) AS BIGINT)
+    AS dup_line_frac_x1e4,
+  CAST(floor(syms::DOUBLE / nchars * 10000 + 0.5) AS BIGINT)
+    AS symbol_ratio_x1e4,
+  CAST(floor(bullets::DOUBLE / nl * 10000 + 0.5) AS BIGINT)
+    AS bullet_ratio_x1e4
+FROM m
+""",
+    "quantize_embeddings": """
+WITH q AS (
+  SELECT vec_id,
+    127.0 / greatest(list_max(list_transform(embedding, x -> abs(x))),
+                     1e-30) AS scale,
+    embedding
+  FROM embeddings
+), qq AS (
+  SELECT vec_id, scale,
+    list_transform(embedding, x -> floor(x * scale + 0.5)) AS qvals
+  FROM q)
+SELECT vec_id,
+  CAST(list_sum(qvals) AS BIGINT) AS qsum,
+  CAST(list_min(qvals) AS BIGINT) AS qmin,
+  CAST(list_max(qvals) AS BIGINT) AS qmax,
+  CAST(floor(scale * 1e8 + 0.5) AS BIGINT) AS scale_x1e8
+FROM qq
 """,
     # minhash_near_dup / simhash_near_dup / embedding_near_dup:
     # non-SQL-expressible (sketches, LSH) → rows-only checks.
