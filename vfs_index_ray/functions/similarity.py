@@ -277,6 +277,81 @@ class IVFIndex:
         return ids[order].astype(np.int64), sims[order]
 
 
+def centroid_classify(ds, *, vec_col: str = "embedding",
+                      id_col: str = "vec_id", label_col: str = "label",
+                      round_to: float = 1e-6) -> pa.Table:
+    """Nearest-centroid classification over a labeled embedding table:
+    per-label mean vectors (distributed partial sums per batch → tiny
+    driver combine), broadcast, then per-batch cosine argmax.
+
+    Centroids are rounded to ``round_to`` before scoring so the engine
+    and the SQL oracle (whose avg() accumulates in a different order)
+    agree bit-for-bit on the compared fixed-point output. Ties: sim
+    desc, label asc. Returns (vec_id, pred_label, sim_x1e4)."""
+    import ray
+
+    def partial(t: pa.Table) -> pa.Table:
+        mat = _embedding_matrix(t, vec_col)
+        lab = t[label_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        if mat.shape[0] == 0:
+            return pa.table({"label": pa.array([], pa.int64()),
+                             "n": pa.array([], pa.int64()),
+                             "vsum": pa.array([],
+                                              pa.list_(pa.float64()))})
+        uniq, inv = np.unique(lab, return_inverse=True)
+        sums = np.zeros((len(uniq), mat.shape[1]), np.float64)
+        np.add.at(sums, inv, mat)
+        cnt = np.bincount(inv, minlength=len(uniq))
+        offs = np.arange(0, (len(uniq) + 1) * mat.shape[1],
+                         mat.shape[1], dtype=np.int32)
+        return pa.table({
+            "label": pa.array(uniq, pa.int64()),
+            "n": pa.array(cnt.astype(np.int64), pa.int64()),
+            "vsum": pa.ListArray.from_arrays(
+                pa.array(offs, pa.int32()),
+                pa.array(sums.ravel(), pa.float64())),
+        })
+
+    parts = ds.map_batches(partial, batch_format="pyarrow").take_all()
+    agg: dict[int, tuple[int, np.ndarray]] = {}
+    for r in parts:
+        n, v = agg.get(r["label"], (0, 0.0))
+        agg[r["label"]] = (n + r["n"],
+                           v + np.asarray(r["vsum"], np.float64))
+    labels = np.array(sorted(agg), np.int64)
+    cents = np.stack([agg[la][1] / agg[la][0] for la in labels])
+    cents = np.floor(cents / round_to + 0.5) * round_to  # oracle parity
+    cents_ref = ray.put((labels, cents))
+
+    def assign(t: pa.Table) -> pa.Table:
+        labs, cm = ray.get(cents_ref)
+        mat = _embedding_matrix(t, vec_col)
+        if mat.shape[0] == 0:
+            return pa.table({"vec_id": pa.array([], pa.int64()),
+                             "pred_label": pa.array([], pa.int64()),
+                             "sim_x1e4": pa.array([], pa.int64())})
+        mn = mat / np.maximum(np.linalg.norm(mat, axis=1, keepdims=True),
+                              1e-30)
+        cn = cm / np.maximum(np.linalg.norm(cm, axis=1, keepdims=True),
+                             1e-30)
+        sims = mn @ cn.T
+        best = np.argmax(sims, axis=1)  # first max = smallest label (tie)
+        bsim = sims[np.arange(len(best)), best]
+        return pa.table({
+            "vec_id": t[id_col].cast(pa.int64()),
+            "pred_label": pa.array(labs[best], pa.int64()),
+            "sim_x1e4": pa.array(
+                np.floor(bsim * 10000 + 0.5).astype(np.int64),
+                pa.int64()),
+        })
+
+    rows = ds.map_batches(assign, batch_format="pyarrow").take_all()
+    tbl = pa.Table.from_pylist(rows)
+    order = np.argsort(tbl["vec_id"].to_numpy(zero_copy_only=False),
+                       kind="stable")
+    return tbl.take(order).select(["vec_id", "pred_label", "sim_x1e4"])
+
+
 class QuantizeInt8:
     """Symmetric per-vector int8 quantization of an embedding column —
     the standard 4× storage/bandwidth cut before ANN at scale. Per

@@ -93,6 +93,28 @@ def sessionize(events_ds, *, gap_minutes: int = 30,
             .map_groups(per_part, batch_format="pyarrow"))
 
 
+class JsonExtractInt:
+    """Vectorized flat-JSON integer field extraction from a string
+    column (the decoder-registry analog at column granularity: the
+    events table carries ``props`` as a JSON string). One RE2 pass via
+    ``pc.extract_regex`` — no per-row json.loads. Nested/quoted JSON
+    would need a real parser; the regex contract is a top-level integer
+    field, which DuckDB's json_extract reproduces for the oracle."""
+
+    def __init__(self, key: str, json_col: str = "props",
+                 out_col: str | None = None):
+        self.key = key
+        self.json_col = json_col
+        self.out_col = out_col or key
+        self.pattern = (r'"' + key + r'"\s*:\s*(?P<v>-?\d+)')
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        m = pc.extract_regex(batch[self.json_col], pattern=self.pattern)
+        vals = pc.struct_field(m, "v").cast(pa.int64())
+        return batch.append_column(self.out_col, vals)
+
+
 def sessionize_table(events_ds, **kw) -> pa.Table:
     """Driver-side convenience: run sessionize and return a pyarrow
     Table with a stable column order/types."""

@@ -487,6 +487,34 @@ def q_events_sessions(sf_dir: str) -> pa.Table:
     return sessionize_table(ds, gap_minutes=30)
 
 
+def q_events_props(sf_dir: str) -> pa.Table:
+    """JSON property extraction (vectorized RE2) + per-type aggregate."""
+    import ray.data
+    from ray.data.aggregate import Count, Sum
+
+    from ..functions.windows import JsonExtractInt
+    ds = ray.data.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                               columns=["event_type", "props"])
+    out = (ds.map_batches(JsonExtractInt("k"), batch_format="pyarrow")
+           .groupby("event_type")
+           .aggregate(Count(alias_name="n"), Sum("k", alias_name="k_sum")))
+    tbl = pa.Table.from_pylist(out.take_all())
+    return pa.table({
+        "event_type": tbl["event_type"].cast(pa.string()),
+        "n": tbl["n"].cast(pa.int64()),
+        "k_sum": tbl["k_sum"].cast(pa.int64()),
+    })
+
+
+def q_label_classify(sf_dir: str) -> pa.Table:
+    """Nearest-centroid classification over the labeled embeddings."""
+    import ray.data
+
+    from ..functions.similarity import centroid_classify
+    ds = ray.data.read_parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    return centroid_classify(ds)
+
+
 def q_nearest(sf_dir: str) -> pa.Table:
     """J7 nearest-key lookup on a numeric column."""
     eng = get_engine(sf_dir)
@@ -536,6 +564,8 @@ QUERIES = {
     "media_decode": q_media_decode,
     "events_hourly": q_events_hourly,
     "events_sessions": q_events_sessions,
+    "events_props": q_events_props,
+    "label_classify": q_label_classify,
     "nearest": q_nearest,
 }
 
@@ -764,6 +794,35 @@ FROM s GROUP BY user_id, session_id
     "nearest": """
 SELECT doc_id, n_chars FROM documents
 ORDER BY abs(n_chars - 300), n_chars, doc_id LIMIT 1
+""",
+    "events_props": """
+SELECT event_type, count(*)::BIGINT AS n,
+       sum(CAST(json_extract_string(props, '$.k') AS BIGINT))::BIGINT
+         AS k_sum
+FROM events GROUP BY event_type
+""",
+    # centroids rounded to 1e-6 on BOTH sides so differing avg()
+    # accumulation orders cannot flip the compared fixed-point output
+    "label_classify": """
+WITH u AS (
+  SELECT label, unnest(embedding) AS v,
+         generate_subscripts(embedding, 1) AS i
+  FROM embeddings
+), c AS (
+  SELECT label, i, floor(avg(v) / 1e-6 + 0.5) * 1e-6 AS cv
+  FROM u GROUP BY label, i
+), cl AS (
+  SELECT label, list(cv ORDER BY i) AS cent FROM c GROUP BY label
+), sims AS (
+  SELECT e.vec_id, cl.label,
+         list_cosine_similarity(e.embedding, cl.cent) AS sim
+  FROM embeddings e CROSS JOIN cl
+)
+SELECT vec_id, label::BIGINT AS pred_label,
+       CAST(floor(sim * 10000 + 0.5) AS BIGINT) AS sim_x1e4
+FROM sims
+QUALIFY row_number() OVER (PARTITION BY vec_id
+                           ORDER BY sim DESC, label) = 1
 """,
     # pyarrow and DuckDB both use RE2: identical BPE-segment counts
     "bpe_token_count": r"""
