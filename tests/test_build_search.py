@@ -206,3 +206,13 @@ def test_distributed_on_bucketed_index(ray_session, pages_file, tmp_path,
         expected = oracle_index.bm25(q, 10)
         assert [int(x) for x in docs] == [d for d, _ in expected], q
         assert [float(x) for x in scores] == [s for _, s in expected], q
+
+
+def test_bm25_auto_method_identical(engine, oracle_index):
+    """method='auto' picks a pruned path for big multi-term queries and
+    stays bit-identical to exact (the engine-wide invariant)."""
+    for q in QUERIES:
+        de, se = engine.bm25(q, 10, "exact")
+        da, sa = engine.bm25(q, 10, "auto")
+        assert de.tolist() == da.tolist()
+        assert se.tolist() == sa.tolist()

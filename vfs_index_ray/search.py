@@ -27,9 +27,12 @@ tests assert it):
 - ``blockmax``: Block-Max-WAND-style pruning — an event sweep over every
   term's block doc-ranges finds the doc regions whose summed block upper
   bounds can beat a bootstrap threshold; only those regions are decoded
-  and rescored. On corpora with tight block bounds this prunes best; on
-  this synthetic Zipf corpus the bounds are loose (every block contains
-  a short doc) and ``maxscore`` wins — measured numbers in BASELINE.md.
+  and rescored. Measured (BASELINE.md round-2 sweep, both block-size and
+  doc-order axes): the sweep itself costs more than vectorized exact
+  scoring on cached lists, so ``maxscore`` is the head-term winner here.
+- ``auto`` (default for the actor/service paths): ``maxscore`` for
+  multi-term queries over big lists, ``exact`` otherwise — informed by
+  those measurements; results are bit-identical either way.
 
 Distributed path: ``bm25_topk_ray`` scores doc-range buckets independently
 (a doc's postings for every term share its bucket), then a tiny global
@@ -231,6 +234,13 @@ class SearchEngine:
         tids = [t for t in tids if loaded[t].df > 0]
         if not tids:
             return np.empty(0, np.uint64), np.empty(0, np.float64)
+        if method == "auto":
+            # measured (BASELINE.md block-size sweep): MaxScore wins on
+            # multi-term queries with big lists (term-level pruning, no
+            # sweep); exact wins when everything is small/cached
+            total_df = sum(loaded[t].df for t in tids)
+            method = "maxscore" if (len(tids) > 1 and
+                                    total_df > 65536) else "exact"
         if method == "maxscore" and len(tids) > 1:
             out = self._bm25_maxscore(tids, loaded, k)
         elif method == "blockmax":
@@ -959,7 +969,7 @@ class QueryActor:
     concurrency=N, batch_format="pyarrow")``.
     """
 
-    def __init__(self, index_dir: str, k: int = 10, method: str = "exact"):
+    def __init__(self, index_dir: str, k: int = 10, method: str = "auto"):
         self.engine = SearchEngine(index_dir)
         self.k = k
         self.method = method

@@ -39,7 +39,7 @@ class QueryWorker:
         self.n_calls = 0
 
     def bm25_batch(self, queries: list[str], k: int = 10,
-                   method: str = "exact"):
+                   method: str = "auto"):
         self.n_calls += 1
         out = []
         for q in queries:
@@ -77,13 +77,13 @@ class QueryService:
         # → warm postings/contribution caches
         return fnv1a64(q) % len(self.workers)
 
-    def bm25(self, q: str, k: int = 10, method: str = "exact"):
+    def bm25(self, q: str, k: int = 10, method: str = "auto"):
         [(docs, scores)] = ray.get(
             self.workers[self._route(q)].bm25_batch.remote([q], k, method))
         return np.array(docs, np.uint64), np.array(scores, np.float64)
 
     def bm25_batch(self, queries: list[str], k: int = 10,
-                   method: str = "exact"):
+                   method: str = "auto"):
         """Route, batch per replica (one RPC each), reassemble in input
         order. Returns [(doc_ids, scores), ...] aligned with queries."""
         by_worker: dict[int, list[int]] = {}
