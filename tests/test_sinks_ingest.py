@@ -199,3 +199,31 @@ def test_register_decoder(ray_session, tmp_path):
         assert sorted(r["doc_id"] for r in ds.take_all()) == list(range(5))
     finally:
         sinks._DECODERS.pop(".kv", None)
+
+
+def test_write_results_ds_formats(ray_session, tmp_path):
+    """Distributed writer: directory-of-files output per format, atomic
+    publish, hive partitioning for parquet."""
+    import ray.data
+
+    from vfs_index_ray.sinks import write_results_ds
+    rows = [{"doc_id": i, "grp": i % 3, "text": f"doc {i}"}
+            for i in range(100)]
+    ds = ray.data.from_items(rows)
+    out = write_results_ds(ds, str(tmp_path / "pq"), "parquet",
+                           partition_cols=["grp"])
+    back = pq.read_table(out)
+    assert back.num_rows == 100
+    assert sorted(os.listdir(out)) == ["grp=0", "grp=1", "grp=2"]
+    assert not os.path.exists(str(tmp_path / "pq.tmp"))
+    out = write_results_ds(ray.data.from_items(rows),
+                           str(tmp_path / "js"), "json")
+    n = sum(1 for f in os.listdir(out)
+            for _ in open(os.path.join(out, f)))
+    assert n == 100
+    out = write_results_ds(ray.data.from_items(rows),
+                           str(tmp_path / "cs"), "csv")
+    import pyarrow.csv as pacsv2
+    n = sum(pacsv2.read_csv(os.path.join(out, f)).num_rows
+            for f in os.listdir(out))
+    assert n == 100

@@ -44,6 +44,34 @@ def write_results(tbl: pa.Table, path: str, fmt: str | None = None) -> str:
     return path
 
 
+def write_results_ds(ds, out_dir: str, fmt: str = "parquet",
+                     partition_cols: list[str] | None = None) -> str:
+    """Distributed result writer (K3/K4 at scale): streams a Dataset to
+    a DIRECTORY of files (one per block — never one giant file), written
+    to a tmp dir and atomically renamed, so a failed job leaves no
+    partial output and a rerun is clean. ``partition_cols`` hive-
+    partitions parquet output by key (resumable/skippable per key)."""
+    import shutil
+
+    tmp = out_dir.rstrip("/") + ".tmp"
+    shutil.rmtree(tmp, ignore_errors=True)
+    os.makedirs(tmp, exist_ok=True)
+    if fmt == "parquet":
+        if partition_cols:
+            ds.write_parquet(tmp, partition_cols=partition_cols)
+        else:
+            ds.write_parquet(tmp)
+    elif fmt in ("json", "jsonl"):
+        ds.write_json(tmp)
+    elif fmt == "csv":
+        ds.write_csv(tmp)
+    else:
+        raise ValueError(f"unknown format {fmt!r}")
+    shutil.rmtree(out_dir, ignore_errors=True)
+    os.replace(tmp, out_dir)
+    return out_dir
+
+
 def stream_results(ds, batch_size: int = 1024, limit: int | None = None):
     """Streaming result iterator with an optional row limit — the
     reference's result channel + Limit SkipFn (search_finder.go:78-106,
