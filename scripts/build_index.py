@@ -36,7 +36,25 @@ def main(argv=None) -> int:
                     help="input waves (resume granularity)")
     ap.add_argument("--scratch", default=None,
                     help="ephemeral spill dir (fast local storage)")
+    ap.add_argument("--positions", action="store_true",
+                    help="build positional postings (phrase/proximity)")
+    ap.add_argument("--config", default=None,
+                    help="TOML job config (reference K6 named-config "
+                         "parity); CLI flags override file values")
     args = ap.parse_args(argv)
+    if args.config:
+        # named index configs, the reference's cmd_config.go TOML story:
+        # any key matching an argument name sets its default
+        import tomllib
+        with open(args.config, "rb") as f:
+            cfg = tomllib.load(f)
+        passed = {a.split("=")[0].lstrip("-").replace("-", "_")
+                  for a in (argv if argv is not None else sys.argv[1:])
+                  if a.startswith("--")}
+        for k, v in cfg.items():
+            k = k.replace("-", "_")
+            if hasattr(args, k) and k not in passed and k != "config":
+                setattr(args, k, v)
 
     files = sorted(glob.glob(args.input))
     if not files:
@@ -58,7 +76,7 @@ def main(argv=None) -> int:
         args.index, mode=args.mode, num_parts=args.num_parts,
         bucket_shift=args.bucket_shift, text_col=args.text_col,
         id_col=args.id_col, url_col=args.url_col,
-        scratch_dir=args.scratch,
+        scratch_dir=args.scratch, positions=args.positions,
     ).build(files, waves=args.waves)
     stats["build_seconds"] = round(time.perf_counter() - t0, 3)
     stats["docs_per_sec"] = round(stats["n_docs"] /

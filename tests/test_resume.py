@@ -164,3 +164,29 @@ def test_watch_absorb_once(ray_session, tmp_path):
     # nothing new → no absorb line
     out = run_once()
     assert "absorbed" not in out.stdout
+
+
+def test_build_index_toml_config(ray_session, tmp_path):
+    """K6 parity: TOML job config sets build options; CLI overrides."""
+    import subprocess
+    import sys
+
+    import numpy as np
+    import pyarrow as pa
+
+    from vfs_index_ray import corpus
+    from vfs_index_ray.build import read_stats
+
+    pages = corpus.generate_pages(40)
+    ids = pa.array(np.arange(40, dtype=np.int64), pa.int64())
+    src = str(tmp_path / "docs.parquet")
+    pq.write_table(pages.append_column("doc_id", ids), src)
+    cfg = tmp_path / "job.toml"
+    cfg.write_text('num_parts = 2\nmode = "word"\n')
+    idx = str(tmp_path / "idx")
+    subprocess.run(
+        [sys.executable, "scripts/build_index.py", "--input", src,
+         "--index", idx, "--config", str(cfg)],
+        capture_output=True, text=True, cwd="/root/repo", check=True)
+    st = read_stats(idx)
+    assert st["num_parts"] == 2 and st["mode"] == "word"
