@@ -185,3 +185,38 @@ def test_bloom_negative_lookup_skips_parquet(id_engine):
     probe = np.arange(50000, 60000, dtype=np.uint64)
     fp = bloom_test(b, probe).mean()
     assert fp < 0.05  # ~0.6% expected at 16 bits/term
+
+
+def test_key_range_and_nearest_fuzz(id_engine, id_corpus):
+    """Fuzz the key-space scan + nearest-key against a brute-force map
+    built from the corpus tokens (word mode: hashed keyspace — order is
+    arbitrary but the scan contract is pure uint64 ranges)."""
+    import re
+
+    from vfs_index_ray.hashing import fnv1a64
+
+    tbl = pq.read_table(id_corpus, columns=["doc_id", "text"])
+    keymap: dict[int, set[int]] = {}
+    for did, text in zip(tbl["doc_id"].to_pylist(),
+                         tbl["text"].to_pylist()):
+        for tok in re.split(r"[^a-z0-9]+", text.lower()):
+            if tok:
+                keymap.setdefault(fnv1a64(tok), set()).add(did)
+    keys = np.array(sorted(keymap), np.uint64)
+    rng = np.random.Generator(np.random.Philox(key=[77, 0]))
+    for _ in range(25):
+        a, b = rng.integers(0, 1 << 64, 2, dtype=np.uint64)
+        lo, hi = (a, b) if a <= b else (b, a)
+        expect = sorted(set().union(*(
+            keymap[k] for k in keys[(keys >= lo) & (keys <= hi)])) or set())
+        got = id_engine.term_range_docs(int(lo), int(hi))
+        assert got.tolist() == expect
+        # nearest at both ends of the range
+        below = keys[keys <= hi]
+        want = int(below[-1]) if len(below) else None
+        res = id_engine.nearest_term(int(hi), less=True)
+        assert (res[0] if res else None) == want
+        above = keys[keys >= lo]
+        want = int(above[0]) if len(above) else None
+        res = id_engine.nearest_term(int(lo), less=False)
+        assert (res[0] if res else None) == want
