@@ -413,40 +413,87 @@ class SearchEngine:
         return np.sort(ids[ok])
 
     # ------------------------------------------------------------------
-    def positions_for(self, term_ids: list[int], docs: np.ndarray
-                      ) -> dict[tuple[int, int], np.ndarray]:
-        """Token-ordinal lists for (term, doc) pairs from the positional
-        files (part-pruned, term-pushdown read). Requires an index built
-        with positions=True."""
+    def positions_flat(self, term_ids: list[int], docs: np.ndarray
+                       ) -> dict[int, tuple[np.ndarray, np.ndarray]]:
+        """Flat positional postings for candidate docs: per term, a
+        (doc_rep, ordinal) pair of aligned arrays sorted by (doc,
+        ordinal). ALL varint decoding happens in one vectorized pass per
+        part (concatenated buffer + per-row cumsum restart — the same
+        trick as the block codec); no per-(term,doc) Python loop."""
         from .codec import varint_decode
         if not self.stats.get("positions"):
             raise ValueError("index was built without positions=True")
-        out: dict[tuple[int, int], np.ndarray] = {}
         doc_set = np.sort(np.asarray(docs, np.uint64))
+        out: dict[int, tuple[np.ndarray, np.ndarray]] = {}
         by_part: dict[int, list[int]] = {}
         for tid in term_ids:
             by_part.setdefault(tid % self.num_parts, []).append(tid)
+        e = np.empty(0, np.uint64)
         for part, tids in by_part.items():
             path = os.path.join(self.index_dir, "positions",
                                 f"part={part:05d}.parquet")
             if not os.path.exists(path):
                 continue
             tbl = pq.read_table(path, filters=[
-                ("term_id", "in", [np.uint64(t) for t in tids])])
+                ("term_id", "in", [np.uint64(t) for t in tids])],
+                use_threads=False)
             t = tbl["term_id"].to_numpy(zero_copy_only=False)
             d = tbl["doc_id"].to_numpy(zero_copy_only=False)
-            if len(doc_set):
-                pos_in = np.minimum(np.searchsorted(doc_set, d),
-                                    len(doc_set) - 1)
-                keep = np.flatnonzero(doc_set[pos_in] == d)
-            else:
-                keep = np.empty(0, np.int64)
+            if len(doc_set) == 0 or len(d) == 0:
+                continue
+            pos_in = np.minimum(np.searchsorted(doc_set, d),
+                                len(doc_set) - 1)
+            keep = np.flatnonzero(doc_set[pos_in] == d)
+            if len(keep) == 0:
+                continue
             pos_col = tbl["pos"]
-            for i in keep:
-                deltas = varint_decode(pos_col[int(i)].as_py())
-                out[(int(t[i]), int(d[i]))] = np.cumsum(deltas,
-                                                        dtype=np.uint64)
+            if isinstance(pos_col, pa.ChunkedArray):
+                pos_col = pos_col.combine_chunks()
+            offs = np.frombuffer(pos_col.buffers()[1], np.int64,
+                                 count=len(pos_col) + 1)
+            data = np.frombuffer(pos_col.buffers()[2] or b"", np.uint8)
+            starts, ends = offs[keep], offs[keep + 1]
+            lens = ends - starts
+            total = int(lens.sum())
+            if total == 0:
+                continue
+            # vectorized multi-slice gather of the kept rows' buffers
+            v0 = np.concatenate([[0], np.cumsum(lens)[:-1]])
+            idx = np.repeat(starts - v0, lens) + np.arange(total)
+            buf = data[idx]
+            flat = varint_decode(buf)
+            is_end = (buf & 0x80) == 0
+            ce = np.cumsum(is_end)
+            counts = np.diff(np.concatenate(
+                [[0], ce[np.cumsum(lens) - 1]]))
+            # per-row cumsum restart (first value of each row absolute)
+            ords = np.cumsum(flat, dtype=np.uint64)
+            vstarts = np.concatenate([[0], np.cumsum(counts)[:-1]])
+            prefix = np.where(vstarts > 0, ords[vstarts - 1], 0
+                              ).astype(np.uint64)
+            ords = ords - np.repeat(prefix, counts)
+            doc_rep = np.repeat(d[keep], counts).astype(np.uint64)
+            term_rep = np.repeat(t[keep], counts)
+            # rows are sorted (term, doc) → contiguous per-term runs
+            bnd = np.flatnonzero(np.concatenate(
+                [[True], term_rep[1:] != term_rep[:-1]]))
+            ends_v = np.append(bnd[1:], len(term_rep))
+            for s0, e0 in zip(bnd, ends_v):
+                out[int(term_rep[s0])] = (doc_rep[s0:e0], ords[s0:e0])
+        for tid in term_ids:
+            out.setdefault(tid, (e, e.copy()))
         return out
+
+    def _position_keys(self, flat_pair, cand_sorted: np.ndarray
+                       ) -> np.ndarray:
+        """(doc, ordinal) → packed uint64 key: candidate index << 32 |
+        ordinal. Ordinals are token positions (< 2^32 for any real doc),
+        so +1 arithmetic stays inside the doc."""
+        dr, orr = flat_pair
+        if len(dr) == 0:
+            return np.empty(0, np.uint64)
+        ci = np.searchsorted(cand_sorted, dr).astype(np.uint64)
+        return (ci << np.uint64(32)) | orr
 
     def phrase_match_positional(self, phrase: str) -> np.ndarray:
         """Token-adjacency phrase matching from positional postings — no
@@ -472,24 +519,21 @@ class SearchEngine:
         cands = self.match(phrase)
         if len(cands) == 0:
             return cands
-        pos = self.positions_for(sorted(set(seq)), cands)
-        hits = []
+        # vectorized across ALL candidate docs at once: pack (doc,
+        # ordinal) into one sortable key, then chain sorted-set
+        # intersections of (prefix_end + 1) with the next term's keys
+        cand_sorted = np.sort(np.asarray(cands, np.uint64))
+        flat = self.positions_flat(sorted(set(seq)), cand_sorted)
+        A = self._position_keys(flat[seq[0]], cand_sorted)
         one = np.uint64(1)
-        for doc in cands.tolist():
-            # P = ordinals where the matched prefix currently ends
-            P = pos.get((seq[0], doc))
-            for tid in seq[1:]:
-                if P is None or len(P) == 0:
-                    P = None
-                    break
-                nxt = pos.get((tid, doc))
-                if nxt is None:
-                    P = None
-                    break
-                P = np.intersect1d(P + one, nxt, assume_unique=True)
-            if P is not None and len(P) > 0:
-                hits.append(doc)
-        return np.array(sorted(hits), np.uint64)
+        for tid in seq[1:]:
+            if len(A) == 0:
+                break
+            A = np.intersect1d(A + one, self._position_keys(
+                flat[tid], cand_sorted), assume_unique=True)
+        if len(A) == 0:
+            return np.empty(0, np.uint64)
+        return cand_sorted[np.unique(A >> np.uint64(32)).astype(np.int64)]
 
     def proximity_match(self, q: str, window: int) -> np.ndarray:
         """Positional proximity: docs where some occurrence of every
@@ -502,42 +546,35 @@ class SearchEngine:
         cands = self.match(q)
         if len(cands) == 0:
             return cands
-        pos = self.positions_for(tids, cands)
-        win = np.uint64(window)
-        hits = []
-        for doc in cands.tolist():
-            lists = [pos.get((t, doc)) for t in tids]
-            if any(p is None or len(p) == 0 for p in lists):
-                continue
-            # merge all (ordinal, list-id) and slide a window that
-            # covers every list
-            allpos = np.concatenate(lists)
-            owner = np.concatenate([np.full(len(p), i, np.int64)
-                                    for i, p in enumerate(lists)])
-            order = np.argsort(allpos, kind="stable")
-            ap, ow = allpos[order], owner[order]
-            need = len(lists)
-            count = np.zeros(need, np.int64)
-            covered = 0
-            lo = 0
-            found = False
-            for hi in range(len(ap)):
-                if count[ow[hi]] == 0:
-                    covered += 1
-                count[ow[hi]] += 1
-                while covered == need:
-                    if ap[hi] - ap[lo] <= win:
-                        found = True
-                        break
-                    count[ow[lo]] -= 1
-                    if count[ow[lo]] == 0:
-                        covered -= 1
-                    lo += 1
-                if found:
-                    break
-            if found:
-                hits.append(doc)
-        return np.array(sorted(hits), np.uint64)
+        # vectorized exact minimal-window test across all docs at once:
+        # a doc matches iff for SOME occurrence position p,
+        # max_j next_j(p) − p ≤ window, where next_j(p) is list j's first
+        # occurrence ≥ p in the same doc (the optimal window's low end is
+        # always an occurrence, so scanning occurrence positions is exact)
+        cand_sorted = np.sort(np.asarray(cands, np.uint64))
+        flat = self.positions_flat(tids, cand_sorted)
+        keys = [self._position_keys(flat[t], cand_sorted) for t in tids]
+        P = np.unique(np.concatenate(keys)) if keys else \
+            np.empty(0, np.uint64)
+        if len(P) == 0:
+            return np.empty(0, np.uint64)
+        sentinel = np.uint64(0xFFFFFFFFFFFFFFFF)
+        max_next = np.zeros(len(P), np.uint64)
+        for kj in keys:
+            if len(kj) == 0:
+                return np.empty(0, np.uint64)  # term absent everywhere
+            i = np.searchsorted(kj, P)
+            ok = i < len(kj)
+            v = kj[np.minimum(i, len(kj) - 1)]
+            same_doc = ok & ((v >> np.uint64(32)) == (P >> np.uint64(32)))
+            nj = np.where(same_doc, v, sentinel)
+            max_next = np.maximum(max_next, nj)
+        good = (max_next != sentinel) & \
+               (max_next - P <= np.uint64(window))
+        if not good.any():
+            return np.empty(0, np.uint64)
+        return cand_sorted[np.unique(P[good] >> np.uint64(32)
+                                     ).astype(np.int64)]
 
     # ------------------------------------------------------------------
     def term_range_docs(self, lo: int | None, hi: int | None
