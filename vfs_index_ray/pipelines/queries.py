@@ -421,6 +421,33 @@ def q_quantize_embeddings(sf_dir: str) -> pa.Table:
         ["vec_id", "qsum", "qmin", "qmax", "scale_x1e8"])
 
 
+def q_curation(sf_dir: str) -> pa.Table:
+    """End-to-end training-data curation pipeline, composed from the
+    operator set and streaming throughout: language filter (LangId) →
+    quality filter (TokenStats, n_tokens ≥ 30) → exact dedup (min doc_id
+    per content hash). Returns surviving doc_ids — every stage has an
+    exact SQL twin, so the WHOLE pipeline is hash-checked."""
+    from ..functions.dedup import exact_dedup
+    from ..functions.textstats import LangId, TokenStats
+
+    ds = _docs_ds(sf_dir, columns=["doc_id", "text"])
+
+    def keep(t: pa.Table) -> pa.Table:
+        stats = TokenStats()(t)
+        lang = LangId()(t)
+        ok = pc.and_(
+            pc.greater_equal(stats["n_tokens"], 30),
+            pc.equal(lang["lang_pred"], "en"))
+        return t.filter(ok)
+
+    survivors = exact_dedup(ds.map_batches(keep, batch_format="pyarrow",
+                                           zero_copy_batch=True))
+    tbl = pa.Table.from_pylist(survivors.take_all())
+    ids = np.sort(tbl["doc_id"].to_numpy(zero_copy_only=False)
+                  .astype(np.int64))
+    return pa.table({"doc_id": pa.array(ids, pa.int64())})
+
+
 def q_media_decode(sf_dir: str) -> pa.Table:
     """Multimodal decode pipeline (rows-only): a deterministic P6 media
     table derived from the first 64 doc_ids is decoded by the real
@@ -561,6 +588,7 @@ QUERIES = {
     "bpe_token_count": q_bpe_token_count,
     "gopher_quality": q_gopher_quality,
     "quantize_embeddings": q_quantize_embeddings,
+    "curation": q_curation,
     "media_decode": q_media_decode,
     "events_hourly": q_events_hourly,
     "events_sessions": q_events_sessions,
@@ -823,6 +851,30 @@ SELECT vec_id, label::BIGINT AS pred_label,
 FROM sims
 QUALIFY row_number() OVER (PARTITION BY vec_id
                            ORDER BY sim DESC, label) = 1
+""",
+    # the full curation pipeline: language + quality filter + exact
+    # dedup, all via the same SQL fragments as the per-stage oracles
+    "curation": f"""
+WITH t AS (SELECT doc_id, text, {TOKS} AS toks FROM documents),
+m AS (SELECT doc_id, text,
+  len(toks) AS nt,
+  greatest(len(toks), 1) AS nts,
+  greatest(length(text), 1) AS nchars,
+  length(text) - length(regexp_replace(text,
+      '[\\x{{3040}}-\\x{{30FF}}\\x{{4E00}}-\\x{{9FFF}}]', '', 'g')) AS ncjk,
+  len(list_filter(toks, x -> list_contains(
+      ['der','die','und','das','ist','nicht'], x))) AS de_cnt,
+  len(list_filter(toks, x -> list_contains(
+      ['el','la','los','de','que','es'], x))) AS es_cnt
+  FROM t),
+f AS (
+  SELECT doc_id, text FROM m
+  WHERE nt >= 30
+    AND NOT (ncjk::DOUBLE / nchars > 0.2)
+    AND NOT (de_cnt::DOUBLE / nts > 0.05)
+    AND NOT (es_cnt::DOUBLE / nts > 0.08)
+)
+SELECT min(doc_id)::BIGINT AS doc_id FROM f GROUP BY md5(text)
 """,
     # pyarrow and DuckDB both use RE2: identical BPE-segment counts
     "bpe_token_count": r"""
