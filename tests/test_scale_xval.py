@@ -54,3 +54,39 @@ def test_paths_agree_at_scale(scale_indexes, q):
     dr, sr = bm25_topk_ray(idx_b, q, 20)
     assert de.tolist() == dr.tolist() and se.tolist() == sr.tolist()
     assert eng.match(q).tolist() == eng_b.match(q).tolist()
+
+
+def test_positional_phrase_xval_1p6m(ray_session):
+    """Positional phrase at 1.6M docs cross-validated against the
+    substring-verify path: on this corpus tokens are single-space
+    joined, so token adjacency == substring for space-joined phrases —
+    the two independent implementations must agree exactly."""
+    import numpy as np
+
+    from vfs_index_ray.build import IndexBuilder
+    from vfs_index_ray.search import SearchEngine
+
+    if not os.path.isdir(SRC):
+        pytest.skip("bench corpus missing; run bench.py first")
+    files = sorted(os.path.join(SRC, f) for f in os.listdir(SRC)
+                   if f.endswith(".parquet"))
+    idx = "/tmp/vfsray_bench/idx_pos16"
+    if not os.path.exists(os.path.join(idx, "stats.json")):
+        IndexBuilder(idx, mode="word", num_parts=64, id_col=None,
+                     scratch_dir="/tmp/vfsray_scratch_px",
+                     positions=True).build(files)
+        shutil.rmtree("/tmp/vfsray_scratch_px", ignore_errors=True)
+    eng = SearchEngine(idx, corpus_files=files)
+    from vfs_index_ray import corpus
+    phrases = [corpus.PHRASE, "babade babadi babado",
+               "xenolithite bababa"]
+    for p in phrases:
+        pos = eng.phrase_match_positional(p)
+        sub = eng.phrase_match(p)
+        assert pos.tolist() == sub.tolist(), p
+    # planted phrase present at every corpus size (content-derived ids)
+    assert len(eng.phrase_match_positional(corpus.PHRASE)) >= 3
+    # proximity is a superset of adjacency for the same tokens
+    prox = eng.proximity_match("babade babadi", 1)
+    adj = eng.phrase_match_positional("babade babadi")
+    assert np.isin(adj, prox).all()
