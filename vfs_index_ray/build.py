@@ -124,7 +124,10 @@ class SegmentWriter:
 
         final = os.path.join(self.segments_dir, f"part={part:05d}.parquet")
         tmp = os.path.join(self.segments_dir, f".tmp.part={part:05d}.parquet")
-        pq.write_table(seg, tmp, compression="zstd")
+        # row groups sized so term-pushdown point lookups decode only
+        # a few thousand chunk rows, not the whole partition
+        pq.write_table(seg, tmp, compression="zstd",
+                       row_group_size=4096)
         os.replace(tmp, final)
         # term bloom filter beside the segment: absent-term lookups skip
         # the parquet read entirely (segment-level negative cache)
@@ -359,7 +362,13 @@ class IndexBuilder:
                                          ).take(order)
                     tmp_p = os.path.join(pos_dir,
                                          f".tmp.part={int(p):05d}.parquet")
-                    pq.write_table(ptab, tmp_p, compression="zstd")
+                    # small row groups: (term, doc)-sorted rows + doc_id
+                    # statistics make candidate-scoped positional reads
+                    # prune sharply (a head term's list spans many
+                    # groups, and a phrase with few candidates reads
+                    # only the groups containing them)
+                    pq.write_table(ptab, tmp_p, compression="zstd",
+                                   row_group_size=32768)
                     os.replace(tmp_p, os.path.join(
                         pos_dir, f"part={int(p):05d}.parquet"))
                     merged = merged.drop(["pos"])

@@ -434,9 +434,15 @@ class SearchEngine:
                                 f"part={part:05d}.parquet")
             if not os.path.exists(path):
                 continue
-            tbl = pq.read_table(path, filters=[
-                ("term_id", "in", [np.uint64(t) for t in tids])],
-                use_threads=False)
+            filters = [("term_id", "in", [np.uint64(t) for t in tids])]
+            if 0 < len(doc_set) <= 8192:
+                # small candidate set (e.g. rare∧head phrase): push the
+                # doc ids down too — rows are (term, doc)-sorted, so row
+                # groups of a head term's span prune on doc statistics
+                # instead of decoding its whole positional list
+                filters.append(("doc_id", "in", list(doc_set)))  # keep
+                # np.uint64 scalars: plain ints > 2^63 overflow isin
+            tbl = pq.read_table(path, filters=filters, use_threads=False)
             t = tbl["term_id"].to_numpy(zero_copy_only=False)
             d = tbl["doc_id"].to_numpy(zero_copy_only=False)
             if len(doc_set) == 0 or len(d) == 0:
