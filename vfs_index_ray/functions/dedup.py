@@ -313,6 +313,64 @@ def drop_near_dups(ds, pairs: pa.Table, id_col: str = "doc_id"):
     return ds.map_batches(keep, batch_format="pyarrow", zero_copy_batch=True)
 
 
+def cluster_pairs_distributed(pairs_ds, *, num_partitions: int = 8,
+                              max_iters: int = 50):
+    """doc → representative (connected-component min) via min-label
+    propagation — the scale path for when the near-dup PAIR set itself
+    exceeds the driver (``cluster_pairs`` is the driver union-find for
+    provably small pair sets).
+
+    Pure Ray Data: per round, each edge forwards its endpoints' current
+    labels both ways (two hash joins), labels fold with a per-node min,
+    and the round loop stops when the global label sum stops decreasing
+    (labels are monotone non-increasing, so an unchanged sum IS the
+    fixpoint). Converges in O(component diameter) rounds. Returns a
+    Dataset of (node, rep).
+    """
+    import ray.data
+    from ray.data.aggregate import Min, Sum
+
+    def emit_nodes(t: pa.Table) -> pa.Table:
+        n = np.concatenate([
+            t["doc_a"].to_numpy(zero_copy_only=False),
+            t["doc_b"].to_numpy(zero_copy_only=False)]).astype(np.int64)
+        return pa.table({"node": pa.array(n, pa.int64()),
+                         "label": pa.array(n, pa.int64())})
+
+    labels = (pairs_ds.map_batches(emit_nodes, batch_format="pyarrow")
+              .groupby("node").aggregate(Min("label", alias_name="label"))
+              ).materialize()
+    prev_sum = labels.aggregate(Sum("label", alias_name="s"))["s"]
+
+    def flip(cols):
+        def fn(t: pa.Table) -> pa.Table:
+            return pa.table({"node": t[cols[0]].cast(pa.int64()),
+                             "label": t[cols[1]].cast(pa.int64())})
+        return fn
+
+    for _ in range(max_iters):
+        via_a = (pairs_ds.join(labels, "inner", num_partitions,
+                               on=("doc_a",), right_on=("node",))
+                 .map_batches(flip(("doc_b", "label")),
+                              batch_format="pyarrow"))
+        via_b = (pairs_ds.join(labels, "inner", num_partitions,
+                               on=("doc_b",), right_on=("node",))
+                 .map_batches(flip(("doc_a", "label")),
+                              batch_format="pyarrow"))
+        labels = (labels.union(via_a).union(via_b)
+                  .groupby("node")
+                  .aggregate(Min("label", alias_name="label"))
+                  ).materialize()
+        cur = labels.aggregate(Sum("label", alias_name="s"))["s"]
+        if cur == prev_sum:
+            break
+        prev_sum = cur
+    return labels.map_batches(
+        lambda t: pa.table({"node": t["node"].cast(pa.int64()),
+                            "rep": t["label"].cast(pa.int64())}),
+        batch_format="pyarrow")
+
+
 # ---------------------------------------------------------------------------
 # SimHash
 # ---------------------------------------------------------------------------
