@@ -113,3 +113,14 @@ def test_merge_budgeted_rounds(ray_session, tmp_path):
         d1, s1 = e1.bm25(q, 10)
         d2, s2 = e2.bm25(q, 10)
         assert d1.tolist() == d2.tolist() and s1.tolist() == s2.tolist()
+
+
+def test_json_extract_int_missing_and_negative(ray_session):
+    import pyarrow as pa
+
+    from vfs_index_ray.functions.windows import JsonExtractInt
+    t = pa.table({"props": pa.array(
+        ['{"k": 7}', '{"k": -3, "z": 1}', '{"other": 5}', "", None],
+        pa.string())})
+    out = JsonExtractInt("k")(t)
+    assert out["k"].to_pylist() == [7, -3, None, None, None]
