@@ -421,6 +421,68 @@ def q_quantize_embeddings(sf_dir: str) -> pa.Table:
         ["vec_id", "qsum", "qmin", "qmax", "scale_x1e8"])
 
 
+def q_train_split(sf_dir: str) -> pa.Table:
+    """Deterministic hash-based train/eval split (the held-out-split
+    operator every training pipeline needs): bucket = first 8 hex chars
+    of md5(doc_id) mod 100; train = bucket < 80. Stable under any
+    partitioning/ordering and reproducible in SQL."""
+    import hashlib
+
+    def split(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_pylist()
+        buckets = [int(hashlib.md5(str(i).encode()).hexdigest()[:8], 16)
+                   % 100 for i in ids]
+        return pa.table({
+            "doc_id": t["doc_id"].cast(pa.int64()),
+            "split": pa.array(
+                ["train" if b < 80 else "eval" for b in buckets],
+                pa.string()),
+        })
+
+    out = _docs_ds(sf_dir, columns=["doc_id"]).map_batches(
+        split, batch_format="pyarrow")
+    tbl = pa.Table.from_pylist(out.take_all())
+    order = np.argsort(tbl["doc_id"].to_numpy(zero_copy_only=False),
+                       kind="stable")
+    return tbl.take(order).select(["doc_id", "split"])
+
+
+def q_source_stats(sf_dir: str) -> pa.Table:
+    """Per-source (per-domain) corpus quality rollup: doc counts + mean
+    doc length + mean token count — the curation dashboard staple."""
+    from ray.data.aggregate import Count, Sum
+
+    from ..functions.textstats import TokenStats
+
+    ds = _docs_ds(sf_dir, columns=["doc_id", "source", "text", "n_chars"])
+
+    def signals(t: pa.Table) -> pa.Table:
+        stats = TokenStats()(t)
+        return pa.table({
+            "source": t["source"],
+            "n_chars": t["n_chars"].cast(pa.int64()),
+            "n_tokens": stats["n_tokens"],
+        })
+
+    out = (ds.map_batches(signals, batch_format="pyarrow")
+           .groupby("source")
+           .aggregate(Count(alias_name="n_docs"),
+                      Sum("n_chars", alias_name="chars_sum"),
+                      Sum("n_tokens", alias_name="tokens_sum")))
+    tbl = pa.Table.from_pylist(out.take_all())
+    n = tbl["n_docs"].to_numpy(zero_copy_only=False).astype(np.float64)
+    cm = np.floor(tbl["chars_sum"].to_numpy(zero_copy_only=False)
+                  / n * 10000 + 0.5).astype(np.int64)
+    tm = np.floor(tbl["tokens_sum"].to_numpy(zero_copy_only=False)
+                  / n * 10000 + 0.5).astype(np.int64)
+    return pa.table({
+        "source": tbl["source"].cast(pa.string()),
+        "n_docs": tbl["n_docs"].cast(pa.int64()),
+        "mean_chars_x1e4": pa.array(cm, pa.int64()),
+        "mean_tokens_x1e4": pa.array(tm, pa.int64()),
+    })
+
+
 def q_curation(sf_dir: str) -> pa.Table:
     """End-to-end training-data curation pipeline, composed from the
     operator set and streaming throughout: language filter (LangId) →
@@ -589,6 +651,8 @@ QUERIES = {
     "gopher_quality": q_gopher_quality,
     "quantize_embeddings": q_quantize_embeddings,
     "curation": q_curation,
+    "train_split": q_train_split,
+    "source_stats": q_source_stats,
     "media_decode": q_media_decode,
     "events_hourly": q_events_hourly,
     "events_sessions": q_events_sessions,
@@ -851,6 +915,22 @@ SELECT vec_id, label::BIGINT AS pred_label,
 FROM sims
 QUALIFY row_number() OVER (PARTITION BY vec_id
                            ORDER BY sim DESC, label) = 1
+""",
+    "train_split": """
+SELECT doc_id,
+  CASE WHEN CAST(('0x' || substr(md5(doc_id::VARCHAR), 1, 8)) AS BIGINT)
+            % 100 < 80
+       THEN 'train' ELSE 'eval' END AS split
+FROM documents
+""",
+    "source_stats": f"""
+WITH t AS (SELECT source, n_chars, len({TOKS}) AS nt FROM documents)
+SELECT source, count(*)::BIGINT AS n_docs,
+  CAST(floor(sum(n_chars)::DOUBLE / count(*) * 10000 + 0.5) AS BIGINT)
+    AS mean_chars_x1e4,
+  CAST(floor(sum(nt)::DOUBLE / count(*) * 10000 + 0.5) AS BIGINT)
+    AS mean_tokens_x1e4
+FROM t GROUP BY source
 """,
     # the full curation pipeline: language + quality filter + exact
     # dedup, all via the same SQL fragments as the per-stage oracles
