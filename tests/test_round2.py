@@ -220,3 +220,38 @@ def test_key_range_and_nearest_fuzz(id_engine, id_corpus):
         want = int(above[0]) if len(above) else None
         res = id_engine.nearest_term(int(lo), less=False)
         assert (res[0] if res else None) == want
+
+
+def test_explain_profile(id_engine):
+    out = id_engine.explain("bababa zzqqnotthere", k=5)
+    assert out["method"] in ("exact", "maxscore")
+    assert out["terms"]["bababa"] > 0
+    assert out["terms"]["zzqqnotthere"] == 0
+    assert out["n_terms"] == 1  # df=0 term dropped before scoring
+    assert out["ms"] >= 0
+
+
+def test_verify_index(ray_session, id_corpus, tmp_path):
+    import json
+
+    from vfs_index_ray.build import IndexBuilder, verify_index
+
+    idx = str(tmp_path / "vidx")
+    IndexBuilder(idx, mode="word", num_parts=4,
+                 id_col="doc_id").build([id_corpus])
+    rep = verify_index(idx)
+    assert rep["ok"], rep["errors"]
+    # truncate one segment file → size mismatch flagged
+    f = os.path.join(idx, "segments", "part=00001.parquet")
+    data = open(f, "rb").read()
+    open(f, "wb").write(data[:100])
+    rep = verify_index(idx)
+    assert not rep["ok"]
+    assert any("size mismatch" in e for e in rep["errors"])
+    # corrupt stats n_docs → cross-check flagged
+    open(f, "wb").write(data)  # restore
+    st = json.load(open(os.path.join(idx, "stats.json")))
+    st["n_docs"] += 1
+    json.dump(st, open(os.path.join(idx, "stats.json"), "w"))
+    rep = verify_index(idx)
+    assert any("n_docs" in e for e in rep["errors"])

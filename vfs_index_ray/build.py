@@ -479,3 +479,46 @@ class IndexBuilder:
 def read_stats(index_dir: str) -> dict:
     with open(os.path.join(index_dir, "stats.json")) as f:
         return json.load(f)
+
+
+def verify_index(index_dir: str) -> dict:
+    """Integrity audit for a committed index (the ops tool a 100 TB
+    deployment runs after copy/restore): every partition's segment file
+    must exist with the byte size its sidecar recorded, every part in
+    [0, num_parts) must be committed, wave sidecars must sum to
+    stats.n_docs, and part sidecars to stats.total_tokens. Returns
+    {"ok": bool, "errors": [...], "parts": N, "n_docs": N}."""
+    errors: list[str] = []
+    stats = read_stats(index_dir)
+    seg_dir = os.path.join(index_dir, "segments")
+    for part in range(stats["num_parts"]):
+        side = os.path.join(seg_dir, f"part={part:05d}.json")
+        if not os.path.exists(side):
+            errors.append(f"missing sidecar part={part}")
+            continue
+        with open(side) as f:
+            row = json.load(f)
+        f_path = os.path.join(seg_dir, f"part={part:05d}.parquet")
+        if not os.path.exists(f_path):
+            errors.append(f"missing segment file part={part}")
+        elif os.path.getsize(f_path) != row.get("output_bytes"):
+            errors.append(
+                f"size mismatch part={part}: "
+                f"{os.path.getsize(f_path)} != {row.get('output_bytes')}")
+    waves_dir = os.path.join(index_dir, "waves")
+    n_docs = sum(json.load(open(os.path.join(waves_dir, n)))["n_docs"]
+                 for n in sorted(os.listdir(waves_dir))
+                 if n.endswith(".json")) if os.path.isdir(waves_dir) else 0
+    if n_docs != stats["n_docs"]:
+        errors.append(f"wave n_docs {n_docs} != stats {stats['n_docs']}")
+    tok = 0
+    for part in range(stats["num_parts"]):
+        side = os.path.join(seg_dir, f"part={part:05d}.json")
+        if os.path.exists(side):
+            with open(side) as f:
+                tok += json.load(f).get("n_tokens", 0)
+    if tok != stats["total_tokens"]:
+        errors.append(
+            f"token sum {tok} != stats {stats['total_tokens']}")
+    return {"ok": not errors, "errors": errors,
+            "parts": stats["num_parts"], "n_docs": stats["n_docs"]}

@@ -258,6 +258,20 @@ class SearchEngine:
         }
         return out
 
+    def explain(self, q: str, k: int = 10, method: str = "auto") -> dict:
+        """Run the query and return its execution profile (reference
+        EnableStats/OptQueryStat parity, search_cond.go:57-80): resolved
+        method, per-term dfs, postings decoded, parts read vs bloom-
+        skipped, wall time."""
+        self.bm25(q, k, method)
+        out = dict(self.last_query_stats)
+        out.update({f"load_{k_}": v
+                    for k_, v in self.last_load_stats.items()})
+        pairs = tokenize_query(q, self.mode)
+        loaded = self.load_terms([tid for _, tid in pairs])
+        out["terms"] = {tok: loaded[tid].df for tok, tid in pairs}
+        return out
+
     def _bm25_exact(self, tids, loaded, k):
         # accumulate term-by-term in ascending term_id order: each doc's
         # score is built by the same sequential fp64 additions as the
