@@ -421,6 +421,21 @@ def q_quantize_embeddings(sf_dir: str) -> pa.Table:
         ["vec_id", "qsum", "qmin", "qmax", "scale_x1e8"])
 
 
+JACCARD_PAIRS = [(0, 1), (2, 3), (100, 101)]
+
+
+def q_ngram_jaccard(sf_dir: str) -> pa.Table:
+    """Exact 3-token-shingle Jaccard for fixed doc pairs (the near-dup
+    verification kernel, oracle-checked against SQL shingle sets)."""
+    from ..functions.dedup import ngram_jaccard_pairs
+    pairs = pa.table({
+        "doc_a": pa.array([p[0] for p in JACCARD_PAIRS], pa.int64()),
+        "doc_b": pa.array([p[1] for p in JACCARD_PAIRS], pa.int64()),
+    })
+    return ngram_jaccard_pairs(
+        _docs_ds(sf_dir, columns=["doc_id", "text"]), pairs, shingle=3)
+
+
 def q_train_split(sf_dir: str) -> pa.Table:
     """Deterministic hash-based train/eval split (the held-out-split
     operator every training pipeline needs): bucket = first 8 hex chars
@@ -651,6 +666,7 @@ QUERIES = {
     "gopher_quality": q_gopher_quality,
     "quantize_embeddings": q_quantize_embeddings,
     "curation": q_curation,
+    "ngram_jaccard": q_ngram_jaccard,
     "train_split": q_train_split,
     "source_stats": q_source_stats,
     "media_decode": q_media_decode,
@@ -915,6 +931,23 @@ SELECT vec_id, label::BIGINT AS pred_label,
 FROM sims
 QUALIFY row_number() OVER (PARTITION BY vec_id
                            ORDER BY sim DESC, label) = 1
+""",
+    # 3-token shingles as strings reproduce the engine's hashed shingle
+    # sets exactly (64-bit fnv collisions are negligible at this scale)
+    "ngram_jaccard": f"""
+WITH pairs(doc_a, doc_b) AS (VALUES (0, 1), (2, 3), (100, 101)),
+t AS (SELECT doc_id, {TOKS} AS toks FROM documents
+      WHERE doc_id IN (0, 1, 2, 3, 100, 101)),
+s AS (SELECT doc_id,
+  list_distinct([toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+                 for i in generate_series(1, len(toks) - 2)]) AS sh
+  FROM t)
+SELECT p.doc_a, p.doc_b,
+  CAST(floor(len(list_intersect(a.sh, b.sh))::DOUBLE /
+       greatest(len(list_distinct(list_concat(a.sh, b.sh))), 1)
+       * 10000 + 0.5) AS BIGINT) AS jaccard_x1e4
+FROM pairs p JOIN s a ON a.doc_id = p.doc_a
+             JOIN s b ON b.doc_id = p.doc_b
 """,
     "train_split": """
 SELECT doc_id,
