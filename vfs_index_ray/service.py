@@ -65,8 +65,12 @@ class QueryService:
     def __init__(self, index_dir: str, *, replicas: int = 4,
                  corpus_files=None, id_col: str = "doc_id",
                  num_cpus: float = 1):
+        # max_restarts: a crashed replica restarts and rebuilds its
+        # caches from the index on shared storage (workers hold no
+        # unrecoverable state); in-flight calls on the dead actor fail
+        # fast and the client may retry
         self.workers = [
-            QueryWorker.options(num_cpus=num_cpus).remote(
+            QueryWorker.options(num_cpus=num_cpus, max_restarts=2).remote(
                 index_dir, corpus_files=corpus_files, id_col=id_col)
             for _ in range(replicas)]
         # fail fast if the index is unreadable (actor init raises lazily)
