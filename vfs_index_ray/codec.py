@@ -377,11 +377,24 @@ def _bloom_hashes(terms: np.ndarray, m: int) -> np.ndarray:
     return out
 
 
-def bloom_build(terms: np.ndarray, bits_per_term: int = 16) -> bytes:
+def bloom_build(terms: np.ndarray, bits_per_term: int = 16,
+                assume_sorted: bool = False) -> bytes:
     """Bloom filter over a partition's distinct term_ids, as packed
     bytes. Sized to the next power of two of n·bits_per_term (min 1024
-    bits) → ~0.6% false positives at 16 bits/term with k=7."""
-    t = np.unique(np.ascontiguousarray(terms, np.uint64))
+    bits) → ~0.6% false positives at 16 bits/term with k=7.
+
+    ``assume_sorted`` skips the sort inside unique (the encode path's
+    terms are already lexsorted; under 32-way concurrency an extra
+    full-array sort is bandwidth-amplified on this host)."""
+    t = np.ascontiguousarray(terms, np.uint64)
+    if assume_sorted:
+        if len(t):
+            keep = np.empty(len(t), bool)
+            keep[0] = True
+            keep[1:] = t[1:] != t[:-1]
+            t = t[keep]
+    else:
+        t = np.unique(t)
     m = 1024
     while m < len(t) * bits_per_term:
         m <<= 1
