@@ -450,3 +450,25 @@ def test_cluster_pairs_distributed_matches_union_find(ray_session):
         assert got[n] == want.get(n, n), n
     # the chain collapsed to one representative
     assert len({got[1000 + i] for i in range(13)}) == 1
+
+
+def test_top_terms_exact_and_sketch(docs_ds, docs_tbl):
+    """Exact top-k == brute force; the Misra-Gries sketch recovers the
+    head terms with counts within n_tokens/capacity."""
+    import collections
+    import re
+
+    from vfs_index_ray.functions.textstats import top_terms, top_terms_sketch
+    counter = collections.Counter()
+    for t in docs_tbl["text"].to_pylist():
+        counter.update(w for w in re.split(r"[^a-z0-9]+", t.lower()) if w)
+    want = sorted(counter.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
+    got = top_terms(docs_ds, k=10)
+    assert list(zip(got["token"].to_pylist(), got["n"].to_pylist())) == want
+    n_tokens = sum(counter.values())
+    cap = 512
+    sk = top_terms_sketch(docs_ds, k=10, capacity=cap)
+    sk_map = dict(sk)
+    for tok, n in want:
+        assert tok in sk_map, tok                      # guaranteed heavy hitter
+        assert abs(sk_map[tok] - n) <= n_tokens // cap + 1

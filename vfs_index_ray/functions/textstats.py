@@ -182,6 +182,109 @@ class GopherQuality:
         })
 
 
+def top_terms(ds, k: int = 20, text_col: str = "text"):
+    """Exact corpus-wide top-k frequent terms (vocabulary head /
+    stop-word discovery): per-batch partial counts (vectorized
+    value_counts — each batch contributes at most its distinct terms,
+    not its token count) → uniform groupby sum → tiny driver top-k.
+    Ties: count desc, token asc. Returns pa.Table (token, n)."""
+    from ray.data.aggregate import Sum
+
+    def partial(t: pa.Table) -> pa.Table:
+        flat, _, _ = word_tokens_flat(t[text_col])
+        vc = pc.value_counts(flat)
+        return pa.table({
+            "token": vc.field("values"),
+            "n": vc.field("counts").cast(pa.int64()),
+        })
+
+    rows = (ds.map_batches(partial, batch_format="pyarrow")
+            .groupby("token").aggregate(Sum("n", alias_name="n"))
+            .take_all())
+    toks = np.array([r["token"] for r in rows])
+    ns = np.array([r["n"] for r in rows], np.int64)
+    order = np.lexsort((toks, -ns))[:k]
+    return pa.table({
+        "token": pa.array(toks[order].tolist(), pa.string()),
+        "n": pa.array(ns[order], pa.int64()),
+    })
+
+
+class MisraGries:
+    """Space-saving heavy-hitters sketch (the streaming top-k analog of
+    the exact groupby — ICDE'19 top-k frequent terms on streams is this
+    family): at most ``capacity`` counters; any term with true count
+    > n_tokens/capacity is guaranteed present; counts are within
+    n_tokens/capacity of truth. Mergeable across batches/actors."""
+
+    def __init__(self, capacity: int = 1024):
+        self.capacity = capacity
+        self.counts: dict[str, int] = {}
+        self.n_tokens = 0
+
+    def update(self, tokens: pa.Array) -> None:
+        vc = pc.value_counts(tokens)
+        vals = vc.field("values").to_pylist()
+        cnts = vc.field("counts").to_pylist()
+        self.n_tokens += int(sum(cnts))
+        for t, c in zip(vals, cnts):
+            self.counts[t] = self.counts.get(t, 0) + int(c)
+        if len(self.counts) > self.capacity:
+            # decrement-by-median-of-excess: classic MG batch shrink
+            excess = sorted(self.counts.values()
+                            )[len(self.counts) - self.capacity - 1]
+            self.counts = {t: c - excess for t, c in self.counts.items()
+                           if c > excess}
+
+    def merge(self, other: "MisraGries") -> "MisraGries":
+        out = MisraGries(self.capacity)
+        out.n_tokens = self.n_tokens + other.n_tokens
+        for src in (self.counts, other.counts):
+            for t, c in src.items():
+                out.counts[t] = out.counts.get(t, 0) + c
+        if len(out.counts) > out.capacity:
+            excess = sorted(out.counts.values()
+                            )[len(out.counts) - out.capacity - 1]
+            out.counts = {t: c - excess for t, c in out.counts.items()
+                          if c > excess}
+        return out
+
+    def top(self, k: int) -> list[tuple[str, int]]:
+        return sorted(self.counts.items(),
+                      key=lambda kv: (-kv[1], kv[0]))[:k]
+
+
+def top_terms_sketch(ds, k: int = 20, capacity: int = 4096,
+                     text_col: str = "text") -> list[tuple[str, int]]:
+    """Streaming top-k via per-batch Misra-Gries partials merged on the
+    driver — one small summary per block crosses the wire, never the
+    term universe. Guaranteed to contain every term with frequency
+    > n_tokens/capacity."""
+
+    def partial(t: pa.Table) -> pa.Table:
+        mg = MisraGries(capacity)
+        flat, _, _ = word_tokens_flat(t[text_col])
+        mg.update(flat)
+        # ONE row per partial summary (list columns), so summary
+        # boundaries survive any downstream re-batching
+        return pa.table({
+            "tokens": pa.array([list(mg.counts.keys())],
+                               pa.list_(pa.string())),
+            "counts": pa.array([list(mg.counts.values())],
+                               pa.list_(pa.int64())),
+            "n_tokens": pa.array([mg.n_tokens], pa.int64()),
+        })
+
+    total = MisraGries(capacity)
+    for row in (ds.map_batches(partial, batch_format="pyarrow")
+                .iter_rows()):
+        mg = MisraGries(capacity)
+        mg.counts = dict(zip(row["tokens"], row["counts"]))
+        mg.n_tokens = int(row["n_tokens"])
+        total = total.merge(mg)
+    return total.top(k)
+
+
 class LangId:
     """n-gram/script heuristic language ID (en/ja/de/es fallback en).
 

@@ -421,6 +421,12 @@ def q_quantize_embeddings(sf_dir: str) -> pa.Table:
         ["vec_id", "qsum", "qmin", "qmax", "scale_x1e8"])
 
 
+def q_top_terms(sf_dir: str) -> pa.Table:
+    """Exact corpus-wide top-20 frequent terms (vocabulary head)."""
+    from ..functions.textstats import top_terms
+    return top_terms(_docs_ds(sf_dir, columns=["text"]), k=20)
+
+
 JACCARD_PAIRS = [(0, 1), (2, 3), (100, 101)]
 
 
@@ -667,6 +673,7 @@ QUERIES = {
     "quantize_embeddings": q_quantize_embeddings,
     "curation": q_curation,
     "ngram_jaccard": q_ngram_jaccard,
+    "top_terms": q_top_terms,
     "train_split": q_train_split,
     "source_stats": q_source_stats,
     "media_decode": q_media_decode,
@@ -931,6 +938,11 @@ SELECT vec_id, label::BIGINT AS pred_label,
 FROM sims
 QUALIFY row_number() OVER (PARTITION BY vec_id
                            ORDER BY sim DESC, label) = 1
+""",
+    "top_terms": f"""
+WITH tok AS (SELECT unnest({TOKS}) AS token FROM documents)
+SELECT token, count(*)::BIGINT AS n FROM tok
+GROUP BY token ORDER BY n DESC, token LIMIT 20
 """,
     # 3-token shingles as strings reproduce the engine's hashed shingle
     # sets exactly (64-bit fnv collisions are negligible at this scale)
