@@ -196,8 +196,16 @@ class SearchEngine:
         for tid in order[1:]:
             if len(out) == 0:
                 break
-            out = np.intersect1d(out, loaded[tid].decode().docs,
-                                 assume_unique=True)
+            big = loaded[tid].decode().docs
+            # galloping membership: O(|out| log |big|) — with
+            # df-ascending order |out| only shrinks, so a rare∧head AND
+            # never sorts or scans the head list (intersect1d would)
+            pos = np.searchsorted(big, out)
+            ok = pos < len(big)
+            pos = np.minimum(pos, max(len(big) - 1, 0))
+            if len(big):
+                ok &= big[pos] == out
+            out = out[ok]
         return out
 
     def count(self, q: str) -> int:
