@@ -171,9 +171,10 @@ class QueryExecutor:
             doc_sets.append(self._numeric_docs(other))
         if not doc_sets:
             return np.empty(0, np.uint64)
+        from .search import sorted_intersect
         out = doc_sets[0]
         for s in doc_sets[1:]:
-            out = np.intersect1d(out, s, assume_unique=True)
+            out = sorted_intersect(out, s)
         if limit is not None:
             out = out[:limit]  # ascending-doc-id order, deterministic
         return out

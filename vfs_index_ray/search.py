@@ -56,6 +56,21 @@ from .codec import decode_block, decode_chunk
 from .tokenizer import tokenize_query
 
 
+def sorted_intersect(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """Intersection of two sorted-unique uint64 arrays via galloping
+    membership probes of the smaller into the larger —
+    O(min log max), never sorts (np.intersect1d concat-sorts both)."""
+    if len(a) > len(b):
+        a, b = b, a
+    if len(a) == 0 or len(b) == 0:
+        return np.empty(0, a.dtype)
+    pos = np.searchsorted(b, a)
+    ok = pos < len(b)
+    pos = np.minimum(pos, len(b) - 1)
+    ok &= b[pos] == a
+    return a[ok]
+
+
 @dataclass
 class Postings:
     """Decoded (or decodable) postings of one term."""
@@ -904,8 +919,7 @@ class SearchEngine:
                 if denom == 0:
                     dists.append(1.0)
                     continue
-                inter = len(np.intersect1d(pa_.docs, pb_.docs,
-                                           assume_unique=True))
+                inter = len(sorted_intersect(pa_.docs, pb_.docs))
                 dists.append(1.0 - inter / denom)
         return float(np.mean(dists))
 
