@@ -421,6 +421,30 @@ def q_quantize_embeddings(sf_dir: str) -> pa.Table:
         ["vec_id", "qsum", "qmin", "qmax", "scale_x1e8"])
 
 
+def q_sample(sf_dir: str) -> pa.Table:
+    """Deterministic uniform sample (§2.7 sampling): priority =
+    md5('s1|' + doc_id), global lowest-20 — computed as per-block local
+    top-n + tiny driver merge (no shuffle, stable under any
+    partitioning; the reservoir-sampling analog with a fixed seed)."""
+    import hashlib
+    n = 20
+
+    def local_top(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_pylist()
+        prio = [hashlib.md5(f"s1|{i}".encode()).hexdigest() for i in ids]
+        order = np.argsort(np.array(prio))[:n]
+        return pa.table({
+            "doc_id": pa.array([ids[i] for i in order], pa.int64()),
+            "prio": pa.array([prio[i] for i in order], pa.string()),
+        })
+
+    rows = (_docs_ds(sf_dir, columns=["doc_id"])
+            .map_batches(local_top, batch_format="pyarrow").take_all())
+    rows.sort(key=lambda r: r["prio"])
+    return pa.table({"doc_id": pa.array(
+        sorted(r["doc_id"] for r in rows[:n]), pa.int64())})
+
+
 def q_top_terms(sf_dir: str) -> pa.Table:
     """Exact corpus-wide top-20 frequent terms (vocabulary head)."""
     from ..functions.textstats import top_terms
@@ -674,6 +698,7 @@ QUERIES = {
     "curation": q_curation,
     "ngram_jaccard": q_ngram_jaccard,
     "top_terms": q_top_terms,
+    "sample": q_sample,
     "train_split": q_train_split,
     "source_stats": q_source_stats,
     "media_decode": q_media_decode,
@@ -943,6 +968,13 @@ QUALIFY row_number() OVER (PARTITION BY vec_id
 WITH tok AS (SELECT unnest({TOKS}) AS token FROM documents)
 SELECT token, count(*)::BIGINT AS n FROM tok
 GROUP BY token ORDER BY n DESC, token LIMIT 20
+""",
+    "sample": """
+WITH s AS (
+  SELECT doc_id FROM documents
+  ORDER BY md5('s1|' || doc_id::VARCHAR) LIMIT 20
+)
+SELECT doc_id FROM s ORDER BY doc_id
 """,
     # 3-token shingles as strings reproduce the engine's hashed shingle
     # sets exactly (64-bit fnv collisions are negligible at this scale)
