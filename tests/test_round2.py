@@ -255,3 +255,32 @@ def test_verify_index(ray_session, id_corpus, tmp_path):
     json.dump(st, open(os.path.join(idx, "stats.json"), "w"))
     rep = verify_index(idx)
     assert any("n_docs" in e for e in rep["errors"])
+
+
+def test_fetch_rows_uint64_ids_above_2_63(ray_session, tmp_path):
+    """Hash-derived doc_ids above 2^63 survive stats pruning, pushdown,
+    and the sorted-set filter (signed-reinterpret hazards)."""
+    from vfs_index_ray.build import IndexBuilder
+    from vfs_index_ray.search import SearchEngine
+
+    ids = np.sort(np.array([2**63 + 5, 2**63 + 100, 2**64 - 2, 10, 20],
+                           np.uint64))
+    src = str(tmp_path / "big.parquet")
+    pq.write_table(pa.table({
+        "doc_id": pa.array(ids, pa.uint64()),
+        "text": pa.array([f"zzmarker doc{i}" for i in range(5)],
+                         pa.string()),
+    }), src, row_group_size=2)
+    idx = str(tmp_path / "bigidx")
+    IndexBuilder(idx, mode="word", num_parts=2,
+                 id_col="doc_id").build([src])
+    eng = SearchEngine(idx, corpus_files=[src], id_col="doc_id")
+    docs = eng.match("zzmarker")
+    assert docs.tolist() == ids.tolist()
+    rows = eng.fetch_rows(np.array([2**64 - 2, 10], np.uint64),
+                          columns=["doc_id", "text"])
+    assert sorted(rows["doc_id"].to_pylist()) == [10, 2**64 - 2]
+    assert eng.last_fetch_stats["row_groups_read"] <= 2
+    # key-space ops on the full uint64 range
+    t, df = eng.nearest_term(2**64 - 1, less=True)
+    assert df >= 1
