@@ -421,6 +421,78 @@ def q_quantize_embeddings(sf_dir: str) -> pa.Table:
         ["vec_id", "qsum", "qmin", "qmax", "scale_x1e8"])
 
 
+BATCH_QUERIES = ["spark join window", "batch stream merge", "hash scan"]
+
+
+def _bm25_sql_for(tokens: list[str], query_id: int, k: int = 5) -> str:
+    """One BM25 top-k SQL block (the bm25_topk oracle, parametrized)."""
+    toklist = ",".join(f"'{t}'" for t in tokens)
+    return f"""
+SELECT {query_id} AS query_id, rank, doc_id, score_x1e4 FROM (
+  WITH tok AS (
+    SELECT doc_id, unnest({TOKS}) AS tok FROM documents
+  ), tf AS (
+    SELECT doc_id, tok, count(*)::DOUBLE AS tf FROM tok
+    WHERE tok IN ({toklist}) GROUP BY doc_id, tok
+  ), dl AS (
+    SELECT doc_id, count(*)::DOUBLE AS dl FROM tok GROUP BY doc_id
+  ), stats AS (
+    SELECT (SELECT count(*) FROM documents)::DOUBLE AS n,
+           (SELECT count(*) FROM tok)::DOUBLE /
+           (SELECT count(*) FROM documents)::DOUBLE AS avgdl
+  ), df AS (
+    SELECT tok, count(*)::DOUBLE AS df FROM tf GROUP BY tok
+  ), scores AS (
+    SELECT tf.doc_id,
+           sum(ln(1 + (stats.n - df.df + 0.5)/(df.df + 0.5)) *
+               (tf.tf*2.2/(tf.tf + 1.2*(1 - 0.75 + 0.75*dl.dl/stats.avgdl))))
+             AS score
+    FROM tf JOIN df USING(tok) JOIN dl USING(doc_id) CROSS JOIN stats
+    GROUP BY tf.doc_id
+  )
+  SELECT row_number() OVER (ORDER BY score DESC, doc_id)::BIGINT AS rank,
+         doc_id,
+         CAST(floor(score*10000 + 0.5) AS BIGINT) AS score_x1e4
+  FROM scores ORDER BY score DESC, doc_id LIMIT {k}
+)"""
+
+
+def q_batch_bm25(sf_dir: str) -> pa.Table:
+    """Batch scoring of a query TABLE through the QueryActor pool (the
+    batch-inference shape: one Dataset in, one result Dataset out)."""
+    import ray.data
+
+    from ..search import QueryActor
+    eng = get_engine(sf_dir)  # ensure the index exists
+    qds = ray.data.from_items(
+        [{"query_id": i, "query": q}
+         for i, q in enumerate(BATCH_QUERIES)])
+
+    class Scorer(QueryActor):
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            out = super().__call__(batch)
+            # map query text back to its id for a stable join key
+            qid = {q: i for i, q in enumerate(BATCH_QUERIES)}
+            ids = [qid[q] for q in out["query"].to_pylist()]
+            sc = np.floor(out["score"].to_numpy(zero_copy_only=False)
+                          * 10000 + 0.5).astype(np.int64)
+            return pa.table({
+                "query_id": pa.array(ids, pa.int64()),
+                "rank": out["rank"].cast(pa.int64()),
+                "doc_id": out["doc_id"].cast(pa.int64()),
+                "score_x1e4": pa.array(sc, pa.int64()),
+            })
+
+    rows = qds.map_batches(
+        Scorer, fn_constructor_kwargs=dict(index_dir=eng.index_dir, k=5),
+        batch_format="pyarrow", concurrency=2).take_all()
+    tbl = pa.Table.from_pylist(rows)
+    order = np.lexsort((tbl["rank"].to_numpy(zero_copy_only=False),
+                        tbl["query_id"].to_numpy(zero_copy_only=False)))
+    return tbl.take(order).select(
+        ["query_id", "rank", "doc_id", "score_x1e4"])
+
+
 def q_sample(sf_dir: str) -> pa.Table:
     """Deterministic uniform sample (§2.7 sampling): priority =
     md5('s1|' + doc_id), global lowest-20 — computed as per-block local
@@ -699,6 +771,7 @@ QUERIES = {
     "ngram_jaccard": q_ngram_jaccard,
     "top_terms": q_top_terms,
     "sample": q_sample,
+    "batch_bm25": q_batch_bm25,
     "train_split": q_train_split,
     "source_stats": q_source_stats,
     "media_decode": q_media_decode,
@@ -976,6 +1049,9 @@ WITH s AS (
 )
 SELECT doc_id FROM s ORDER BY doc_id
 """,
+    "batch_bm25": "\nUNION ALL\n".join(
+        _bm25_sql_for(q.split(), i, k=5)
+        for i, q in enumerate(BATCH_QUERIES)),
     # 3-token shingles as strings reproduce the engine's hashed shingle
     # sets exactly (64-bit fnv collisions are negligible at this scale)
     "ngram_jaccard": f"""
