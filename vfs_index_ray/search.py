@@ -492,6 +492,8 @@ class SearchEngine:
             pos_col = tbl["pos"]
             if isinstance(pos_col, pa.ChunkedArray):
                 pos_col = pos_col.combine_chunks()
+            if pos_col.offset:  # raw-buffer math assumes offset 0
+                pos_col = pa.concat_arrays([pos_col])
             offs = np.frombuffer(pos_col.buffers()[1], np.int64,
                                  count=len(pos_col) + 1)
             data = np.frombuffer(pos_col.buffers()[2] or b"", np.uint8)
