@@ -284,3 +284,28 @@ def test_fetch_rows_uint64_ids_above_2_63(ray_session, tmp_path):
     # key-space ops on the full uint64 range
     t, df = eng.nearest_term(2**64 - 1, less=True)
     assert df >= 1
+
+
+def test_ranked_filtered_search(id_engine, id_corpus):
+    """ranked(): AND filter then BM25 over the text predicate — scores
+    equal the unfiltered bm25 restricted to eligible docs (global
+    stats), ties (score desc, doc_id asc)."""
+    from vfs_index_ray.planner import QueryExecutor
+
+    ex = QueryExecutor(id_engine, [id_corpus], text_col="text",
+                       id_col="doc_id")
+    docs, scores = ex.ranked('text.search("bababa") && doc_id < 100', k=5)
+    eligible = set(ex.execute('text.search("bababa") && doc_id < 100')
+                   .tolist())
+    assert set(docs.tolist()) <= eligible
+    # scores == full bm25 scores of those docs (global statistics)
+    full_d, full_s = id_engine.bm25("bababa", 10_000)
+    full = dict(zip(full_d.tolist(), full_s.tolist()))
+    for d, s in zip(docs.tolist(), scores.tolist()):
+        assert s == full[d]
+    # descending with doc_id tiebreak
+    pairs = list(zip(scores.tolist(), [-d for d in docs.tolist()]))
+    assert pairs == sorted(pairs, reverse=True)
+    # no text predicate → plain filter, zero scores
+    d2, s2 = ex.ranked("doc_id < 3", k=10)
+    assert d2.tolist() == [0, 1, 2] and not s2.any()

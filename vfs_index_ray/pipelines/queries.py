@@ -721,6 +721,22 @@ def q_label_classify(sf_dir: str) -> pa.Table:
     return centroid_classify(ds)
 
 
+def q_filtered_bm25(sf_dir: str) -> pa.Table:
+    """Filtered ranked search: expression AND (text + numeric pushdown)
+    then BM25 top-10 over the text predicate, global statistics."""
+    from ..planner import QueryExecutor
+    eng = get_engine(sf_dir)
+    ex = QueryExecutor(eng, [_doc_file(sf_dir)], text_col="text",
+                       id_col="doc_id")
+    docs, scores = ex.ranked('text.search("spark join") && n_chars >= 300',
+                             k=10)
+    return pa.table({
+        "doc_id": pa.array(docs.astype(np.int64), pa.int64()),
+        "score_x1e4": pa.array(
+            np.floor(scores * 10000.0 + 0.5).astype(np.int64), pa.int64()),
+    })
+
+
 def q_nearest(sf_dir: str) -> pa.Table:
     """J7 nearest-key lookup on a numeric column."""
     eng = get_engine(sf_dir)
@@ -772,6 +788,7 @@ QUERIES = {
     "top_terms": q_top_terms,
     "sample": q_sample,
     "batch_bm25": q_batch_bm25,
+    "filtered_bm25": q_filtered_bm25,
     "train_split": q_train_split,
     "source_stats": q_source_stats,
     "media_decode": q_media_decode,
@@ -1052,6 +1069,38 @@ SELECT doc_id FROM s ORDER BY doc_id
     "batch_bm25": "\nUNION ALL\n".join(
         _bm25_sql_for(q.split(), i, k=5)
         for i, q in enumerate(BATCH_QUERIES)),
+    # filtered ranked search: global-stat BM25 restricted to docs that
+    # contain every query token AND pass the numeric filter
+    "filtered_bm25": f"""
+WITH tok AS (
+  SELECT doc_id, unnest({TOKS}) AS tok FROM documents
+), tf AS (
+  SELECT doc_id, tok, count(*)::DOUBLE AS tf FROM tok
+  WHERE tok IN ('spark','join') GROUP BY doc_id, tok
+), dl AS (
+  SELECT doc_id, count(*)::DOUBLE AS dl FROM tok GROUP BY doc_id
+), stats AS (
+  SELECT (SELECT count(*) FROM documents)::DOUBLE AS n,
+         (SELECT count(*) FROM tok)::DOUBLE /
+         (SELECT count(*) FROM documents)::DOUBLE AS avgdl
+), df AS (
+  SELECT tok, count(*)::DOUBLE AS df FROM tf GROUP BY tok
+), scores AS (
+  SELECT tf.doc_id,
+         sum(ln(1 + (stats.n - df.df + 0.5)/(df.df + 0.5)) *
+             (tf.tf*2.2/(tf.tf + 1.2*(1 - 0.75 + 0.75*dl.dl/stats.avgdl))))
+           AS score
+  FROM tf JOIN df USING(tok) JOIN dl USING(doc_id) CROSS JOIN stats
+  GROUP BY tf.doc_id
+), eligible AS (
+  SELECT doc_id FROM documents
+  WHERE n_chars >= 300
+    AND list_contains({TOKS}, 'spark') AND list_contains({TOKS}, 'join')
+)
+SELECT s.doc_id, CAST(floor(s.score*10000 + 0.5) AS BIGINT) AS score_x1e4
+FROM scores s JOIN eligible USING(doc_id)
+ORDER BY s.score DESC, s.doc_id LIMIT 10
+""",
     # 3-token shingles as strings reproduce the engine's hashed shingle
     # sets exactly (64-bit fnv collisions are negligible at this scale)
     "ngram_jaccard": f"""

@@ -179,6 +179,32 @@ class QueryExecutor:
             out = out[:limit]  # ascending-doc-id order, deterministic
         return out
 
+    def ranked(self, q: str, k: int = 10):
+        """Filtered search: docs satisfying the whole AND expression,
+        RANKED by BM25 over the expression's text predicates (the
+        reference's Select + Nears composition, with BM25 per
+        north_rule). Global corpus statistics (N, avgdl, df) — the
+        filter narrows candidates, not the model. Exact scores via the
+        engine's block-probe path; ties (score desc, doc_id asc).
+        Returns (doc_ids, scores)."""
+        import numpy as np
+
+        from .search import SearchEngine
+        plan = parse(q)
+        text_qs = [str(p.value) for p in plan.predicates
+                   if p.op == "search" or
+                   (p.op == "==" and p.column == self.text_col)]
+        docs = self.execute(q)
+        if len(docs) == 0 or not text_qs:
+            return docs, np.zeros(len(docs), np.float64)
+        tids = sorted({t for tq in text_qs
+                       for t in self.engine.query_term_ids(tq)})
+        loaded = self.engine.load_terms(tids)
+        tids = [t for t in tids if loaded[t].df > 0]
+        targets = np.sort(docs)
+        scores = self.engine._score_targets(tids, loaded, targets)
+        return SearchEngine._topk(targets, scores, k)
+
     def count(self, q: str) -> int:
         return int(len(self.execute(q)))
 
