@@ -26,11 +26,16 @@ def main(argv=None) -> int:
     ap.add_argument("--expr", help="planner expression (AND query)")
     ap.add_argument("--k", type=int, default=10)
     ap.add_argument("--method", default="exact",
-                    choices=["exact", "maxscore"])
+                    choices=["exact", "maxscore", "blockmax", "auto"])
     ap.add_argument("--corpus", default=None,
                     help="corpus glob for --expr / row fetch")
     ap.add_argument("--out", default=None,
                     help="write results here (.json/.jsonl/.csv/.parquet)")
+    ap.add_argument("--rank", action="store_true",
+                    help="with --expr: BM25-rank the AND-filtered docs "
+                         "by the expression's text predicates")
+    ap.add_argument("--explain", action="store_true",
+                    help="with --q: print the execution profile instead")
     args = ap.parse_args(argv)
 
     import ray
@@ -45,6 +50,11 @@ def main(argv=None) -> int:
 
     corpus_files = sorted(glob.glob(args.corpus)) if args.corpus else None
     eng = SearchEngine(args.index, corpus_files=corpus_files)
+    if args.q and args.explain:
+        print(json.dumps(eng.explain(args.q, args.k, args.method),
+                         default=str))
+        ray.shutdown()
+        return 0
     if args.q:
         docs, scores = eng.bm25(args.q, args.k, method=args.method)
         tbl = pa.table({"doc_id": pa.array(docs, pa.uint64()),
@@ -54,8 +64,13 @@ def main(argv=None) -> int:
         if not corpus_files:
             ap.error("--expr requires --corpus")
         ex = QueryExecutor(eng, corpus_files)
-        docs = ex.execute(args.expr, limit=args.k)
-        tbl = pa.table({"doc_id": pa.array(docs, pa.uint64())})
+        if args.rank:
+            docs, scores = ex.ranked(args.expr, k=args.k)
+            tbl = pa.table({"doc_id": pa.array(docs, pa.uint64()),
+                            "score": pa.array(scores, pa.float64())})
+        else:
+            docs = ex.execute(args.expr, limit=args.k)
+            tbl = pa.table({"doc_id": pa.array(docs, pa.uint64())})
     else:
         ap.error("need --q or --expr")
         return 2
