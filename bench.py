@@ -87,6 +87,13 @@ def run_bench() -> dict:
     ray.init(address="local", num_cpus=NCPU, include_dashboard=False,
              logging_level="ERROR")
     DataContext.get_current().enable_progress_bars = False
+    try:  # pull-based sort shuffle anti-scales >8 workers (CLAUDE.md)
+        from ray.data.context import ShuffleStrategy
+        ctx = DataContext.get_current()
+        if ctx.shuffle_strategy == ShuffleStrategy.SORT_SHUFFLE_PULL_BASED:
+            ctx.shuffle_strategy = ShuffleStrategy.SORT_SHUFFLE_PUSH_BASED
+    except Exception:  # noqa: BLE001  (older Ray: keep defaults)
+        pass
 
     import numpy as np
 
