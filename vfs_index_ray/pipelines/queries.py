@@ -652,6 +652,55 @@ def q_media_decode(sf_dir: str) -> pa.Table:
 
 
 # ---------------------------------------------------------------------------
+# the reference's bread-and-butter: secondary-indexing a business table
+# ---------------------------------------------------------------------------
+
+_ORD_ENGINES: dict[str, SearchEngine] = {}
+
+
+def get_orders_engine(sf_dir: str) -> SearchEngine:
+    """Trigram index over orders.o_orderpriority keyed by o_orderkey —
+    the reference's core use case (index one column of a JSON/CSV-shaped
+    business table, point/range lookups on it)."""
+    if sf_dir not in _ORD_ENGINES:
+        from .. import __version__
+        src = os.path.join(sf_dir, "orders.parquet")
+        name = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+        idx = os.path.join("/tmp", "vfsray_cache",
+                           f"{name}-{_corpus_key(sf_dir, src)}"
+                           f"-v{__version__}-orders")
+        if not os.path.exists(os.path.join(idx, "stats.json")):
+            IndexBuilder(idx, mode="trigram", num_parts=4,
+                         text_col="o_orderpriority",
+                         id_col="o_orderkey").build([src])
+        _ORD_ENGINES[sf_dir] = SearchEngine(idx, corpus_files=[src],
+                                            id_col="o_orderkey")
+    return _ORD_ENGINES[sf_dir]
+
+
+def q_orders_priority_search(sf_dir: str) -> pa.Table:
+    """Trigram point lookup on a business column: orders whose priority
+    contains 'LOW' (a single 3-rune key is exact — substring ⟺ trigram
+    present, no verification needed)."""
+    eng = get_orders_engine(sf_dir)
+    docs = eng.match("LOW")
+    return pa.table({"o_orderkey": pa.array(docs.astype(np.int64),
+                                            pa.int64())})
+
+
+def q_orders_numeric_range(sf_dir: str) -> pa.Table:
+    """Numeric AND over the same table via parquet pushdown (the
+    reference's uint64-key range lookups)."""
+    from ..planner import QueryExecutor
+    src = os.path.join(sf_dir, "orders.parquet")
+    ex = QueryExecutor(None, [src], text_col="o_orderpriority",
+                       id_col="o_orderkey")
+    docs = ex.execute("o_totalprice >= 400000 && o_custkey < 500")
+    return pa.table({"o_orderkey": pa.array(docs.astype(np.int64),
+                                            pa.int64())})
+
+
+# ---------------------------------------------------------------------------
 # streaming-shaped: event-time tumbling window (§2.10 analog)
 # ---------------------------------------------------------------------------
 
@@ -792,6 +841,8 @@ QUERIES = {
     "train_split": q_train_split,
     "source_stats": q_source_stats,
     "media_decode": q_media_decode,
+    "orders_priority_search": q_orders_priority_search,
+    "orders_numeric_range": q_orders_numeric_range,
     "events_hourly": q_events_hourly,
     "events_sessions": q_events_sessions,
     "events_props": q_events_props,
@@ -1024,6 +1075,13 @@ FROM s GROUP BY user_id, session_id
     "nearest": """
 SELECT doc_id, n_chars FROM documents
 ORDER BY abs(n_chars - 300), n_chars, doc_id LIMIT 1
+""",
+    "orders_priority_search": """
+SELECT o_orderkey FROM orders WHERE strpos(o_orderpriority, 'LOW') > 0
+""",
+    "orders_numeric_range": """
+SELECT o_orderkey FROM orders
+WHERE o_totalprice >= 400000 AND o_custkey < 500
 """,
     "events_props": """
 SELECT event_type, count(*)::BIGINT AS n,
