@@ -472,3 +472,25 @@ def test_top_terms_exact_and_sketch(docs_ds, docs_tbl):
     for tok, n in want:
         assert tok in sk_map, tok                      # guaranteed heavy hitter
         assert abs(sk_map[tok] - n) <= n_tokens // cap + 1
+
+
+def test_centroid_classify_planted_clusters(ray_session):
+    """Vectors sampled around 3 orthogonal centroids classify back to
+    their planted labels; ranks deterministic."""
+    import ray.data
+
+    from vfs_index_ray.functions.similarity import centroid_classify
+    rng = np.random.Generator(np.random.Philox(key=[55, 0]))
+    cents = np.eye(3, 12)  # 3 orthogonal unit centroids in 12-d
+    rows = []
+    for i in range(60):
+        lab = i % 3
+        v = cents[lab] + rng.normal(scale=0.05, size=12)
+        rows.append({"vec_id": i, "label": lab, "embedding": v.tolist()})
+    out = centroid_classify(ray.data.from_items(rows))
+    got = {r["vec_id"]: r["pred_label"]
+           for r in out.to_pylist()}
+    assert all(got[i] == i % 3 for i in range(60))
+    # deterministic across runs
+    again = centroid_classify(ray.data.from_items(rows))
+    assert out.equals(again)
