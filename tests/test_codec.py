@@ -178,3 +178,28 @@ def test_block_size_roundtrip_and_decode():
     assert seg["bsz"].to_pylist() == [32]
     d, t, l = decode_chunk(seg.to_pylist()[0])
     assert np.array_equal(d, docs)
+
+
+def test_bloom_sorted_matches_unsorted():
+    import numpy as np
+
+    from vfs_index_ray.codec import bloom_build
+    rng = np.random.Generator(np.random.Philox(key=[9, 0]))
+    terms = rng.integers(0, 1 << 63, 5000, dtype=np.uint64)
+    terms = np.repeat(terms, 3)  # duplicates, like real postings
+    assert bloom_build(np.sort(terms), assume_sorted=True) == \
+        bloom_build(terms)
+
+
+def test_sorted_intersect_edges():
+    import numpy as np
+
+    from vfs_index_ray.search import sorted_intersect
+    a = np.array([1, 5, 9, 2**63, 2**64 - 1], np.uint64)
+    b = np.array([5, 9, 11, 2**64 - 1], np.uint64)
+    assert sorted_intersect(a, b).tolist() == [5, 9, 2**64 - 1]
+    assert sorted_intersect(b, a).tolist() == [5, 9, 2**64 - 1]
+    e = np.empty(0, np.uint64)
+    assert sorted_intersect(a, e).tolist() == []
+    assert sorted_intersect(e, a).tolist() == []
+    assert sorted_intersect(a, np.array([2], np.uint64)).tolist() == []
