@@ -243,9 +243,12 @@ class IndexBuilder:
                                        override_num_blocks=nblocks)
             n_docs = sum(pq.read_metadata(f).num_rows for f in files)
         else:
-            # json/csv ingestion (reference S1-S5 decoder registry analog)
+            # json/csv ingestion (reference S1-S5 decoder registry
+            # analog). Materialize once: count() and the tokenize pass
+            # would otherwise EACH execute the decode read (a 2x read of
+            # the raw corpus); cached blocks spill via the object store
             from .sinks import read_corpus
-            ds = read_corpus(files, columns=cols)
+            ds = read_corpus(files, columns=cols).materialize()
             n_docs = ds.count()
         fn_kwargs = dict(mode=self.mode, text_col=self.text_col,
                          id_col=self.id_col, url_col=self.url_col,
