@@ -162,6 +162,9 @@ class QueryExecutor:
                        ("<", "<=", ">", ">=") and isinstance(p.value, str)]
         other = [p for p in plan.predicates
                  if p not in text_preds and p not in range_preds]
+        if (text_preds or range_preds) and self.engine is None:
+            raise ValueError("expression has text predicates but this "
+                             "executor was built without an index engine")
         doc_sets = []
         for p in text_preds:
             doc_sets.append(self.engine.match(str(p.value)))
