@@ -770,6 +770,21 @@ def q_label_classify(sf_dir: str) -> pa.Table:
     return centroid_classify(ds)
 
 
+def q_nears(sf_dir: str) -> pa.Table:
+    """The reference's Nears tf-share ranking (A7 parity,
+    search_cond.go:297-381): score = Σ df_tok/Σdf over matched tokens,
+    distance = ceil((1−score)·1e5)/1e5 ascending, doc_id ties. Two-token
+    query keeps the fp sum commutative, so the SQL oracle (whose join
+    may sum in either order) is bit-identical."""
+    eng = get_engine(sf_dir)
+    docs, dist = eng.nears(MATCH_QUERY)  # "spark window", 2 tokens
+    return pa.table({
+        "doc_id": pa.array(docs.astype(np.int64), pa.int64()),
+        "dist_x1e5": pa.array(
+            np.round(dist * 1e5).astype(np.int64), pa.int64()),
+    })
+
+
 def q_filtered_bm25(sf_dir: str) -> pa.Table:
     """Filtered ranked search: expression AND (text + numeric pushdown)
     then BM25 top-10 over the text predicate, global statistics."""
@@ -838,6 +853,7 @@ QUERIES = {
     "sample": q_sample,
     "batch_bm25": q_batch_bm25,
     "filtered_bm25": q_filtered_bm25,
+    "nears": q_nears,
     "train_split": q_train_split,
     "source_stats": q_source_stats,
     "media_decode": q_media_decode,
@@ -1127,6 +1143,24 @@ SELECT doc_id FROM s ORDER BY doc_id
     "batch_bm25": "\nUNION ALL\n".join(
         _bm25_sql_for(q.split(), i, k=5)
         for i, q in enumerate(BATCH_QUERIES)),
+    # Nears parity: per-token df/total division BEFORE the sum (mirrors
+    # the engine's accumulation; commutative for the 2-token query)
+    "nears": f"""
+WITH tok AS (
+  SELECT doc_id, unnest({TOKS}) AS tok FROM documents
+), dt AS (
+  SELECT DISTINCT doc_id, tok FROM tok WHERE tok IN ('spark','window')
+), df AS (
+  SELECT tok, count(*)::DOUBLE AS df FROM dt GROUP BY tok
+), tot AS (
+  SELECT sum(df) AS t FROM df
+), sc AS (
+  SELECT dt.doc_id, sum(df.df / tot.t) AS s
+  FROM dt JOIN df USING(tok) CROSS JOIN tot GROUP BY dt.doc_id
+)
+SELECT doc_id, CAST(ceil((1 - s) * 100000) AS BIGINT) AS dist_x1e5
+FROM sc
+""",
     # filtered ranked search: global-stat BM25 restricted to docs that
     # contain every query token AND pass the numeric filter
     "filtered_bm25": f"""
