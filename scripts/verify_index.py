@@ -21,7 +21,11 @@ def main(argv=None) -> int:
     ap.add_argument("--index", required=True)
     args = ap.parse_args(argv)
     from vfs_index_ray.build import verify_index
-    rep = verify_index(args.index)
+    try:
+        rep = verify_index(args.index)
+    except FileNotFoundError as e:
+        rep = {"ok": False,
+               "errors": [f"not a committed index dir: {e.filename}"]}
     print(json.dumps(rep))
     return 0 if rep["ok"] else 1
 
