@@ -109,7 +109,7 @@ def test_build_deterministic_across_parallelism(ray_session, pages_file,
         d2, s2 = e2.bm25(q, 20)
         assert d1.tolist() == d2.tolist()
         assert s1.tolist() == s2.tolist()
-    # segment files logically identical
+    # segment files logically identical; bloom filters byte-identical
     import os
     import pyarrow.parquet as pq2
     for name in sorted(os.listdir(os.path.join(idx1, "segments"))):
@@ -117,6 +117,10 @@ def test_build_deterministic_across_parallelism(ray_session, pages_file,
             t1 = pq2.read_table(os.path.join(idx1, "segments", name))
             t2 = pq2.read_table(os.path.join(idx2, "segments", name))
             assert t1.equals(t2), name
+        elif name.endswith(".bloom"):
+            b1 = open(os.path.join(idx1, "segments", name), "rb").read()
+            b2 = open(os.path.join(idx2, "segments", name), "rb").read()
+            assert b1 == b2, name
 
 
 def test_bucketed_index_same_results(ray_session, pages_file, tmp_path,
