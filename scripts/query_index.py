@@ -36,6 +36,10 @@ def main(argv=None) -> int:
                          "by the expression's text predicates")
     ap.add_argument("--explain", action="store_true",
                     help="with --q: print the execution profile instead")
+    ap.add_argument("--fetch", action="store_true",
+                    help="emit full corpus records for matches (the "
+                         "reference's JSON/CSV record output), not ids; "
+                         "requires --corpus")
     args = ap.parse_args(argv)
 
     import ray
@@ -74,6 +78,20 @@ def main(argv=None) -> int:
     else:
         ap.error("need --q or --expr")
         return 2
+    if args.fetch:
+        if not corpus_files:
+            ap.error("--fetch requires --corpus")
+        import numpy as np
+        ids = tbl["doc_id"].to_numpy(zero_copy_only=False)
+        rows = eng.fetch_rows(ids.astype(np.uint64))
+        if "score" in tbl.column_names and eng.id_col in rows.column_names:
+            score_of = dict(zip((int(d) for d in ids),
+                                tbl["score"].to_pylist()))
+            rid = rows[eng.id_col].to_pylist()
+            rows = rows.append_column(
+                "score", pa.array([score_of.get(int(d)) for d in rid],
+                                  pa.float64()))
+        tbl = rows
     if args.out:
         from vfs_index_ray.sinks import write_results
         write_results(tbl, args.out)
