@@ -651,6 +651,32 @@ def q_media_decode(sf_dir: str) -> pa.Table:
     })
 
 
+def q_media_frames(sf_dir: str) -> pa.Table:
+    """Video-column plumbing (rows-only): deterministic opaque payloads
+    sampled into per-frame metadata rows by the FrameSample stage — the
+    frame-sampling shape with the decode itself behind the same
+    NotImplementedError boundary as compressed images."""
+    import ray.data
+
+    from ..functions.multimodal import FrameSample
+    ids = _docs_ds(sf_dir, columns=["doc_id"]).take(16)
+    rows = []
+    for r in sorted(ids, key=lambda x: x["doc_id"]):
+        did = int(r["doc_id"])
+        size = (1 << 16) * (1 + did % 4) + 100  # 1-4 sampled frames
+        rows.append({"media_id": did, "payload": bytes([did % 251]) * size})
+    out = (ray.data.from_items(rows)
+           .map_batches(FrameSample(), batch_format="pyarrow",
+                        batch_size=8).take_all())
+    out.sort(key=lambda r: (r["media_id"], r["frame"]))
+    return pa.table({
+        "media_id": pa.array([r["media_id"] for r in out], pa.int64()),
+        "frame": pa.array([r["frame"] for r in out], pa.int64()),
+        "byte_offset": pa.array([r["byte_offset"] for r in out],
+                                pa.int64()),
+    })
+
+
 # ---------------------------------------------------------------------------
 # the reference's bread-and-butter: secondary-indexing a business table
 # ---------------------------------------------------------------------------
@@ -857,6 +883,7 @@ QUERIES = {
     "train_split": q_train_split,
     "source_stats": q_source_stats,
     "media_decode": q_media_decode,
+    "media_frames": q_media_frames,
     "orders_priority_search": q_orders_priority_search,
     "orders_numeric_range": q_orders_numeric_range,
     "events_hourly": q_events_hourly,
