@@ -237,3 +237,17 @@ def test_planner_string_range(tri_indexes, ref_file):
     assert ex.execute('content < "活動内"').tolist() == lt
     # 2-rune bound → no extractable key → empty
     assert len(ex.execute('content < "活動"')) == 0
+
+
+def test_planner_string_range_wrap_guard(tri_indexes, ref_file):
+    """'< key 0' must return empty, not wrap uint64 into a full scan;
+    symmetric guard for '>' at the top of the key space."""
+    from vfs_index_ray.planner import Predicate, QueryExecutor
+    from vfs_index_ray.search import SearchEngine
+
+    _, content_idx = tri_indexes
+    eng = SearchEngine(content_idx, corpus_files=[ref_file], id_col="id")
+    ex = QueryExecutor(eng, [ref_file], text_col="content", id_col="id")
+    # "\0\0\0" packs to trigram key 0: strict < has no keys below it
+    assert len(ex._string_range_docs(
+        Predicate("content", "<", "\x00\x00\x00"))) == 0

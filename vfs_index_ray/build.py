@@ -128,9 +128,12 @@ class SegmentWriter:
         # a few thousand chunk rows, not the whole partition
         pq.write_table(seg, tmp, compression="zstd",
                        row_group_size=4096)
-        os.replace(tmp, final)
         # term bloom filter beside the segment: absent-term lookups skip
-        # the parquet read entirely (segment-level negative cache)
+        # the parquet read entirely (segment-level negative cache).
+        # Published BEFORE the segment: a concurrent reader pairing the
+        # new bloom with the old segment only over-approximates (extra
+        # parquet read); the reverse order could pair a stale bloom with
+        # the new segment and silently answer df=0 for a present term.
         from .codec import bloom_build
         bloom_tmp = os.path.join(self.segments_dir,
                                  f".tmp.part={part:05d}.bloom")
@@ -138,6 +141,7 @@ class SegmentWriter:
             f.write(bloom_build(terms, assume_sorted=True))
         os.replace(bloom_tmp, os.path.join(self.segments_dir,
                                            f"part={part:05d}.bloom"))
+        os.replace(tmp, final)
         row = {
             "part": part,
             "n_chunks": seg.num_rows,

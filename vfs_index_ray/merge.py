@@ -171,7 +171,11 @@ class FederatedEngine:
     """Query across several doc-disjoint segment indexes as if they were
     one, with opportunistic merge-on-search (reference
     search_cond.go:828-837 MergeOnSearch: queries over unmerged index
-    files trigger background merging; answers never wait for it).
+    files trigger merging). Budgeted compaction rounds run INLINE at the
+    start of each match()/bm25() call — a query during compaction pays
+    for one ``merge_budget``-partition round before it is answered
+    (divergence from the reference's fully-background merge, documented;
+    committed partitions persist, so the cost is bounded and one-time).
 
     Scoring uses GLOBAL statistics (N = Σ n_docs, avgdl from summed token
     counts, df = Σ per-source df), and per-term postings are the sorted

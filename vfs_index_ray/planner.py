@@ -143,10 +143,14 @@ class QueryExecutor:
         key = keys[0]
         lo = hi = None
         if p.op == "<":
+            if key == 0:  # key-1 would wrap uint64 → full-keyspace scan
+                return np.empty(0, np.uint64)
             hi = key - 1
         elif p.op == "<=":
             hi = key
         elif p.op == ">":
+            if key == (1 << 64) - 1:  # key+1 would wrap to 0
+                return np.empty(0, np.uint64)
             lo = key + 1
         elif p.op == ">=":
             lo = key

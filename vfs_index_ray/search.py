@@ -502,6 +502,13 @@ class SearchEngine:
             total = int(lens.sum())
             if total == 0:
                 continue
+            if (lens == 0).any():
+                # a kept row with an empty pos buffer would corrupt the
+                # ce[cumsum(lens)-1] count recovery below for EVERY row;
+                # the builder never emits one — fail loudly, not silently
+                raise ValueError(
+                    "malformed positional index: empty pos buffer for a "
+                    f"kept (term, doc) row in {path}")
             # vectorized multi-slice gather of the kept rows' buffers
             v0 = np.concatenate([[0], np.cumsum(lens)[:-1]])
             idx = np.repeat(starts - v0, lens) + np.arange(total)

@@ -67,8 +67,14 @@ def write_results_ds(ds, out_dir: str, fmt: str = "parquet",
         ds.write_csv(tmp)
     else:
         raise ValueError(f"unknown format {fmt!r}")
-    shutil.rmtree(out_dir, ignore_errors=True)
+    # swap: rename any existing output aside first, so a crash between
+    # steps leaves either the old output or the new one — never nothing
+    old = out_dir.rstrip("/") + ".old"
+    shutil.rmtree(old, ignore_errors=True)
+    if os.path.exists(out_dir):
+        os.replace(out_dir, old)
     os.replace(tmp, out_dir)
+    shutil.rmtree(old, ignore_errors=True)
     return out_dir
 
 
