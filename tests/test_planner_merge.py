@@ -228,10 +228,12 @@ def test_federated_engine_matches_merged(ray_session, tmp_path):
     for q in ["bababa", "bababa babade", corpus.RARE_TERM,
               "nosuchtokenzz"]:
         rd, rs = ref.bm25(q, 10)
-        fd, fs = fed.bm25(q, 10)
-        assert fd.tolist() == rd.tolist(), q
-        assert fs.tolist() == rs.tolist(), q          # fp64-identical
-        assert fed.match(q).tolist() == ref.match(q).tolist()
+        for dist in (True, False):  # Ray fan-out and in-process paths
+            fd, fs = fed.bm25(q, 10, distributed=dist)
+            assert fd.tolist() == rd.tolist(), (q, dist)
+            assert fs.tolist() == rs.tolist(), (q, dist)  # fp64-identical
+            assert fed.match(q, distributed=dist).tolist() == \
+                ref.match(q).tolist()
     assert fed.df("bababa") == ref.df("bababa")
 
     # merge-on-search: budget 2 parts/query → compacts over 2 queries,

@@ -167,6 +167,69 @@ def merge_indexes(src_dirs: list[str], out_dir: str,
     return merged_stats
 
 
+# --- federated scoring workers (run as Ray tasks, one per source) --------
+
+def _fed_source_dfs(src_dir: str, q: str) -> dict[int, int]:
+    """Per-source task, round 1: df of every query term in this source."""
+    from .search import SearchEngine
+    e = SearchEngine(src_dir)
+    tids = sorted(set(e.query_term_ids(q)))
+    loaded = e.load_terms(tids)
+    return {t: loaded[t].df for t in tids}
+
+
+def _fed_score_source(src_dir: str, tids: list[int], gdf: dict[int, int],
+                      ndocs: int, avgdl: float, k: int):
+    """Per-source task, round 2: exact BM25 of this source's docs under
+    GLOBAL statistics (N, avgdl, df), local top-k. Sources are
+    doc-disjoint, so each doc's full posting set lives in one source and
+    the ascending-term fp64 accumulation here performs exactly the same
+    additions as the merged index's exact path — the global top-k over
+    the union of local top-ks is fp64-identical to the merged engine."""
+    import math
+
+    from . import BM25_B, BM25_K1
+    from .search import SearchEngine
+    e = SearchEngine(src_dir)
+    loaded = e.load_terms(list(tids))
+    ps = [(t, loaded[t].decode()) for t in tids]
+    ps = [(t, p) for t, p in ps if len(p.docs)]
+    empty = (np.empty(0, np.uint64), np.empty(0, np.float64))
+    if not ps:
+        return empty
+    if len(ps) == 1:
+        docs_all = ps[0][1].docs
+    else:
+        docs_all = np.unique(np.concatenate([p.docs for _, p in ps]))
+    scores = np.zeros(len(docs_all), np.float64)
+    for t, p in ps:  # ascending term_id — same order as _bm25_exact
+        df = int(gdf[t])
+        idf = math.log(1.0 + (ndocs - df + 0.5) / (df + 0.5))
+        tf = p.tfs.astype(np.float64)
+        dl = p.dls.astype(np.float64)
+        tfn = tf * (BM25_K1 + 1.0) / (
+            tf + BM25_K1 * (1.0 - BM25_B + BM25_B * dl / avgdl))
+        scores[np.searchsorted(docs_all, p.docs)] += idf * tfn
+    return SearchEngine._topk(docs_all, scores, k)
+
+
+def _fed_match_source(src_dir: str, q: str) -> np.ndarray:
+    from .search import SearchEngine
+    return SearchEngine(src_dir).match(q)
+
+
+_REMOTES: dict = {}
+
+
+def _remote(fn):
+    """ray.remote wrapper, built lazily and cached (keeps merge.py
+    importable without initializing Ray)."""
+    import ray
+    if fn not in _REMOTES:
+        _REMOTES[fn] = ray.remote(num_cpus=1)(fn)
+    return _REMOTES[fn]
+
+
 class FederatedEngine:
     """Query across several doc-disjoint segment indexes as if they were
     one, with opportunistic merge-on-search (reference
@@ -219,61 +282,74 @@ class FederatedEngine:
                 out[tok] = out.get(tok, 0) + d
         return out
 
-    def match(self, q: str) -> np.ndarray:
+    def _use_ray(self, distributed: bool | None) -> bool:
+        if distributed is not None:
+            return distributed
+        import ray
+        return ray.is_initialized() and len(self.src_dirs) > 1
+
+    def match(self, q: str, distributed: bool | None = None) -> np.ndarray:
         self._maybe_merge()
         if self.merged is not None:
             return self.merged.match(q)
-        return np.sort(np.concatenate(
-            [e.match(q) for e in self.engines]))
+        if self._use_ray(distributed):
+            import ray
+            parts = ray.get([_remote(_fed_match_source).remote(s, q)
+                             for s in self.src_dirs])
+        else:
+            parts = [e.match(q) for e in self.engines]
+        return np.sort(np.concatenate(parts))
 
-    def bm25(self, q: str, k: int = 10):
+    def bm25(self, q: str, k: int = 10,
+             distributed: bool | None = None):
         """Exact global BM25 over the union of sources (fp64-identical
-        to the merged index's exact path)."""
-        import math
+        to the merged index's exact path — tests assert it).
 
-        from . import BM25_B, BM25_K1
+        Scoring is fanned out as one Ray task per source (two rounds:
+        per-source dfs → global (N, avgdl, df) broadcast → per-source
+        exact scoring + local top-k; the driver only merges ≤ k rows per
+        source). ``distributed=None`` auto-selects: Ray tasks when Ray is
+        up and there is more than one source, else the in-process loop
+        (same code path per source either way). This replaces the
+        round-2 driver-side term×source loop — the reference's
+        merge-on-search serving story (search_cond.go:828-837) kept
+        off-driver."""
         from .search import SearchEngine
         self._maybe_merge()
         if self.merged is not None:
             return self.merged.bm25(q, k)
-        tids = sorted({tid for e in self.engines
-                       for tid in e.query_term_ids(q)})
-        if not tids or not self.ndocs:
-            return np.empty(0, np.uint64), np.empty(0, np.float64)
-        per_term = []
-        for tid in tids:  # ascending accumulation, like _bm25_exact
-            docs_l, tfs_l, dls_l = [], [], []
-            df = 0
-            for e in self.engines:
-                p = e.load_terms([tid])[tid].decode()
-                df += p.df
-                if len(p.docs):
-                    docs_l.append(p.docs)
-                    tfs_l.append(p.tfs)
-                    dls_l.append(p.dls)
-            if df == 0:
-                continue
-            docs = np.concatenate(docs_l)
-            tfs = np.concatenate(tfs_l)
-            dls = np.concatenate(dls_l)
-            order = np.argsort(docs, kind="stable")  # doc-disjoint sources
-            per_term.append((docs[order], tfs[order], dls[order], df))
-        if not per_term:
-            return np.empty(0, np.uint64), np.empty(0, np.float64)
-        if len(per_term) == 1:
-            docs_all = per_term[0][0]
+        empty = (np.empty(0, np.uint64), np.empty(0, np.float64))
+        if not self.ndocs:
+            return empty
+        use_ray = self._use_ray(distributed)
+        if use_ray:
+            import ray
+            df_maps = ray.get([_remote(_fed_source_dfs).remote(s, q)
+                               for s in self.src_dirs])
         else:
-            docs_all = np.unique(np.concatenate(
-                [d for d, _, _, _ in per_term]))
-        scores = np.zeros(len(docs_all), np.float64)
-        for docs, tfs, dls, df in per_term:
-            tf = tfs.astype(np.float64)
-            dl = dls.astype(np.float64)
-            tfn = tf * (BM25_K1 + 1.0) / (
-                tf + BM25_K1 * (1.0 - BM25_B + BM25_B * dl / self.avgdl))
-            idf = math.log(1.0 + (self.ndocs - df + 0.5) / (df + 0.5))
-            scores[np.searchsorted(docs_all, docs)] += idf * tfn
-        return SearchEngine._topk(docs_all, scores, k)
+            df_maps = [_fed_source_dfs(s, q) for s in self.src_dirs]
+        gdf: dict[int, int] = {}
+        for m in df_maps:
+            for t, d in m.items():
+                gdf[t] = gdf.get(t, 0) + d
+        tids = sorted(t for t, d in gdf.items() if d > 0)
+        if not tids:
+            return empty
+        if use_ray:
+            import ray
+            tops = ray.get([_remote(_fed_score_source).remote(
+                s, tids, gdf, self.ndocs, self.avgdl, k)
+                for s in self.src_dirs])
+        else:
+            tops = [_fed_score_source(s, tids, gdf, self.ndocs,
+                                      self.avgdl, k)
+                    for s in self.src_dirs]
+        tops = [t for t in tops if len(t[0])]
+        if not tops:
+            return empty
+        docs = np.concatenate([d for d, _ in tops])
+        scores = np.concatenate([s for _, s in tops])
+        return SearchEngine._topk(docs, scores, k)
 
 
 def repartition_index(src_dir: str, out_dir: str, new_num_parts: int) -> dict:

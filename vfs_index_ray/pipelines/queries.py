@@ -840,6 +840,58 @@ def q_nearest(sf_dir: str) -> pa.Table:
     })
 
 
+FED_QUERY = "batch stream sort"
+_FED_ENGINES: dict = {}
+
+
+def get_federated_engine(sf_dir: str):
+    """Two doc-disjoint half-indexes (doc_id parity split) queried
+    through FederatedEngine — the reference's merge-on-search serving
+    story (search_cond.go:828-837), scored via per-source Ray tasks.
+    Memoized per sf_dir like get_engine."""
+    if sf_dir not in _FED_ENGINES:
+        import pyarrow.parquet as pqq
+
+        from .. import __version__
+        from ..merge import FederatedEngine
+        src = _doc_file(sf_dir)
+        name = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+        base = os.path.join("/tmp", "vfsray_cache",
+                            f"{name}-{_corpus_key(sf_dir, src)}"
+                            f"-v{__version__}-fed")
+        os.makedirs(base, exist_ok=True)
+        idx_dirs = []
+        for half in (0, 1):
+            half_src = os.path.join(base, f"docs{half}.parquet")
+            if not os.path.exists(half_src):
+                tbl = pqq.read_table(src)
+                ids = tbl["doc_id"].to_numpy(zero_copy_only=False)
+                tmp = half_src + ".tmp"
+                pqq.write_table(tbl.filter(pa.array(ids % 2 == half)), tmp)
+                os.replace(tmp, half_src)
+            idx = os.path.join(base, f"idx{half}")
+            if not os.path.exists(os.path.join(idx, "stats.json")):
+                IndexBuilder(idx, mode="word", num_parts=4,
+                             id_col="doc_id").build([half_src])
+            idx_dirs.append(idx)
+        _FED_ENGINES[sf_dir] = FederatedEngine(idx_dirs)
+    return _FED_ENGINES[sf_dir]
+
+
+def q_federated_bm25(sf_dir: str) -> pa.Table:
+    """Global BM25 over two unmerged doc-disjoint indexes: per-source df
+    round → broadcast global (N, avgdl, df) → per-source scoring tasks →
+    tiny top-k merge. fp64-identical to one merged index, so the same
+    whole-corpus SQL oracle applies."""
+    fed = get_federated_engine(sf_dir)
+    docs, scores = fed.bm25(FED_QUERY, 10)
+    return pa.table({
+        "doc_id": pa.array(docs.astype(np.int64), pa.int64()),
+        "score_x1e4": pa.array(
+            np.floor(scores * 10000.0 + 0.5).astype(np.int64), pa.int64()),
+    })
+
+
 # ---------------------------------------------------------------------------
 # registry + oracle SQL
 # ---------------------------------------------------------------------------
@@ -879,6 +931,7 @@ QUERIES = {
     "sample": q_sample,
     "batch_bm25": q_batch_bm25,
     "filtered_bm25": q_filtered_bm25,
+    "federated_bm25": q_federated_bm25,
     "nears": q_nears,
     "train_split": q_train_split,
     "source_stats": q_source_stats,
@@ -902,6 +955,33 @@ WITH tok AS (
 ), tf AS (
   SELECT doc_id, tok, count(*)::DOUBLE AS tf FROM tok
   WHERE tok IN ('spark','join','window') GROUP BY doc_id, tok
+), dl AS (
+  SELECT doc_id, count(*)::DOUBLE AS dl FROM tok GROUP BY doc_id
+), stats AS (
+  SELECT (SELECT count(*) FROM documents)::DOUBLE AS n,
+         (SELECT count(*) FROM tok)::DOUBLE /
+         (SELECT count(*) FROM documents)::DOUBLE AS avgdl
+), df AS (
+  SELECT tok, count(*)::DOUBLE AS df FROM tf GROUP BY tok
+), scores AS (
+  SELECT tf.doc_id,
+         sum(ln(1 + (stats.n - df.df + 0.5)/(df.df + 0.5)) *
+             (tf.tf*2.2/(tf.tf + 1.2*(1 - 0.75 + 0.75*dl.dl/stats.avgdl))))
+           AS score
+  FROM tf JOIN df USING(tok) JOIN dl USING(doc_id) CROSS JOIN stats
+  GROUP BY tf.doc_id
+)
+SELECT doc_id, CAST(floor(score*10000 + 0.5) AS BIGINT) AS score_x1e4
+FROM scores ORDER BY score DESC, doc_id LIMIT 10
+""",
+    # identical BM25 formula over the whole corpus: the federated path
+    # over two doc-disjoint half-indexes is fp64-identical to one index
+    "federated_bm25": f"""
+WITH tok AS (
+  SELECT doc_id, unnest({TOKS}) AS tok FROM documents
+), tf AS (
+  SELECT doc_id, tok, count(*)::DOUBLE AS tf FROM tok
+  WHERE tok IN ('batch','stream','sort') GROUP BY doc_id, tok
 ), dl AS (
   SELECT doc_id, count(*)::DOUBLE AS dl FROM tok GROUP BY doc_id
 ), stats AS (
