@@ -71,6 +71,34 @@ def sorted_intersect(a: np.ndarray, b: np.ndarray) -> np.ndarray:
     return a[ok]
 
 
+def _range_scan_part(path: str, lo: int | None, hi: int | None
+                     ) -> np.ndarray:
+    """One partition of a key-range scan: pushdown read of the chunks in
+    [lo, hi], decode, return this part's deduped ascending doc_ids."""
+    filters = []
+    if lo is not None:
+        filters.append(("term_id", ">=", np.uint64(lo)))
+    if hi is not None:
+        filters.append(("term_id", "<=", np.uint64(hi)))
+    tbl = pq.read_table(path, filters=filters or None, use_threads=False)
+    out = [decode_chunk(row)[0] for row in tbl.to_pylist()]
+    out = [d for d in out if len(d)]
+    if not out:
+        return np.empty(0, np.uint64)
+    return np.unique(np.concatenate(out))
+
+
+_RANGE_REMOTE = None
+
+
+def _range_scan_remote():
+    global _RANGE_REMOTE
+    if _RANGE_REMOTE is None:
+        import ray
+        _RANGE_REMOTE = ray.remote(num_cpus=1)(_range_scan_part)
+    return _RANGE_REMOTE
+
+
 @dataclass
 class Postings:
     """Decoded (or decodable) postings of one term."""
@@ -629,37 +657,46 @@ class SearchEngine:
                                      ).astype(np.int64)]
 
     # ------------------------------------------------------------------
-    def term_range_docs(self, lo: int | None, hi: int | None
-                        ) -> np.ndarray:
+    def term_range_docs(self, lo: int | None, hi: int | None,
+                        distributed: bool | None = None) -> np.ndarray:
         """Key-space range scan (reference J6 full semantics: string/
         trigram range, index_file.go:1208-1422 keyRecordsBy +
         commonNearFnByKey): ascending doc_ids of every indexed term with
         ``lo <= term_id <= hi`` (None = open bound).
 
-        Every part is touched (terms are hash-partitioned), but the
-        sorted ``term_id`` layout makes each read a parquet row-group
-        pushdown — only groups overlapping the key range are decoded.
-        In trigram mode the packed key order IS the lexicographic order
-        of the 3-rune windows, so this is a string-range scan."""
-        filters = []
-        if lo is not None:
-            filters.append(("term_id", ">=", np.uint64(lo)))
-        if hi is not None:
-            filters.append(("term_id", "<=", np.uint64(hi)))
-        out = []
+        Every part is touched (terms are hash-partitioned), so the scan
+        fans out as ONE RAY TASK PER PART (each returns its deduped doc
+        array; the driver unions ≤ P small arrays) — a wide string range
+        at scale is parallel per-part work, never a driver-sequential
+        key-space walk. The sorted ``term_id`` layout makes each read a
+        parquet row-group pushdown — only groups overlapping the key
+        range are decoded. In trigram mode the packed key order IS the
+        lexicographic order of the 3-rune windows, so this is a
+        string-range scan. ``distributed=None`` auto-selects Ray tasks
+        when Ray is up and the index is multi-part."""
+        paths = []
         for part in range(self.num_parts):
             path = self._segment_file(part)
             if not os.path.exists(path):
                 raise RuntimeError(
                     f"index partition file missing: {path}; the index "
                     "is truncated or mid-rebuild")
-            tbl = pq.read_table(path, filters=filters or None,
-                                use_threads=False)
-            for row in tbl.to_pylist():
-                out.append(decode_chunk(row)[0])
-        if not out:
+            paths.append(path)
+        if distributed is None:
+            import ray
+            distributed = ray.is_initialized() and self.num_parts > 1
+        if distributed:
+            import ray
+            task = _range_scan_remote()
+            parts = ray.get([task.remote(p, lo, hi) for p in paths])
+        else:
+            parts = [_range_scan_part(p, lo, hi) for p in paths]
+        parts = [p for p in parts if len(p)]
+        if not parts:
             return np.empty(0, np.uint64)
-        return np.unique(np.concatenate(out))
+        if len(parts) == 1:
+            return parts[0]
+        return np.unique(np.concatenate(parts))
 
     def nearest_term(self, key: int, less: bool = True
                      ) -> tuple[int, int] | None:
