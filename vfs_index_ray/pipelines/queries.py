@@ -538,22 +538,32 @@ def q_ngram_jaccard(sf_dir: str) -> pa.Table:
         _docs_ds(sf_dir, columns=["doc_id", "text"]), pairs, shingle=3)
 
 
+def train_split_buckets(ids: np.ndarray) -> np.ndarray:
+    """Vectorized deterministic split hash: two 32-bit multiplicative
+    mixing rounds (Knuth / xxHash-prime constants) over the doc id —
+    reproducible with HUGEINT arithmetic + xor in plain SQL, and a pure
+    numpy kernel here (no per-row Python anywhere). Returns bucket in
+    [0, 100)."""
+    h = ids.astype(np.uint64)
+    m32 = np.uint64(0xFFFFFFFF)
+    h1 = (h * np.uint64(2654435761)) & m32
+    h2 = ((h1 ^ (h1 >> np.uint64(16))) * np.uint64(2246822519)) & m32
+    return ((h2 ^ (h2 >> np.uint64(13))) % np.uint64(100)).astype(np.int64)
+
+
 def q_train_split(sf_dir: str) -> pa.Table:
     """Deterministic hash-based train/eval split (the held-out-split
-    operator every training pipeline needs): bucket = first 8 hex chars
-    of md5(doc_id) mod 100; train = bucket < 80. Stable under any
-    partitioning/ordering and reproducible in SQL."""
-    import hashlib
+    operator every training pipeline needs): bucket =
+    train_split_buckets(doc_id) mod 100; train = bucket < 80. Stable
+    under any partitioning/ordering and reproducible in SQL."""
 
     def split(t: pa.Table) -> pa.Table:
-        ids = t["doc_id"].to_pylist()
-        buckets = [int(hashlib.md5(str(i).encode()).hexdigest()[:8], 16)
-                   % 100 for i in ids]
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        b = train_split_buckets(ids)
         return pa.table({
             "doc_id": t["doc_id"].cast(pa.int64()),
-            "split": pa.array(
-                ["train" if b < 80 else "eval" for b in buckets],
-                pa.string()),
+            "split": pc.if_else(pa.array(b < 80),
+                                pa.scalar("train"), pa.scalar("eval")),
         })
 
     out = _docs_ds(sf_dir, columns=["doc_id"]).map_batches(
@@ -1317,12 +1327,21 @@ SELECT p.doc_a, p.doc_b,
 FROM pairs p JOIN s a ON a.doc_id = p.doc_a
              JOIN s b ON b.doc_id = p.doc_b
 """,
+    # the engine's train_split_buckets hash, in HUGEINT/xor SQL
     "train_split": """
+WITH h1 AS (
+  SELECT doc_id,
+    CAST((CAST(doc_id AS HUGEINT) * 2654435761) % 4294967296 AS BIGINT)
+      AS v FROM documents
+), h2 AS (
+  SELECT doc_id,
+    CAST((CAST(xor(v, v >> 16) AS HUGEINT) * 2246822519) % 4294967296
+         AS BIGINT) AS v FROM h1
+)
 SELECT doc_id,
-  CASE WHEN CAST(('0x' || substr(md5(doc_id::VARCHAR), 1, 8)) AS BIGINT)
-            % 100 < 80
-       THEN 'train' ELSE 'eval' END AS split
-FROM documents
+  CASE WHEN xor(v, v >> 13) % 100 < 80 THEN 'train' ELSE 'eval' END
+    AS split
+FROM h2
 """,
     "source_stats": f"""
 WITH t AS (SELECT source, n_chars, len({TOKS}) AS nt FROM documents)
