@@ -494,3 +494,31 @@ def test_centroid_classify_planted_clusters(ray_session):
     # deterministic across runs
     again = centroid_classify(ray.data.from_items(rows))
     assert out.equals(again)
+
+
+def test_lsh_dropped_bucket_reporting(ray_session):
+    """Buckets over bucket_cap are dropped VISIBLY: the stats dict
+    reports count + largest bucket, and capped output never contains
+    sentinel rows."""
+    import ray.data
+
+    from vfs_index_ray.functions.dedup import (minhash_candidates,
+                                               simhash_near_dups)
+    # 6 identical docs → every band bucket holds all 6
+    rows = [{"doc_id": i, "text": "same words all over again " * 10}
+            for i in range(6)]
+    ds = ray.data.from_items(rows)
+    st: dict = {}
+    out = minhash_candidates(ds, num_perm=64, num_bands=16,
+                             bucket_cap=4, stats=st)
+    assert st["buckets_dropped"] > 0
+    assert st["docs_in_dropped_max"] == 6
+    assert out.num_rows == 0                      # all pairs were capped
+    assert (out["doc_a"].to_numpy(zero_copy_only=False) >= 0).all()
+    st2: dict = {}
+    out2 = simhash_near_dups(ds, bucket_cap=4, stats=st2)
+    assert st2["buckets_dropped"] > 0 and out2.num_rows == 0
+    # without the cap the pairs come back and stats report no drops
+    st3: dict = {}
+    full = minhash_candidates(ds, num_perm=64, num_bands=16, stats=st3)
+    assert st3["buckets_dropped"] == 0 and full.num_rows == 15

@@ -159,7 +159,10 @@ class BandEmit:
 def minhash_candidates(ds, *, num_perm: int = 64, num_bands: int = 16,
                        shingle: int = 3, text_col: str = "text",
                        id_col: str = "doc_id",
-                       spill_dir: str | None = None):
+                       spill_dir: str | None = None,
+                       sig_concurrency: int | tuple | None = None,
+                       bucket_cap: int = 64,
+                       stats: dict | None = None):
     """MinHash-LSH near-dup candidate pairs with signature-agreement sim.
 
     Pipeline: signatures (map_batches) → spilled to parquet (one
@@ -172,16 +175,21 @@ def minhash_candidates(ds, *, num_perm: int = 64, num_bands: int = 16,
     Scale shape: the signature spill is partitioned parquet (512 B/doc
     stays on disk, not the driver or object store); the candidate-only
     gather is a predicate-pushdown read of the spill; bucket sizes are
-    capped; the pair pipeline executes exactly once.
-    """
+    capped at ``bucket_cap`` docs — buckets above it are DROPPED, and
+    the drop is reported (count + docs) through ``stats`` and a warning
+    line, never silent; the pair pipeline executes exactly once.
+    ``sig_concurrency`` caps the signature stage (None = Ray auto-scales
+    tasks across the cluster)."""
     import shutil
     import tempfile
 
     import ray.data
 
+    sig_kwargs = {} if sig_concurrency is None else \
+        {"concurrency": sig_concurrency}
     sigs = ds.map_batches(MinHashSignature(num_perm, shingle, text_col,
                                            id_col),
-                          batch_format="pyarrow", concurrency=2)
+                          batch_format="pyarrow", **sig_kwargs)
     own_spill = spill_dir is None
     spill = spill_dir or tempfile.mkdtemp(prefix="minhash_sigs_",
                                           dir="/tmp")
@@ -193,7 +201,11 @@ def minhash_candidates(ds, *, num_perm: int = 64, num_bands: int = 16,
 
         def bucket_pairs(group: pa.Table) -> pa.Table:
             docs = np.unique(group["doc_id"].to_numpy(zero_copy_only=False))
-            if len(docs) < 2 or len(docs) > 64:  # cap pathological buckets
+            if len(docs) > bucket_cap:  # cap pathological buckets —
+                # emit a sentinel row so the drop is visible, not silent
+                return pa.table({"doc_a": pa.array([-1], pa.int64()),
+                                 "doc_b": pa.array([len(docs)], pa.int64())})
+            if len(docs) < 2:
                 return pa.table({"doc_a": pa.array([], pa.int64()),
                                  "doc_b": pa.array([], pa.int64())})
             ia, ib = np.triu_indices(len(docs), k=1)
@@ -203,6 +215,16 @@ def minhash_candidates(ds, *, num_perm: int = 64, num_bands: int = 16,
         pair_rows = (bands.groupby(["band", "band_hash"])
                      .map_groups(bucket_pairs, batch_format="pyarrow")
                      .take_all())  # ONE execution of the banded pipeline
+        dropped = [r["doc_b"] for r in pair_rows if r["doc_a"] < 0]
+        pair_rows = [r for r in pair_rows if r["doc_a"] >= 0]
+        if stats is not None:
+            stats["buckets_dropped"] = len(dropped)
+            stats["docs_in_dropped_max"] = max(dropped, default=0)
+            stats["bucket_cap"] = bucket_cap
+        if dropped:
+            print(f"minhash_candidates: dropped {len(dropped)} LSH "
+                  f"buckets over cap={bucket_cap} "
+                  f"(largest {max(dropped)} docs)")
         if not pair_rows:
             return pa.table({"doc_a": pa.array([], pa.int64()),
                              "doc_b": pa.array([], pa.int64()),
@@ -425,14 +447,17 @@ def _simhash_band_rows(batch: pa.Table) -> pa.Table:
 
 
 def simhash_near_dups(ds, *, max_hamming: int = 3, text_col: str = "text",
-                      id_col: str = "doc_id") -> pa.Table:
+                      id_col: str = "doc_id", bucket_cap: int = 64,
+                      stats: dict | None = None) -> pa.Table:
     """Near-dup pairs by SimHash: 4-band LSH on 16-bit chunks guarantees
     recall for hamming ≤ 3 (pigeonhole), verified exactly.
 
     Scale shape: band rows are a uniform (band, key) groupby — the same
     shuffle as MinHash banding; hamming is verified inside each bucket
     (hashes travel with the band rows), so only verified pairs reach the
-    driver. Nothing materializes the corpus or the hash table."""
+    driver. Buckets above ``bucket_cap`` docs are dropped and REPORTED
+    (``stats`` dict + warning line), never silently. Nothing
+    materializes the corpus or the hash table."""
     sh = ds.map_batches(SimHash(text_col, id_col), batch_format="pyarrow")
     bands = sh.map_batches(_simhash_band_rows, batch_format="pyarrow")
 
@@ -443,7 +468,11 @@ def simhash_near_dups(ds, *, max_hamming: int = 3, text_col: str = "text",
         # but be defensive about duplicate input rows)
         d, first = np.unique(d, return_index=True)
         h = h[first]
-        if len(d) < 2 or len(d) > 64:  # cap pathological buckets
+        if len(d) > bucket_cap:  # dropped bucket → visible sentinel
+            return pa.table({"doc_a": pa.array([-1], pa.int64()),
+                             "doc_b": pa.array([len(d)], pa.int64()),
+                             "hamming": pa.array([-1], pa.int64())})
+        if len(d) < 2:
             return pa.table({"doc_a": pa.array([], pa.int64()),
                              "doc_b": pa.array([], pa.int64()),
                              "hamming": pa.array([], pa.int64())})
@@ -460,6 +489,15 @@ def simhash_near_dups(ds, *, max_hamming: int = 3, text_col: str = "text",
 
     rows = (bands.groupby(["band", "key"])
             .map_groups(bucket_pairs, batch_format="pyarrow").take_all())
+    dropped = [r["doc_b"] for r in rows if r["doc_a"] < 0]
+    rows = [r for r in rows if r["doc_a"] >= 0]
+    if stats is not None:
+        stats["buckets_dropped"] = len(dropped)
+        stats["docs_in_dropped_max"] = max(dropped, default=0)
+        stats["bucket_cap"] = bucket_cap
+    if dropped:
+        print(f"simhash_near_dups: dropped {len(dropped)} LSH buckets "
+              f"over cap={bucket_cap} (largest {max(dropped)} docs)")
     if not rows:
         return pa.table({"doc_a": pa.array([], pa.int64()),
                          "doc_b": pa.array([], pa.int64()),

@@ -448,7 +448,10 @@ class HyperplaneBands:
 def embedding_near_dups(ds, threshold: float = 0.95,
                         vec_col: str = "embedding",
                         id_col: str = "vec_id",
-                        num_bands: int = 8, band_bits: int = 4) -> pa.Table:
+                        num_bands: int = 8, band_bits: int = 4,
+                        band_concurrency: int | tuple | None = None,
+                        bucket_cap: int = 512,
+                        stats: dict | None = None) -> pa.Table:
     """Cosine near-dup pairs (sim ≥ threshold) via banded hyperplane LSH
     + exact verification — the embedding analog of MinHash-LSH. A pair
     collides in a band iff all ``band_bits`` hyperplane signs agree;
@@ -461,15 +464,24 @@ def embedding_near_dups(ds, threshold: float = 0.95,
     exact cosine verify — the embedding table is never materialized."""
     import pyarrow.compute as pc
 
+    # band stage concurrency: default is an autoscaling actor pool sized
+    # to the cluster (a fixed 2-actor cap was right for tiny inputs only)
+    if band_concurrency is None:
+        import ray
+        band_concurrency = (1, max(2, int(
+            ray.cluster_resources().get("CPU", 8))))
     bands = ds.map_batches(
         HyperplaneBands,
         fn_constructor_kwargs=dict(num_bands=num_bands, band_bits=band_bits,
                                    vec_col=vec_col, id_col=id_col),
-        batch_format="pyarrow", concurrency=2)
+        batch_format="pyarrow", concurrency=band_concurrency)
 
     def bucket_pairs(group: pa.Table) -> pa.Table:
         docs = np.unique(group["vec_id"].to_numpy(zero_copy_only=False))
-        if len(docs) < 2 or len(docs) > 512:  # cap pathological buckets
+        if len(docs) > bucket_cap:  # dropped bucket → visible sentinel
+            return pa.table({"doc_a": pa.array([-1], pa.int64()),
+                             "doc_b": pa.array([len(docs)], pa.int64())})
+        if len(docs) < 2:
             return pa.table({"doc_a": pa.array([], pa.int64()),
                              "doc_b": pa.array([], pa.int64())})
         ia, ib = np.triu_indices(len(docs), k=1)
@@ -479,6 +491,15 @@ def embedding_near_dups(ds, threshold: float = 0.95,
     pair_rows = (bands.groupby(["band", "key"])
                  .map_groups(bucket_pairs, batch_format="pyarrow")
                  .take_all())
+    dropped = [r["doc_b"] for r in pair_rows if r["doc_a"] < 0]
+    pair_rows = [r for r in pair_rows if r["doc_a"] >= 0]
+    if stats is not None:
+        stats["buckets_dropped"] = len(dropped)
+        stats["docs_in_dropped_max"] = max(dropped, default=0)
+        stats["bucket_cap"] = bucket_cap
+    if dropped:
+        print(f"embedding_near_dups: dropped {len(dropped)} LSH buckets "
+              f"over cap={bucket_cap} (largest {max(dropped)} docs)")
     empty = pa.table({"doc_a": pa.array([], pa.int64()),
                       "doc_b": pa.array([], pa.int64()),
                       "sim_x1e4": pa.array([], pa.int64())})
