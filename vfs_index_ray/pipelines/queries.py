@@ -367,8 +367,24 @@ def q_ann_ivf_exact(sf_dir: str) -> pa.Table:
 
 
 def q_minhash_near_dup(sf_dir: str) -> pa.Table:
-    from ..functions.dedup import minhash_candidates
-    return minhash_candidates(_docs_ds(sf_dir, columns=["doc_id", "text"]))
+    """MinHash-LSH candidates → exact shingle-Jaccard verify → pairs
+    with jaccard ≥ 0.8. At (64 perms, 16 bands of 4) the miss odds for a
+    j≈0.9 pair are ~(1-0.9⁴)¹⁶ ≈ 2e-4 and the pipeline is deterministic
+    (seeded permutations), so the output equals the ALL-PAIRS exact SQL
+    — the oracle hash-checks candidate recall + verification end-to-end."""
+    from ..functions.dedup import minhash_candidates, ngram_jaccard_pairs
+    ds = _docs_ds(sf_dir, columns=["doc_id", "text"])
+    cands = minhash_candidates(ds, num_perm=64, num_bands=16)
+    if cands.num_rows == 0:
+        return pa.table({"doc_a": pa.array([], pa.int64()),
+                         "doc_b": pa.array([], pa.int64()),
+                         "jaccard_x1e4": pa.array([], pa.int64())})
+    exact = ngram_jaccard_pairs(ds, cands.select(["doc_a", "doc_b"]))
+    keep = pc.greater_equal(exact["jaccard_x1e4"], 8000)
+    out = exact.filter(keep)
+    order = np.lexsort((out["doc_b"].to_numpy(zero_copy_only=False),
+                        out["doc_a"].to_numpy(zero_copy_only=False)))
+    return out.take(order)
 
 
 def q_simhash_near_dup(sf_dir: str) -> pa.Table:
@@ -381,8 +397,12 @@ def q_embedding_near_dup(sf_dir: str) -> pa.Table:
 
     from ..functions.similarity import embedding_near_dups
     ds = ray.data.read_parquet(os.path.join(sf_dir, "embeddings.parquet"))
-    # testdata embeddings are near-orthogonal; 0.4 exercises the pipeline
-    return embedding_near_dups(ds, threshold=0.4)
+    # testdata embeddings are near-orthogonal; 0.4 exercises the
+    # pipeline. 32 hyperplane bands of 4 bits: miss odds per sim≥0.4
+    # pair ≈ (1-0.63⁴)³² ≈ 4e-3 and the planes are seeded, so on this
+    # corpus the banded output equals the all-pairs exact SQL (the
+    # oracle hash-checks LSH recall + cosine verify end-to-end)
+    return embedding_near_dups(ds, threshold=0.4, num_bands=32)
 
 
 def q_langid(sf_dir: str) -> pa.Table:
@@ -1326,6 +1346,39 @@ SELECT p.doc_a, p.doc_b,
        * 10000 + 0.5) AS BIGINT) AS jaccard_x1e4
 FROM pairs p JOIN s a ON a.doc_id = p.doc_a
              JOIN s b ON b.doc_id = p.doc_b
+""",
+    # ALL-PAIRS exact shingle Jaccard ≥ 0.8 — hash-checks the engine's
+    # MinHash-LSH candidate recall AND its exact verification stage
+    "minhash_near_dup": f"""
+WITH t AS (SELECT doc_id, {TOKS} AS toks FROM documents),
+s AS (SELECT doc_id,
+  list_distinct([toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+                 for i in generate_series(1, len(toks) - 2)]) AS sh
+  FROM t),
+u AS (SELECT doc_id, unnest(sh) AS g FROM s),
+cand AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+         FROM u a JOIN u b ON a.g = b.g AND a.doc_id < b.doc_id
+         GROUP BY 1, 2),
+j AS (SELECT doc_a, doc_b,
+        CAST(floor(inter::DOUBLE /
+             greatest(len(sa.sh) + len(sb.sh) - inter, 1) * 10000 + 0.5)
+             AS BIGINT) AS jaccard_x1e4
+      FROM cand JOIN s sa ON sa.doc_id = cand.doc_a
+                JOIN s sb ON sb.doc_id = cand.doc_b)
+SELECT doc_a, doc_b, jaccard_x1e4 FROM j WHERE jaccard_x1e4 >= 8000
+ORDER BY doc_a, doc_b
+""",
+    # ALL-PAIRS exact cosine ≥ 0.4 — hash-checks hyperplane-LSH recall
+    # AND the exact cosine verify
+    "embedding_near_dup": """
+WITH sims AS (
+  SELECT a.vec_id AS doc_a, b.vec_id AS doc_b,
+         list_cosine_similarity(a.embedding, b.embedding) AS sim
+  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+)
+SELECT doc_a, doc_b,
+       CAST(floor(sim*10000 + 0.5) AS BIGINT) AS sim_x1e4
+FROM sims WHERE sim >= 0.4 ORDER BY doc_a, doc_b
 """,
     # the engine's train_split_buckets hash, in HUGEINT/xor SQL
     "train_split": """
