@@ -329,6 +329,41 @@ def encode_partition(terms: np.ndarray, docs: np.ndarray, tfs: np.ndarray,
     })
 
 
+def chunk_rows_columnar(tbl) -> list[dict]:
+    """Segment rows as light dicts whose buffer/list values are numpy
+    VIEWS into the Arrow columns — no per-row byte copies or Python
+    boxing. ``tbl.to_pylist()`` on a head term's thousands of chunk rows
+    was a measured driver-side hotspot (the 1.6M-doc index stores 640k
+    chunks); decode_chunk/decode_block accept these views unchanged
+    (they slice and np.frombuffer, both fine on uint8 views)."""
+    import pyarrow as pa
+    n = tbl.num_rows
+    if n == 0:
+        return []
+    cols: dict[str, object] = {}
+    for name in tbl.column_names:
+        col = tbl[name]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        t = col.type
+        if pa.types.is_large_binary(t) or pa.types.is_binary(t):
+            width = 8 if pa.types.is_large_binary(t) else 4
+            dt = np.int64 if width == 8 else np.int32
+            offs = np.frombuffer(col.buffers()[1], dt, count=len(col) + 1,
+                                 offset=col.offset * width)
+            data = np.frombuffer(col.buffers()[2] or b"", np.uint8)
+            cols[name] = [data[offs[i]:offs[i + 1]] for i in range(n)]
+        elif pa.types.is_list(t):
+            offs = np.frombuffer(col.buffers()[1], np.int32,
+                                 count=len(col) + 1, offset=col.offset * 4)
+            vals = col.values.to_numpy(zero_copy_only=False)
+            cols[name] = [vals[offs[i]:offs[i + 1]] for i in range(n)]
+        else:
+            cols[name] = col.to_numpy(zero_copy_only=False)
+    names = list(tbl.column_names)
+    return [{nm: cols[nm][i] for nm in names} for i in range(n)]
+
+
 def _empty_segment_table():
     import pyarrow as pa
     # column order/types must exactly mirror encode_partition's non-empty

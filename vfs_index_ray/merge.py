@@ -36,8 +36,9 @@ from .codec import decode_chunk
 def decode_segment_table(tbl: pa.Table):
     """Expand segment rows back into flat posting arrays
     (terms, docs, tfs, dls), ordered (term asc, bucket asc → doc asc)."""
+    from .codec import chunk_rows_columnar
     terms_l, docs_l, tfs_l, dls_l = [], [], [], []
-    for row in tbl.to_pylist():
+    for row in chunk_rows_columnar(tbl):
         d, tf, dl = decode_chunk(row)
         terms_l.append(np.full(len(d), np.uint64(row["term_id"])))
         docs_l.append(d)

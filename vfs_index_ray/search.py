@@ -80,8 +80,9 @@ def _range_scan_part(path: str, lo: int | None, hi: int | None
         filters.append(("term_id", ">=", np.uint64(lo)))
     if hi is not None:
         filters.append(("term_id", "<=", np.uint64(hi)))
+    from .codec import chunk_rows_columnar
     tbl = pq.read_table(path, filters=filters or None, use_threads=False)
-    out = [decode_chunk(row)[0] for row in tbl.to_pylist()]
+    out = [decode_chunk(row)[0] for row in chunk_rows_columnar(tbl)]
     out = [d for d in out if len(d)]
     if not out:
         return np.empty(0, np.uint64)
@@ -204,8 +205,9 @@ class SearchEngine:
                     "truncated or mid-rebuild")
             tbl = pq.read_table(
                 path, filters=[("term_id", "in", [np.uint64(t) for t in tids])])
+            from .codec import chunk_rows_columnar
             rows_by_term: dict[int, list[dict]] = {t: [] for t in tids}
-            for row in tbl.to_pylist():
+            for row in chunk_rows_columnar(tbl):  # numpy views, no boxing
                 rows_by_term[int(row["term_id"])].append(row)
             for tid in tids:
                 rows = rows_by_term[tid]
@@ -346,8 +348,8 @@ class SearchEngine:
         """Upper bound of this term's contribution, from block metadata."""
         ub = 0.0
         for c in p.chunks:
-            tf_max = max(c["block_tf_max"]) if c["block_tf_max"] else 0
-            dl_min = min(c["block_dl_min"]) if c["block_dl_min"] else 1
+            tf_max = max(c["block_tf_max"]) if len(c["block_tf_max"]) else 0
+            dl_min = min(c["block_dl_min"]) if len(c["block_dl_min"]) else 1
             if tf_max:
                 ub = max(ub, float(self._term_score(
                     np.array([tf_max], np.uint64),
@@ -1142,8 +1144,9 @@ def bm25_topk_ray(index_dir: str, q: str, k: int = 10):
     ndocs, avgdl = stats["n_docs"], stats["avgdl"]
 
     def score_bucket(group: pa.Table) -> pa.Table:
-        rows = sorted(group.to_pylist(), key=lambda r: (r["term_id"],
-                                                        r["bucket"]))
+        from .codec import chunk_rows_columnar
+        rows = sorted(chunk_rows_columnar(group),
+                      key=lambda r: (int(r["term_id"]), int(r["bucket"])))
         decoded = []
         for row in rows:  # ascending term_id (+ bucket)
             d, tf, dl = decode_chunk(row)
