@@ -233,3 +233,37 @@ def test_absorb_rewrites_positions(ray_session, tmp_path, pages_file):
     got_i = ei.phrase_match_positional(corpus.PHRASE)
     assert got_f.tolist() == got_i.tolist()
     assert len(got_f) == 3
+
+
+def test_staged_phrase_identical_to_batched(pos_index, pages_file):
+    """Rare-pivot staged chaining (the pure-head-phrase path) returns
+    exactly the batched path's docs on every fuzzed phrase, including
+    repeated-token phrases."""
+    from vfs_index_ray.hashing import doc_id_from_url
+    from vfs_index_ray.search import SearchEngine
+
+    batched = SearchEngine(pos_index, corpus_files=[pages_file])
+    staged = SearchEngine(pos_index, corpus_files=[pages_file])
+    staged.phrase_stage_threshold = 0      # force the staged path
+    tbl = pq.read_table(pages_file, columns=["url", "text"])
+    texts = tbl["text"].to_pylist()
+    ids = [doc_id_from_url(u) for u in tbl["url"].to_pylist()]
+    rng = np.random.Generator(np.random.Philox(key=[77, 0]))
+    checked = 0
+    for _ in range(25):
+        doc = texts[int(rng.integers(0, len(texts)))]
+        toks = _tokens(doc)
+        if len(toks) < 4:
+            continue
+        j = int(rng.integers(0, len(toks) - 3))
+        ln = int(rng.integers(2, 5))
+        phrase = " ".join(toks[j:j + ln])
+        got = staged.phrase_match_positional(phrase).tolist()
+        assert got == batched.phrase_match_positional(phrase).tolist(), \
+            phrase
+        assert got == _py_phrase_docs(texts, ids, phrase), phrase
+        checked += 1
+    assert checked > 10
+    # repeated-token phrase exercises multi-occurrence base constraints
+    got = staged.phrase_match_positional("ba ba").tolist()
+    assert got == batched.phrase_match_positional("ba ba").tolist()

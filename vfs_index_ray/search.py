@@ -601,11 +601,18 @@ class SearchEngine:
         cands = self.match(phrase)
         if len(cands) == 0:
             return cands
+        cand_sorted = np.sort(np.asarray(cands, np.uint64))
+        uniq = sorted(set(seq))
+        if len(cand_sorted) > self.phrase_stage_threshold and len(uniq) > 1:
+            # pure-head phrase: too many candidates for the positional
+            # read to push doc filters down — switch to rare-pivot
+            # chaining (one term at a time, df-ascending, each fetch
+            # scoped to the docs still alive)
+            return self._phrase_positional_staged(seq, uniq, cand_sorted)
         # vectorized across ALL candidate docs at once: pack (doc,
         # ordinal) into one sortable key, then chain sorted-set
         # intersections of (prefix_end + 1) with the next term's keys
-        cand_sorted = np.sort(np.asarray(cands, np.uint64))
-        flat = self.positions_flat(sorted(set(seq)), cand_sorted)
+        flat = self.positions_flat(uniq, cand_sorted)
         A = self._position_keys(flat[seq[0]], cand_sorted)
         one = np.uint64(1)
         for tid in seq[1:]:
@@ -616,6 +623,50 @@ class SearchEngine:
         if len(A) == 0:
             return np.empty(0, np.uint64)
         return cand_sorted[np.unique(A >> np.uint64(32)).astype(np.int64)]
+
+    # candidate count above which phrase matching goes term-at-a-time
+    # (must match the regime where positions_flat can no longer push the
+    # doc set down into the parquet read)
+    phrase_stage_threshold = 8192
+
+    def _phrase_positional_staged(self, seq: list[int], uniq: list[int],
+                                  cand_sorted: np.ndarray) -> np.ndarray:
+        """Rare-pivot phrase chaining: process terms df-ASCENDING; after
+        each term only phrase-start bases satisfying every occurrence so
+        far survive, and the NEXT term's positional read is scoped to
+        the surviving docs (candidate pushdown re-engages as soon as the
+        live set shrinks under the threshold). A pure-head phrase thus
+        decodes the rarest term's full positional list ONCE and reads
+        only matching row groups of the other heads, instead of decoding
+        every head term's full list.
+
+        Base keys: (cand_idx << 32 | ordinal) − idx — a base survives
+        term t at position idx iff t occurs at base+idx. Underflow
+        (ordinal < idx) borrows into the previous candidate's key space
+        at ordinal ~2^32, which no real document reaches — same packing
+        argument as the +1 chaining above."""
+        loaded = self.load_terms(uniq)
+        by_df = sorted(uniq, key=lambda t: (loaded[t].df, t))
+        idxs_of: dict[int, list[int]] = {t: [] for t in uniq}
+        for i, t in enumerate(seq):
+            idxs_of[t].append(i)
+        A: np.ndarray | None = None
+        live = cand_sorted
+        for tid in by_df:
+            flat = self.positions_flat([tid], live)
+            K = self._position_keys(flat[tid], cand_sorted)
+            T: np.ndarray | None = None
+            for idx in idxs_of[tid]:
+                bases = K - np.uint64(idx)
+                T = bases if T is None else np.intersect1d(
+                    T, bases, assume_unique=True)
+            A = T if A is None else np.intersect1d(A, T,
+                                                   assume_unique=True)
+            if A is None or len(A) == 0:
+                return np.empty(0, np.uint64)
+            live = cand_sorted[np.unique(A >> np.uint64(32)
+                                         ).astype(np.int64)]
+        return live
 
     def proximity_match(self, q: str, window: int) -> np.ndarray:
         """Positional proximity: docs where some occurrence of every
