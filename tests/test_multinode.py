@@ -1,0 +1,62 @@
+"""Multi-node packaging smoke test: a SIMULATED two-node Ray cluster
+(ray.cluster_utils) in a subprocess — the session fixture owns this
+process's Ray, so the cluster gets its own interpreter. Verifies the
+full job shape the north_rule asks for: index build over the cluster,
+QueryService replicas SPREAD onto distinct nodes, answers identical to
+a local engine."""
+
+import os
+import subprocess
+import sys
+
+SCRIPT = r"""
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+import ray
+from ray.cluster_utils import Cluster
+
+cluster = Cluster(initialize_head=True, head_node_args={"num_cpus": 2})
+cluster.add_node(num_cpus=2)
+ray.init(address=cluster.address, include_dashboard=False,
+         logging_level="ERROR",
+         runtime_env={"env_vars": {"PYTHONPATH": "/root/repo"}})
+
+from vfs_index_ray import corpus
+from vfs_index_ray.build import IndexBuilder
+from vfs_index_ray.search import SearchEngine
+from vfs_index_ray.service import QueryService
+
+TMP = "%TMP%"
+pages = corpus.generate_pages(200)
+ids = pa.array(np.arange(200, dtype=np.int64), pa.int64())
+src = TMP + "/docs.parquet"
+pq.write_table(pages.append_column("doc_id", ids), src)
+idx = TMP + "/idx"
+IndexBuilder(idx, mode="word", num_parts=4, id_col="doc_id").build([src])
+
+svc = QueryService(idx, replicas=2)
+nodes = svc.worker_nodes()
+print("DISTINCT_NODES", len(set(nodes)))
+d, s = svc.bm25("bababa", 5)
+eng = SearchEngine(idx)
+de, se = eng.bm25("bababa", 5)
+assert d.tolist() == de.tolist() and s.tolist() == se.tolist()
+print("RESULTS_MATCH 1")
+svc.shutdown()
+ray.shutdown()
+cluster.shutdown()
+"""
+
+
+def test_query_service_spreads_across_two_nodes(tmp_path):
+    script = SCRIPT.replace("%TMP%", str(tmp_path))
+    f = tmp_path / "two_node.py"
+    f.write_text(script)
+    env = dict(os.environ, PYTHONPATH="/root/repo")
+    res = subprocess.run([sys.executable, str(f)], cwd="/root/repo",
+                         env=env, capture_output=True, text=True,
+                         timeout=420)
+    assert res.returncode == 0, res.stdout[-2000:] + res.stderr[-2000:]
+    assert "DISTINCT_NODES 2" in res.stdout, res.stdout
+    assert "RESULTS_MATCH 1" in res.stdout

@@ -14,8 +14,10 @@ in input order.
 
 Scale shape: replicas are stateless-restartable (the index is on shared
 storage); routing is client-side and O(1); adding replicas is linear QPS
-until storage bandwidth saturates. On a multi-node cluster spread
-replicas with ``ray.util.scheduling_strategies.SPREAD``.
+until storage bandwidth saturates. Replicas are placed with Ray's
+``SPREAD`` scheduling strategy by default, so on a multi-node cluster
+they land on distinct nodes (verified by a simulated two-node cluster
+test); pass ``scheduling_strategy=None`` to let Ray pack instead.
 """
 
 from __future__ import annotations
@@ -58,19 +60,29 @@ class QueryWorker:
     def calls(self) -> int:
         return self.n_calls
 
+    def node_id(self) -> str:
+        """Placement introspection (which node hosts this replica)."""
+        return ray.get_runtime_context().get_node_id()
+
 
 class QueryService:
     """Client facade over a pool of resident QueryWorker actors."""
 
     def __init__(self, index_dir: str, *, replicas: int = 4,
                  corpus_files=None, id_col: str = "doc_id",
-                 num_cpus: float = 1):
+                 num_cpus: float = 1,
+                 scheduling_strategy: str | None = "SPREAD"):
         # max_restarts: a crashed replica restarts and rebuilds its
         # caches from the index on shared storage (workers hold no
         # unrecoverable state); in-flight calls on the dead actor fail
-        # fast and the client may retry
+        # fast and the client may retry.
+        # SPREAD: replicas distribute across nodes (soft constraint — a
+        # single node still hosts all of them happily in local mode)
+        opts = dict(num_cpus=num_cpus, max_restarts=2)
+        if scheduling_strategy is not None:
+            opts["scheduling_strategy"] = scheduling_strategy
         self.workers = [
-            QueryWorker.options(num_cpus=num_cpus, max_restarts=2).remote(
+            QueryWorker.options(**opts).remote(
                 index_dir, corpus_files=corpus_files, id_col=id_col)
             for _ in range(replicas)]
         # fail fast if the index is unreadable (actor init raises lazily)
@@ -110,6 +122,10 @@ class QueryService:
 
     def calls_per_worker(self) -> list[int]:
         return ray.get([w.calls.remote() for w in self.workers])
+
+    def worker_nodes(self) -> list[str]:
+        """Node id per replica (asserts SPREAD placement in tests)."""
+        return ray.get([w.node_id.remote() for w in self.workers])
 
     def shutdown(self) -> None:
         for w in self.workers:
