@@ -381,19 +381,69 @@ class SearchEngine:
                 hit[found] = True
         return tf_out, dl_out, hit
 
+    def _bootstrap_theta(self, tids, loaded, k, max_blocks: int = 4):
+        """Champion-block θ bootstrap (the impact-ordering payoff without
+        an index-format change): exact-score a tiny set of docs drawn
+        from each term's highest-upper-bound skip blocks (and the top
+        cached contributions of already-decoded terms). The kth best of
+        these EXACT scores is a valid lower bound on the final kth-best
+        score, so MaxScore phase 1 starts with a tight θ and can stop
+        decoding head terms early. Returns (boot_docs, theta) or
+        (None, -inf) when there aren't k docs to bound with — any real
+        docs give a valid bound, so correctness never depends on which
+        blocks are picked."""
+        from .codec import decode_block
+        cands = []
+        blocks: list[tuple[float, dict, int]] = []
+        for t in tids:
+            p = loaded[t]
+            if p.docs is not None:
+                if len(p.docs) == 0:
+                    continue
+                if p.scores is None:
+                    p.scores = self._term_score(p.tfs, p.dls, p.df)
+                m = min(32, len(p.scores))
+                idx = np.argpartition(-p.scores, m - 1)[:m]
+                cands.append(p.docs[idx])
+                continue
+            for c in p.chunks:
+                if len(c["skip_doc_last"]) == 0:
+                    continue
+                tf_max = np.asarray(c["block_tf_max"], np.uint64)
+                dl_min = np.maximum(
+                    np.asarray(c["block_dl_min"], np.uint64), 1)
+                ub = self._term_score(tf_max, dl_min, p.df)
+                for bi in np.argsort(-ub)[:2]:
+                    blocks.append((float(ub[bi]), c, int(bi)))
+        blocks.sort(key=lambda x: -x[0])
+        for _, c, bi in blocks[:max_blocks]:
+            d, _, _ = decode_block(c, bi)
+            cands.append(d)
+        if not cands:
+            return None, -np.inf
+        boot = np.unique(np.concatenate(cands))
+        if len(boot) < k:
+            return None, -np.inf
+        scores = self._score_targets(tids, loaded, boot)
+        theta = float(np.partition(scores, len(scores) - k)[-k])
+        return boot, theta
+
     def _bm25_maxscore(self, tids, loaded, k):
         ubs = {t: self._term_ub(loaded[t]) for t in tids}
         by_ub = sorted(tids, key=lambda t: (-ubs[t], t))
         suffix = np.cumsum([ubs[t] for t in by_ub][::-1])[::-1]
+        boot_docs, theta = self._bootstrap_theta(tids, loaded, k)
         # phase 1: accumulate partial scores term-by-term (ub desc) until
         # the remaining suffix bound can't reach the current kth best
+        # (θ starts at the champion-block bootstrap, so head terms after
+        # the first are often never decoded at all)
         cand_docs = np.empty(0, np.uint64)
         cand_part = np.empty(0, np.float64)
-        theta = -np.inf
         decoded: set[int] = set()
         eps = 1e-9  # partial sums are pairwise-accumulated; guard ulp noise
         for i, tid in enumerate(by_ub):
-            if i > 0 and len(cand_docs) >= k and suffix[i] < theta - eps:
+            if i > 0 and suffix[i] < theta - eps and \
+                    (len(cand_docs) >= k or boot_docs is not None):
                 break
             p = loaded[tid].decode()
             decoded.add(tid)
@@ -409,7 +459,8 @@ class SearchEngine:
             cand_docs = d[st]
             cand_part = np.add.reduceat(v, st)
             if len(cand_docs) >= k:
-                theta = np.partition(cand_part, len(cand_part) - k)[-k]
+                theta = max(theta, float(np.partition(
+                    cand_part, len(cand_part) - k)[-k]))
         # phase 2: exact rescore of candidates — probe undecoded terms'
         # blocks; then recompute every candidate's score from scratch in
         # ascending-term order (bit-identical to the exact path)
@@ -419,10 +470,20 @@ class SearchEngine:
         if len(cand_docs) > k:
             keep = cand_part + max_extra >= theta - eps
             cand_docs = cand_docs[keep]
+        if boot_docs is not None:
+            # the θ witnesses must stay candidates (they may BE the top-k)
+            cand_docs = np.union1d(cand_docs, boot_docs)
         targets = np.sort(cand_docs)
         per_term = []
         for tid in tids:  # ascending
             p = loaded[tid]
+            # probe-vs-decode cost rule: block probes pay off only when
+            # the candidate set is much smaller than the posting list
+            # (flat score distributions leave pruning ineffective — then
+            # a full vectorized decode beats per-block probing)
+            if tid not in decoded and p.docs is None and \
+                    len(targets) * 4 >= p.df:
+                p.decode()
             if tid in decoded or p.docs is not None:
                 p.decode()
                 pos = np.searchsorted(p.docs, targets)
