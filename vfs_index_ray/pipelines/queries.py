@@ -388,6 +388,12 @@ def q_minhash_near_dup(sf_dir: str) -> pa.Table:
 
 
 def q_simhash_near_dup(sf_dir: str) -> pa.Table:
+    """SimHash LSH pairs with hamming ≤ 3. The 4×16-bit banding is
+    GUARANTEED recall at hamming ≤ 3 (pigeonhole: ≤3 flipped bits can
+    spoil at most 3 of 4 bands), and SimHash itself is deterministic
+    (FNV-1a64 token hashes, tf-weighted bit sums) — so the output equals
+    the ALL-PAIRS exact hamming set, which the oracle recomputes from
+    scratch in SQL (FNV via list_reduce over token bytes)."""
     from ..functions.dedup import simhash_near_dups
     return simhash_near_dups(_docs_ds(sf_dir, columns=["doc_id", "text"]))
 
@@ -1478,6 +1484,53 @@ SELECT vec_id,
   CAST(floor(scale * 1e8 + 0.5) AS BIGINT) AS scale_x1e8
 FROM qq
 """,
-    # minhash_near_dup / simhash_near_dup / embedding_near_dup:
-    # non-SQL-expressible (sketches, LSH) → rows-only checks.
+    # ALL-PAIRS exact 64-bit SimHash hamming ≤ 3, recomputed from
+    # scratch: FNV-1a64 per token via list_reduce over byte values
+    # (UBIGINT xor, HUGEINT multiply mod 2^64, matching
+    # hashing.fnv1a64_spans incl. the 64-byte cap + length fold),
+    # tf-weighted sign-summed bits, pairwise |bit| differences. The
+    # engine's 4×16-bit banding has guaranteed recall at hamming ≤ 3,
+    # so the LSH output must hash-match this exact set.
+    "simhash_near_dup": f"""
+WITH tok AS (
+  SELECT doc_id, unnest({TOKS}) AS tok FROM documents
+), hv0 AS (
+  SELECT doc_id,
+    list_reduce(
+      list_prepend(14695981039346656037::UBIGINT,
+        [ord(substr(tok, i, 1))::UBIGINT
+         for i in generate_series(1, least(length(tok), 64))]),
+      (acc, b) -> CAST((CAST(xor(acc, b) AS HUGEINT) * 1099511628211)
+                       % 18446744073709551616 AS UBIGINT)
+    ) AS h, length(tok) AS lt
+  FROM tok
+), hv AS (
+  SELECT doc_id,
+    CASE WHEN lt > 64 THEN
+      CAST((CAST(xor(h, lt::UBIGINT) AS HUGEINT) * 1099511628211)
+           % 18446744073709551616 AS UBIGINT)
+    ELSE h END AS h
+  FROM hv0
+), bits AS (
+  SELECT d.doc_id, g.k,
+    CASE WHEN coalesce(sum(
+      CASE WHEN (h.h >> g.k) & 1 = 1 THEN 1 ELSE -1 END), 0) > 0
+    THEN 1 ELSE 0 END AS bit
+  FROM (SELECT doc_id FROM documents) d
+  CROSS JOIN generate_series(0, 63) AS g(k)
+  LEFT JOIN hv h ON h.doc_id = d.doc_id
+  GROUP BY d.doc_id, g.k
+), sh AS (
+  SELECT doc_id, list(bit ORDER BY k) AS bits FROM bits GROUP BY doc_id
+), p AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+    CAST(list_sum(list_transform(generate_series(1, 64),
+        i -> abs(a.bits[i] - b.bits[i]))) AS BIGINT) AS hamming
+  FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
+SELECT doc_a, doc_b, hamming FROM p WHERE hamming <= 3
+ORDER BY doc_a, doc_b
+""",
+    # minhash LSH candidate stage / media pipelines: remaining rows-only
+    # checks (approximate IVF + Philox-noise media are approximate or
+    # non-SQL by nature).
 }
