@@ -247,3 +247,51 @@ def test_federated_engine_matches_merged(ray_session, tmp_path):
     rd, rs = ref.bm25("bababa", 10)
     assert d1.tolist() == d2.tolist() == rd.tolist()
     assert s1.tolist() == s2.tolist() == rs.tolist()
+
+
+def test_federated_background_compaction(ray_session, tmp_path):
+    """background_merge=True: compaction runs in a daemon thread while
+    queries keep answering through the federated path (never waiting on a
+    merge round); once the last partition commits the engine atomically
+    swaps to the merged index with identical results (the reference's
+    background MergeIdxToIdx goroutine, column.go:512-518)."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from vfs_index_ray import corpus
+    from vfs_index_ray.build import IndexBuilder
+    from vfs_index_ray.merge import FederatedEngine, merge_indexes
+    from vfs_index_ray.search import SearchEngine
+
+    pages = corpus.generate_pages(200)
+    ids = pa.array(np.arange(200, dtype=np.int64), pa.int64())
+    tbl = pages.append_column("doc_id", ids)
+    f1, f2 = str(tmp_path / "a.parquet"), str(tmp_path / "b.parquet")
+    pq.write_table(tbl.slice(0, 120), f1)
+    pq.write_table(tbl.slice(120), f2)
+    ia, ib = str(tmp_path / "ia"), str(tmp_path / "ib")
+    IndexBuilder(ia, mode="word", num_parts=4, id_col="doc_id").build([f1])
+    IndexBuilder(ib, mode="word", num_parts=4, id_col="doc_id").build([f2])
+    ref_dir = str(tmp_path / "ref_merged")
+    merge_indexes([ia, ib], ref_dir)
+    ref = SearchEngine(ref_dir)
+
+    out = str(tmp_path / "bg_out")
+    fed = FederatedEngine([ia, ib], out_dir=out, merge_budget=1,
+                          background_merge=True)
+    # query continuously while the thread compacts — answers identical
+    # whichever side of the swap each call lands on
+    queries = ["bababa", corpus.RARE_TERM, "bababa babade"]
+    expected = {q: ref.bm25(q, 10) for q in queries}
+    for _ in range(10):
+        for q in queries:
+            fd, fs = fed.bm25(q, 10)
+            assert fd.tolist() == expected[q][0].tolist(), q
+            assert fs.tolist() == expected[q][1].tolist(), q
+    assert fed.wait_compaction(timeout=120)
+    assert fed.merged is not None
+    for q in queries:
+        fd, fs = fed.bm25(q, 10)          # post-swap: merged engine
+        assert fd.tolist() == expected[q][0].tolist()
+        assert fs.tolist() == expected[q][1].tolist()

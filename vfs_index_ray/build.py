@@ -175,6 +175,7 @@ class IndexBuilder:
     def __init__(self, index_dir: str, *, mode: str = "word",
                  num_parts: int = 16, bucket_shift: int = 64,
                  text_col: str = "text", id_col: str | None = "doc_id",
+                 html_col: str | None = None,
                  url_col: str = "url", tokenize_concurrency=None,
                  tokenize_batch_size: int | None = 4096,
                  tokenize_actors: bool = False,
@@ -187,6 +188,11 @@ class IndexBuilder:
         self.bucket_shift = bucket_shift
         self.text_col = text_col
         self.id_col = id_col
+        # html_col: build straight from crawled pages — a vectorized
+        # extraction stage (functions/extract.py) derives text_col from
+        # the raw html before tokenization, so the pre-extracted text
+        # column need not exist in the input at all.
+        self.html_col = html_col
         self.url_col = url_col
         self.tokenize_concurrency = tokenize_concurrency
         self.tokenize_batch_size = tokenize_batch_size
@@ -232,7 +238,7 @@ class IndexBuilder:
         else:
             from .sinks import read_corpus
             schema_names = read_corpus([files[0]]).schema().names
-        cols = [self.text_col]
+        cols = [self.html_col] if self.html_col else [self.text_col]
         if self.id_col and self.id_col in schema_names:
             cols.append(self.id_col)
         else:
@@ -254,6 +260,12 @@ class IndexBuilder:
             from .sinks import read_corpus
             ds = read_corpus(files, columns=cols).materialize()
             n_docs = ds.count()
+        if self.html_col:
+            from .functions.extract import extract_text_batch
+            ds = ds.map_batches(extract_text_batch, batch_format="pyarrow",
+                                zero_copy_batch=True,
+                                fn_kwargs=dict(html_col=self.html_col,
+                                               text_col=self.text_col))
         fn_kwargs = dict(mode=self.mode, text_col=self.text_col,
                          id_col=self.id_col, url_col=self.url_col,
                          positions=self.positions)

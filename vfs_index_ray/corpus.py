@@ -92,12 +92,16 @@ def generate_pages(n: int, seed: int = SEED) -> pa.Table:
         langs.append(lg)
     base = np.int64(1_704_067_200_000_000)  # 2024-01-01T00:00:00Z in µs
     ts = base + (np.arange(n, dtype=np.int64) * 104_729 % 31_536_000) * 1_000_000
-    html = [b"<html><body>" + t.encode() + b"</body></html>" for t in texts]
+    from .functions.extract import wrap_html
+    text_arr = pa.array(texts, pa.string())
+    # full page template (head/title/style/attrs/script) whose extraction
+    # is byte-identical to ``text`` — see functions/extract.py
+    html = wrap_html(text_arr, title=pa.array(urls, pa.string()))
     return pa.table({
         "url": pa.array(urls, pa.string()),
         "warc_ts": pa.array(ts, pa.timestamp("us")),
-        "html": pa.array(html, pa.binary()),
-        "text": pa.array(texts, pa.string()),
+        "html": html,
+        "text": text_arr,
         "lang": pa.array(langs, pa.string()),
     })
 

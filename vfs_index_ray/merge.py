@@ -235,11 +235,18 @@ class FederatedEngine:
     """Query across several doc-disjoint segment indexes as if they were
     one, with opportunistic merge-on-search (reference
     search_cond.go:828-837 MergeOnSearch: queries over unmerged index
-    files trigger merging). Budgeted compaction rounds run INLINE at the
-    start of each match()/bm25() call — a query during compaction pays
-    for one ``merge_budget``-partition round before it is answered
-    (divergence from the reference's fully-background merge, documented;
-    committed partitions persist, so the cost is bounded and one-time).
+    files trigger merging). Two compaction modes:
+
+    - default: budgeted rounds run INLINE at the start of each
+      match()/bm25() call — a query during compaction pays for one
+      ``merge_budget``-partition round before it is answered (committed
+      partitions persist, so the cost is bounded and one-time).
+    - ``background_merge=True``: compaction rounds run in a daemon
+      thread (the reference's fully-background merge,
+      column.go:512-518 MergeIdxToIdx goroutine) — queries keep
+      answering through the federated path and atomically swap to the
+      merged index when the last partition commits. Partition commits
+      are tmp+rename, so a crash mid-compaction loses nothing.
 
     Scoring uses GLOBAL statistics (N = Σ n_docs, avgdl from summed token
     counts, df = Σ per-source df), and per-term postings are the sorted
@@ -253,7 +260,7 @@ class FederatedEngine:
     """
 
     def __init__(self, src_dirs: list[str], out_dir: str | None = None,
-                 merge_budget: int = 0):
+                 merge_budget: int = 0, background_merge: bool = False):
         from .search import SearchEngine
         self.src_dirs = list(src_dirs)
         self.engines = [SearchEngine(s) for s in src_dirs]
@@ -265,8 +272,51 @@ class FederatedEngine:
         self.out_dir = out_dir
         self.merge_budget = merge_budget
         self.merged = None  # becomes a SearchEngine when compaction ends
+        self._bg_thread = None
+        self._bg_err: BaseException | None = None
+        if background_merge:
+            self.start_background_compaction()
+
+    # ----- background compaction (reference MergeIdxToIdx goroutine) -----
+    def start_background_compaction(self) -> None:
+        """Run budgeted merge rounds in a daemon thread until every
+        partition is committed, then swap ``self.merged`` in (atomic
+        attribute store — readers see either the federated path or the
+        finished merged engine, never a partial one)."""
+        if self._bg_thread is not None or self.merged is not None:
+            return
+        if not self.out_dir or self.merge_budget <= 0:
+            raise ValueError("background compaction needs out_dir and "
+                             "merge_budget > 0")
+        import threading
+        self._bg_thread = threading.Thread(
+            target=self._bg_loop, name="fed-compaction", daemon=True)
+        self._bg_thread.start()
+
+    def _bg_loop(self) -> None:
+        try:
+            while True:
+                report = merge_indexes(self.src_dirs, self.out_dir,
+                                       max_parts=self.merge_budget)
+                if report.get("status") != "partial":
+                    break
+            from .search import SearchEngine
+            self.merged = SearchEngine(self.out_dir)
+        except BaseException as e:  # surfaced by wait_compaction()
+            self._bg_err = e
+
+    def wait_compaction(self, timeout: float | None = None) -> bool:
+        """Join the background thread; re-raise any compaction error.
+        Returns True once the merged engine is live."""
+        if self._bg_thread is not None:
+            self._bg_thread.join(timeout)
+        if self._bg_err is not None:
+            raise self._bg_err
+        return self.merged is not None
 
     def _maybe_merge(self) -> None:
+        if self._bg_thread is not None:
+            return  # background thread owns compaction; queries never wait
         if self.merged is not None or not self.out_dir or \
                 self.merge_budget <= 0:
             return

@@ -294,6 +294,30 @@ def q_token_stats(sf_dir: str) -> pa.Table:
         ["doc_id", "n_tokens", "n_uniq", "stop_ratio_x1e4", "avg_len_x1e4"])
 
 
+def q_extract_text(sf_dir: str) -> pa.Table:
+    """HTML→text extraction as a pipeline (input_hint's per-row
+    invariant: byte-identical extracted text per url). Each document's
+    text is wrapped in the full page template (head/title/style/
+    attributes/trailing script, body escaped) and then run through the
+    vectorized Arrow-RE2 extractor — the oracle is the untouched text
+    column, so the value hash proves extract(wrap(t)) == t over the
+    whole table, entities and tags included."""
+    from ..functions.extract import extract_text_batch, wrap_html
+
+    def wrap(t: pa.Table) -> pa.Table:
+        html = wrap_html(t["text"], title=t["source"])
+        return pa.table({"doc_id": t["doc_id"], "html": html})
+
+    out = (_docs_ds(sf_dir, columns=["doc_id", "text", "source"])
+           .map_batches(wrap, batch_format="pyarrow", zero_copy_batch=True)
+           .map_batches(extract_text_batch, batch_format="pyarrow",
+                        fn_kwargs=dict(html_col="html", text_col="text")))
+    tbl = pa.Table.from_pylist(out.take_all())
+    tbl = tbl.sort_by("doc_id")
+    return pa.table({"doc_id": tbl["doc_id"].cast(pa.int64()),
+                     "text": tbl["text"].cast(pa.string())})
+
+
 def q_lang_distribution(sf_dir: str) -> pa.Table:
     from ray.data.aggregate import Count
     out = (_docs_ds(sf_dir, columns=["lang"])
@@ -950,6 +974,7 @@ QUERIES = {
     "fingerprint": q_fingerprint,
     "token_count": q_token_count,
     "token_stats": q_token_stats,
+    "extract_text": q_extract_text,
     "lang_distribution": q_lang_distribution,
     "ann_cosine_topk": q_ann_cosine_topk,
     "ann_ivf_topk": q_ann_ivf_topk,
@@ -985,6 +1010,12 @@ QUERIES = {
 _STOP_SQL = "['the','and','of','to','a','in','is','it']"
 
 ORACLE_SQL = {
+    # extract(wrap(text)) == text byte-for-byte: the engine wraps each
+    # document in the full page template and re-extracts; the oracle is
+    # the untouched column, so a hash match proves the inversion.
+    "extract_text": """
+SELECT doc_id, text FROM documents ORDER BY doc_id
+""",
     "bm25_topk": f"""
 WITH tok AS (
   SELECT doc_id, unnest({TOKS}) AS tok FROM documents
