@@ -203,3 +203,91 @@ def test_sorted_intersect_edges():
     assert sorted_intersect(a, e).tolist() == []
     assert sorted_intersect(e, a).tolist() == []
     assert sorted_intersect(a, np.array([2], np.uint64)).tolist() == []
+
+
+# ---------------------------------------------------------------- frontier
+def _frontier_postings(n_terms=40, seed=7, heavy_df=400):
+    """Postings sorted by (term, doc): one heavy term (df=heavy_df) plus
+    small ones, skewed tf and dl."""
+    rng = np.random.default_rng(seed)
+    terms, docs, tfs, dls = [], [], [], []
+    for t in range(n_terms):
+        df = heavy_df if t == 0 else int(rng.integers(1, 40))
+        d = np.sort(rng.choice(10 ** 6, size=df, replace=False).astype(
+            np.uint64))
+        terms.append(np.full(df, t, np.uint64))
+        docs.append(d)
+        tfs.append(1 + rng.geometric(0.3, df).astype(np.uint64))
+        dls.append(rng.integers(5, 500, df).astype(np.uint64))
+    return (np.concatenate(terms), np.concatenate(docs),
+            np.concatenate(tfs), np.concatenate(dls))
+
+
+def test_impact_frontier_dominates_every_posting():
+    """Frontier validity: each posting in a frontier chunk is dominated
+    by some bin (bin_tf >= tf and bin_dl <= dl) — so max over bins of a
+    tf-monotone/dl-antitone score is a true upper bound."""
+    terms, docs, tfs, dls = _frontier_postings()
+    seg = codec.encode_partition(terms, docs, tfs, dls, bucket_shift=64)
+    rows = codec.chunk_rows_columnar(seg)
+    saw_frontier = False
+    for row in rows:
+        itf = np.asarray(row["imp_tf"], np.uint64)
+        idl = np.asarray(row["imp_dl"], np.uint64)
+        d, tf, dl = codec.decode_chunk(row)
+        if int(row["n"]) < codec.IMPACT_MIN_N:
+            assert len(itf) == 0
+            continue
+        saw_frontier = True
+        assert len(itf) == len(idl) == len(row["imp_doc"]) > 0
+        dominated = (tf[:, None] <= itf[None, :]) & \
+                    (dl[:, None] >= idl[None, :])
+        assert dominated.any(axis=1).all()
+        # below-cap bins are REAL postings (exact-tightness)
+        for btf, bdl in zip(itf, idl):
+            if btf < codec.IMPACT_CAP:
+                assert ((tf == btf) & (dl == bdl)).any()
+        # frontier docs are real docs of this chunk
+        assert np.isin(np.asarray(row["imp_doc"], np.uint64), d).all()
+    assert saw_frontier
+
+
+def test_impact_frontier_ub_exact_below_cap():
+    """For a chunk whose tfs are all below the cap, the frontier ub
+    equals the true max single-posting contribution for ANY (k1,b,avgdl)
+    — spot-checked with the engine's scoring shape."""
+    rng = np.random.default_rng(3)
+    n = 300
+    d = np.sort(rng.choice(10 ** 6, n, replace=False).astype(np.uint64))
+    tf = rng.integers(1, 20, n).astype(np.uint64)
+    dl = rng.integers(5, 300, n).astype(np.uint64)
+    seg = codec.encode_partition(np.zeros(n, np.uint64), d, tf, dl,
+                                 bucket_shift=64)
+    row = codec.chunk_rows_columnar(seg)[0]
+    itf = np.asarray(row["imp_tf"], np.float64)
+    idl = np.asarray(row["imp_dl"], np.float64)
+    for avgdl in (8.0, 60.0, 900.0):
+        def s(t, l):
+            return t * 2.2 / (t + 1.2 * (0.25 + 0.75 * l / avgdl))
+        assert np.isclose(s(itf, idl).max(),
+                          s(tf.astype(np.float64),
+                            dl.astype(np.float64)).max(), rtol=0, atol=0)
+
+
+def test_frontier_absent_rows_still_score(tmp_path):
+    """Back-compat: chunk rows lacking imp_* (older indexes,
+    encode_chunk output) take the block-metadata path."""
+    from vfs_index_ray.search import Postings, SearchEngine
+    rng = np.random.default_rng(11)
+    n = 500
+    d = np.sort(rng.choice(10 ** 6, n, replace=False).astype(np.uint64))
+    row = codec.encode_chunk(d, rng.integers(1, 9, n).astype(np.uint64),
+                             rng.integers(5, 99, n).astype(np.uint64))
+    assert "imp_tf" not in row
+    eng = SearchEngine.__new__(SearchEngine)
+    eng.avgdl, eng.ndocs = 50.0, 1000
+    p = Postings(0, n, [row])
+    ub = eng._term_ub(p)
+    p.decode()
+    true_max = eng._term_score(p.tfs, p.dls, p.df).max()
+    assert ub >= true_max - 1e-12

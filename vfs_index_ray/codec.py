@@ -20,6 +20,12 @@ from __future__ import annotations
 import numpy as np
 
 BLOCK = 128  # postings per skip block
+IMPACT_CAP = 64    # frontier bins: exact per-tf below, one overflow above
+# chunks smaller than this carry no impact frontier (they decode in
+# microseconds; the dense scatter buffer would cost 65x their postings).
+# Env-tunable for sweeps; 2**62 disables frontiers entirely.
+IMPACT_MIN_N = int(__import__("os").environ.get("VFSRAY_IMPACT_MIN_N",
+                                                "128"))
 
 _U64 = np.uint64
 _FNV = None  # placeholder to keep lint quiet; hashing lives in hashing.py
@@ -293,6 +299,58 @@ def encode_partition(terms: np.ndarray, docs: np.ndarray, tfs: np.ndarray,
 
     tf_sum = np.add.reduceat(tfs, chunk_starts)
 
+    # ---- impact frontier (disk-resident impact ordering) ---------------
+    # Per chunk, one entry per distinct capped tf: the min-dl posting for
+    # that tf (plus one overflow bin for tf >= IMPACT_CAP holding the
+    # chunk's tf_max and the min dl among its members).  Every posting is
+    # dominated by its bin's (tf_ub, dl_min), and BM25 is monotone
+    # increasing in tf / decreasing in dl, so
+    #   max over bins of score(tf_ub, dl_min)
+    # is a VALID per-chunk upper bound — and for bins below the cap it is
+    # EXACT (the bin pair is a real posting).  The stored doc achieving
+    # each bin's min dl is a real high-impact posting, which gives the
+    # MaxScore θ bootstrap its champion candidates without decoding any
+    # block.  Computed only for chunks with >= IMPACT_MIN_N postings
+    # (small chunks decode in microseconds and would blow the dense
+    # scatter buffer up to 65x the posting count); two O(n) scatter-min
+    # passes, no sort.  Replaces the reference's intended
+    # selectivity-ordered traversal (search_cond.go:688-698) with
+    # impact-ordered metadata the query never has to derive.
+    imp_counts = np.zeros(nchunks, np.int64)
+    imp_tf_v = np.empty(0, np.uint64)
+    imp_dl_v = np.empty(0, np.uint64)
+    imp_doc_v = np.empty(0, np.uint64)
+    big = chunk_counts >= IMPACT_MIN_N
+    nbig = int(big.sum())
+    if nbig:
+        nbins = IMPACT_CAP + 1
+        fidx = np.cumsum(big) - 1            # compact frontier index
+        chunk_of = np.repeat(np.arange(nchunks, dtype=np.int64),
+                             chunk_counts)
+        pbig = big[chunk_of]
+        tfc = np.minimum(tfs[pbig], _U64(IMPACT_CAP)).astype(np.int64)
+        key = fidx[chunk_of[pbig]] * nbins + tfc
+        SENT = _U64(1) << _U64(63)
+        mind = np.full(nbig * nbins, SENT, np.uint64)
+        np.minimum.at(mind, key, dls[pbig])
+        is_min = dls[pbig] == mind[key]
+        mindoc = np.full(nbig * nbins, np.uint64(0xFFFFFFFFFFFFFFFF),
+                         np.uint64)
+        np.minimum.at(mindoc, key[is_min], docs[pbig][is_min])
+        present = mind != SENT
+        binpos = np.arange(nbig * nbins, dtype=np.int64) % nbins
+        bin_tf = binpos.astype(np.uint64)
+        ov = binpos == IMPACT_CAP            # overflow bin: chunk tf_max
+        if ov[present].any():
+            chunk_tf_max = np.maximum.reduceat(tfs, chunk_starts)
+            bin_tf[ov] = chunk_tf_max[big][np.arange(nbig * nbins,
+                                                     dtype=np.int64)
+                                           [ov] // nbins]
+        imp_counts[big] = present.reshape(nbig, nbins).sum(axis=1)
+        imp_tf_v = bin_tf[present]
+        imp_dl_v = mind[present]
+        imp_doc_v = mindoc[present]
+
     def _binary_col(buf: np.ndarray, ends: np.ndarray) -> pa.Array:
         offs = np.empty(nchunks + 1, dtype=np.int64)
         offs[:-1] = _byte_start(ends, chunk_starts)
@@ -326,7 +384,20 @@ def encode_partition(terms: np.ndarray, docs: np.ndarray, tfs: np.ndarray,
         "skip_off_dl": _list_col(blk_off_dl.astype(np.uint32), pa.uint32()),
         "block_tf_max": _list_col(blk_tf_max.astype(np.uint32), pa.uint32()),
         "block_dl_min": _list_col(blk_dl_min.astype(np.uint32), pa.uint32()),
+        "imp_tf": _imp_col(imp_counts, imp_tf_v.astype(np.uint32),
+                           pa.uint32()),
+        "imp_dl": _imp_col(imp_counts, imp_dl_v.astype(np.uint32),
+                           pa.uint32()),
+        "imp_doc": _imp_col(imp_counts, imp_doc_v, pa.uint64()),
     })
+
+
+def _imp_col(counts: np.ndarray, values: np.ndarray, typ):
+    import pyarrow as pa
+    offs = np.zeros(len(counts) + 1, dtype=np.int32)
+    np.cumsum(counts, out=offs[1:])
+    return pa.ListArray.from_arrays(pa.array(offs, pa.int32()),
+                                    pa.array(values, typ))
 
 
 def chunk_rows_columnar(tbl) -> list[dict]:
@@ -386,6 +457,9 @@ def _empty_segment_table():
         "skip_off_dl": pa.array([], pa.list_(pa.uint32())),
         "block_tf_max": pa.array([], pa.list_(pa.uint32())),
         "block_dl_min": pa.array([], pa.list_(pa.uint32())),
+        "imp_tf": pa.array([], pa.list_(pa.uint32())),
+        "imp_dl": pa.array([], pa.list_(pa.uint32())),
+        "imp_doc": pa.array([], pa.list_(pa.uint64())),
     })
 
 

@@ -110,6 +110,8 @@ class Postings:
     tfs: np.ndarray | None = None
     dls: np.ndarray | None = None
     scores: np.ndarray | None = None  # cached BM25 contributions (T2/T3)
+    ub: float | None = None           # memoized _term_ub (engine-fixed)
+    champions: np.ndarray | None = None  # memoized frontier champion docs
 
     def decode(self) -> "Postings":
         if self.docs is None:
@@ -345,15 +347,31 @@ class SearchEngine:
 
     # --- MaxScore candidate generation + exact rescore -----------------
     def _term_ub(self, p: Postings) -> float:
-        """Upper bound of this term's contribution, from block metadata."""
+        """Upper bound of this term's contribution. Chunks carrying an
+        impact frontier (codec.py imp_tf/imp_dl: per-distinct-tf min dl)
+        get the EXACT max single-posting contribution below the tf cap —
+        strictly tighter than the global (tf_max, dl_min) pairing, which
+        combines a max tf and a min dl that usually belong to different
+        docs. Frontier-less (small/old) chunks fall back to block
+        metadata. Memoized on the Postings object (avgdl/df are fixed
+        per engine, and the cache is per engine)."""
+        if p.ub is not None:
+            return p.ub
         ub = 0.0
         for c in p.chunks:
+            itf = c.get("imp_tf")
+            if itf is not None and len(itf):
+                idl = np.maximum(np.asarray(c["imp_dl"], np.uint64), 1)
+                ub = max(ub, float(self._term_score(
+                    np.asarray(itf, np.uint64), idl, p.df).max()))
+                continue
             tf_max = max(c["block_tf_max"]) if len(c["block_tf_max"]) else 0
             dl_min = min(c["block_dl_min"]) if len(c["block_dl_min"]) else 1
             if tf_max:
                 ub = max(ub, float(self._term_score(
                     np.array([tf_max], np.uint64),
                     np.array([max(dl_min, 1)], np.uint64), p.df)[0]))
+        p.ub = ub
         return ub
 
     def _probe_blocks(self, p: Postings, targets: np.ndarray):
@@ -406,7 +424,24 @@ class SearchEngine:
                 idx = np.argpartition(-p.scores, m - 1)[:m]
                 cands.append(p.docs[idx])
                 continue
+            if p.champions is not None:
+                cands.append(p.champions)
+                continue
+            champ = []
             for c in p.chunks:
+                idoc = c.get("imp_doc")
+                if idoc is not None and len(idoc):
+                    # impact frontier: the chunk's top-contribution docs
+                    # are stored — no block decode at all (frontier bins
+                    # below the cap ARE real postings, so these are the
+                    # chunk's true champions for the query-time avgdl)
+                    itf = np.asarray(c["imp_tf"], np.uint64)
+                    idl = np.maximum(np.asarray(c["imp_dl"], np.uint64), 1)
+                    contrib = self._term_score(itf, idl, p.df)
+                    top = (np.argsort(-contrib)[:4] if len(contrib) > 4
+                           else slice(None))
+                    champ.append(np.asarray(idoc, np.uint64)[top])
+                    continue
                 if len(c["skip_doc_last"]) == 0:
                     continue
                 tf_max = np.asarray(c["block_tf_max"], np.uint64)
@@ -415,6 +450,9 @@ class SearchEngine:
                 ub = self._term_score(tf_max, dl_min, p.df)
                 for bi in np.argsort(-ub)[:2]:
                     blocks.append((float(ub[bi]), c, int(bi)))
+            if champ:
+                p.champions = np.concatenate(champ)
+                cands.append(p.champions)
         blocks.sort(key=lambda x: -x[0])
         for _, c, bi in blocks[:max_blocks]:
             d, _, _ = decode_block(c, bi)
