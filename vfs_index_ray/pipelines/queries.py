@@ -231,6 +231,28 @@ def q_nearest_key(sf_dir: str) -> pa.Table:
                      "df": pa.array([df], pa.int64())})
 
 
+def _scan_cond_df3(tids: np.ndarray, dfs: np.ndarray) -> np.ndarray:
+    """Vectorized Select condition (shipped to per-part scan tasks)."""
+    return dfs >= 3
+
+
+def q_select_scan(sf_dir: str) -> pa.Table:
+    """Generic visitor traversal (reference Select(OptCcondFn/OptTraverse),
+    index_file.go:481-537): walk the trigram key space in key order over
+    every 's??' window, keep keys whose df passes a user condition
+    (df >= 3), stop after 25 — per-part pushdown scans + vectorized
+    cond, merged in key order (scan.py)."""
+    from ..tokenizer import unpack_trigram
+    eng = get_trigram_engine(sf_dir)
+    lo = ord("s") << 32                    # 's\0\0'
+    hi = (ord("s") << 32) | 0xFFFFFFFF     # 's￿￿'
+    tbl = eng.select_keys(lo=lo, hi=hi, cond=_scan_cond_df3,
+                          asc=True, limit=25)
+    tris = [unpack_trigram(t) for t in tbl["term_id"].to_pylist()]
+    return pa.table({"tri": pa.array(tris, pa.string()),
+                     "df": tbl["df"].cast(pa.int64())})
+
+
 def q_short_query_empty(sf_dir: str) -> pa.Table:
     """Reference semantics: a query with no extractable keys matches
     nothing (vfsindex_test.go:149-159)."""
@@ -968,6 +990,7 @@ QUERIES = {
     "range_limit": q_range_limit,
     "range_string": q_range_string,
     "nearest_key": q_nearest_key,
+    "select_scan": q_select_scan,
     "short_query_empty": q_short_query_empty,
     "cooccur_distance": q_cooccur_distance,
     "dedup_exact": q_dedup_exact,
@@ -1132,6 +1155,21 @@ WITH t AS (
   SELECT doc_id, substr(text, CAST(i AS INTEGER), 3) AS tri FROM t
 )
 SELECT DISTINCT doc_id FROM g WHERE tri >= 'spa' AND tri <= 'spc'
+""",
+    # Select visitor traversal: key-order scan of the 's??' trigram keys
+    # keeping keys with df >= 3, first 25 — same window derivation as
+    # range_string (packed-key order == 3-char string order)
+    "select_scan": """
+WITH t AS (
+  SELECT doc_id, text, unnest(generate_series(1, length(text) - 2)) AS i
+  FROM documents WHERE length(text) >= 3
+), g AS (
+  SELECT doc_id, substr(text, CAST(i AS INTEGER), 3) AS tri FROM t
+), d AS (
+  SELECT tri, count(DISTINCT doc_id)::BIGINT AS df FROM g
+  WHERE tri >= 's' AND tri < 't' GROUP BY tri
+)
+SELECT tri, df FROM d WHERE df >= 3 ORDER BY tri LIMIT 25
 """,
     "nearest_key": """
 WITH t AS (

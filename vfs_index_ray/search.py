@@ -850,6 +850,20 @@ class SearchEngine:
             return parts[0]
         return np.unique(np.concatenate(parts))
 
+    def select_keys(self, **kw) -> pa.Table:
+        """Ordered key-space scan with a vectorized user condition
+        (reference Select(OptCcondFn), index_file.go:481-537). See
+        vfs_index_ray.scan.select_keys."""
+        from .scan import select_keys
+        return select_keys(self, **kw)
+
+    def select(self, visit, **kw) -> int:
+        """Visitor traversal of the key space (reference
+        Select(OptTraverse), index_file.go:481-537). See
+        vfs_index_ray.scan.select."""
+        from .scan import select
+        return select(self, visit, **kw)
+
     def nearest_term(self, key: int, less: bool = True
                      ) -> tuple[int, int] | None:
         """Nearest indexed key (reference J7 on the KEY space:

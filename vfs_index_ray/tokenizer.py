@@ -126,6 +126,12 @@ def trigram_ids_flat(texts: pa.Array) -> tuple[np.ndarray, np.ndarray, np.ndarra
     return tri[valid], starts_row[valid], dl
 
 
+def unpack_trigram(key: int) -> str:
+    """Inverse of the packed-trigram key: the 3-rune window string
+    (M2 decode twin of pack_trigram)."""
+    return "".join(chr((int(key) >> s) & 0xFFFF) for s in (32, 16, 0))
+
+
 def pack_trigram(s: str) -> list[int]:
     """Scalar twin (query/oracle side): all packed trigram keys of ``s``."""
     runes = [ord(c) & 0xFFFF for c in s]
