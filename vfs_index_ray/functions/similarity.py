@@ -180,32 +180,44 @@ class IVFIndex:
     @classmethod
     def build(cls, ds, path: str, *, num_centroids: int = 16,
               sample: int = 4096, iters: int = 5, seed: int = 11,
-              vec_col: str = "embedding", id_col: str = "vec_id"
-              ) -> "IVFIndex":
+              vec_col: str = "embedding", id_col: str = "vec_id",
+              seed_centroids: bool = False) -> "IVFIndex":
         """Distributed build: centroids are trained on a bounded sample
         (driver k-means — the sample is small by construction), then
         every vector is assigned and written via map_batches +
         hive-partitioned write_parquet. No full-table materialization
-        anywhere; the assignment pass streams."""
+        anywhere; the assignment pass streams.
+
+        ``seed_centroids=True`` skips k-means entirely: centroid ``c``
+        is the (normalized) vector of the c-th lowest ``id_col`` — a
+        closed-form centroid rule that plain SQL can reproduce, making
+        the APPROXIMATE nprobe<C probe path oracle-checkable end-to-end
+        (assignment and probing are argmax-cosine either way; only the
+        centroid training differs)."""
         import shutil
 
         import ray
 
         os.makedirs(path, exist_ok=True)
-        train = cls._training_sample(ds, sample, vec_col, id_col)
-        rng = np.random.Generator(np.random.Philox(key=[seed, 0]))
-        cent = train[rng.choice(len(train),
-                                min(num_centroids, len(train)),
-                                replace=False)]
-        for _ in range(iters):  # spherical k-means (cosine)
-            assign = np.argmax(train @ cent.T, axis=1)
-            for c in range(len(cent)):
-                m = assign == c
-                if m.any():
-                    v = train[m].mean(axis=0)
-                    n = np.linalg.norm(v)
-                    if n > 1e-12:
-                        cent[c] = v / n
+        if seed_centroids:
+            # c-th lowest id, already normalized + id-ordered
+            cent = cls._training_sample(ds, num_centroids, vec_col,
+                                        id_col)
+        else:
+            train = cls._training_sample(ds, sample, vec_col, id_col)
+            rng = np.random.Generator(np.random.Philox(key=[seed, 0]))
+            cent = train[rng.choice(len(train),
+                                    min(num_centroids, len(train)),
+                                    replace=False)]
+            for _ in range(iters):  # spherical k-means (cosine)
+                assign = np.argmax(train @ cent.T, axis=1)
+                for c in range(len(cent)):
+                    m = assign == c
+                    if m.any():
+                        v = train[m].mean(axis=0)
+                        n = np.linalg.norm(v)
+                        if n > 1e-12:
+                            cent[c] = v / n
         cent_ref = ray.put(cent)
 
         def assign_bucket(t: pa.Table) -> pa.Table:

@@ -357,7 +357,8 @@ def q_ann_cosine_topk(sf_dir: str) -> pa.Table:
     return ann_cosine_topk(ds, ANN_QUERY_IDS, k=5)
 
 
-def _get_ivf(sf_dir: str, num_centroids: int = 8):
+def _get_ivf(sf_dir: str, num_centroids: int = 8,
+             seed_centroids: bool = False):
     """Build-or-reuse the IVF index for sf_dir (corpus-keyed cache)."""
     import ray.data
 
@@ -368,18 +369,21 @@ def _get_ivf(sf_dir: str, num_centroids: int = 8):
     import hashlib
     key = hashlib.sha1(f"{os.path.abspath(src)}|{st.st_size}|"
                        f"{int(st.st_mtime)}".encode()).hexdigest()[:12]
+    tag = "s" if seed_centroids else "k"
     path = os.path.join("/tmp", "vfsray_cache",
-                        f"ivf_{name}_{key}_c{num_centroids}")
+                        f"ivf_{name}_{key}_c{num_centroids}{tag}")
     if not os.path.exists(os.path.join(path, "centroids.npy")):
         IVFIndex.build(ray.data.read_parquet(src), path,
-                       num_centroids=num_centroids)
+                       num_centroids=num_centroids,
+                       seed_centroids=seed_centroids)
     return IVFIndex(path), src
 
 
 def _ivf_query_table(sf_dir: str, nprobe: int,
-                     num_centroids: int = 8) -> pa.Table:
+                     num_centroids: int = 8,
+                     seed_centroids: bool = False) -> pa.Table:
     import pyarrow.parquet as pqq
-    ivf, src = _get_ivf(sf_dir, num_centroids)
+    ivf, src = _get_ivf(sf_dir, num_centroids, seed_centroids)
     tbl = pqq.read_table(
         src, filters=[("vec_id", "in", list(ANN_QUERY_IDS))])
     by_id = dict(zip(tbl["vec_id"].to_pylist(),
@@ -402,8 +406,13 @@ def _ivf_query_table(sf_dir: str, nprobe: int,
 
 
 def q_ann_ivf_topk(sf_dir: str) -> pa.Table:
-    """IVF ANN scale path (rows-only: approximate under nprobe<C)."""
-    return _ivf_query_table(sf_dir, nprobe=4)
+    """IVF ANN approximate probe path (nprobe=4 of 8), oracle-checked
+    end-to-end: seeded centroids (centroid c = c-th lowest vec_id's
+    vector, no Lloyd iterations) make assignment + probing closed-form,
+    so the SQL oracle reproduces the exact approximate result — bucket
+    layout, pruned probe reads and top-k ranking all hash-verified.
+    The k-means-trained path is covered by ann_ivf_exact + tests."""
+    return _ivf_query_table(sf_dir, nprobe=4, seed_centroids=True)
 
 
 def q_ann_ivf_exact(sf_dir: str) -> pa.Table:
@@ -1254,6 +1263,46 @@ WITH q AS (
   SELECT q.query_id, e.vec_id,
          list_cosine_similarity(q.qe, e.embedding) AS sim
   FROM q CROSS JOIN embeddings e WHERE e.vec_id <> q.query_id
+)
+SELECT query_id, vec_id,
+       row_number() OVER (PARTITION BY query_id
+                          ORDER BY sim DESC, vec_id)::BIGINT AS rank,
+       CAST(floor(sim*10000 + 0.5) AS BIGINT) AS sim_x1e4
+FROM sims QUALIFY rank <= 5 ORDER BY query_id, rank
+""",
+    # IVF approximate probe path with seeded centroids: centroid c =
+    # c-th lowest vec_id's vector; assign = argmax cosine (ties lowest
+    # c); probe = top-4 centroids per query; exact top-5 within probed
+    # buckets excluding self — mirrors IVFIndex.search exactly
+    "ann_ivf_topk": """
+WITH cent AS (
+  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS c, embedding AS ce
+  FROM (SELECT * FROM embeddings ORDER BY vec_id LIMIT 8)
+), asg AS (
+  SELECT e.vec_id, e.embedding, c.c,
+         row_number() OVER (
+           PARTITION BY e.vec_id
+           ORDER BY list_cosine_similarity(c.ce, e.embedding) DESC, c.c
+         ) AS rn
+  FROM embeddings e CROSS JOIN cent c
+), bucket AS (
+  SELECT vec_id, embedding, c AS b FROM asg WHERE rn = 1
+), q AS (
+  SELECT vec_id AS query_id, embedding AS qe FROM embeddings
+  WHERE vec_id IN (0,1,2)
+), probe AS (
+  SELECT q.query_id, c.c,
+         row_number() OVER (
+           PARTITION BY q.query_id
+           ORDER BY list_cosine_similarity(c.ce, q.qe) DESC, c.c
+         ) AS rn
+  FROM q CROSS JOIN cent c
+), sims AS (
+  SELECT q.query_id, b.vec_id,
+         list_cosine_similarity(q.qe, b.embedding) AS sim
+  FROM q JOIN probe p ON p.query_id = q.query_id AND p.rn <= 4
+         JOIN bucket b ON b.b = p.c
+  WHERE b.vec_id <> q.query_id
 )
 SELECT query_id, vec_id,
        row_number() OVER (PARTITION BY query_id
