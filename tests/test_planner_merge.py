@@ -36,6 +36,22 @@ def test_parse_errors():
         parse("id == 1 &&")
     with pytest.raises(ValueError):
         parse("id == 1 ??? bogus")
+    with pytest.raises(ValueError):
+        parse("|| id == 1")
+    with pytest.raises(ValueError):
+        parse("id == 1 ||")
+    with pytest.raises(ValueError):
+        parse("id == 1 || && id == 2")
+
+
+def test_parse_or_groups():
+    # && binds tighter than || (DNF groups)
+    p = parse('a == 1 && b == 2 || c == 3')
+    assert [[(x.column, x.value) for x in g] for g in p.groups] == \
+        [[("a", 1), ("b", 2)], [("c", 3)]]
+    assert len(p.predicates) == 3  # flat view keeps every predicate
+    p = parse('a == 1')
+    assert p.groups == [p.predicates]
 
 
 # ------------------------------------------------------- planner executor
@@ -71,6 +87,23 @@ def test_executor_count_all_terms(executor, oracle_index):
 def test_executor_first(executor, oracle_index):
     got = executor.first(f'text.search("{corpus.RARE_TERM}")')
     assert got == oracle_index.match(corpus.RARE_TERM)[0]
+
+
+def test_executor_or_union(executor, oracle_index):
+    a, b = corpus.PHRASE.split()[0], corpus.PHRASE.split()[1]
+    got = executor.execute(
+        f'text.search("{corpus.RARE_TERM}") || text.search("{a} {b}")')
+    want = sorted(set(oracle_index.match(corpus.RARE_TERM)) |
+                  set(oracle_index.match(f"{a} {b}")))
+    assert got.tolist() == want
+    # OR of AND-groups: the && applies within its group only
+    got = executor.execute(
+        f'text.search("{a}") && text.search("{b}") || '
+        f'text.search("{corpus.RARE_TERM}")')
+    want = sorted((set(oracle_index.match(a)) &
+                   set(oracle_index.match(b))) |
+                  set(oracle_index.match(corpus.RARE_TERM)))
+    assert got.tolist() == want
 
 
 # ------------------------------------------------------------- merge

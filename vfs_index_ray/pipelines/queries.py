@@ -918,6 +918,20 @@ def q_filtered_bm25(sf_dir: str) -> pa.Table:
     })
 
 
+def q_or_match(sf_dir: str) -> pa.Table:
+    """Disjunctive expression (grammar extension over the reference's
+    AND-only PEG): DNF groups — (spark AND window) OR (stream AND
+    n_chars >= 450) — each group an index/pushdown intersection, the OR
+    a sorted doc-id union."""
+    from ..planner import QueryExecutor
+    eng = get_engine(sf_dir)
+    ex = QueryExecutor(eng, [_doc_file(sf_dir)], text_col="text",
+                       id_col="doc_id")
+    docs = ex.execute('text.search("spark window") || '
+                      'text.search("stream") && n_chars >= 450')
+    return pa.table({"doc_id": pa.array(docs.astype(np.int64), pa.int64())})
+
+
 def q_nearest(sf_dir: str) -> pa.Table:
     """J7 nearest-key lookup on a numeric column."""
     eng = get_engine(sf_dir)
@@ -1024,6 +1038,7 @@ QUERIES = {
     "sample": q_sample,
     "batch_bm25": q_batch_bm25,
     "filtered_bm25": q_filtered_bm25,
+    "or_match": q_or_match,
     "federated_bm25": q_federated_bm25,
     "nears": q_nears,
     "train_split": q_train_split,
@@ -1151,6 +1166,11 @@ WHERE p1.tok = 'spark'
     "range_limit": """
 SELECT doc_id, n_chars FROM documents WHERE n_chars >= 450
 ORDER BY doc_id LIMIT 3
+""",
+    "or_match": f"""
+SELECT doc_id FROM documents
+WHERE (list_contains({TOKS}, 'spark') AND list_contains({TOKS}, 'window'))
+   OR (list_contains({TOKS}, 'stream') AND n_chars >= 450)
 """,
     "short_query_empty": "SELECT doc_id FROM documents WHERE 1=0",
     # trigram key-space scans: every 3-char window of text; packed-key

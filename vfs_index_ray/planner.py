@@ -40,12 +40,18 @@ class Predicate:
 
 @dataclass
 class Plan:
+    """Parsed expression in DNF: ``groups`` is the OR of AND-groups
+    (``a && b || c`` → [[a, b], [c]]); ``predicates`` stays the flat
+    list for callers that only need the mentioned predicates (single
+    conjunction == the common case == one group)."""
     predicates: list[Predicate] = field(default_factory=list)
+    groups: list[list[Predicate]] = field(default_factory=list)
 
 
 _TOKEN_RE = re.compile(
     r"""\s*(?:
         (?P<and>&&) |
+        (?P<or>\|\|) |
         (?P<search>(?P<scol>\w+)\.search\(\s*"(?P<sval>[^"]*)"\s*\)) |
         (?P<cmp>(?P<col>\w+)\s*(?P<op>==|<=|>=|<|>)\s*
             (?P<val>"[^"]*"|\S+))
@@ -53,8 +59,13 @@ _TOKEN_RE = re.compile(
 
 
 def parse(q: str) -> Plan:
-    """Parse ``expr (&& expr)*`` into a Plan. Raises ValueError on junk."""
+    """Parse ``andexpr (|| andexpr)*`` with ``andexpr := expr (&& expr)*``
+    (&& binds tighter than ||) into a DNF Plan. Raises ValueError on
+    junk. The reference grammar is AND-only (expr/expr.peg:8-31); ``||``
+    is a documented extension (SURVEY §7.6) — a search engine needs
+    disjunction, and the union is a cheap sorted-doc-id merge."""
     plan = Plan()
+    group: list[Predicate] = []
     pos = 0
     expect_expr = True
     while pos < len(q):
@@ -69,12 +80,20 @@ def parse(q: str) -> Plan:
                 raise ValueError("unexpected &&")
             expect_expr = True
             continue
+        if m.group("or"):
+            if expect_expr:
+                raise ValueError("unexpected ||")
+            plan.groups.append(group)
+            group = []
+            expect_expr = True
+            continue
         if not expect_expr:
             raise ValueError("expected && between expressions")
         expect_expr = False
         if m.group("search"):
-            plan.predicates.append(
-                Predicate(m.group("scol"), "search", m.group("sval")))
+            pred = Predicate(m.group("scol"), "search", m.group("sval"))
+            plan.predicates.append(pred)
+            group.append(pred)
         else:
             val: str | int | float = m.group("val")
             if val.startswith('"'):
@@ -87,10 +106,13 @@ def parse(q: str) -> Plan:
                         val = float(val)
                     except ValueError:
                         pass
-            plan.predicates.append(
-                Predicate(m.group("col"), m.group("op"), val))
+            pred = Predicate(m.group("col"), m.group("op"), val)
+            plan.predicates.append(pred)
+            group.append(pred)
     if expect_expr and plan.predicates:
-        raise ValueError("dangling &&")
+        raise ValueError("dangling && or ||")
+    if group or not plan.groups:
+        plan.groups.append(group)
     return plan
 
 
@@ -156,15 +178,15 @@ class QueryExecutor:
             lo = key
         return self.engine.term_range_docs(lo, hi)
 
-    def execute(self, q: str, limit: int | None = None) -> np.ndarray:
-        plan = parse(q)
-        text_preds = [p for p in plan.predicates
+    def _execute_group(self, preds: list[Predicate]) -> np.ndarray:
+        """One AND-group: intersection of its predicates' doc sets."""
+        text_preds = [p for p in preds
                       if p.op == "search" or
                       (p.op == "==" and p.column == self.text_col)]
-        range_preds = [p for p in plan.predicates
+        range_preds = [p for p in preds
                        if p.column == self.text_col and p.op in
                        ("<", "<=", ">", ">=") and isinstance(p.value, str)]
-        other = [p for p in plan.predicates
+        other = [p for p in preds
                  if p not in text_preds and p not in range_preds]
         if (text_preds or range_preds) and self.engine is None:
             raise ValueError("expression has text predicates but this "
@@ -182,6 +204,16 @@ class QueryExecutor:
         out = doc_sets[0]
         for s in doc_sets[1:]:
             out = sorted_intersect(out, s)
+        return out
+
+    def execute(self, q: str, limit: int | None = None) -> np.ndarray:
+        plan = parse(q)
+        outs = [self._execute_group(g) for g in plan.groups]
+        if len(outs) == 1:
+            out = outs[0]
+        else:
+            # OR = sorted union of the groups' ascending doc-id arrays
+            out = np.unique(np.concatenate(outs))
         if limit is not None:
             out = out[:limit]  # ascending-doc-id order, deterministic
         return out
