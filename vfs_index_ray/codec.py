@@ -82,6 +82,21 @@ def varint_decode(buf: bytes | np.ndarray, count: int | None = None) -> np.ndarr
         return np.empty(0, dtype=np.uint64)
     is_end = (b & 0x80) == 0
     n = int(is_end.sum())
+    if count is not None and n != count:
+        raise ValueError(f"varint_decode: expected {count} values, got {n}")
+    # uniform-width fast path (e.g. a dl stream where every doc length
+    # is 2 bytes): strided column reads, no index arrays at all
+    if 0 < n < len(b) and len(b) % n == 0:
+        w = len(b) // n
+        if w <= 10:
+            ie = is_end.reshape(n, w)
+            if ie[:, -1].all() and not ie[:, :-1].any():
+                bb = b.reshape(n, w)
+                out = (bb[:, 0] & 0x7F).astype(np.uint64)
+                for i in range(1, w):
+                    out |= ((bb[:, i] & 0x7F).astype(np.uint64)
+                            << _U64(7 * i))
+                return out
     starts = np.empty(len(b), dtype=bool)
     starts[0] = True
     starts[1:] = is_end[:-1]
@@ -99,20 +114,22 @@ def varint_decode(buf: bytes | np.ndarray, count: int | None = None) -> np.ndarr
             sel = pos == p
             out[validx[sel]] |= ((b[sel] & 0x7F).astype(np.uint64)
                                  << _U64(7 * p))
-        if count is not None and n != count:
-            raise ValueError(
-                f"varint_decode: expected {count} values, got {n}")
         return out
     # byte 0 of every value (values are mostly 1 byte — one gather)
     out = (b[start_pos] & 0x7F).astype(np.uint64)
     rest = np.flatnonzero(~starts)
     if len(rest):
-        # continuation bytes only: value index + in-value position per
-        # byte, then shrink the working set as positions are consumed
-        # (no full-array `pos == p` passes over 1-byte values)
-        validx = np.zeros(len(b), dtype=np.int64)
-        np.cumsum(is_end[:-1], out=validx[1:])
-        vrest = validx[rest]
+        # continuation bytes only, then shrink the working set as
+        # positions are consumed (no `pos == p` passes over 1-byte
+        # values). Value index per byte: bsearch on start positions when
+        # the set is small (skips the full-array cumsum), cumsum gather
+        # when it is not (bsearch is n log n in the set size)
+        if len(rest) * 4 < n:
+            vrest = np.searchsorted(start_pos, rest, side="right") - 1
+        else:
+            validx = np.zeros(len(b), dtype=np.int64)
+            np.cumsum(is_end[:-1], out=validx[1:])
+            vrest = validx[rest]
         pos_rest = rest - start_pos[vrest]
         p = 1
         while len(rest):
