@@ -101,9 +101,11 @@ def varint_decode(buf: bytes | np.ndarray, count: int | None = None) -> np.ndarr
     starts[0] = True
     starts[1:] = is_end[:-1]
     start_pos = np.flatnonzero(starts)
-    if len(start_pos) * 2 < len(b):
-        # wide-value-dominated stream (rare: posting deltas/tfs are
-        # mostly 1 byte): per-position full passes beat subset gathers
+    if len(start_pos) * 5 < len(b):
+        # very-wide-value streams only (avg > 5 bytes/value — rare:
+        # posting deltas/tfs are mostly 1 byte, dls 1-3): per-position
+        # full passes beat subset gathers there (measured crossover
+        # between 4- and 8-byte uniform widths)
         validx = np.zeros(len(b), dtype=np.int64)
         np.cumsum(is_end[:-1], out=validx[1:])
         idx = np.arange(len(b), dtype=np.int64)
