@@ -34,6 +34,65 @@ def test_sessionize_vs_pandas(ray_session):
     pd.testing.assert_frame_equal(got, want, check_dtype=False)
 
 
+def test_latest_per_key_vs_pandas(ray_session):
+    import ray.data
+
+    from vfs_index_ray.functions.windows import latest_per_key
+    src = "/root/testdata/sf0.001/events.parquet"
+    ds = ray.data.read_parquet(src, columns=["event_id", "user_id", "ts"])
+    rows = latest_per_key(ds).take_all()
+    got = pd.DataFrame(rows)[["user_id", "event_id"]].sort_values(
+        "user_id").reset_index(drop=True)
+    df = pq.read_table(src, columns=["event_id", "user_id", "ts"]
+                       ).to_pandas()
+    want = (df.sort_values(["user_id", "ts", "event_id"])
+              .groupby("user_id").tail(1)[["user_id", "event_id"]]
+              .sort_values("user_id").reset_index(drop=True))
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+    # one row per key, always
+    assert got["user_id"].is_unique
+
+
+def test_decontaminate_modes(ray_session):
+    import pyarrow as pa
+    import ray.data
+
+    from vfs_index_ray.functions.textstats import Decontaminate
+    tbl = pa.table({
+        "doc_id": pa.array([0, 1, 2, 3], pa.int64()),
+        "text": pa.array(["clean text here", "has probe one inside",
+                          "probe two and probe one", "also clean"]),
+    })
+    ds = ray.data.from_arrow(tbl)
+    clean = ds.map_batches(
+        Decontaminate(["probe one", "probe two"]),
+        batch_format="pyarrow").take_all()
+    assert sorted(r["doc_id"] for r in clean) == [0, 3]
+    flagged = ds.map_batches(
+        Decontaminate(["probe one", "probe two"], mode="flag"),
+        batch_format="pyarrow").take_all()
+    # first matching probe wins (doc 2 contains both -> idx 0)
+    assert {r["doc_id"]: r["probe_idx"] for r in flagged} == {1: 0, 2: 0}
+
+
+def test_redact_regex(ray_session):
+    import pyarrow as pa
+    import ray.data
+
+    from vfs_index_ray.functions.textstats import RedactRegex
+    tbl = pa.table({
+        "doc_id": pa.array([0, 1], pa.int64()),
+        "text": pa.array(["mail me at a.b@x.io or c@y.z now",
+                          "no addresses here"]),
+    })
+    out = ray.data.from_arrow(tbl).map_batches(
+        RedactRegex(r"[A-Za-z0-9._]+@[A-Za-z0-9.]+", "<EMAIL>"),
+        batch_format="pyarrow").take_all()
+    by_id = {r["doc_id"]: r["text"] for r in out}
+    assert by_id[0] == "mail me at <EMAIL> or <EMAIL> now"
+    assert by_id[1] == "no addresses here"
+
+
 def test_last(built_index, pages_file, oracle_index):
     from vfs_index_ray.planner import QueryExecutor
     from vfs_index_ray.search import SearchEngine

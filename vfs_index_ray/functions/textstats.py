@@ -332,3 +332,76 @@ class LangId:
             "doc_id": batch[self.id_col],
             "lang_pred": pa.array(pred.tolist(), pa.string()),
         })
+
+
+class Decontaminate:
+    """Benchmark-decontamination filter: drop (or flag) documents whose
+    text contains ANY of a set of probe n-grams (exact substring — the
+    standard eval-set decontamination rule for training corpora).
+
+    The probe list is tiny (benchmark n-grams) and is captured in the
+    actor state once — a broadcast small side, never re-shipped per
+    batch (pass a ``ray.put`` handle + ``ray.get`` in ``__init__`` for
+    very large probe sets). Matching is one vectorized RE2
+    ``match_substring`` pass per probe over the whole batch column; no
+    per-row Python.
+
+    ``mode="clean"`` emits surviving rows' ids; ``mode="flag"`` emits
+    (doc_id, probe_idx) per contaminated doc with the FIRST matching
+    probe's index.
+    """
+
+    def __init__(self, probes: list[str], text_col: str = "text",
+                 id_col: str = "doc_id", mode: str = "clean"):
+        if not probes:
+            raise ValueError("need at least one probe n-gram")
+        if mode not in ("clean", "flag"):
+            raise ValueError(mode)
+        self.probes = list(probes)
+        self.text_col = text_col
+        self.id_col = id_col
+        self.mode = mode
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        col = batch[self.text_col]
+        hit_any = None
+        first = np.full(batch.num_rows, -1, np.int64)
+        for i, p in enumerate(self.probes):
+            m = pc.match_substring(col, p)
+            mn = m.to_numpy(zero_copy_only=False).astype(bool)
+            first = np.where((first < 0) & mn, i, first)
+            hit_any = mn if hit_any is None else (hit_any | mn)
+        ids = batch[self.id_col]
+        if self.mode == "clean":
+            keep = np.flatnonzero(~hit_any)
+            return pa.table({self.id_col: ids.take(pa.array(keep))})
+        bad = np.flatnonzero(hit_any)
+        return pa.table({
+            self.id_col: ids.take(pa.array(bad)),
+            "probe_idx": pa.array(first[bad], pa.int64()),
+        })
+
+
+class RedactRegex:
+    """Regex redaction (PII-scrub shape): replace every match of an RE2
+    pattern in the text column with a placeholder. Arrow's
+    ``replace_substring_regex`` and DuckDB's ``regexp_replace`` are both
+    RE2, so the oracle runs the IDENTICAL pattern — engine and SQL agree
+    byte-for-byte. One vectorized pass per batch; compiled once per
+    actor (stateful map_batches stage)."""
+
+    def __init__(self, pattern: str, replacement: str,
+                 text_col: str = "text", id_col: str = "doc_id"):
+        self.pattern = pattern
+        self.replacement = replacement
+        self.text_col = text_col
+        self.id_col = id_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        red = pc.replace_substring_regex(
+            batch[self.text_col], pattern=self.pattern,
+            replacement=self.replacement)
+        return pa.table({
+            self.id_col: batch[self.id_col],
+            "text": red,
+        })

@@ -128,3 +128,49 @@ def sessionize_table(events_ds, **kw) -> pa.Table:
                            ("session_end", pa.timestamp("us")),
                            ("n_events", pa.int64()),
                        ]))
+
+
+def _latest_kernel(t: pa.Table, key_col: str, ts_col: str,
+                   id_col: str) -> pa.Table:
+    """One key-partition → the single latest row per key (max ts, ties
+    to max id). Vectorized: lexsort + run boundaries."""
+    n = t.num_rows
+    if n == 0:
+        return t.drop(["kpart"])
+    k = t[key_col].to_numpy(zero_copy_only=False).astype(np.int64)
+    ts = t[ts_col].to_numpy(zero_copy_only=False).astype("datetime64[us]"
+                                                         ).astype(np.int64)
+    ids = t[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+    order = np.lexsort((ids, ts, k))
+    ks = k[order]
+    # last row of each key run == (max ts, max id) for that key
+    last = np.empty(n, bool)
+    last[-1] = True
+    last[:-1] = ks[1:] != ks[:-1]
+    keep = order[np.flatnonzero(last)]
+    return t.take(pa.array(np.sort(keep))).drop(["kpart"])
+
+
+def latest_per_key(events_ds, *, key_col: str = "user_id",
+                   ts_col: str = "ts", id_col: str = "event_id",
+                   num_partitions: int = 32):
+    """Latest record per key — the re-crawl dedup shape for a web
+    corpus (keep the newest snapshot per url: key=url-hash, ts=crawl
+    timestamp). Shuffle shape identical to ``sessionize``: ONE uniform
+    hash-partition groupby, one vectorized kernel per partition; only
+    one row per key survives, so the output is tiny regardless of input
+    size. Ties on ts break to the larger ``id_col`` (deterministic).
+    """
+    def add_part(t: pa.Table) -> pa.Table:
+        kid = t[key_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        return t.append_column(
+            "kpart", pa.array(kid % num_partitions, pa.int64()))
+
+    def per_part(g: pa.Table) -> pa.Table:
+        return _latest_kernel(g, key_col, ts_col, id_col)
+
+    return (events_ds
+            .map_batches(add_part, batch_format="pyarrow",
+                         zero_copy_batch=True)
+            .groupby("kpart")
+            .map_groups(per_part, batch_format="pyarrow"))

@@ -859,6 +859,55 @@ def q_events_sessions(sf_dir: str) -> pa.Table:
     return sessionize_table(ds, gap_minutes=30)
 
 
+DECON_PROBES = ["order sort table", "window spark order",
+                "zzzz never occurs qqqq"]
+
+
+def q_decontaminate(sf_dir: str) -> pa.Table:
+    """Benchmark decontamination: flag docs containing any probe n-gram
+    (broadcast tiny probe list, one vectorized substring pass per probe
+    per batch); probe_idx = first matching probe."""
+    from ..functions.textstats import Decontaminate
+    ds = _docs_ds(sf_dir, columns=["doc_id", "text"])
+    out = ds.map_batches(Decontaminate(DECON_PROBES, mode="flag"),
+                         batch_format="pyarrow")
+    tbl = pa.Table.from_pylist(out.take_all())
+    if tbl.num_rows == 0:
+        return pa.table({"doc_id": pa.array([], pa.int64()),
+                         "probe_idx": pa.array([], pa.int64())})
+    return tbl.select(["doc_id", "probe_idx"]).cast(pa.schema([
+        ("doc_id", pa.int64()), ("probe_idx", pa.int64())]))
+
+
+def q_redact(sf_dir: str) -> pa.Table:
+    """Regex redaction (PII-scrub shape): RE2 on both sides — Arrow
+    replace_substring_regex vs DuckDB regexp_replace(…, 'g') with the
+    IDENTICAL pattern, byte-compared over the whole corpus."""
+    from ..functions.textstats import RedactRegex
+    ds = _docs_ds(sf_dir, columns=["doc_id", "text"])
+    out = ds.map_batches(
+        RedactRegex(r"\bcustomer\b", "<ENT>"), batch_format="pyarrow")
+    tbl = pa.Table.from_pylist(out.take_all())
+    return tbl.select(["doc_id", "text"]).cast(pa.schema([
+        ("doc_id", pa.int64()), ("text", pa.string())]))
+
+
+def q_events_latest(sf_dir: str) -> pa.Table:
+    """Latest record per key (the re-crawl keep-newest-snapshot dedup
+    shape): hash-partition groupby + one vectorized kernel; ties on ts
+    break to the larger event_id."""
+    import ray.data
+
+    from ..functions.windows import latest_per_key
+    ds = ray.data.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                               columns=["event_id", "user_id", "ts"])
+    rows = latest_per_key(ds).take_all()
+    tbl = pa.Table.from_pylist(rows)
+    return tbl.select(["user_id", "event_id", "ts"]).cast(pa.schema([
+        ("user_id", pa.int64()), ("event_id", pa.int64()),
+        ("ts", pa.timestamp("us"))]))
+
+
 def q_events_props(sf_dir: str) -> pa.Table:
     """JSON property extraction (vectorized RE2) + per-type aggregate."""
     import ray.data
@@ -1050,6 +1099,9 @@ QUERIES = {
     "events_hourly": q_events_hourly,
     "events_sessions": q_events_sessions,
     "events_props": q_events_props,
+    "events_latest": q_events_latest,
+    "decontaminate": q_decontaminate,
+    "redact": q_redact,
     "label_classify": q_label_classify,
     "nearest": q_nearest,
 }
@@ -1345,6 +1397,30 @@ SELECT query_id, vec_id,
                           ORDER BY sim DESC, vec_id)::BIGINT AS rank,
        CAST(floor(sim*10000 + 0.5) AS BIGINT) AS sim_x1e4
 FROM sims QUALIFY rank <= 5 ORDER BY query_id, rank
+""",
+    # decontamination: first matching probe per contaminated doc (CASE
+    # order == the engine's lowest-probe-index-first rule)
+    "decontaminate": """
+SELECT doc_id,
+       CASE WHEN strpos(text, 'order sort table') > 0 THEN 0
+            WHEN strpos(text, 'window spark order') > 0 THEN 1
+            WHEN strpos(text, 'zzzz never occurs qqqq') > 0 THEN 2
+       END::BIGINT AS probe_idx
+FROM documents
+WHERE strpos(text, 'order sort table') > 0
+   OR strpos(text, 'window spark order') > 0
+   OR strpos(text, 'zzzz never occurs qqqq') > 0
+""",
+    # identical RE2 pattern on both sides ('g' = replace every match,
+    # same as Arrow's replace_substring_regex default)
+    "redact": """
+SELECT doc_id, regexp_replace(text, '\\bcustomer\\b', '<ENT>', 'g') AS text
+FROM documents
+""",
+    "events_latest": """
+SELECT user_id, event_id, ts FROM events
+QUALIFY row_number() OVER (PARTITION BY user_id
+                           ORDER BY ts DESC, event_id DESC) = 1
 """,
     "events_hourly": """
 SELECT event_type, date_trunc('hour', ts) AS window_start,
