@@ -44,6 +44,18 @@ def test_parse_errors():
         parse("id == 1 || && id == 2")
 
 
+def test_parse_negation():
+    p = parse('a == 1 && !b.search("x")')
+    assert [x.negated for x in p.predicates] == [False, True]
+    assert p.predicates[1].op == "search"
+    with pytest.raises(ValueError):
+        parse("!")
+    with pytest.raises(ValueError):
+        parse("! && a == 1")
+    with pytest.raises(ValueError):
+        parse("!!a == 1")
+
+
 def test_parse_or_groups():
     # && binds tighter than || (DNF groups)
     p = parse('a == 1 && b == 2 || c == 3')
@@ -87,6 +99,24 @@ def test_executor_count_all_terms(executor, oracle_index):
 def test_executor_first(executor, oracle_index):
     got = executor.first(f'text.search("{corpus.RARE_TERM}")')
     assert got == oracle_index.match(corpus.RARE_TERM)[0]
+
+
+def test_executor_and_not(executor, oracle_index):
+    a, b = corpus.PHRASE.split()[0], corpus.PHRASE.split()[1]
+    got = executor.execute(f'text.search("{a}") && !text.search("{b}")')
+    want = sorted(set(oracle_index.match(a)) - set(oracle_index.match(b)))
+    assert got.tolist() == want
+    # pure NOT is rejected (would need the doc universe)
+    with pytest.raises(ValueError, match="positive predicate"):
+        executor.execute(f'!text.search("{a}")')
+    # negation composes with OR groups
+    got = executor.execute(
+        f'text.search("{a}") && !text.search("{b}") || '
+        f'text.search("{corpus.RARE_TERM}")')
+    want = sorted((set(oracle_index.match(a)) -
+                   set(oracle_index.match(b))) |
+                  set(oracle_index.match(corpus.RARE_TERM)))
+    assert got.tolist() == want
 
 
 def test_executor_or_union(executor, oracle_index):

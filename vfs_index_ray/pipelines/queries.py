@@ -981,6 +981,19 @@ def q_or_match(sf_dir: str) -> pa.Table:
     return pa.table({"doc_id": pa.array(docs.astype(np.int64), pa.int64())})
 
 
+def q_not_match(sf_dir: str) -> pa.Table:
+    """AND-NOT (grammar extension): docs with both 'spark' and 'join'
+    but NOT 'window', and under the n_chars cap — negation is a sorted
+    doc-id difference inside the positive group, never a universe scan."""
+    from ..planner import QueryExecutor
+    eng = get_engine(sf_dir)
+    ex = QueryExecutor(eng, [_doc_file(sf_dir)], text_col="text",
+                       id_col="doc_id")
+    docs = ex.execute('text.search("spark join") && '
+                      '!text.search("window") && !n_chars >= 450')
+    return pa.table({"doc_id": pa.array(docs.astype(np.int64), pa.int64())})
+
+
 def q_nearest(sf_dir: str) -> pa.Table:
     """J7 nearest-key lookup on a numeric column."""
     eng = get_engine(sf_dir)
@@ -1088,6 +1101,7 @@ QUERIES = {
     "batch_bm25": q_batch_bm25,
     "filtered_bm25": q_filtered_bm25,
     "or_match": q_or_match,
+    "not_match": q_not_match,
     "federated_bm25": q_federated_bm25,
     "nears": q_nears,
     "train_split": q_train_split,
@@ -1223,6 +1237,11 @@ ORDER BY doc_id LIMIT 3
 SELECT doc_id FROM documents
 WHERE (list_contains({TOKS}, 'spark') AND list_contains({TOKS}, 'window'))
    OR (list_contains({TOKS}, 'stream') AND n_chars >= 450)
+""",
+    "not_match": f"""
+SELECT doc_id FROM documents
+WHERE list_contains({TOKS}, 'spark') AND list_contains({TOKS}, 'join')
+  AND NOT list_contains({TOKS}, 'window') AND NOT n_chars >= 450
 """,
     "short_query_empty": "SELECT doc_id FROM documents WHERE 1=0",
     # trigram key-space scans: every 3-char window of text; packed-key

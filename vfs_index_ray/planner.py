@@ -36,6 +36,7 @@ class Predicate:
     column: str
     op: str                 # one of OPS or "search"
     value: str | int | float
+    negated: bool = False   # `!expr`: AND-NOT within its group
 
 
 @dataclass
@@ -52,6 +53,7 @@ _TOKEN_RE = re.compile(
     r"""\s*(?:
         (?P<and>&&) |
         (?P<or>\|\|) |
+        (?P<neg>!)\s*(?=\w) |
         (?P<search>(?P<scol>\w+)\.search\(\s*"(?P<sval>[^"]*)"\s*\)) |
         (?P<cmp>(?P<col>\w+)\s*(?P<op>==|<=|>=|<|>)\s*
             (?P<val>"[^"]*"|\S+))
@@ -59,15 +61,18 @@ _TOKEN_RE = re.compile(
 
 
 def parse(q: str) -> Plan:
-    """Parse ``andexpr (|| andexpr)*`` with ``andexpr := expr (&& expr)*``
-    (&& binds tighter than ||) into a DNF Plan. Raises ValueError on
-    junk. The reference grammar is AND-only (expr/expr.peg:8-31); ``||``
-    is a documented extension (SURVEY §7.6) — a search engine needs
-    disjunction, and the union is a cheap sorted-doc-id merge."""
+    """Parse ``andexpr (|| andexpr)*`` with ``andexpr := [!]expr (&&
+    [!]expr)*`` (&& binds tighter than ||; ``!`` negates one predicate)
+    into a DNF Plan. Raises ValueError on junk. The reference grammar is
+    AND-only (expr/expr.peg:8-31); ``||`` and ``!`` are documented
+    extensions (SURVEY §7.6) — a search engine needs disjunction and
+    AND-NOT, both cheap sorted-doc-id merges. ``!`` is only valid inside
+    a group that has a positive predicate (enforced at execution)."""
     plan = Plan()
     group: list[Predicate] = []
     pos = 0
     expect_expr = True
+    negate = False
     while pos < len(q):
         m = _TOKEN_RE.match(q, pos)
         if not m:
@@ -87,11 +92,18 @@ def parse(q: str) -> Plan:
             group = []
             expect_expr = True
             continue
+        if m.group("neg"):
+            if not expect_expr or negate:
+                raise ValueError("misplaced !")
+            negate = True
+            continue
         if not expect_expr:
             raise ValueError("expected && between expressions")
         expect_expr = False
         if m.group("search"):
-            pred = Predicate(m.group("scol"), "search", m.group("sval"))
+            pred = Predicate(m.group("scol"), "search", m.group("sval"),
+                             negated=negate)
+            negate = False
             plan.predicates.append(pred)
             group.append(pred)
         else:
@@ -106,9 +118,13 @@ def parse(q: str) -> Plan:
                         val = float(val)
                     except ValueError:
                         pass
-            pred = Predicate(m.group("col"), m.group("op"), val)
+            pred = Predicate(m.group("col"), m.group("op"), val,
+                             negated=negate)
+            negate = False
             plan.predicates.append(pred)
             group.append(pred)
+    if negate:
+        raise ValueError("dangling !")
     if expect_expr and plan.predicates:
         raise ValueError("dangling && or ||")
     if group or not plan.groups:
@@ -179,16 +195,27 @@ class QueryExecutor:
         return self.engine.term_range_docs(lo, hi)
 
     def _execute_group(self, preds: list[Predicate]) -> np.ndarray:
-        """One AND-group: intersection of its predicates' doc sets."""
-        text_preds = [p for p in preds
+        """One AND-group: intersection of its positive predicates' doc
+        sets, minus each negated predicate's set (AND-NOT). A group must
+        contain at least one positive predicate — a top-level NOT would
+        enumerate the doc universe, which no index path should do."""
+        pos = [p for p in preds if not p.negated]
+        neg = [p for p in preds if p.negated]
+        if neg and not pos:
+            raise ValueError(
+                "! needs at least one positive predicate in its group "
+                "(a pure NOT would scan the whole doc universe)")
+        text_preds = [p for p in pos
                       if p.op == "search" or
                       (p.op == "==" and p.column == self.text_col)]
-        range_preds = [p for p in preds
+        range_preds = [p for p in pos
                        if p.column == self.text_col and p.op in
                        ("<", "<=", ">", ">=") and isinstance(p.value, str)]
-        other = [p for p in preds
+        other = [p for p in pos
                  if p not in text_preds and p not in range_preds]
-        if (text_preds or range_preds) and self.engine is None:
+        needs_engine = text_preds or range_preds or any(
+            p.op == "search" or p.column == self.text_col for p in neg)
+        if needs_engine and self.engine is None:
             raise ValueError("expression has text predicates but this "
                              "executor was built without an index engine")
         doc_sets = []
@@ -204,7 +231,21 @@ class QueryExecutor:
         out = doc_sets[0]
         for s in doc_sets[1:]:
             out = sorted_intersect(out, s)
+        for p in neg:
+            if len(out) == 0:
+                break
+            out = np.setdiff1d(out, self._pred_docs(p),
+                               assume_unique=True)
         return out
+
+    def _pred_docs(self, p: Predicate) -> np.ndarray:
+        """Doc set of one predicate (used for negations)."""
+        if p.op == "search" or (p.op == "==" and p.column == self.text_col):
+            return self.engine.match(str(p.value))
+        if (p.column == self.text_col and p.op in ("<", "<=", ">", ">=")
+                and isinstance(p.value, str)):
+            return self._string_range_docs(p)
+        return self._numeric_docs([p])
 
     def execute(self, q: str, limit: int | None = None) -> np.ndarray:
         plan = parse(q)
