@@ -981,6 +981,26 @@ def q_or_match(sf_dir: str) -> pa.Table:
     return pa.table({"doc_id": pa.array(docs.astype(np.int64), pa.int64())})
 
 
+def q_snippets(sf_dir: str) -> pa.Table:
+    """Result snippets: for docs matching the AND query, an 80-char
+    window centred on the first occurrence of the lead term. Index
+    match + row-group-pruned fetch (result-set-sized — the per-row
+    slice runs over k fetched rows, never the corpus)."""
+    import pyarrow.compute as pc
+    eng = get_engine(sf_dir)
+    docs = eng.match("spark window")
+    rows = eng.fetch_rows(np.sort(docs), columns=["doc_id", "text"])
+    texts = rows["text"].to_pylist()
+    idx = pc.find_substring(rows["text"], "spark").to_numpy(
+        zero_copy_only=False)
+    snips = [t[max(int(i) - 40, 0):int(i) + 40]
+             for t, i in zip(texts, idx)]
+    return pa.table({
+        "doc_id": rows["doc_id"].cast(pa.int64()),
+        "snippet": pa.array(snips, pa.string()),
+    })
+
+
 def q_not_match(sf_dir: str) -> pa.Table:
     """AND-NOT (grammar extension): docs with both 'spark' and 'join'
     but NOT 'window', and under the n_chars cap — negation is a sorted
@@ -1102,6 +1122,7 @@ QUERIES = {
     "filtered_bm25": q_filtered_bm25,
     "or_match": q_or_match,
     "not_match": q_not_match,
+    "snippets": q_snippets,
     "federated_bm25": q_federated_bm25,
     "nears": q_nears,
     "train_split": q_train_split,
@@ -1242,6 +1263,18 @@ WHERE (list_contains({TOKS}, 'spark') AND list_contains({TOKS}, 'window'))
 SELECT doc_id FROM documents
 WHERE list_contains({TOKS}, 'spark') AND list_contains({TOKS}, 'join')
   AND NOT list_contains({TOKS}, 'window') AND NOT n_chars >= 450
+""",
+    # snippet window: python t[max(i-40,0):i+40] with 0-based i ==
+    # substr(text, max(s-40,1), s+40-max(s-40,1)) with 1-based s
+    "snippets": f"""
+WITH m AS (
+  SELECT doc_id, text, strpos(text, 'spark') AS s FROM documents
+  WHERE list_contains({TOKS}, 'spark') AND list_contains({TOKS}, 'window')
+)
+SELECT doc_id,
+       substr(text, greatest(s - 40, 1),
+              s + 40 - greatest(s - 40, 1)) AS snippet
+FROM m
 """,
     "short_query_empty": "SELECT doc_id FROM documents WHERE 1=0",
     # trigram key-space scans: every 3-char window of text; packed-key
