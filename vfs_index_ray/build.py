@@ -97,14 +97,27 @@ class SegmentWriter:
     ``__call__`` also accepts an in-memory group table (merge path, tests).
     """
 
+    # ~1 MB of chunk-row payload per parquet row group: a term point
+    # lookup decompresses one group, so the group byte size — not a
+    # fixed row count — bounds read amplification. Fat rows (unbucketed
+    # head terms, ~150 KB/chunk) get few rows per group; skinny bucketed
+    # chunks keep the 4096 cap. Measured on a 1.6M-doc index: head-term
+    # pushdown read 88→31 ms together with lz4 (below).
+    ROW_GROUP_TARGET_BYTES = 1 << 20
+
     def __init__(self, segments_dir: str, bucket_shift: int,
                  lineage: list[str] | None = None,
-                 block_size: int | None = None):
+                 block_size: int | None = None,
+                 compression: str = "lz4"):
         from .codec import BLOCK
         self.segments_dir = segments_dir
         self.bucket_shift = bucket_shift
         self.lineage = lineage or []
         self.block_size = int(block_size or BLOCK)
+        # lz4 over zstd: the varint payload is already entropy-dense, so
+        # zstd buys only ~12% size but costs ~2x on every query-path
+        # read (measured, BASELINE.md round-3 late)
+        self.compression = compression
 
     def encode_part(self, part: int, postings: pa.Table) -> pa.Table:
         import time
@@ -124,10 +137,11 @@ class SegmentWriter:
 
         final = os.path.join(self.segments_dir, f"part={part:05d}.parquet")
         tmp = os.path.join(self.segments_dir, f".tmp.part={part:05d}.parquet")
-        # row groups sized so term-pushdown point lookups decode only
-        # a few thousand chunk rows, not the whole partition
-        pq.write_table(seg, tmp, compression="zstd",
-                       row_group_size=4096)
+        # byte-targeted row groups (see ROW_GROUP_TARGET_BYTES)
+        avg_row = max(seg.nbytes / max(seg.num_rows, 1), 1.0)
+        rg = int(min(4096, max(16, self.ROW_GROUP_TARGET_BYTES // avg_row)))
+        pq.write_table(seg, tmp, compression=self.compression,
+                       row_group_size=rg)
         # term bloom filter beside the segment: absent-term lookups skip
         # the parquet read entirely (segment-level negative cache).
         # Published BEFORE the segment: a concurrent reader pairing the
@@ -181,8 +195,10 @@ class IndexBuilder:
                  tokenize_actors: bool = False,
                  scratch_dir: str | None = None,
                  positions: bool = False,
-                 block_size: int | None = None):
+                 block_size: int | None = None,
+                 compression: str = "lz4"):
         self.index_dir = index_dir
+        self.compression = compression
         self.mode = mode
         self.num_parts = num_parts
         self.bucket_shift = bucket_shift
@@ -345,7 +361,8 @@ class IndexBuilder:
         writer = SegmentWriter(self.segments_dir, self.bucket_shift,
                                lineage=[os.path.basename(w)
                                         for w in wave_dirs],
-                               block_size=self.block_size)
+                               block_size=self.block_size,
+                               compression=self.compression)
 
         want_pos = self.positions
         pos_dir = os.path.join(self.index_dir, "positions")
@@ -441,6 +458,7 @@ class IndexBuilder:
             "num_parts": self.num_parts, "bucket_shift": self.bucket_shift,
             "n_docs": n_docs, "total_tokens": n_tokens,
             "block_size": self.block_size,
+            "compression": self.compression,
             "avgdl": (n_tokens / n_docs) if n_docs else 0.0,
             "k1": BM25_K1, "b": BM25_B, "positions": self.positions,
             "waves": [w["wave"] for w in waves],

@@ -119,8 +119,10 @@ def merge_indexes(src_dirs: list[str], out_dir: str,
             raise ValueError("sources must share num_parts and mode; "
                              "use repartition_index first")
     out = IndexBuilder(out_dir, mode=mode, num_parts=num_parts,
-                       bucket_shift=stats[0]["bucket_shift"])
-    writer = SegmentWriter(out.segments_dir, out.bucket_shift)
+                       bucket_shift=stats[0]["bucket_shift"],
+                       compression=stats[0].get("compression", "lz4"))
+    writer = SegmentWriter(out.segments_dir, out.bucket_shift,
+                           compression=out.compression)
 
     def merge_batch(batch: pa.Table) -> pa.Table:
         reports = []
@@ -409,8 +411,10 @@ def repartition_index(src_dir: str, out_dir: str, new_num_parts: int) -> dict:
     the new key via the same disk-partition layout the build uses."""
     st = read_stats(src_dir)
     out = IndexBuilder(out_dir, mode=st["mode"], num_parts=new_num_parts,
-                       bucket_shift=st["bucket_shift"])
-    writer = SegmentWriter(out.segments_dir, out.bucket_shift)
+                       bucket_shift=st["bucket_shift"],
+                       compression=st.get("compression", "lz4"))
+    writer = SegmentWriter(out.segments_dir, out.bucket_shift,
+                           compression=out.compression)
     old_parts = st["num_parts"]
 
     def rewrite_batch(batch: pa.Table) -> pa.Table:
