@@ -30,6 +30,33 @@ def test_varint_roundtrip_property(vals):
     assert (codec.varint_decode(codec.varint_encode(arr)) == arr).all()
 
 
+def test_varint_roundtrip_all_decode_branches():
+    """Deterministic fuzz hitting every decode strategy: uniform-width
+    strided (1..10 bytes), shrinking-subset (small + large continuation
+    sets, bsearch and cumsum value-index), and the dense very-wide
+    fallback — at sizes crossing the branch thresholds."""
+    rng = np.random.Generator(np.random.Philox(key=[31, 0]))
+    cases = []
+    for w in range(10):  # uniform widths 1..10 bytes
+        lo = 0 if w == 0 else 1 << (7 * w)
+        hi = (1 << (7 * (w + 1))) - 1 if w < 9 else 2**64 - 1
+        cases.append(rng.integers(lo, hi, 2000, dtype=np.uint64))
+    # mixed magnitudes (subset branch, both value-index strategies)
+    small = rng.integers(0, 100, 5000, dtype=np.uint64)
+    m = small.copy(); m[rng.integers(0, 5000, 50)] = 2**63
+    cases.append(m)                      # sparse wide -> bsearch path
+    m2 = rng.integers(0, 1 << 20, 5000, dtype=np.uint64)
+    cases.append(m2)                     # dense 1-3 byte -> cumsum path
+    cases.append(rng.integers(1 << 56, 2**64 - 1, 3000,
+                              dtype=np.uint64))  # dense fallback
+    cases.append(np.array([0, 2**64 - 1, 127, 128, 16383, 16384],
+                          np.uint64))
+    for arr in cases:
+        buf = codec.varint_encode(arr)
+        got = codec.varint_decode(buf, count=len(arr))
+        assert (got == arr).all()
+
+
 def _random_postings(rng, n):
     docs = np.unique(rng.integers(0, 2**62, n).astype(np.uint64))
     tfs = rng.integers(1, 40, len(docs)).astype(np.uint64)

@@ -119,6 +119,38 @@ def test_executor_and_not(executor, oracle_index):
     assert got.tolist() == want
 
 
+def test_executor_dnf_fuzz(executor, oracle_index):
+    """Random DNF expressions (1-3 OR groups x 1-3 predicates, random
+    negation, >=1 positive per group) vs python set algebra."""
+    toks = corpus.PHRASE.split() + [corpus.RARE_TERM]
+    sets = {t: set(oracle_index.match(t)) for t in toks}
+    rng = np.random.Generator(np.random.Philox(key=[41, 0]))
+    for _ in range(30):
+        ngroups = int(rng.integers(1, 4))
+        groups, want = [], set()
+        for _ in range(ngroups):
+            npred = int(rng.integers(1, 4))
+            picks = [toks[int(i)] for i in
+                     rng.integers(0, len(toks), npred)]
+            negs = [bool(rng.integers(0, 2)) for _ in picks]
+            negs[0] = False  # >=1 positive
+            gset = None
+            parts = []
+            for t, ng in zip(picks, negs):
+                parts.append(('!' if ng else '') + f'text.search("{t}")')
+            for t, ng in zip(picks, negs):
+                if not ng:
+                    gset = sets[t] if gset is None else (gset & sets[t])
+            for t, ng in zip(picks, negs):
+                if ng:
+                    gset = gset - sets[t]
+            groups.append(" && ".join(parts))
+            want |= gset
+        q = " || ".join(groups)
+        got = executor.execute(q)
+        assert got.tolist() == sorted(want), q
+
+
 def test_executor_or_union(executor, oracle_index):
     a, b = corpus.PHRASE.split()[0], corpus.PHRASE.split()[1]
     got = executor.execute(
