@@ -1,12 +1,14 @@
 """Multimodal column plumbing: image/audio/video as opaque binary columns
 with typed metadata, processed by actor-pool map_batches stages.
 
-The decode boundary is REAL for two uncompressed container formats,
-implemented in pure numpy (no image/audio libraries in this
-environment): PPM (P6, 8-bit) images and RIFF/WAVE PCM16 audio.
-Compressed formats (JPEG/PNG/MP3/...) would slot into the same stage
-behind PIL/av and raise NotImplementedError here; ``fake=True`` keeps
-the deterministic hash-seeded pseudo-decode for plumbing tests.
+The decode boundary is REAL for three container formats, implemented
+in pure numpy (no image/audio libraries in this environment): PPM
+(P6, 8-bit) and PNG (8-bit gray/gray+alpha/RGB/RGBA, non-interlaced,
+all five scanline filters, stdlib zlib inflate) images, and RIFF/WAVE
+PCM16 audio. Remaining compressed formats (JPEG/WebP/MP3/...) would
+slot into the same stage behind PIL/av and raise NotImplementedError
+here; ``fake=True`` keeps the deterministic hash-seeded pseudo-decode
+for plumbing tests.
 
 Scale notes: binary payloads dominate block size; callers should lower
 ``batch_size`` (a 1 MB image × 1024-row batch = 1 GB per batch) and rely
@@ -68,6 +70,149 @@ def encode_ppm(pixels: np.ndarray) -> bytes:
     assert c == 3
     return b"P6\n%d %d\n255\n" % (w, h) + \
         np.ascontiguousarray(pixels, np.uint8).tobytes()
+
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+_PNG_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}  # gray, rgb, gray+a, rgba
+
+
+def decode_png(payload: bytes) -> tuple[int, int, np.ndarray]:
+    """PNG → (width, height, HxWxC uint8). Pure numpy + stdlib zlib:
+    8-bit depth, color types gray/RGB/gray+alpha/RGBA, non-interlaced,
+    all five scanline filters. Sub/Up are fully vectorized (per-channel
+    cumsum / row add); Average and Paeth have a left-neighbour data
+    dependency, so those rows fall back to a per-pixel-column loop —
+    correct first, and real encoders mix filters per row so typical
+    images stay mostly vectorized. Palette/16-bit/interlaced raise
+    NotImplementedError (the PIL boundary)."""
+    import struct
+    import zlib
+
+    if not payload.startswith(_PNG_SIG):
+        raise ValueError("not a PNG payload")
+    pos = 8
+    idat = []
+    w = h = depth = ctype = None
+    interlace = 0
+    while pos + 8 <= len(payload):
+        ln = int.from_bytes(payload[pos:pos + 4], "big")
+        typ = payload[pos + 4:pos + 8]
+        data = payload[pos + 8:pos + 8 + ln]
+        pos += 12 + ln  # len + type + data + crc
+        if typ == b"IHDR":
+            w, h, depth, ctype, _comp, _filt, interlace = struct.unpack(
+                ">IIBBBBB", data)
+        elif typ == b"IDAT":
+            idat.append(data)
+        elif typ == b"IEND":
+            break
+    if w is None:
+        raise ValueError("PNG missing IHDR")
+    if depth != 8 or interlace:
+        raise NotImplementedError(
+            "only 8-bit non-interlaced PNG decodes natively")
+    ch = _PNG_CHANNELS.get(ctype)
+    if ch is None:
+        raise NotImplementedError("palette PNG requires PIL")
+    stride = w * ch
+    raw = np.frombuffer(zlib.decompress(b"".join(idat)), np.uint8)
+    if len(raw) != h * (stride + 1):
+        raise ValueError("PNG scanline payload size mismatch")
+    raw = raw.reshape(h, stride + 1)
+    ftypes = raw[:, 0]
+    out = np.zeros((h, stride), np.uint8)
+    for y in range(h):
+        f = int(ftypes[y])
+        cur = raw[y, 1:]
+        up = out[y - 1] if y else np.zeros(stride, np.uint8)
+        if f == 0:                       # None
+            out[y] = cur
+        elif f == 1:                     # Sub: prefix sum per channel
+            out[y] = (np.cumsum(cur.reshape(w, ch), axis=0,
+                                dtype=np.uint64) & 0xFF
+                      ).astype(np.uint8).reshape(stride)
+        elif f == 2:                     # Up
+            out[y] = cur + up            # uint8 wraps mod 256
+        elif f == 3:                     # Average (left-dependent)
+            row = out[y]
+            row[:ch] = cur[:ch] + (up[:ch] >> 1)
+            for x in range(ch, stride, ch):
+                row[x:x + ch] = cur[x:x + ch] + (
+                    (row[x - ch:x].astype(np.uint16) +
+                     up[x:x + ch]) >> 1).astype(np.uint8)
+        elif f == 4:                     # Paeth (left-dependent)
+            row = out[y]
+            row[:ch] = cur[:ch] + up[:ch]  # left=c=0 -> predictor=up
+            for x in range(ch, stride, ch):
+                a = row[x - ch:x].astype(np.int16)
+                b = up[x:x + ch].astype(np.int16)
+                c = up[x - ch:x].astype(np.int16)
+                p = a + b - c
+                pa_ = np.abs(p - a)
+                pb = np.abs(p - b)
+                pc = np.abs(p - c)
+                pred = np.where((pa_ <= pb) & (pa_ <= pc), a,
+                                np.where(pb <= pc, b, c))
+                row[x:x + ch] = cur[x:x + ch] + pred.astype(np.uint8)
+        else:
+            raise ValueError(f"unknown PNG filter {f}")
+    return int(w), int(h), out.reshape(h, w, ch)
+
+
+def encode_png(pixels: np.ndarray, filter_type: int = 0) -> bytes:
+    """HxWxC uint8 → PNG payload (test/synthesis twin of decode_png).
+    ``filter_type`` applies one filter to every scanline (0-4) so tests
+    can exercise each decode branch; inversion vs decode_png is the
+    correctness check."""
+    import struct
+    import zlib
+
+    if pixels.ndim == 2:
+        pixels = pixels[:, :, None]
+    h, w, ch = pixels.shape
+    ctype = {1: 0, 2: 4, 3: 2, 4: 6}[ch]
+    px = np.ascontiguousarray(pixels, np.uint8)
+    stride = w * ch
+    lines = []
+    prev = np.zeros(stride, np.uint8)
+    for y in range(h):
+        rowv = px[y].reshape(stride)
+        if filter_type == 0:
+            filt = rowv
+        elif filter_type == 1:
+            shifted = np.zeros(stride, np.uint8)
+            shifted[ch:] = rowv[:-ch]
+            filt = rowv - shifted
+        elif filter_type == 2:
+            filt = rowv - prev
+        elif filter_type == 3:
+            left = np.zeros(stride, np.uint16)
+            left[ch:] = rowv[:-ch]
+            filt = rowv - ((left + prev) >> 1).astype(np.uint8)
+        elif filter_type == 4:
+            a = np.zeros(stride, np.int16)
+            a[ch:] = rowv[:-ch]
+            b = prev.astype(np.int16)
+            c = np.zeros(stride, np.int16)
+            c[ch:] = prev[:-ch]
+            p = a + b - c
+            pa_, pb, pc = np.abs(p - a), np.abs(p - b), np.abs(p - c)
+            pred = np.where((pa_ <= pb) & (pa_ <= pc), a,
+                            np.where(pb <= pc, b, c))
+            filt = rowv - pred.astype(np.uint8)
+        else:
+            raise ValueError(filter_type)
+        lines.append(bytes([filter_type]) + filt.tobytes())
+        prev = rowv
+    body = zlib.compress(b"".join(lines))
+
+    def chunk(typ: bytes, data: bytes) -> bytes:
+        return (struct.pack(">I", len(data)) + typ + data +
+                struct.pack(">I", zlib.crc32(typ + data) & 0xFFFFFFFF))
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, ctype, 0, 0, 0)
+    return (_PNG_SIG + chunk(b"IHDR", ihdr) + chunk(b"IDAT", body) +
+            chunk(b"IEND", b""))
 
 
 def decode_wav(payload: bytes) -> tuple[int, np.ndarray]:
@@ -153,11 +298,16 @@ class DecodeImage:
     def _decode_real(self, payload: bytes) -> tuple[int, int, np.ndarray]:
         if payload.startswith(b"P6"):
             w, h, pix = decode_ppm(payload)
-            gray = pix.astype(np.float64).mean(axis=2) / 255.0
-            return w, h, _pool_grid(gray, self.grid)
-        raise NotImplementedError(
-            "only P6 PPM decodes natively; other image formats require "
-            "PIL (not in this environment)")
+        elif payload.startswith(_PNG_SIG):
+            w, h, pix = decode_png(payload)
+            if pix.shape[2] in (2, 4):   # drop alpha for the gray pool
+                pix = pix[:, :, :-1]
+        else:
+            raise NotImplementedError(
+                "only P6 PPM and 8-bit PNG decode natively; other image "
+                "formats require PIL (not in this environment)")
+        gray = pix.astype(np.float64).mean(axis=2) / 255.0
+        return w, h, _pool_grid(gray, self.grid)
 
     def _decode_fake(self, payload: bytes) -> tuple[int, int, np.ndarray]:
         """Deterministic pseudo-decode: dims + features from sha1(payload)."""
@@ -267,10 +417,11 @@ def decode_images(ds, *, fake: bool = False, feat_dim: int = 64,
 
 def synth_media_table(doc_ids: np.ndarray) -> pa.Table:
     """Deterministic synthetic media table derived from doc ids: one
-    small P6 image per doc (seeded gradient + noise). Used by the driver
-    media query and tests — real container bytes through the real
-    decoder."""
-    ids, payloads = [], []
+    small image per doc (seeded gradient + noise) — even ids as P6 PPM,
+    odd ids as PNG (cycling through the five scanline filters). Used by
+    the driver media query and tests — real container bytes through the
+    real decoders."""
+    ids, mimes, payloads = [], [], []
     for did in np.asarray(doc_ids, np.int64).tolist():
         rng = np.random.Generator(np.random.Philox(key=[did, 0]))
         w = 24 + did % 17
@@ -280,10 +431,14 @@ def synth_media_table(doc_ids: np.ndarray) -> pa.Table:
         noise = rng.integers(0, 32, (h, w, 3), dtype=np.int64)
         pix = np.clip(base[:, :, None] + noise, 0, 255).astype(np.uint8)
         ids.append(did)
-        payloads.append(encode_ppm(pix))
+        if did % 2:
+            mimes.append("image/png")
+            payloads.append(encode_png(pix, filter_type=(did // 2) % 5))
+        else:
+            mimes.append("image/x-portable-pixmap")
+            payloads.append(encode_ppm(pix))
     return pa.table({
         "media_id": pa.array(ids, pa.int64()),
-        "mime": pa.array(["image/x-portable-pixmap"] * len(ids),
-                         pa.string()),
+        "mime": pa.array(mimes, pa.string()),
         "payload": pa.array(payloads, pa.binary()),
     })
