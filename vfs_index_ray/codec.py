@@ -313,14 +313,19 @@ def encode_partition(terms: np.ndarray, docs: np.ndarray, tfs: np.ndarray,
 
     doc_sizes = _varint_sizes(deltas)
     # doc-stream encoding: hash doc-ids make deltas ~as wide as raw
-    # values; when varint would not beat raw 8-byte little-endian, store
-    # fixed64 (denc=1) — zero encode passes, frombuffer decode
+    # values; fixed64 (denc=1) decodes with one frombuffer (zero
+    # passes) while wide varints take the slow dense decode path.
+    # Decode-speed-aware threshold: varint only pays below ~4.5
+    # bytes/value average — the shrinking-subset decoder is fast
+    # through 4-byte widths (measured, BASELINE.md), and above that
+    # varint's <45% size saving costs ~1000x on every head-term decode
+    # (2.2 s vs ~5 ms for a 1.47M-posting hash-id list).
     if doc_encoding == "fixed":
         denc = 1
     elif doc_encoding == "varint":
         denc = 0
     else:  # auto
-        denc = 1 if int(doc_sizes.sum()) > int(0.9 * 8 * n) else 0
+        denc = 1 if int(doc_sizes.sum()) > int(4.5 * n) else 0
     if denc:
         doc_sizes = np.full(n, 8, dtype=np.int64)
     tf_sizes = _varint_sizes(tfs)
