@@ -100,18 +100,12 @@ def word_tokens_flat(texts: pa.Array) -> tuple[pa.Array, np.ndarray, np.ndarray]
     return flat, parent.astype(np.int64, copy=False), dl
 
 
-def trigram_ids_flat(texts: pa.Array) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
-    """Packed-trigram term ids for every 3-rune window of every row.
-
-    Returns (term_ids, parent_index, dl) with dl = max(runes-2, 0) per row.
-    Vectorized: the whole column is joined into one UTF-32 code-point buffer
-    and windows crossing row boundaries are masked out.
-    """
-    py = texts.to_pylist() if not isinstance(texts, list) else texts
-    n = len(py)
-    joined = "".join(s or "" for s in py)
-    codes = np.frombuffer(joined.encode("utf-32-le"), dtype=np.uint32)
-    lens = np.fromiter((len(s or "") for s in py), dtype=np.int64, count=n)
+def _trigram_windows(codes: np.ndarray, lens: np.ndarray
+                     ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Shared kernel: (concatenated code points, per-row rune counts) →
+    (term_ids, parent_index, dl); windows crossing row boundaries are
+    masked out."""
+    n = len(lens)
     dl = np.maximum(lens - 2, 0).astype(np.uint64)
     if len(codes) < 3:
         return (np.empty(0, np.uint64), np.empty(0, np.int64), dl)
@@ -124,6 +118,32 @@ def trigram_ids_flat(texts: pa.Array) -> tuple[np.ndarray, np.ndarray, np.ndarra
     starts_row = row_of[:-2]
     valid = starts_row == row_of[2:]
     return tri[valid], starts_row[valid], dl
+
+
+def trigram_ids_flat(texts: pa.Array) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Packed-trigram term ids for every 3-rune window of every row.
+
+    Returns (term_ids, parent_index, dl) with dl = max(runes-2, 0) per row.
+    Vectorized: the whole column becomes one code-point buffer and
+    windows crossing row boundaries are masked out. Pure-ASCII columns
+    (the common web-English case) take a ZERO-COPY fast path — utf8
+    bytes ARE the code points, read straight from the Arrow buffers;
+    anything else falls back to a utf-32 re-encode via Python strings.
+    """
+    if isinstance(texts, (pa.Array, pa.ChunkedArray)) and len(texts) \
+            and not texts.null_count:
+        from .hashing import _string_array_buffers
+        data, offsets = _string_array_buffers(texts)
+        view = data[offsets[0]:offsets[-1]]
+        if not (view & 0x80).any():   # pure ASCII
+            lens = (offsets[1:] - offsets[:-1]).astype(np.int64)
+            return _trigram_windows(view.astype(np.uint32), lens)
+    py = texts.to_pylist() if not isinstance(texts, list) else texts
+    n = len(py)
+    joined = "".join(s or "" for s in py)
+    codes = np.frombuffer(joined.encode("utf-32-le"), dtype=np.uint32)
+    lens = np.fromiter((len(s or "") for s in py), dtype=np.int64, count=n)
+    return _trigram_windows(codes, lens)
 
 
 def unpack_trigram(key: int) -> str:
