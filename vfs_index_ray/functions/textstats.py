@@ -311,19 +311,29 @@ class LangId:
             flat, value_set=self.es).to_numpy(zero_copy_only=False
                                               ).astype(np.float64),
             minlength=n)
-        # CJK fraction per row — one UTF-32 buffer for the whole batch,
-        # per-row segment sums via cumsum differences (no Python loop;
-        # same join-then-window pattern as the trigram tokenizer)
-        py = texts.to_pylist()
-        joined = "".join(s or "" for s in py)
-        codes = np.frombuffer(joined.encode("utf-32-le"), np.uint32)
-        lens = np.fromiter((len(s or "") for s in py), np.int64, count=n)
-        cjk = ((codes >= 0x3040) & (codes <= 0x30FF)) | \
-              ((codes >= 0x4E00) & (codes <= 0x9FFF))
-        csum = np.concatenate([[0], np.cumsum(cjk, dtype=np.int64)])
-        ends = np.cumsum(lens)
-        row_cjk = csum[ends] - csum[ends - lens]
-        cjk_frac = row_cjk / np.maximum(lens, 1)
+        # CJK fraction per row. Pure-ASCII batches (checked zero-copy on
+        # the Arrow value buffer) cannot contain CJK — skip the whole
+        # re-encode. Otherwise: one UTF-32 buffer for the batch, per-row
+        # segment sums via cumsum differences (no Python loop; same
+        # join-then-window pattern as the trigram tokenizer).
+        from ..hashing import _string_array_buffers
+        data, offsets = _string_array_buffers(texts)
+        ascii_only = (not texts.null_count and len(texts) and
+                      not (data[offsets[0]:offsets[-1]] & 0x80).any())
+        if ascii_only:
+            cjk_frac = np.zeros(n, np.float64)
+        else:
+            py = texts.to_pylist()
+            joined = "".join(s or "" for s in py)
+            codes = np.frombuffer(joined.encode("utf-32-le"), np.uint32)
+            lens = np.fromiter((len(s or "") for s in py), np.int64,
+                               count=n)
+            cjk = ((codes >= 0x3040) & (codes <= 0x30FF)) | \
+                  ((codes >= 0x4E00) & (codes <= 0x9FFF))
+            csum = np.concatenate([[0], np.cumsum(cjk, dtype=np.int64)])
+            ends = np.cumsum(lens)
+            row_cjk = csum[ends] - csum[ends - lens]
+            cjk_frac = row_cjk / np.maximum(lens, 1)
         nt = np.maximum(dl.astype(np.float64), 1.0)
         pred = np.where(cjk_frac > 0.2, "ja",
                         np.where(de_cnt / nt > 0.05, "de",
