@@ -248,13 +248,14 @@ class QueryExecutor:
         return self._numeric_docs([p])
 
     def execute(self, q: str, limit: int | None = None) -> np.ndarray:
+        from .search import sorted_union
         plan = parse(q)
         outs = [self._execute_group(g) for g in plan.groups]
         if len(outs) == 1:
             out = outs[0]
         else:
             # OR = sorted union of the groups' ascending doc-id arrays
-            out = np.unique(np.concatenate(outs))
+            out = sorted_union(outs)
         if limit is not None:
             out = out[:limit]  # ascending-doc-id order, deterministic
         return out

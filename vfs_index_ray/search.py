@@ -56,6 +56,23 @@ from .codec import decode_block, decode_chunk
 from .tokenizer import tokenize_query
 
 
+def sorted_union(arrays: list[np.ndarray]) -> np.ndarray:
+    """Deduped ascending union of uint64 arrays (np.unique semantics).
+    Radix sort (kind='stable' on ints) + boundary diff — 2-4x
+    np.unique's quicksort on posting-sized inputs (measured). Always
+    sorts; callers that know a single input is already sorted-unique
+    should shortcut before calling."""
+    arrays = [a for a in arrays if len(a)]
+    if not arrays:
+        return np.empty(0, np.uint64)
+    c = np.concatenate(arrays) if len(arrays) > 1 else arrays[0].copy()
+    c.sort(kind="stable")
+    keep = np.empty(len(c), bool)
+    keep[0] = True
+    keep[1:] = c[1:] != c[:-1]
+    return c[keep]
+
+
 def sorted_intersect(a: np.ndarray, b: np.ndarray) -> np.ndarray:
     """Intersection of two sorted-unique uint64 arrays via galloping
     membership probes of the smaller into the larger —
@@ -86,7 +103,7 @@ def _range_scan_part(path: str, lo: int | None, hi: int | None
     out = [d for d in out if len(d)]
     if not out:
         return np.empty(0, np.uint64)
-    return np.unique(np.concatenate(out))
+    return sorted_union(out)
 
 
 _RANGE_REMOTE = None
@@ -338,7 +355,7 @@ class SearchEngine:
         if len(ps) == 1:
             docs_all = ps[0].docs
         else:
-            docs_all = np.unique(np.concatenate([p.docs for p in ps]))
+            docs_all = sorted_union([p.docs for p in ps])
         scores = np.zeros(len(docs_all), np.float64)
         for p in ps:  # ascending term_id
             pos = np.searchsorted(docs_all, p.docs)
@@ -459,7 +476,7 @@ class SearchEngine:
             cands.append(d)
         if not cands:
             return None, -np.inf
-        boot = np.unique(np.concatenate(cands))
+        boot = sorted_union(cands)
         if len(boot) < k:
             return None, -np.inf
         scores = self._score_targets(tids, loaded, boot)
@@ -786,8 +803,7 @@ class SearchEngine:
         cand_sorted = np.sort(np.asarray(cands, np.uint64))
         flat = self.positions_flat(tids, cand_sorted)
         keys = [self._position_keys(flat[t], cand_sorted) for t in tids]
-        P = np.unique(np.concatenate(keys)) if keys else \
-            np.empty(0, np.uint64)
+        P = sorted_union(keys) if keys else np.empty(0, np.uint64)
         if len(P) == 0:
             return np.empty(0, np.uint64)
         sentinel = np.uint64(0xFFFFFFFFFFFFFFFF)
@@ -848,7 +864,7 @@ class SearchEngine:
             return np.empty(0, np.uint64)
         if len(parts) == 1:
             return parts[0]
-        return np.unique(np.concatenate(parts))
+        return sorted_union(parts)
 
     def select_keys(self, **kw) -> pa.Table:
         """Ordered key-space scan with a vectorized user condition
@@ -941,7 +957,7 @@ class SearchEngine:
         total_df = float(sum(loaded[t].df for t in tids))
         ps = [loaded[t].decode() for t in tids]
         docs_all = ps[0].docs if len(ps) == 1 else \
-            np.unique(np.concatenate([p.docs for p in ps]))
+            sorted_union([p.docs for p in ps])
         score = np.zeros(len(docs_all), np.float64)
         for p in ps:
             score[np.searchsorted(docs_all, p.docs)] += p.df / total_df
@@ -1047,7 +1063,7 @@ class SearchEngine:
                     d, _, _ = decode_block(c, int(bi))
                     inside = self._in_intervals(d, seg_lo, seg_hi)
                     targets.append(d[inside])
-        cand = np.unique(np.concatenate(targets))
+        cand = sorted_union(targets)
         scores = self._score_targets(tids, loaded, cand)
         return self._topk(cand, scores, k)
 
@@ -1324,7 +1340,7 @@ def bm25_topk_ray(index_dir: str, q: str, k: int = 10):
         if len(decoded) == 1:
             docs_all = decoded[0][0]
         else:
-            docs_all = np.unique(np.concatenate([d for d, _ in decoded]))
+            docs_all = sorted_union([d for d, _ in decoded])
         scores = np.zeros(len(docs_all), np.float64)
         for d, s in decoded:  # sequential per doc, ascending term order
             scores[np.searchsorted(docs_all, d)] += s
