@@ -272,9 +272,12 @@ class QueryExecutor:
 
         from .search import SearchEngine
         plan = parse(q)
+        # negated text predicates exclude docs (via execute) but must
+        # not contribute BM25 mass to the surviving candidates
         text_qs = [str(p.value) for p in plan.predicates
-                   if p.op == "search" or
-                   (p.op == "==" and p.column == self.text_col)]
+                   if not p.negated and
+                   (p.op == "search" or
+                    (p.op == "==" and p.column == self.text_col))]
         docs = self.execute(q)
         if len(docs) == 0 or not text_qs:
             return docs, np.zeros(len(docs), np.float64)
