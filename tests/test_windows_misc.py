@@ -75,6 +75,38 @@ def test_decontaminate_modes(ray_session):
     assert {r["doc_id"]: r["probe_idx"] for r in flagged} == {1: 0, 2: 0}
 
 
+def test_chunk_documents_paths_agree():
+    import pyarrow as pa
+
+    from vfs_index_ray.functions.textstats import ChunkDocuments
+    ck = ChunkDocuments(window=8, stride=5)
+    texts = ["", "short", "exactly8", "a" * 13, "0123456789abcdefgh",
+             "x" * 5, "y" * 18]
+    tbl = pa.table({"doc_id": pa.array(range(len(texts)), pa.int64()),
+                    "text": pa.array(texts)})
+    fast = ck(tbl)
+    # force the python fallback by appending a non-ascii row, then
+    # compare the shared prefix (same docs chunk identically)
+    tbl2 = pa.table({
+        "doc_id": pa.array(list(range(len(texts))) + [99], pa.int64()),
+        "text": pa.array(texts + ["日本語テキストのチャンク分割テスト"])})
+    slow = ck(tbl2)
+    k = fast.num_rows
+    assert fast.equals(slow.slice(0, k))
+    # brute-force semantics
+    want = []
+    for i, t in enumerate(texts):
+        nchunks = 1 + max(0, -(-(len(t) - 8) // 5))
+        for j in range(nchunks):
+            want.append((i, j, t[j * 5:j * 5 + 8]))
+    got = list(zip(fast["doc_id"].to_pylist(), fast["chunk_id"].to_pylist(),
+                   fast["chunk"].to_pylist()))
+    assert got == want
+    # non-ascii row chunks by CODE POINTS, not bytes
+    ja = slow.slice(k)
+    assert ja["chunk"].to_pylist()[0] == "日本語テキストのチャンク分割テスト"[:8]
+
+
 def test_redact_regex(ray_session):
     import pyarrow as pa
     import ray.data

@@ -415,3 +415,88 @@ class RedactRegex:
             self.id_col: batch[self.id_col],
             "text": red,
         })
+
+
+class ChunkDocuments:
+    """Sliding-window document chunking (LLM-training context packing):
+    each doc becomes ``1 + max(0, ceil((len - window)/stride))`` chunks
+    of ``window`` chars starting every ``stride`` chars (the final chunk
+    is shorter; docs shorter than one window yield one chunk).
+
+    Pure-ASCII batches build the whole output column with numpy index
+    arithmetic on the Arrow value buffer — zero per-chunk Python (the
+    copies are unavoidable since windows overlap, but they happen as one
+    fancy-index gather). Non-ASCII/null batches fall back to per-chunk
+    slicing (code-point windows).
+    """
+
+    def __init__(self, window: int = 256, stride: int = 192,
+                 text_col: str = "text", id_col: str = "doc_id"):
+        if stride <= 0 or window <= 0 or stride > window:
+            raise ValueError("need 0 < stride <= window")
+        self.window = window
+        self.stride = stride
+        self.text_col = text_col
+        self.id_col = id_col
+
+    def _n_chunks(self, lens: np.ndarray) -> np.ndarray:
+        extra = np.ceil(np.maximum(lens - self.window, 0)
+                        / self.stride).astype(np.int64)
+        return extra + 1
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        texts = batch[self.text_col]
+        if isinstance(texts, pa.ChunkedArray):
+            texts = texts.combine_chunks()
+        ids = batch[self.id_col].to_numpy(zero_copy_only=False)
+        n = batch.num_rows
+        W, S = self.window, self.stride
+        from ..hashing import _string_array_buffers
+        if n and not texts.null_count:
+            data, offsets = _string_array_buffers(texts)
+            view_ok = not (data[offsets[0]:offsets[-1]] & 0x80).any()
+        else:
+            view_ok = False
+        if view_ok:
+            row_start = offsets[:-1]
+            lens = (offsets[1:] - row_start).astype(np.int64)
+            nc = self._n_chunks(lens)
+            total = int(nc.sum())
+            row_of = np.repeat(np.arange(n, dtype=np.int64), nc)
+            first = np.repeat(np.cumsum(nc) - nc, nc)
+            ordinal = np.arange(total, dtype=np.int64) - first
+            cstart = ordinal * S
+            clen = np.minimum(W, lens[row_of] - cstart)
+            abs_start = row_start[row_of] + cstart
+            out_ends = np.cumsum(clen)
+            nbytes = int(out_ends[-1]) if total else 0
+            intra = np.arange(nbytes, dtype=np.int64) - \
+                np.repeat(out_ends - clen, clen)
+            buf = data[np.repeat(abs_start, clen) + intra]
+            out_off = np.empty(total + 1, np.int32)
+            out_off[0] = 0
+            out_off[1:] = out_ends
+            chunks = pa.StringArray.from_buffers(
+                total, pa.py_buffer(out_off.tobytes()),
+                pa.py_buffer(buf.tobytes()))
+            out_ids = ids[row_of]
+            out_ord = ordinal
+        else:
+            out_ids, out_ord, pych = [], [], []
+            for did, t in zip(ids.tolist(), texts.to_pylist()):
+                t = t or ""
+                k = int(self._n_chunks(np.array([len(t)]))[0])
+                for j in range(k):
+                    out_ids.append(did)
+                    out_ord.append(j)
+                    pych.append(t[j * S:j * S + W])
+            chunks = pa.array(pych, pa.string())
+            out_ids = np.asarray(out_ids, np.int64)
+            out_ord = np.asarray(out_ord, np.int64)
+        return pa.table({
+            self.id_col: pa.array(np.asarray(out_ids, np.int64),
+                                  pa.int64()),
+            "chunk_id": pa.array(np.asarray(out_ord, np.int64),
+                                 pa.int64()),
+            "chunk": chunks,
+        })

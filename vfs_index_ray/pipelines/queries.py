@@ -892,6 +892,20 @@ def q_redact(sf_dir: str) -> pa.Table:
         ("doc_id", pa.int64()), ("text", pa.string())]))
 
 
+def q_chunk_documents(sf_dir: str) -> pa.Table:
+    """Sliding-window chunking (LLM context packing): 256-char windows
+    every 192 chars, short docs one chunk — vectorized buffer gather,
+    chunk text hash-compared against the generate_series/substr SQL."""
+    from ..functions.textstats import ChunkDocuments
+    ds = _docs_ds(sf_dir, columns=["doc_id", "text"])
+    out = ds.map_batches(ChunkDocuments(window=256, stride=192),
+                         batch_format="pyarrow")
+    tbl = pa.Table.from_pylist(out.take_all())
+    return tbl.select(["doc_id", "chunk_id", "chunk"]).cast(pa.schema([
+        ("doc_id", pa.int64()), ("chunk_id", pa.int64()),
+        ("chunk", pa.string())]))
+
+
 def q_events_latest(sf_dir: str) -> pa.Table:
     """Latest record per key (the re-crawl keep-newest-snapshot dedup
     shape): hash-partition groupby + one vectorized kernel; ties on ts
@@ -1137,6 +1151,7 @@ QUERIES = {
     "events_latest": q_events_latest,
     "decontaminate": q_decontaminate,
     "redact": q_redact,
+    "chunk_documents": q_chunk_documents,
     "label_classify": q_label_classify,
     "nearest": q_nearest,
 }
@@ -1468,6 +1483,20 @@ WHERE strpos(text, 'order sort table') > 0
     "redact": """
 SELECT doc_id, regexp_replace(text, '\\bcustomer\\b', '<ENT>', 'g') AS text
 FROM documents
+""",
+    # chunking: k-th window starts at char k*stride+1 (1-based substr);
+    # max k = ceil((L - window)/stride) clamped at 0 (>=1 chunk per doc)
+    "chunk_documents": """
+WITH d AS (SELECT doc_id, text, length(text) AS L FROM documents),
+c AS (
+  SELECT doc_id, text,
+         unnest(generate_series(0,
+           CAST(greatest(ceil((L - 256)::DOUBLE / 192.0), 0) AS INTEGER)
+         )) AS k
+  FROM d
+)
+SELECT doc_id, k::BIGINT AS chunk_id, substr(text, k*192 + 1, 256) AS chunk
+FROM c
 """,
     "events_latest": """
 SELECT user_id, event_id, ts FROM events
