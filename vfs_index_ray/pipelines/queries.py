@@ -892,6 +892,25 @@ def q_redact(sf_dir: str) -> pa.Table:
         ("doc_id", pa.int64()), ("text", pa.string())]))
 
 
+def q_normalize(sf_dir: str) -> pa.Table:
+    """Text normalization (the standard pre-tokenization cleanup):
+    lowercase, collapse whitespace runs, strip ends — three vectorized
+    Arrow kernels, RE2 on both sides, byte-compared corpus-wide."""
+    import pyarrow.compute as pc
+
+    def norm(batch: pa.Table) -> pa.Table:
+        t = pc.utf8_lower(batch["text"])
+        t = pc.replace_substring_regex(t, pattern=r"\s+", replacement=" ")
+        t = pc.utf8_trim_whitespace(t)
+        return pa.table({"doc_id": batch["doc_id"], "text": t})
+
+    ds = _docs_ds(sf_dir, columns=["doc_id", "text"])
+    tbl = pa.Table.from_pylist(
+        ds.map_batches(norm, batch_format="pyarrow").take_all())
+    return tbl.select(["doc_id", "text"]).cast(pa.schema([
+        ("doc_id", pa.int64()), ("text", pa.string())]))
+
+
 def q_chunk_documents(sf_dir: str) -> pa.Table:
     """Sliding-window chunking (LLM context packing): 256-char windows
     every 192 chars, short docs one chunk — vectorized buffer gather,
@@ -1152,6 +1171,7 @@ QUERIES = {
     "decontaminate": q_decontaminate,
     "redact": q_redact,
     "chunk_documents": q_chunk_documents,
+    "normalize": q_normalize,
     "label_classify": q_label_classify,
     "nearest": q_nearest,
 }
@@ -1482,6 +1502,11 @@ WHERE strpos(text, 'order sort table') > 0
     # same as Arrow's replace_substring_regex default)
     "redact": """
 SELECT doc_id, regexp_replace(text, '\\bcustomer\\b', '<ENT>', 'g') AS text
+FROM documents
+""",
+    "normalize": """
+SELECT doc_id,
+       trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS text
 FROM documents
 """,
     # chunking: k-th window starts at char k*stride+1 (1-based substr);
