@@ -267,3 +267,30 @@ def test_staged_phrase_identical_to_batched(pos_index, pages_file):
     # repeated-token phrase exercises multi-occurrence base constraints
     got = staged.phrase_match_positional("ba ba").tolist()
     assert got == batched.phrase_match_positional("ba ba").tolist()
+
+
+def test_staged_phrase_ordinal_underflow(ray_session, tmp_path):
+    """Regression: the staged path's base keys wrap uint64 when the
+    rarest term occurs at an ordinal SMALLER than its phrase index in
+    the first candidate (doc0 = 'beta alpha' for phrase 'alpha beta'
+    puts beta at ordinal 0 with idx 1) — used to IndexError on the
+    live-set update; such occurrences are now masked out."""
+    import pyarrow as pa
+
+    from vfs_index_ray.build import IndexBuilder
+    from vfs_index_ray.search import SearchEngine
+
+    texts = ["beta alpha", "alpha beta"] + \
+        [f"alpha filler{i} words here" for i in range(6)]
+    src = str(tmp_path / "docs.parquet")
+    pq.write_table(pa.table({
+        "doc_id": pa.array(range(len(texts)), pa.int64()),
+        "text": pa.array(texts),
+    }), src)
+    idx = str(tmp_path / "idx")
+    IndexBuilder(idx, mode="word", num_parts=2, id_col="doc_id",
+                 positions=True).build([src])
+    eng = SearchEngine(idx, corpus_files=[src], id_col="doc_id")
+    eng.phrase_stage_threshold = 0         # force the staged path
+    assert eng.phrase_match_positional("alpha beta").tolist() == [1]
+    assert eng.phrase_match_positional("beta alpha").tolist() == [0]

@@ -172,17 +172,20 @@ def merge_indexes(src_dirs: list[str], out_dir: str,
 
 # --- federated scoring workers (run as Ray tasks, one per source) --------
 
-def _fed_source_dfs(src_dir: str, q: str) -> dict[int, int]:
-    """Per-source task, round 1: df of every query term in this source."""
+def _fed_source_dfs(src_dir: str, q: str, engine=None) -> dict[int, int]:
+    """Per-source round 1: df of every query term in this source. As a
+    Ray task ``engine`` is None (fresh single-threaded-IO engine); the
+    in-process path passes the RESIDENT engine so its caches survive."""
     from .search import SearchEngine
-    e = SearchEngine(src_dir)
+    e = engine if engine is not None else SearchEngine(src_dir,
+                                                       io_threads=False)
     tids = sorted(set(e.query_term_ids(q)))
     loaded = e.load_terms(tids)
     return {t: loaded[t].df for t in tids}
 
 
 def _fed_score_source(src_dir: str, tids: list[int], gdf: dict[int, int],
-                      ndocs: int, avgdl: float, k: int):
+                      ndocs: int, avgdl: float, k: int, engine=None):
     """Per-source task, round 2: exact BM25 of this source's docs under
     GLOBAL statistics (N, avgdl, df), local top-k. Sources are
     doc-disjoint, so each doc's full posting set lives in one source and
@@ -193,7 +196,8 @@ def _fed_score_source(src_dir: str, tids: list[int], gdf: dict[int, int],
 
     from . import BM25_B, BM25_K1
     from .search import SearchEngine
-    e = SearchEngine(src_dir)
+    e = engine if engine is not None else SearchEngine(src_dir,
+                                                       io_threads=False)
     loaded = e.load_terms(list(tids))
     ps = [(t, loaded[t].decode()) for t in tids]
     ps = [(t, p) for t, p in ps if len(p.docs)]
@@ -216,21 +220,14 @@ def _fed_score_source(src_dir: str, tids: list[int], gdf: dict[int, int],
     return SearchEngine._topk(docs_all, scores, k)
 
 
-def _fed_match_source(src_dir: str, q: str) -> np.ndarray:
+def _fed_match_source(src_dir: str, q: str, engine=None) -> np.ndarray:
     from .search import SearchEngine
-    return SearchEngine(src_dir).match(q)
+    e = engine if engine is not None else SearchEngine(src_dir,
+                                                       io_threads=False)
+    return e.match(q)
 
 
-_REMOTES: dict = {}
-
-
-def _remote(fn):
-    """ray.remote wrapper, built lazily and cached (keeps merge.py
-    importable without initializing Ray)."""
-    import ray
-    if fn not in _REMOTES:
-        _REMOTES[fn] = ray.remote(num_cpus=1)(fn)
-    return _REMOTES[fn]
+from .remote import remote_1cpu as _remote
 
 
 class FederatedEngine:
@@ -350,7 +347,8 @@ class FederatedEngine:
             parts = ray.get([_remote(_fed_match_source).remote(s, q)
                              for s in self.src_dirs])
         else:
-            parts = [e.match(q) for e in self.engines]
+            parts = [_fed_match_source(s, q, engine=e)
+                     for s, e in zip(self.src_dirs, self.engines)]
         return np.sort(np.concatenate(parts))
 
     def bm25(self, q: str, k: int = 10,
@@ -380,7 +378,8 @@ class FederatedEngine:
             df_maps = ray.get([_remote(_fed_source_dfs).remote(s, q)
                                for s in self.src_dirs])
         else:
-            df_maps = [_fed_source_dfs(s, q) for s in self.src_dirs]
+            df_maps = [_fed_source_dfs(s, q, engine=e)
+                       for s, e in zip(self.src_dirs, self.engines)]
         gdf: dict[int, int] = {}
         for m in df_maps:
             for t, d in m.items():
@@ -395,8 +394,8 @@ class FederatedEngine:
                 for s in self.src_dirs])
         else:
             tops = [_fed_score_source(s, tids, gdf, self.ndocs,
-                                      self.avgdl, k)
-                    for s in self.src_dirs]
+                                      self.avgdl, k, engine=e)
+                    for s, e in zip(self.src_dirs, self.engines)]
         tops = [t for t in tops if len(t[0])]
         if not tops:
             return empty

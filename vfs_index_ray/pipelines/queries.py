@@ -1019,15 +1019,17 @@ def q_snippets(sf_dir: str) -> pa.Table:
     window centred on the first occurrence of the lead term. Index
     match + row-group-pruned fetch (result-set-sized — the per-row
     slice runs over k fetched rows, never the corpus)."""
-    import pyarrow.compute as pc
     eng = get_engine(sf_dir)
     docs = eng.match("spark window")
     rows = eng.fetch_rows(np.sort(docs), columns=["doc_id", "text"])
     texts = rows["text"].to_pylist()
-    idx = pc.find_substring(rows["text"], "spark").to_numpy(
-        zero_copy_only=False)
-    snips = [t[max(int(i) - 40, 0):int(i) + 40]
-             for t, i in zip(texts, idx)]
+    # str.find counts CODE POINTS like the oracle's strpos (Arrow's
+    # find_substring returns BYTE offsets — wrong for non-ASCII text);
+    # per-row work is fine here: this loop is result-set-sized
+    snips = []
+    for t in texts:
+        i = t.find("spark")
+        snips.append(t[max(i - 40, 0):i + 40])
     return pa.table({
         "doc_id": rows["doc_id"].cast(pa.int64()),
         "snippet": pa.array(snips, pa.string()),

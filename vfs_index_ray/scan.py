@@ -84,15 +84,9 @@ def _scan_part(path: str, lo: int | None, hi: int | None,
     return np.ascontiguousarray(tids), np.ascontiguousarray(dfs)
 
 
-_SCAN_REMOTE = None
-
-
 def _scan_remote():
-    global _SCAN_REMOTE
-    if _SCAN_REMOTE is None:
-        import ray
-        _SCAN_REMOTE = ray.remote(num_cpus=1)(_scan_part)
-    return _SCAN_REMOTE
+    from .remote import remote_1cpu
+    return remote_1cpu(_scan_part)
 
 
 def select_keys(engine, lo: int | None = None, hi: int | None = None,

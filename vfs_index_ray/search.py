@@ -106,15 +106,9 @@ def _range_scan_part(path: str, lo: int | None, hi: int | None
     return sorted_union(out)
 
 
-_RANGE_REMOTE = None
-
-
 def _range_scan_remote():
-    global _RANGE_REMOTE
-    if _RANGE_REMOTE is None:
-        import ray
-        _RANGE_REMOTE = ray.remote(num_cpus=1)(_range_scan_part)
-    return _RANGE_REMOTE
+    from .remote import remote_1cpu
+    return remote_1cpu(_range_scan_part)
 
 
 @dataclass
@@ -146,7 +140,12 @@ class Postings:
 
 class SearchEngine:
     def __init__(self, index_dir: str, corpus_files=None,
-                 id_col: str = "doc_id", url_col: str = "url"):
+                 id_col: str = "doc_id", url_col: str = "url",
+                 io_threads: bool = True):
+        # io_threads=False for engines constructed INSIDE Ray tasks or
+        # 1-cpu actors: Arrow's default thread pool x concurrent tasks
+        # oversubscribes the node (CLAUDE.md)
+        self.io_threads = bool(io_threads)
         self.index_dir = index_dir
         self.stats = read_stats(index_dir)
         self.mode = self.stats["mode"]
@@ -223,7 +222,8 @@ class SearchEngine:
                     f"claims num_parts={self.num_parts}); the index is "
                     "truncated or mid-rebuild")
             tbl = pq.read_table(
-                path, filters=[("term_id", "in", [np.uint64(t) for t in tids])])
+                path, filters=[("term_id", "in", [np.uint64(t) for t in tids])],
+                use_threads=self.io_threads)
             from .codec import chunk_rows_columnar
             rows_by_term: dict[int, list[dict]] = {t: [] for t in tids}
             for row in chunk_rows_columnar(tbl):  # numpy views, no boxing
@@ -757,10 +757,11 @@ class SearchEngine:
         every head term's full list.
 
         Base keys: (cand_idx << 32 | ordinal) − idx — a base survives
-        term t at position idx iff t occurs at base+idx. Underflow
-        (ordinal < idx) borrows into the previous candidate's key space
-        at ordinal ~2^32, which no real document reaches — same packing
-        argument as the +1 chaining above."""
+        term t at position idx iff t occurs at base+idx. Occurrences
+        with ordinal < idx cannot host the idx-th phrase token (the
+        subtraction would borrow into another candidate's key space, or
+        wrap past zero for candidate 0) and are masked out before the
+        subtraction."""
         loaded = self.load_terms(uniq)
         by_df = sorted(uniq, key=lambda t: (loaded[t].df, t))
         idxs_of: dict[int, list[int]] = {t: [] for t in uniq}
@@ -773,7 +774,8 @@ class SearchEngine:
             K = self._position_keys(flat[tid], cand_sorted)
             T: np.ndarray | None = None
             for idx in idxs_of[tid]:
-                bases = K - np.uint64(idx)
+                ok = (K & np.uint64(0xFFFFFFFF)) >= np.uint64(idx)
+                bases = K[ok] - np.uint64(idx)
                 T = bases if T is None else np.intersect1d(
                     T, bases, assume_unique=True)
             A = T if A is None else np.intersect1d(A, T,
@@ -1277,7 +1279,8 @@ class QueryActor:
     """
 
     def __init__(self, index_dir: str, k: int = 10, method: str = "auto"):
-        self.engine = SearchEngine(index_dir)
+        # 1-cpu pool actor: no Arrow thread fan-out (CLAUDE.md)
+        self.engine = SearchEngine(index_dir, io_threads=False)
         self.k = k
         self.method = method
 

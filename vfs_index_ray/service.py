@@ -37,7 +37,7 @@ class QueryWorker:
                  id_col: str = "doc_id"):
         from .search import SearchEngine
         self.engine = SearchEngine(index_dir, corpus_files=corpus_files,
-                                   id_col=id_col)
+                                   id_col=id_col, io_threads=False)
         self.n_calls = 0
 
     def bm25_batch(self, queries: list[str], k: int = 10,
