@@ -119,6 +119,21 @@ def test_executor_and_not(executor, oracle_index):
     assert got.tolist() == want
 
 
+def test_ranked_ignores_negated_text_terms(executor, oracle_index):
+    """A negated text predicate filters candidates but must not add
+    BM25 mass: scores for 'a && !b' equal the a-only scores of the
+    surviving docs."""
+    a, b = corpus.PHRASE.split()[0], corpus.PHRASE.split()[1]
+    docs_n, scores_n = executor.ranked(
+        f'text.search("{a}") && !text.search("{b}")', k=10)
+    docs_a, scores_a = executor.ranked(f'text.search("{a}")', k=10**9)
+    amap = dict(zip(docs_a.tolist(), scores_a.tolist()))
+    for d, s in zip(docs_n.tolist(), scores_n.tolist()):
+        assert s == amap[d]  # fp64-exact: same single-term contribution
+    excluded = set(oracle_index.match(b))
+    assert not (set(docs_n.tolist()) & excluded)
+
+
 def test_executor_dnf_fuzz(executor, oracle_index):
     """Random DNF expressions (1-3 OR groups x 1-3 predicates, random
     negation, >=1 positive per group) vs python set algebra."""
