@@ -161,7 +161,7 @@ def minhash_candidates(ds, *, num_perm: int = 64, num_bands: int = 16,
                        id_col: str = "doc_id",
                        spill_dir: str | None = None,
                        sig_concurrency: int | tuple | None = None,
-                       bucket_cap: int = 64,
+                       bucket_cap: int | None = 64,
                        stats: dict | None = None):
     """MinHash-LSH near-dup candidate pairs with signature-agreement sim.
 
@@ -201,7 +201,11 @@ def minhash_candidates(ds, *, num_perm: int = 64, num_bands: int = 16,
 
         def bucket_pairs(group: pa.Table) -> pa.Table:
             docs = np.unique(group["doc_id"].to_numpy(zero_copy_only=False))
-            if len(docs) > bucket_cap:  # cap pathological buckets —
+            # default cap 64 is deliberate HERE: these pairs are raw
+            # UNVERIFIED candidates (verification is a later stage), so
+            # a degenerate bucket would emit m^2 rows downstream;
+            # bucket_cap=None opts into exhaustive emission
+            if bucket_cap is not None and len(docs) > bucket_cap:
                 # emit a sentinel row so the drop is visible, not silent
                 return pa.table({"doc_a": pa.array([-1], pa.int64()),
                                  "doc_b": pa.array([len(docs)], pa.int64())})
@@ -446,8 +450,24 @@ def _simhash_band_rows(batch: pa.Table) -> pa.Table:
     })
 
 
+def _pair_blocks(n: int, chunk: int = 2048):
+    """All i<j index pairs of range(n), yielded in blocks of at most
+    ``chunk²`` pairs — bounded memory for giant LSH buckets (a
+    5000-doc bucket never materializes its 12.5M pairs at once); the
+    union over blocks is exactly ``np.triu_indices(n, 1)``."""
+    for s0 in range(0, n, chunk):
+        e0 = min(s0 + chunk, n)
+        ia, ib = np.triu_indices(e0 - s0, k=1)
+        yield ia + s0, ib + s0
+        for s1 in range(e0, n, chunk):
+            e1 = min(s1 + chunk, n)
+            yield (np.repeat(np.arange(s0, e0), e1 - s1),
+                   np.tile(np.arange(s1, e1), e0 - s0))
+
+
 def simhash_near_dups(ds, *, max_hamming: int = 3, text_col: str = "text",
-                      id_col: str = "doc_id", bucket_cap: int = 64,
+                      id_col: str = "doc_id",
+                      bucket_cap: int | None = None,
                       stats: dict | None = None) -> pa.Table:
     """Near-dup pairs by SimHash: 4-band LSH on 16-bit chunks guarantees
     recall for hamming ≤ 3 (pigeonhole), verified exactly.
@@ -455,9 +475,11 @@ def simhash_near_dups(ds, *, max_hamming: int = 3, text_col: str = "text",
     Scale shape: band rows are a uniform (band, key) groupby — the same
     shuffle as MinHash banding; hamming is verified inside each bucket
     (hashes travel with the band rows), so only verified pairs reach the
-    driver. Buckets above ``bucket_cap`` docs are dropped and REPORTED
-    (``stats`` dict + warning line), never silently. Nothing
-    materializes the corpus or the hash table."""
+    driver. Giant buckets are processed EXACTLY in bounded-memory pair
+    blocks (the verify is in-bucket, so output stays result-sized);
+    ``bucket_cap`` is an OPTIONAL explicit drop bound for adversarial
+    key distributions — drops are reported (``stats`` + warning line),
+    never silent. Nothing materializes the corpus or the hash table."""
     sh = ds.map_batches(SimHash(text_col, id_col), batch_format="pyarrow")
     bands = sh.map_batches(_simhash_band_rows, batch_format="pyarrow")
 
@@ -468,7 +490,7 @@ def simhash_near_dups(ds, *, max_hamming: int = 3, text_col: str = "text",
         # but be defensive about duplicate input rows)
         d, first = np.unique(d, return_index=True)
         h = h[first]
-        if len(d) > bucket_cap:  # dropped bucket → visible sentinel
+        if bucket_cap is not None and len(d) > bucket_cap:
             return pa.table({"doc_a": pa.array([-1], pa.int64()),
                              "doc_b": pa.array([len(d)], pa.int64()),
                              "hamming": pa.array([-1], pa.int64())})
@@ -476,15 +498,20 @@ def simhash_near_dups(ds, *, max_hamming: int = 3, text_col: str = "text",
             return pa.table({"doc_a": pa.array([], pa.int64()),
                              "doc_b": pa.array([], pa.int64()),
                              "hamming": pa.array([], pa.int64())})
-        ia, ib = np.triu_indices(len(d), k=1)
-        x = h[ia] ^ h[ib]
-        ham = np.bitwise_count(x) if hasattr(np, "bitwise_count") else \
-            np.unpackbits(x[:, None].view(np.uint8), axis=1).sum(axis=1)
-        keep = ham <= max_hamming
+        out_a, out_b, out_h = [], [], []
+        for ia, ib in _pair_blocks(len(d)):
+            x = h[ia] ^ h[ib]
+            ham = np.bitwise_count(x) if hasattr(np, "bitwise_count") \
+                else np.unpackbits(x[:, None].view(np.uint8),
+                                   axis=1).sum(axis=1)
+            keep = ham <= max_hamming
+            out_a.append(d[ia[keep]])
+            out_b.append(d[ib[keep]])
+            out_h.append(ham[keep].astype(np.int64))
         return pa.table({
-            "doc_a": pa.array(d[ia[keep]], pa.int64()),
-            "doc_b": pa.array(d[ib[keep]], pa.int64()),
-            "hamming": pa.array(ham[keep].astype(np.int64), pa.int64()),
+            "doc_a": pa.array(np.concatenate(out_a), pa.int64()),
+            "doc_b": pa.array(np.concatenate(out_b), pa.int64()),
+            "hamming": pa.array(np.concatenate(out_h), pa.int64()),
         })
 
     rows = (bands.groupby(["band", "key"])

@@ -462,7 +462,7 @@ def embedding_near_dups(ds, threshold: float = 0.95,
                         id_col: str = "vec_id",
                         num_bands: int = 8, band_bits: int = 4,
                         band_concurrency: int | tuple | None = None,
-                        bucket_cap: int = 512,
+                        bucket_cap: int | None = None,
                         stats: dict | None = None) -> pa.Table:
     """Cosine near-dup pairs (sim ≥ threshold) via banded hyperplane LSH
     + exact verification — the embedding analog of MinHash-LSH. A pair
@@ -489,16 +489,25 @@ def embedding_near_dups(ds, threshold: float = 0.95,
         batch_format="pyarrow", concurrency=band_concurrency)
 
     def bucket_pairs(group: pa.Table) -> pa.Table:
+        # bucket_cap=None (default): every bucket contributes ALL its
+        # candidate pairs, generated in bounded-memory blocks; an
+        # explicit cap drops oversized buckets with a visible sentinel
+        from .dedup import _pair_blocks
         docs = np.unique(group["vec_id"].to_numpy(zero_copy_only=False))
-        if len(docs) > bucket_cap:  # dropped bucket → visible sentinel
+        if bucket_cap is not None and len(docs) > bucket_cap:
             return pa.table({"doc_a": pa.array([-1], pa.int64()),
                              "doc_b": pa.array([len(docs)], pa.int64())})
         if len(docs) < 2:
             return pa.table({"doc_a": pa.array([], pa.int64()),
                              "doc_b": pa.array([], pa.int64())})
-        ia, ib = np.triu_indices(len(docs), k=1)
-        return pa.table({"doc_a": pa.array(docs[ia], pa.int64()),
-                         "doc_b": pa.array(docs[ib], pa.int64())})
+        out_a, out_b = [], []
+        for ia, ib in _pair_blocks(len(docs)):
+            out_a.append(docs[ia])
+            out_b.append(docs[ib])
+        return pa.table({"doc_a": pa.array(np.concatenate(out_a),
+                                           pa.int64()),
+                         "doc_b": pa.array(np.concatenate(out_b),
+                                           pa.int64())})
 
     pair_rows = (bands.groupby(["band", "key"])
                  .map_groups(bucket_pairs, batch_format="pyarrow")

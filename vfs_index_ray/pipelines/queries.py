@@ -459,11 +459,14 @@ def q_embedding_near_dup(sf_dir: str) -> pa.Table:
     from ..functions.similarity import embedding_near_dups
     ds = ray.data.read_parquet(os.path.join(sf_dir, "embeddings.parquet"))
     # testdata embeddings are near-orthogonal; 0.4 exercises the
-    # pipeline. 32 hyperplane bands of 4 bits: miss odds per sim≥0.4
-    # pair ≈ (1-0.63⁴)³² ≈ 4e-3 and the planes are seeded, so on this
-    # corpus the banded output equals the all-pairs exact SQL (the
-    # oracle hash-checks LSH recall + cosine verify end-to-end)
-    return embedding_near_dups(ds, threshold=0.4, num_bands=32)
+    # pipeline. 64 hyperplane bands of 3 bits: collision p = 0.631³ =
+    # 0.251 per band, miss odds per sim≥0.4 pair ≈ (1-0.251)⁶⁴ ≈ 9e-9 —
+    # effectively exact at sf0.1's ~920 true pairs (32×4 bands missed
+    # ~3 there: 0.842³² ≈ 4e-3/pair), so the banded output equals the
+    # all-pairs exact SQL and the oracle hash-checks LSH recall +
+    # cosine verify end-to-end
+    return embedding_near_dups(ds, threshold=0.4, num_bands=64,
+                               band_bits=3)
 
 
 def q_langid(sf_dir: str) -> pa.Table:
