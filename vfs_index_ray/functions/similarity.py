@@ -462,7 +462,7 @@ def embedding_near_dups(ds, threshold: float = 0.95,
                         id_col: str = "vec_id",
                         num_bands: int = 8, band_bits: int = 4,
                         band_concurrency: int | tuple | None = None,
-                        bucket_cap: int | None = None,
+                        bucket_cap: int | None = 8192,
                         stats: dict | None = None) -> pa.Table:
     """Cosine near-dup pairs (sim ≥ threshold) via banded hyperplane LSH
     + exact verification — the embedding analog of MinHash-LSH. A pair
