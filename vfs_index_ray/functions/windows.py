@@ -174,3 +174,67 @@ def latest_per_key(events_ds, *, key_col: str = "user_id",
                          zero_copy_batch=True)
             .groupby("kpart")
             .map_groups(per_part, batch_format="pyarrow"))
+
+
+def _pack_kernel(t: pa.Table, key_col: str, order_col: str,
+                 weight_col: str, budget: int) -> pa.Table:
+    """One key-partition → pack ids: rows (ordered by ``order_col``
+    within each key) are greedily packed so a pack's PRECEDING weight
+    stays under ``budget`` (pack_id = floor(exclusive-prefix-sum /
+    budget) — each pack holds the rows that fit the next budget span;
+    an over-budget single row gets its own pack). Vectorized lexsort +
+    cumsum."""
+    n = t.num_rows
+    if n == 0:
+        return t.drop(["kpart"])
+    k = t[key_col].to_numpy(zero_copy_only=False)
+    # keys may be strings (e.g. source): factorize via np.unique
+    _, kcode = np.unique(np.asarray(k), return_inverse=True)
+    o = t[order_col].to_numpy(zero_copy_only=False).astype(np.int64)
+    w = t[weight_col].to_numpy(zero_copy_only=False).astype(np.int64)
+    order = np.lexsort((o, kcode))
+    ks, ws = kcode[order], w[order]
+    csum = np.cumsum(ws)
+    new_key = np.empty(n, bool)
+    new_key[0] = True
+    new_key[1:] = ks[1:] != ks[:-1]
+    key_base = np.maximum.accumulate(np.where(new_key, csum - ws, 0))
+    excl = csum - ws - key_base          # exclusive prefix sum per key
+    pack = excl // max(budget, 1)
+    out = np.empty(n, np.int64)
+    out[order] = pack
+    return t.append_column("pack_id", pa.array(out, pa.int64())
+                           ).drop(["kpart"])
+
+
+def pack_by_budget(ds, *, key_col: str = "source",
+                   order_col: str = "doc_id",
+                   weight_col: str = "n_chars", budget: int = 4096,
+                   num_partitions: int = 32):
+    """Greedy budget packing (training-shard packing: fill each pack
+    with ~``budget`` weight of consecutive docs per key). Same shuffle
+    shape as sessionize: ONE uniform hash-partition groupby on the key,
+    one vectorized kernel per partition — the prefix sum is per-key, so
+    keys parallelize perfectly and no global ordering is needed."""
+    def add_part(t: pa.Table) -> pa.Table:
+        col = t[key_col]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        if pa.types.is_string(col.type) or pa.types.is_large_string(
+                col.type):
+            # deterministic across workers (python hash() is per-process
+            # salted and would split a key across partitions)
+            from ..hashing import fnv1a64_tokens
+            h = fnv1a64_tokens(col).astype(np.int64) & 0x7FFFFFFFFFFFFFFF
+        else:
+            h = np.abs(col.to_numpy(zero_copy_only=False).astype(np.int64))
+        return t.append_column(
+            "kpart", pa.array(h % num_partitions, pa.int64()))
+
+    def per_part(g: pa.Table) -> pa.Table:
+        return _pack_kernel(g, key_col, order_col, weight_col, budget)
+
+    return (ds.map_batches(add_part, batch_format="pyarrow",
+                           zero_copy_batch=True)
+            .groupby("kpart")
+            .map_groups(per_part, batch_format="pyarrow"))

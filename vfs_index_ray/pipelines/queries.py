@@ -928,6 +928,22 @@ def q_chunk_documents(sf_dir: str) -> pa.Table:
         ("chunk", pa.string())]))
 
 
+def q_pack_budget(sf_dir: str) -> pa.Table:
+    """Training-shard packing: per source (doc_id order), pack_id =
+    exclusive-prefix-sum(n_chars) // 4096 — each pack fills ~one budget
+    of consecutive docs. Hash-partition + vectorized prefix kernel."""
+    import ray.data
+
+    from ..functions.windows import pack_by_budget
+    ds = ray.data.read_parquet(_doc_file(sf_dir),
+                               columns=["doc_id", "source", "n_chars"])
+    rows = pack_by_budget(ds, budget=4096).take_all()
+    tbl = pa.Table.from_pylist(rows)
+    return tbl.select(["doc_id", "source", "pack_id"]).cast(pa.schema([
+        ("doc_id", pa.int64()), ("source", pa.string()),
+        ("pack_id", pa.int64())]))
+
+
 def q_events_latest(sf_dir: str) -> pa.Table:
     """Latest record per key (the re-crawl keep-newest-snapshot dedup
     shape): hash-partition groupby + one vectorized kernel; ties on ts
@@ -1177,6 +1193,7 @@ QUERIES = {
     "redact": q_redact,
     "chunk_documents": q_chunk_documents,
     "normalize": q_normalize,
+    "pack_budget": q_pack_budget,
     "label_classify": q_label_classify,
     "nearest": q_nearest,
 }
@@ -1513,6 +1530,18 @@ FROM documents
 SELECT doc_id,
        trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS text
 FROM documents
+""",
+    "pack_budget": """
+WITH w AS (
+  SELECT doc_id, source,
+         sum(n_chars) OVER (
+           PARTITION BY source ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS excl
+  FROM documents
+)
+SELECT doc_id, source,
+       (CAST(COALESCE(excl, 0) AS BIGINT) // 4096)::BIGINT AS pack_id
+FROM w
 """,
     # chunking: k-th window starts at char k*stride+1 (1-based substr);
     # max k = ceil((L - window)/stride) clamped at 0 (>=1 chunk per doc)
