@@ -416,13 +416,23 @@ class SimHash:
         n = batch.num_rows
         flat, parent, _ = word_tokens_flat(texts)
         h = fnv1a64_tokens(flat)
-        acc = np.zeros((n, 64), np.int64)
+        out = np.zeros((n, 64), bool)
         if len(h):
             bits = np.unpackbits(h[:, None].view(np.uint8), axis=1,
                                  bitorder="little")[:, :64]
-            contrib = bits.astype(np.int64) * 2 - 1
-            np.add.at(acc, parent, contrib)
-        out = (acc > 0)
+            # tokens arrive grouped by doc (parent non-decreasing), so
+            # per-doc bit counts are segment sums: one contiguous cumsum
+            # + boundary diffs (np.add.at's unbuffered scatter and
+            # axis-0 reduceat are both >10x slower on the same data).
+            # Sign rule unchanged: set-unset > 0  <=>  2*set > n_tokens.
+            starts = np.flatnonzero(np.r_[True, parent[1:] != parent[:-1]])
+            ends = np.append(starts[1:], len(parent)) - 1
+            csum = np.cumsum(bits, axis=0, dtype=np.int32)
+            setcnt = csum[ends].copy()
+            nz = starts > 0
+            setcnt[nz] -= csum[starts[nz] - 1]
+            ntok = np.diff(np.append(starts, len(parent)))
+            out[parent[starts]] = (2 * setcnt) > ntok[:, None]
         packed = np.packbits(out, axis=1, bitorder="little"
                              ).view(np.uint64).ravel()
         return pa.table({
