@@ -475,61 +475,151 @@ def _pair_blocks(n: int, chunk: int = 2048):
                    np.tile(np.arange(s1, e1), e0 - s0))
 
 
+_PAIR_CHUNK = 2048  # docs per work-item side: ≤ chunk² hammings/task
+
+
+def _hamming_work_kernel(batch: pa.Table, max_hamming: int) -> pa.Table:
+    """Verify one batch of chunk-pair work items: each row carries two
+    doc/hash chunks (intra: da==db triu; cross: full product). Runs as a
+    PARALLEL map_batches stage — the m² work of a giant bucket spreads
+    across tasks instead of serializing inside one group fn."""
+    out_a, out_b, out_h = [], [], []
+    da_col = batch["docs_a"]
+    db_col = batch["docs_b"]
+    ha_col = batch["hash_a"]
+    hb_col = batch["hash_b"]
+    intra = batch["intra"].to_numpy(zero_copy_only=False)
+    drop = batch["dropped"].to_numpy(zero_copy_only=False)
+    for i in range(batch.num_rows):
+        if drop[i] > 0:  # dropped-bucket sentinel flows through
+            out_a.append(np.array([-1], np.int64))
+            out_b.append(np.array([drop[i]], np.int64))
+            out_h.append(np.array([-1], np.int64))
+            continue
+        da = np.asarray(da_col[i].as_py(), np.int64)
+        ha = np.asarray(ha_col[i].as_py(), np.uint64)
+        if intra[i]:
+            ia, ib = np.triu_indices(len(da), k=1)
+            dbv, hb = da, ha
+        else:
+            dbv = np.asarray(db_col[i].as_py(), np.int64)
+            hb = np.asarray(hb_col[i].as_py(), np.uint64)
+            ia = np.repeat(np.arange(len(da)), len(dbv))
+            ib = np.tile(np.arange(len(dbv)), len(da))
+        if len(ia) == 0:
+            continue
+        x = ha[ia] ^ hb[ib]
+        ham = np.bitwise_count(x) if hasattr(np, "bitwise_count") \
+            else np.unpackbits(x[:, None].view(np.uint8),
+                               axis=1).sum(axis=1)
+        keep = ham <= max_hamming
+        out_a.append(da[ia[keep]])
+        out_b.append(dbv[ib[keep]])
+        out_h.append(ham[keep].astype(np.int64))
+    if not out_a:
+        return pa.table({"doc_a": pa.array([], pa.int64()),
+                         "doc_b": pa.array([], pa.int64()),
+                         "hamming": pa.array([], pa.int64())})
+    return pa.table({
+        "doc_a": pa.array(np.concatenate(out_a), pa.int64()),
+        "doc_b": pa.array(np.concatenate(out_b), pa.int64()),
+        "hamming": pa.array(np.concatenate(out_h), pa.int64()),
+    })
+
+
 def simhash_near_dups(ds, *, max_hamming: int = 3, text_col: str = "text",
                       id_col: str = "doc_id",
                       bucket_cap: int | None = 8192,
+                      pairs: str = "all",
                       stats: dict | None = None) -> pa.Table:
     """Near-dup pairs by SimHash: 4-band LSH on 16-bit chunks guarantees
     recall for hamming ≤ 3 (pigeonhole), verified exactly.
 
     Scale shape: band rows are a uniform (band, key) groupby — the same
-    shuffle as MinHash banding; hamming is verified inside each bucket
-    (hashes travel with the band rows), so only verified pairs reach the
-    driver. Buckets are processed EXACTLY in bounded-memory pair blocks
-    (the verify is in-bucket, so output stays result-sized) up to
-    ``bucket_cap`` docs; beyond it the bucket is dropped and REPORTED
-    (``stats`` + warning line), never silently. The 8192 default is
-    exact at 33M hammings/bucket (~0.2 s) while bounding the degenerate
-    case (a near-identical-corpus bucket of 100k+ docs would otherwise
-    run m²/2 hammings in ONE group task — measured pathological on a
-    200k synthetic corpus); ``bucket_cap=None`` opts into exhaustive.
-    Nothing materializes the corpus or the hash table."""
+    shuffle as MinHash banding. The group fn does NOT do the m² work
+    (``map_groups`` runs groups with little parallelism): it only splits
+    the bucket into ≤2048-doc chunks and emits chunk-pair WORK ITEMS
+    (docs + hashes ride along, ≤ ~64 KB/row); a downstream map_batches
+    verifies hamming in PARALLEL tasks, so a 100k-doc dup bucket becomes
+    ~1.2k independent ~30 ms tasks instead of one serial group. Only
+    verified pairs reach the driver.
+
+    ``pairs="all"`` enumerates every verified pair — note a corpus
+    whose dup cluster is a constant fraction of the corpus has Θ(n²)
+    TRUE pairs, so the OUTPUT itself is quadratic; ``bucket_cap``
+    (default 8192) drops + REPORTS buckets beyond it. For dedup at
+    scale use ``pairs="star"``: each bucket contributes only verified
+    hub→member edges (hub = lowest doc id; O(m) edges per bucket, so
+    output stays corpus-linear) — exactly what union-find/min-label
+    clustering (cluster_and_drop) needs to drop duplicates, at the
+    standard LSH-dedup cost that members failing the hub test are not
+    chained further."""
     sh = ds.map_batches(SimHash(text_col, id_col), batch_format="pyarrow")
     bands = sh.map_batches(_simhash_band_rows, batch_format="pyarrow")
 
-    def bucket_pairs(group: pa.Table) -> pa.Table:
+    def bucket_work(group: pa.Table) -> pa.Table:
         d = group["doc_id"].to_numpy(zero_copy_only=False)
         h = group["simhash"].to_numpy(zero_copy_only=False).astype(np.uint64)
         # one row per distinct doc (a doc can land once per bucket only,
         # but be defensive about duplicate input rows)
         d, first = np.unique(d, return_index=True)
         h = h[first]
-        if bucket_cap is not None and len(d) > bucket_cap:
-            return pa.table({"doc_a": pa.array([-1], pa.int64()),
-                             "doc_b": pa.array([len(d)], pa.int64()),
-                             "hamming": pa.array([-1], pa.int64())})
-        if len(d) < 2:
-            return pa.table({"doc_a": pa.array([], pa.int64()),
-                             "doc_b": pa.array([], pa.int64()),
-                             "hamming": pa.array([], pa.int64())})
-        out_a, out_b, out_h = [], [], []
-        for ia, ib in _pair_blocks(len(d)):
-            x = h[ia] ^ h[ib]
-            ham = np.bitwise_count(x) if hasattr(np, "bitwise_count") \
-                else np.unpackbits(x[:, None].view(np.uint8),
-                                   axis=1).sum(axis=1)
-            keep = ham <= max_hamming
-            out_a.append(d[ia[keep]])
-            out_b.append(d[ib[keep]])
-            out_h.append(ham[keep].astype(np.int64))
+        cols = {"docs_a": [], "hash_a": [], "docs_b": [], "hash_b": [],
+                "intra": [], "dropped": []}
+        if pairs == "star" and len(d) >= 2:
+            # linear spanning edges: hub (lowest id) vs member chunks —
+            # O(m) work AND output, so no cap is needed
+            C = _PAIR_CHUNK
+            for s1 in range(1, len(d), C):
+                e1 = min(s1 + C, len(d))
+                cols["docs_a"].append(d[:1].tolist())
+                cols["hash_a"].append(h[:1].tolist())
+                cols["docs_b"].append(d[s1:e1].tolist())
+                cols["hash_b"].append(h[s1:e1].tolist())
+                cols["intra"].append(False)
+                cols["dropped"].append(0)
+        elif pairs != "star" and bucket_cap is not None \
+                and len(d) > bucket_cap:
+            cols["docs_a"].append([])
+            cols["hash_a"].append([])
+            cols["docs_b"].append([])
+            cols["hash_b"].append([])
+            cols["intra"].append(False)
+            cols["dropped"].append(len(d))
+        elif pairs != "star" and len(d) >= 2:
+            C = _PAIR_CHUNK
+            starts = list(range(0, len(d), C))
+            for si, s0 in enumerate(starts):
+                e0 = min(s0 + C, len(d))
+                cols["docs_a"].append(d[s0:e0].tolist())
+                cols["hash_a"].append(h[s0:e0].tolist())
+                cols["docs_b"].append([])
+                cols["hash_b"].append([])
+                cols["intra"].append(True)
+                cols["dropped"].append(0)
+                for s1 in starts[si + 1:]:
+                    e1 = min(s1 + C, len(d))
+                    cols["docs_a"].append(d[s0:e0].tolist())
+                    cols["hash_a"].append(h[s0:e0].tolist())
+                    cols["docs_b"].append(d[s1:e1].tolist())
+                    cols["hash_b"].append(h[s1:e1].tolist())
+                    cols["intra"].append(False)
+                    cols["dropped"].append(0)
         return pa.table({
-            "doc_a": pa.array(np.concatenate(out_a), pa.int64()),
-            "doc_b": pa.array(np.concatenate(out_b), pa.int64()),
-            "hamming": pa.array(np.concatenate(out_h), pa.int64()),
+            "docs_a": pa.array(cols["docs_a"], pa.list_(pa.int64())),
+            "hash_a": pa.array(cols["hash_a"], pa.list_(pa.uint64())),
+            "docs_b": pa.array(cols["docs_b"], pa.list_(pa.int64())),
+            "hash_b": pa.array(cols["hash_b"], pa.list_(pa.uint64())),
+            "intra": pa.array(cols["intra"], pa.bool_()),
+            "dropped": pa.array(cols["dropped"], pa.int64()),
         })
 
-    rows = (bands.groupby(["band", "key"])
-            .map_groups(bucket_pairs, batch_format="pyarrow").take_all())
+    work = (bands.groupby(["band", "key"])
+            .map_groups(bucket_work, batch_format="pyarrow"))
+    pairs = work.map_batches(
+        lambda b: _hamming_work_kernel(b, max_hamming),
+        batch_format="pyarrow", batch_size=8)
+    rows = pairs.take_all()  # verified pairs + dropped sentinels only
     dropped = [r["doc_b"] for r in rows if r["doc_a"] < 0]
     rows = [r for r in rows if r["doc_a"] >= 0]
     if stats is not None:
