@@ -80,6 +80,25 @@ def test_simhash_near_dups(ray_session):
     assert (10, 12) not in pairs
 
 
+def test_simhash_star_mode(ray_session):
+    """pairs="star" emits only hub→member edges (hub = lowest doc id),
+    ignores bucket_cap, and never enumerates the full pair set."""
+    import ray.data
+
+    from vfs_index_ray.functions.dedup import simhash_near_dups
+    n = 5
+    rows = [{"doc_id": i, "text": "same words all over again " * 10}
+            for i in range(n)]
+    ds = ray.data.from_items(rows)
+    st: dict = {}
+    out = simhash_near_dups(ds, pairs="star", bucket_cap=3, stats=st)
+    got = set(zip(out["doc_a"].to_pylist(), out["doc_b"].to_pylist()))
+    # star mode: exactly the n-1 hub edges, not the C(n,2)=10 all-pairs
+    assert got == {(0, i) for i in range(1, n)}
+    # star mode keeps oversized buckets (no cap applies)
+    assert st["buckets_dropped"] == 0
+
+
 def test_ann_topk_matches_bruteforce(ray_session):
     import ray.data
 

@@ -73,6 +73,19 @@ def test_decontaminate_modes(ray_session):
         batch_format="pyarrow").take_all()
     # first matching probe wins (doc 2 contains both -> idx 0)
     assert {r["doc_id"]: r["probe_idx"] for r in flagged} == {1: 0, 2: 0}
+    # null text counts as uncontaminated (documented contract)
+    tbl_null = pa.table({
+        "doc_id": pa.array([0, 1, 2], pa.int64()),
+        "text": pa.array(["has probe one", None, "clean"], pa.string()),
+    })
+    ds_null = ray.data.from_arrow(tbl_null)
+    clean_null = ds_null.map_batches(
+        Decontaminate(["probe one"]), batch_format="pyarrow").take_all()
+    assert sorted(r["doc_id"] for r in clean_null) == [1, 2]
+    flag_null = ds_null.map_batches(
+        Decontaminate(["probe one"], mode="flag"),
+        batch_format="pyarrow").take_all()
+    assert [r["doc_id"] for r in flag_null] == [0]
 
 
 def test_chunk_documents_paths_agree():

@@ -556,6 +556,12 @@ def simhash_near_dups(ds, *, max_hamming: int = 3, text_col: str = "text",
     chained further."""
     sh = ds.map_batches(SimHash(text_col, id_col), batch_format="pyarrow")
     bands = sh.map_batches(_simhash_band_rows, batch_format="pyarrow")
+    # capture the MODE as a plain bool before any name in this scope is
+    # rebound: bucket_work runs lazily inside Ray tasks, so reading the
+    # `pairs` parameter there would see whatever the name holds at
+    # execution time (and cloudpickle whatever object that is into every
+    # task)
+    star = pairs == "star"
 
     def bucket_work(group: pa.Table) -> pa.Table:
         d = group["doc_id"].to_numpy(zero_copy_only=False)
@@ -566,7 +572,7 @@ def simhash_near_dups(ds, *, max_hamming: int = 3, text_col: str = "text",
         h = h[first]
         cols = {"docs_a": [], "hash_a": [], "docs_b": [], "hash_b": [],
                 "intra": [], "dropped": []}
-        if pairs == "star" and len(d) >= 2:
+        if star and len(d) >= 2:
             # linear spanning edges: hub (lowest id) vs member chunks —
             # O(m) work AND output, so no cap is needed
             C = _PAIR_CHUNK
@@ -578,7 +584,7 @@ def simhash_near_dups(ds, *, max_hamming: int = 3, text_col: str = "text",
                 cols["hash_b"].append(h[s1:e1].tolist())
                 cols["intra"].append(False)
                 cols["dropped"].append(0)
-        elif pairs != "star" and bucket_cap is not None \
+        elif not star and bucket_cap is not None \
                 and len(d) > bucket_cap:
             cols["docs_a"].append([])
             cols["hash_a"].append([])
@@ -586,7 +592,7 @@ def simhash_near_dups(ds, *, max_hamming: int = 3, text_col: str = "text",
             cols["hash_b"].append([])
             cols["intra"].append(False)
             cols["dropped"].append(len(d))
-        elif pairs != "star" and len(d) >= 2:
+        elif not star and len(d) >= 2:
             C = _PAIR_CHUNK
             starts = list(range(0, len(d), C))
             for si, s0 in enumerate(starts):
@@ -616,10 +622,10 @@ def simhash_near_dups(ds, *, max_hamming: int = 3, text_col: str = "text",
 
     work = (bands.groupby(["band", "key"])
             .map_groups(bucket_work, batch_format="pyarrow"))
-    pairs = work.map_batches(
+    verified = work.map_batches(
         lambda b: _hamming_work_kernel(b, max_hamming),
         batch_format="pyarrow", batch_size=8)
-    rows = pairs.take_all()  # verified pairs + dropped sentinels only
+    rows = verified.take_all()  # verified pairs + dropped sentinels only
     dropped = [r["doc_b"] for r in rows if r["doc_a"] < 0]
     rows = [r for r in rows if r["doc_a"] >= 0]
     if stats is not None:

@@ -489,9 +489,9 @@ def embedding_near_dups(ds, threshold: float = 0.95,
         batch_format="pyarrow", concurrency=band_concurrency)
 
     def bucket_pairs(group: pa.Table) -> pa.Table:
-        # bucket_cap=None (default): every bucket contributes ALL its
-        # candidate pairs, generated in bounded-memory blocks; an
-        # explicit cap drops oversized buckets with a visible sentinel
+        # bucket_cap defaults to 8192: buckets beyond it are dropped with
+        # a visible sentinel (counted in `stats`); bucket_cap=None opts
+        # into exhaustive emission, generated in bounded-memory blocks
         from .dedup import _pair_blocks
         docs = np.unique(group["vec_id"].to_numpy(zero_copy_only=False))
         if bucket_cap is not None and len(docs) > bucket_cap:

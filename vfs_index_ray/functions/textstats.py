@@ -359,6 +359,10 @@ class Decontaminate:
     ``mode="clean"`` emits surviving rows' ids; ``mode="flag"`` emits
     (doc_id, probe_idx) per contaminated doc with the FIRST matching
     probe's index.
+
+    Null text counts as UNCONTAMINATED (a null cannot contain a probe):
+    nulls are filled to False explicitly rather than relying on
+    numpy-conversion coincidence.
     """
 
     def __init__(self, probes: list[str], text_col: str = "text",
@@ -377,7 +381,9 @@ class Decontaminate:
         hit_any = None
         first = np.full(batch.num_rows, -1, np.int64)
         for i, p in enumerate(self.probes):
-            m = pc.match_substring(col, p)
+            # match_substring propagates nulls; null text is explicitly
+            # uncontaminated (documented above)
+            m = pc.fill_null(pc.match_substring(col, p), False)
             mn = m.to_numpy(zero_copy_only=False).astype(bool)
             first = np.where((first < 0) & mn, i, first)
             hit_any = mn if hit_any is None else (hit_any | mn)
@@ -467,9 +473,15 @@ class ChunkDocuments:
             ordinal = np.arange(total, dtype=np.int64) - first
             cstart = ordinal * S
             clen = np.minimum(W, lens[row_of] - cstart)
-            abs_start = row_start[row_of] + cstart
             out_ends = np.cumsum(clen)
             nbytes = int(out_ends[-1]) if total else 0
+            if nbytes > 2**31 - 1:
+                # overlap (window > stride) inflates output; int32 string
+                # offsets would silently wrap past 2 GiB — fall back to
+                # the row-wise path, which builds pa.array incrementally
+                view_ok = False
+        if view_ok:
+            abs_start = row_start[row_of] + cstart
             intra = np.arange(nbytes, dtype=np.int64) - \
                 np.repeat(out_ends - clen, clen)
             buf = data[np.repeat(abs_start, clen) + intra]
