@@ -84,7 +84,8 @@ class BruteForceTopK:
 
 def ann_cosine_topk(ds, query_ids: list[int], k: int = 5,
                     vec_col: str = "embedding", id_col: str = "vec_id",
-                    exclude_self: bool = True) -> pa.Table:
+                    exclude_self: bool = True,
+                    concurrency: int | tuple | None = None) -> pa.Table:
     """Exact cosine top-k for the given query vec_ids over the dataset.
 
     Query vectors are gathered once, broadcast via ``ray.put``; each batch
@@ -105,11 +106,17 @@ def ann_cosine_topk(ds, query_ids: list[int], k: int = 5,
     qids = [r[id_col] for r in qrows]
     ref = ray.put((qids, qmat))
 
+    # auto-size the actor pool to the cluster: the matmul stage is the
+    # compute-heavy path of brute-force ANN and must not be capped at a
+    # fixed actor count (elastic 1..CPUs, same shape as band_concurrency)
+    if concurrency is None:
+        concurrency = (1, max(2, int(
+            ray.cluster_resources().get("CPU", 8))))
     partials = ds.map_batches(
         BruteForceTopK, fn_constructor_kwargs=dict(
             queries_ref=ref, k=k, vec_col=vec_col, id_col=id_col,
             exclude_self=exclude_self),
-        batch_format="pyarrow", concurrency=2).take_all()
+        batch_format="pyarrow", concurrency=concurrency).take_all()
     if not partials:
         return pa.table({"query_id": pa.array([], pa.int64()),
                          "vec_id": pa.array([], pa.int64()),

@@ -84,6 +84,17 @@ def _docs_ds(sf_dir: str, columns=None):
     return ray.data.read_parquet(_doc_file(sf_dir), columns=columns)
 
 
+def _conc(concurrency=None):
+    """Actor-pool sizing for the per-doc wrapper stages: elastic
+    (1, cluster CPUs) by default — one actor covers sf-scale startup
+    cost, the pool grows with backlog so the same wrapper is not a
+    starvation cap if reused at scale. Pass an int/tuple to pin."""
+    if concurrency is not None:
+        return concurrency
+    import ray
+    return (1, max(2, int(ray.cluster_resources().get("CPU", 8))))
+
+
 # ---------------------------------------------------------------------------
 # index/query pipelines (SURVEY §2.5-2.7)
 # ---------------------------------------------------------------------------
@@ -293,25 +304,25 @@ def q_dedup_exact(sf_dir: str) -> pa.Table:
     })
 
 
-def q_fingerprint(sf_dir: str) -> pa.Table:
+def q_fingerprint(sf_dir: str, concurrency=None) -> pa.Table:
     from ..functions.textstats import Fingerprint
     out = _docs_ds(sf_dir, columns=["doc_id", "text"]).map_batches(
-        Fingerprint(), batch_format="pyarrow", concurrency=2)
+        Fingerprint, batch_format="pyarrow", concurrency=_conc(concurrency))
     return pa.Table.from_pylist(out.take_all()).select(["doc_id", "fp"])
 
 
-def q_token_count(sf_dir: str) -> pa.Table:
+def q_token_count(sf_dir: str, concurrency=None) -> pa.Table:
     from ..functions.textstats import TokenStats
     out = _docs_ds(sf_dir, columns=["doc_id", "text"]).map_batches(
-        TokenStats(), batch_format="pyarrow", concurrency=2)
+        TokenStats, batch_format="pyarrow", concurrency=_conc(concurrency))
     tbl = pa.Table.from_pylist(out.take_all())
     return tbl.select(["doc_id", "n_tokens"])
 
 
-def q_token_stats(sf_dir: str) -> pa.Table:
+def q_token_stats(sf_dir: str, concurrency=None) -> pa.Table:
     from ..functions.textstats import TokenStats
     out = _docs_ds(sf_dir, columns=["doc_id", "text"]).map_batches(
-        TokenStats(), batch_format="pyarrow", concurrency=2)
+        TokenStats, batch_format="pyarrow", concurrency=_conc(concurrency))
     return pa.Table.from_pylist(out.take_all()).select(
         ["doc_id", "n_tokens", "n_uniq", "stop_ratio_x1e4", "avg_len_x1e4"])
 
@@ -469,38 +480,38 @@ def q_embedding_near_dup(sf_dir: str) -> pa.Table:
                                band_bits=3)
 
 
-def q_langid(sf_dir: str) -> pa.Table:
+def q_langid(sf_dir: str, concurrency=None) -> pa.Table:
     from ..functions.textstats import LangId
     out = _docs_ds(sf_dir, columns=["doc_id", "text"]).map_batches(
-        LangId(), batch_format="pyarrow", concurrency=2)
+        LangId, batch_format="pyarrow", concurrency=_conc(concurrency))
     return pa.Table.from_pylist(out.take_all()).select(
         ["doc_id", "lang_pred"])
 
 
-def q_bpe_token_count(sf_dir: str) -> pa.Table:
+def q_bpe_token_count(sf_dir: str, concurrency=None) -> pa.Table:
     from ..functions.textstats import BpeTokenCount
     out = _docs_ds(sf_dir, columns=["doc_id", "text"]).map_batches(
-        BpeTokenCount(), batch_format="pyarrow", concurrency=2)
+        BpeTokenCount, batch_format="pyarrow", concurrency=_conc(concurrency))
     return pa.Table.from_pylist(out.take_all()).select(
         ["doc_id", "n_bpe_tokens"])
 
 
-def q_gopher_quality(sf_dir: str) -> pa.Table:
+def q_gopher_quality(sf_dir: str, concurrency=None) -> pa.Table:
     from ..functions.textstats import GopherQuality
     out = _docs_ds(sf_dir, columns=["doc_id", "text"]).map_batches(
-        GopherQuality(), batch_format="pyarrow", concurrency=2)
+        GopherQuality, batch_format="pyarrow", concurrency=_conc(concurrency))
     return pa.Table.from_pylist(out.take_all()).select(
         ["doc_id", "n_lines", "dup_line_frac_x1e4", "symbol_ratio_x1e4",
          "bullet_ratio_x1e4"])
 
 
-def q_quantize_embeddings(sf_dir: str) -> pa.Table:
+def q_quantize_embeddings(sf_dir: str, concurrency=None) -> pa.Table:
     import ray.data
 
     from ..functions.similarity import QuantizeInt8
     ds = ray.data.read_parquet(os.path.join(sf_dir, "embeddings.parquet"))
-    out = ds.map_batches(QuantizeInt8(), batch_format="pyarrow",
-                         concurrency=2)
+    out = ds.map_batches(QuantizeInt8, batch_format="pyarrow",
+                         concurrency=_conc(concurrency))
     return pa.Table.from_pylist(out.take_all()).select(
         ["vec_id", "qsum", "qmin", "qmax", "scale_x1e8"])
 
@@ -541,7 +552,7 @@ SELECT {query_id} AS query_id, rank, doc_id, score_x1e4 FROM (
 )"""
 
 
-def q_batch_bm25(sf_dir: str) -> pa.Table:
+def q_batch_bm25(sf_dir: str, concurrency=None) -> pa.Table:
     """Batch scoring of a query TABLE through the QueryActor pool (the
     batch-inference shape: one Dataset in, one result Dataset out)."""
     import ray.data
@@ -569,7 +580,7 @@ def q_batch_bm25(sf_dir: str) -> pa.Table:
 
     rows = qds.map_batches(
         Scorer, fn_constructor_kwargs=dict(index_dir=eng.index_dir, k=5),
-        batch_format="pyarrow", concurrency=2).take_all()
+        batch_format="pyarrow", concurrency=_conc(concurrency)).take_all()
     tbl = pa.Table.from_pylist(rows)
     order = np.lexsort((tbl["rank"].to_numpy(zero_copy_only=False),
                         tbl["query_id"].to_numpy(zero_copy_only=False)))
