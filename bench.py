@@ -80,12 +80,7 @@ def _bench_corpus(n: int) -> str:
     return d
 
 
-def _host_canary_ms() -> float:
-    """Median of 3 timed passes over a fixed 240 MB numpy expression —
-    a host-steal detector for this Firecracker sandbox (the op takes
-    ~150-200 ms on a calm host and seconds inside a steal burst).
-    Recorded in the bench JSON so a reader can judge whether the
-    long-stage numbers were taken under contention."""
+def _canary_once(_=None) -> float:
     import time
 
     import numpy as np
@@ -95,7 +90,38 @@ def _host_canary_ms() -> float:
         t0 = time.perf_counter()
         (a * 2.0 + 1.0).sum()
         ts.append((time.perf_counter() - t0) * 1000)
-    return round(sorted(ts)[1], 1)
+    return sorted(ts)[1]
+
+
+def _host_canary_ms() -> float:
+    """Median of 3 timed passes over a fixed 240 MB numpy expression —
+    a host-steal detector for this Firecracker sandbox (the op takes
+    ~150-200 ms on a calm host and seconds inside a steal burst).
+    Recorded in the bench JSON so a reader can judge whether the
+    long-stage numbers were taken under contention."""
+    return round(_canary_once(), 1)
+
+
+def _parallel_canary_ms(nproc: int = 8) -> float:
+    """8-way version of the canary: each worker times the same 240 MB
+    numpy expression CONCURRENTLY. Host steal on this VM often appears
+    only under parallel load (a serial canary reads calm while a 32-way
+    stage runs 3× slow — two rounds of BENCH artifacts proved the serial
+    canary necessary-but-not-sufficient). Calm: ~220-300 ms median;
+    a steal burst reads seconds. Returns the median worker time."""
+    import multiprocessing as mp
+    # spawn, not fork: run_bench holds a live Ray connection and forked
+    # children inheriting its grpc threads can wedge at exit
+    ctx = mp.get_context("spawn")
+    with ctx.Pool(nproc) as pool:
+        vals = pool.map(_canary_once, range(nproc))
+    return round(sorted(vals)[nproc // 2], 1)
+
+
+# calm-host calibration for the contended flag (measured in-sandbox:
+# serial ~150-200 ms, 8-way median ~230 ms); overridable for rehosting
+CONTENDED_PAR_MS = float(os.environ.get("GRAFT_CONTENDED_PAR_MS", "700"))
+CONTENDED_SPREAD = float(os.environ.get("GRAFT_CONTENDED_SPREAD", "1.35"))
 
 
 def run_bench() -> dict:
@@ -209,34 +235,50 @@ def run_bench() -> dict:
         best = min(best, time.perf_counter() - t0)
     timings["ann_topk"] = round(best, 3)
 
-    # scaling workload: best-of-2 (the sandbox VM has noisy host
-    # contention; best-of approximates uncontended steady state)
+    # scaling workload — THE contention-sensitive stage (32-way, memory
+    # bound). Run k short rounds and record every round: a contended run
+    # is then self-evidently contended (wide spread), instead of a
+    # silent bad headline. The stat is the min (least-contended round).
     bdir = _bench_corpus(BENCH_DOCS)
     files = sorted(os.path.join(bdir, f) for f in os.listdir(bdir)
                    if f.endswith(".parquet"))
-    best = float("inf")
+    head_rounds = int(os.environ.get("GRAFT_HEADLINE_ROUNDS", "3"))
+    rounds: list[float] = []
     canaries = [_host_canary_ms()]  # host-steal level bracketing the
-    for _ in range(2):              # long stage (see _host_canary_ms)
+    par_canaries = [_parallel_canary_ms()]  # long stage (see above)
+    for _ in range(head_rounds):
         bidx = "/tmp/vfsray_bench/idx_scaling"
         shutil.rmtree(bidx, ignore_errors=True)
         shutil.rmtree(SCRATCH, ignore_errors=True)
         t0 = time.perf_counter()
         IndexBuilder(bidx, mode="word", num_parts=64, id_col=None,
                      scratch_dir=SCRATCH).build(files)
-        best = min(best, time.perf_counter() - t0)
+        rounds.append(round(time.perf_counter() - t0, 3))
         canaries.append(_host_canary_ms())
+    par_canaries.append(_parallel_canary_ms())
     shutil.rmtree(SCRATCH, ignore_errors=True)
+    best = min(rounds)
+    spread = round(max(rounds) / best, 3)
     timings["scaling_build"] = round(best, 3)
     timings["scaling_docs_per_sec"] = round(BENCH_DOCS / best, 1)
 
     ray.shutdown()
     timings["host_canary_ms"] = max(canaries)
+    timings["parallel_canary_ms"] = max(par_canaries)
     headline = timings["index_build"] + timings["scaling_build"]
+    # self-flag: wide round spread OR a hot parallel canary means the
+    # long-stage numbers were taken under host contention and should be
+    # read against BASELINE.md's quiet-window captures, not at face value
+    contended = (spread > CONTENDED_SPREAD
+                 or timings["parallel_canary_ms"] > CONTENDED_PAR_MS)
     return {
         "metric": "index-build + BM25 query pipeline wall time",
         "value": round(headline, 3),
         "unit": "sec",
         "queries": timings,
+        "scaling_build_rounds": rounds,
+        "scaling_build_spread": spread,
+        "contended": contended,
         "sf": SF_DIR,
         "num_cpus": NCPU,
     }
