@@ -7,9 +7,12 @@
 - n-gram Jaccard: exact Jaccard verification of candidate pairs
 - embedding:   cosine near-dup pairs over an embedding column
 
-Shuffle shapes: exact dedup and LSH bucketing are groupbys on a hash key
-(uniform, skew-free); candidate-pair verification touches only the
-(tiny) candidate set. Nothing materializes the corpus.
+Shuffle shapes: exact dedup is a groupby on a hash key (uniform,
+skew-free); LSH bucketing is a hive-partitioned disk shuffle + per-part
+tasks (``banded_bucket_apply`` — the build.py postings pattern, because
+Ray Data's pull-based sort shuffle anti-scales at high core counts);
+candidate-pair verification touches only the (tiny) candidate set.
+Nothing materializes the corpus.
 """
 
 from __future__ import annotations
@@ -156,6 +159,94 @@ class BandEmit:
         })
 
 
+def banded_bucket_apply(bands, key_cols, bucket_fn, *,
+                        num_parts: int | None = None,
+                        spill_dir: str | None = None):
+    """Group LSH band rows by ``key_cols`` and apply ``bucket_fn`` per
+    bucket — as a hive-partitioned DISK shuffle + per-part Ray tasks,
+    replacing ``groupby().map_groups()``.
+
+    Why: Ray Data's default pull-based sort shuffle anti-scales on
+    high-core hosts (measured in-repo: 3 s @ 8 cpus → 18 s @ 32 on 5M
+    rows) and ``map_groups`` runs per-group fns with almost no
+    parallelism across groups in one block. This is the same shuffle
+    shape as the index build's postings write (build.py): each write
+    task splits its blocks by ``part = fnv(key_cols) % P``, so every
+    bucket lands whole inside exactly one part's file set; P independent
+    tasks then sort their part locally (lexsort + boundary diffs — never
+    np.unique on the hot path) and run ``bucket_fn`` once per bucket.
+    The only all-to-all traffic is sequential disk-backed parquet, and
+    the spill itself is restartable state.
+
+    Returns a ``ray.data.Dataset`` over the per-part result tables
+    (``from_arrow_refs`` — results stay in the object store, never the
+    driver), or ``None`` when the band input is empty.
+    """
+    import os
+    import shutil
+    import tempfile
+
+    import ray
+    import ray.data
+
+    own = spill_dir is None
+    spill = spill_dir or tempfile.mkdtemp(prefix="lsh_bands_", dir="/tmp")
+    if num_parts is None:
+        num_parts = max(16, 2 * int(ray.cluster_resources().get("CPU", 8)))
+    kc = list(key_cols)
+
+    def add_part(t: pa.Table) -> pa.Table:
+        h = np.full(t.num_rows, np.uint64(0xCBF29CE484222325))
+        with np.errstate(over="ignore"):
+            for c in kc:
+                v = t[c].to_numpy(zero_copy_only=False).astype(np.uint64)
+                h = (h ^ v) * np.uint64(0x100000001B3)
+        part = (h % np.uint64(num_parts)).astype(np.int32)
+        return t.append_column("part", pa.array(part, pa.int32()))
+
+    try:
+        (bands.map_batches(add_part, batch_format="pyarrow")
+              .write_parquet(spill, partition_cols=["part"]))
+        part_dirs = sorted(os.path.join(spill, d) for d in os.listdir(spill)
+                           if d.startswith("part="))
+        if not part_dirs:
+            return None
+
+        @ray.remote
+        def one_part(pdir: str) -> pa.Table:
+            import pyarrow.parquet as pq
+
+            # use_threads=False: concurrent part tasks must not each spawn
+            # an Arrow thread pool (threads × tasks oversubscription)
+            t = pq.read_table(pdir, use_threads=False)
+            arrs = [t[c].to_numpy(zero_copy_only=False) for c in kc]
+            n = t.num_rows
+            if n == 0:
+                return bucket_fn(t.slice(0, 0))
+            order = np.lexsort(arrs[::-1])
+            t = t.take(pa.array(order))
+            arrs = [a[order] for a in arrs]
+            change = np.zeros(n, bool)
+            change[0] = True
+            for a in arrs:
+                change[1:] |= a[1:] != a[:-1]
+            starts = np.flatnonzero(change)
+            ends = np.append(starts[1:], n)
+            outs = [bucket_fn(t.slice(int(s), int(e - s)))
+                    for s, e in zip(starts, ends)]
+            outs = [o for o in outs if o is not None and o.num_rows]
+            if not outs:
+                return bucket_fn(t.slice(0, 0))
+            return pa.concat_tables(outs).combine_chunks()
+
+        refs = [one_part.remote(d) for d in part_dirs]
+        ray.wait(refs, num_returns=len(refs))  # done before spill cleanup
+        return ray.data.from_arrow_refs(refs)
+    finally:
+        if own:
+            shutil.rmtree(spill, ignore_errors=True)
+
+
 def minhash_candidates(ds, *, num_perm: int = 64, num_bands: int = 16,
                        shingle: int = 3, text_col: str = "text",
                        id_col: str = "doc_id",
@@ -167,8 +258,10 @@ def minhash_candidates(ds, *, num_perm: int = 64, num_bands: int = 16,
 
     Pipeline: signatures (map_batches) → spilled to parquet (one
     execution; the object store never holds all signatures) → band rows
-    (map_batches over the spill) → groupby(band, band_hash) →
-    within-bucket pairs → dedup pairs → estimate sim from signature
+    (map_batches over the spill) → hive-partitioned bucket shuffle
+    (``banded_bucket_apply``: part = fnv(band, band_hash) % P, per-part
+    Ray tasks — no sort shuffle) → within-bucket pairs → dedup pairs →
+    estimate sim from signature
     agreement. Returns a pyarrow Table (doc_a, doc_b, est_jaccard_x1e4)
     sorted by (doc_a, doc_b).
 
@@ -216,9 +309,9 @@ def minhash_candidates(ds, *, num_perm: int = 64, num_bands: int = 16,
             return pa.table({"doc_a": pa.array(docs[ia], pa.int64()),
                              "doc_b": pa.array(docs[ib], pa.int64())})
 
-        pair_rows = (bands.groupby(["band", "band_hash"])
-                     .map_groups(bucket_pairs, batch_format="pyarrow")
-                     .take_all())  # ONE execution of the banded pipeline
+        pairs_ds = banded_bucket_apply(bands, ("band", "band_hash"),
+                                       bucket_pairs)
+        pair_rows = pairs_ds.take_all() if pairs_ds is not None else []
         dropped = [r["doc_b"] for r in pair_rows if r["doc_a"] < 0]
         pair_rows = [r for r in pair_rows if r["doc_a"] >= 0]
         if stats is not None:
@@ -535,9 +628,10 @@ def simhash_near_dups(ds, *, max_hamming: int = 3, text_col: str = "text",
     """Near-dup pairs by SimHash: 4-band LSH on 16-bit chunks guarantees
     recall for hamming ≤ 3 (pigeonhole), verified exactly.
 
-    Scale shape: band rows are a uniform (band, key) groupby — the same
-    shuffle as MinHash banding. The group fn does NOT do the m² work
-    (``map_groups`` runs groups with little parallelism): it only splits
+    Scale shape: band rows go through ``banded_bucket_apply`` (hive-
+    partitioned disk shuffle + per-part tasks — the same shape as
+    MinHash banding). The bucket fn does NOT do the m² work: it only
+    splits
     the bucket into ≤2048-doc chunks and emits chunk-pair WORK ITEMS
     (docs + hashes ride along, ≤ ~64 KB/row); a downstream map_batches
     verifies hamming in PARALLEL tasks, so a 100k-doc dup bucket becomes
@@ -620,12 +714,14 @@ def simhash_near_dups(ds, *, max_hamming: int = 3, text_col: str = "text",
             "dropped": pa.array(cols["dropped"], pa.int64()),
         })
 
-    work = (bands.groupby(["band", "key"])
-            .map_groups(bucket_work, batch_format="pyarrow"))
-    verified = work.map_batches(
-        lambda b: _hamming_work_kernel(b, max_hamming),
-        batch_format="pyarrow", batch_size=8)
-    rows = verified.take_all()  # verified pairs + dropped sentinels only
+    work = banded_bucket_apply(bands, ("band", "key"), bucket_work)
+    if work is None:
+        rows = []
+    else:
+        verified = work.map_batches(
+            lambda b: _hamming_work_kernel(b, max_hamming),
+            batch_format="pyarrow", batch_size=8)
+        rows = verified.take_all()  # verified pairs + dropped sentinels
     dropped = [r["doc_b"] for r in rows if r["doc_a"] < 0]
     rows = [r for r in rows if r["doc_a"] >= 0]
     if stats is not None:

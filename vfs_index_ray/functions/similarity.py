@@ -478,7 +478,9 @@ def embedding_near_dups(ds, threshold: float = 0.95,
     p = 1-θ/π. Deterministic (seeded planes).
 
     Scale shape: band keys are emitted per batch (map_batches), candidate
-    pairs come from a uniform (band, key) groupby, and only the candidate
+    pairs come from a hive-partitioned (band, key) bucket shuffle
+    (``banded_bucket_apply`` — per-part tasks, no sort shuffle), and
+    only the candidate
     docs' vectors are gathered back (broadcast-id filtered read) for the
     exact cosine verify — the embedding table is never materialized."""
     import pyarrow.compute as pc
@@ -516,9 +518,9 @@ def embedding_near_dups(ds, threshold: float = 0.95,
                          "doc_b": pa.array(np.concatenate(out_b),
                                            pa.int64())})
 
-    pair_rows = (bands.groupby(["band", "key"])
-                 .map_groups(bucket_pairs, batch_format="pyarrow")
-                 .take_all())
+    from .dedup import banded_bucket_apply
+    pairs_ds = banded_bucket_apply(bands, ("band", "key"), bucket_pairs)
+    pair_rows = pairs_ds.take_all() if pairs_ds is not None else []
     dropped = [r["doc_b"] for r in pair_rows if r["doc_a"] < 0]
     pair_rows = [r for r in pair_rows if r["doc_a"] >= 0]
     if stats is not None:
