@@ -28,6 +28,10 @@ def main(argv=None) -> int:
                     help="override doc count when inputs share docs")
     ap.add_argument("--repartition", type=int, default=None,
                     help="rewrite a single src under this partition count")
+    ap.add_argument("--clean-after-merge", action="store_true",
+                    help="delete source indexes once the merged index is "
+                         "fully committed + verified (reference "
+                         "EnableCleanAfterMerge)")
     args = ap.parse_args(argv)
 
     import ray
@@ -48,7 +52,8 @@ def main(argv=None) -> int:
         stats = merge_indexes(
             args.src, args.out,
             assume_doc_disjoint=args.n_docs is None,
-            n_docs_override=args.n_docs, max_parts=args.max_parts)
+            n_docs_override=args.n_docs, max_parts=args.max_parts,
+            clean_after_merge=args.clean_after_merge)
     stats.pop("merge_report", None)
     print(json.dumps(stats, default=str))
     ray.shutdown()

@@ -236,6 +236,70 @@ def test_merge_disjoint_equals_full_build(ray_session, split_corpora,
             assert t1.equals(t2), name
 
 
+def test_clean_after_merge_crash_protocol(ray_session, split_corpora,
+                                          tmp_path):
+    """Clean-after-merge (reference EnableCleanAfterMerge +
+    column.go:586-602): sources are deleted only AFTER the merged index
+    verifies as fully committed; a crash between commit and clean loses
+    nothing (re-running the clean completes it), and queries after clean
+    are identical to before."""
+    from vfs_index_ray.merge import (clean_merged_sources, merge_indexes,
+                                     merged_sources)
+    from vfs_index_ray.search import SearchEngine
+
+    ia = str(tmp_path / "ca")
+    ib = str(tmp_path / "cb")
+    im = str(tmp_path / "cm")
+    _build(ray_session, split_corpora["a"], ia)
+    _build(ray_session, split_corpora["b"], ib)
+    # merge WITHOUT clean = the "crash between commit and clean" state
+    merge_indexes([ia, ib], im)
+    assert os.path.isdir(ia) and os.path.isdir(ib)  # nothing lost
+    assert merged_sources(im) == [ia, ib]           # lineage recorded
+    before = {q: SearchEngine(im).bm25(q, 20)
+              for q in [corpus.RARE_TERM, "bababa babade"]}
+    # clean refuses while the merged index is NOT fully committed
+    side = os.path.join(im, "segments", "part=00003.json")
+    backup = side + ".bak"
+    os.rename(side, backup)
+    with pytest.raises(ValueError, match="not fully committed"):
+        clean_merged_sources(im)
+    assert os.path.isdir(ia) and os.path.isdir(ib)  # refused = untouched
+    os.rename(backup, side)
+    # resume the crashed clean: verifies, then deletes the sources
+    rep = clean_merged_sources(im)
+    assert sorted(rep["removed"]) == sorted([ia, ib])
+    assert not os.path.isdir(ia) and not os.path.isdir(ib)
+    # idempotent second run
+    rep2 = clean_merged_sources(im)
+    assert rep2["removed"] == [] and sorted(
+        rep2["already_missing"]) == sorted([ia, ib])
+    # re-query after clean: identical results
+    eng = SearchEngine(im)
+    for q, (d0, s0) in before.items():
+        d1, s1 = eng.bm25(q, 20)
+        assert d1.tolist() == d0.tolist()
+        assert s1.tolist() == s0.tolist()
+
+
+def test_merge_clean_after_merge_flag(ray_session, split_corpora,
+                                      tmp_path):
+    """merge_indexes(clean_after_merge=True) reclaims sources in one
+    call and reports it."""
+    from vfs_index_ray.merge import merge_indexes
+    from vfs_index_ray.search import SearchEngine
+
+    ia = str(tmp_path / "fa")
+    ib = str(tmp_path / "fb")
+    im = str(tmp_path / "fm")
+    _build(ray_session, split_corpora["a"], ia)
+    _build(ray_session, split_corpora["b"], ib)
+    stats = merge_indexes([ia, ib], im, clean_after_merge=True)
+    assert sorted(stats["clean_report"]["removed"]) == sorted([ia, ib])
+    assert not os.path.isdir(ia) and not os.path.isdir(ib)
+    assert len(SearchEngine(im).match(corpus.RARE_TERM)) > 0
+
+
 def test_merge_overlap_invariant(ray_session, split_corpora, tmp_path,
                                  built_index):
     """count(merged) = count(a) + count(b) − overlap

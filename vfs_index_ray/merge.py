@@ -99,10 +99,70 @@ def _merge_part(part: int, src_files: list[str], writer: SegmentWriter):
             "overlap": overlap}
 
 
+def merged_sources(out_dir: str) -> list[str]:
+    """Constituent source index dirs recorded in the merged index's wave
+    lineage (the ``merge:<dir>`` entries merge_indexes writes)."""
+    import json
+
+    srcs: list[str] = []
+    waves_dir = os.path.join(out_dir, "waves")
+    if not os.path.isdir(waves_dir):
+        return srcs
+    for name in sorted(os.listdir(waves_dir)):
+        if name.endswith(".json"):
+            with open(os.path.join(waves_dir, name)) as f:
+                w = json.load(f)
+            for e in w.get("files", []):
+                if isinstance(e, str) and e.startswith("merge:"):
+                    srcs.append(e[len("merge:"):])
+    return srcs
+
+
+def clean_merged_sources(out_dir: str, src_dirs: list[str] | None = None,
+                         force: bool = False) -> dict:
+    """Space reclamation after compaction (reference column.go:586-602
+    deleteMergedFiles/cleanDirs, ``EnableCleanAfterMerge`` config.go, CLI
+    ``clean`` cmd/vfs-index/main.go:145): delete the constituent source
+    indexes once the merged index is FULLY committed.
+
+    Safety protocol: ``verify_index(out_dir)`` must pass (every part
+    sidecar + segment file + doc/token sums) before a single byte is
+    removed — so a crash anywhere leaves either all data (commit
+    incomplete → nothing deleted) or a committed merged index that
+    answers every query (clean partially/fully done). Idempotent:
+    already-missing sources are skipped, re-running completes a crashed
+    clean. ``src_dirs`` defaults to the merged index's recorded lineage.
+    """
+    import shutil
+
+    from .build import verify_index
+
+    srcs = list(src_dirs) if src_dirs is not None \
+        else merged_sources(out_dir)
+    if not force:
+        rep = verify_index(out_dir)
+        if not rep["ok"]:
+            raise ValueError("refusing to clean: merged index at "
+                             f"{out_dir} is not fully committed: "
+                             f"{rep['errors'][:3]}")
+    removed, missing = [], []
+    out_real = os.path.realpath(out_dir)
+    for s in srcs:
+        if os.path.realpath(s) == out_real:
+            continue  # never delete the merged index itself
+        if os.path.isdir(s):
+            shutil.rmtree(s)
+            removed.append(s)
+        else:
+            missing.append(s)
+    return {"removed": removed, "already_missing": missing}
+
+
 def merge_indexes(src_dirs: list[str], out_dir: str,
                   assume_doc_disjoint: bool = True,
                   n_docs_override: int | None = None,
-                  max_parts: int | None = None) -> dict:
+                  max_parts: int | None = None,
+                  clean_after_merge: bool = False) -> dict:
     """Merge several indexes built with identical (mode, num_parts) into
     ``out_dir``. Returns merged stats + per-part merge report.
 
@@ -110,7 +170,12 @@ def merge_indexes(src_dirs: list[str], out_dir: str,
     cancellable MergeDuration, config.go:5-9 / column.go:512-518):
     committed partitions survive, the next call resumes the rest; a
     partial round returns ``{"status": "partial", ...}`` without
-    finalizing."""
+    finalizing.
+
+    ``clean_after_merge`` (reference ``EnableCleanAfterMerge``): delete
+    the source indexes once the merged index is fully committed and
+    verified — see ``clean_merged_sources`` for the crash protocol. Only
+    applies on the finalizing round, never on a partial one."""
     stats = [read_stats(s) for s in src_dirs]
     num_parts = stats[0]["num_parts"]
     mode = stats[0]["mode"]
@@ -167,6 +232,12 @@ def merge_indexes(src_dirs: list[str], out_dir: str,
                         "n_docs": int(n_docs)})
     merged_stats = out.finalize()
     merged_stats["merge_report"] = reports
+    if clean_after_merge:
+        # commit point is finalize() above; the clean re-verifies the
+        # committed index before deleting, and a crash in between simply
+        # leaves the sources for a later clean_merged_sources() call
+        merged_stats["clean_report"] = clean_merged_sources(
+            out_dir, src_dirs)
     return merged_stats
 
 
@@ -325,7 +396,24 @@ class FederatedEngine:
             from .search import SearchEngine
             self.merged = SearchEngine(self.out_dir)
 
+    def clean_sources(self) -> dict:
+        """Reclaim the constituent source indexes once compaction has
+        finished and the engine serves from the merged index (reference
+        EnableCleanAfterMerge). Explicit — never automatic — because a
+        query already in flight on the federated path must not have its
+        files deleted under it: the caller invokes this at a quiesce
+        point after ``wait_compaction()``. After cleaning, the federated
+        fallback path is gone; ``self.merged`` answers everything."""
+        if self.merged is None:
+            raise ValueError("clean_sources before compaction finished; "
+                             "call wait_compaction() first")
+        report = clean_merged_sources(self.out_dir, self.src_dirs)
+        self.engines = []  # source readers are now invalid
+        return report
+
     def df(self, q: str) -> dict[str, int]:
+        if self.merged is not None:
+            return self.merged.df(q)
         out: dict[str, int] = {}
         for e in self.engines:
             for tok, d in e.df(q).items():
