@@ -111,6 +111,51 @@ def _range_scan_remote():
     return remote_1cpu(_range_scan_part)
 
 
+def _nearest_part(path: str, key: int, less: bool
+                  ) -> tuple[int, int] | None:
+    """Per-part nearest-key probe (SearchEngine.nearest_term body): one
+    row group picked from term_id min/max statistics, two columns."""
+    key_u = np.uint64(key)
+    pf = pq.ParquetFile(path)
+    md = pf.metadata
+    ki = pf.schema_arrow.names.index("term_id")
+    cand_gi = None
+    ok_stats = True
+    for gi in range(md.num_row_groups):
+        st = md.row_group(gi).column(ki).statistics
+        if st is None or not st.has_min_max:
+            ok_stats = False
+            break
+        if less:
+            if np.uint64(st.min) <= key_u:
+                cand_gi = gi  # last group containing keys <= key
+        else:
+            if np.uint64(st.max) >= key_u:
+                cand_gi = gi  # first group containing keys >= key
+                break
+    if ok_stats and cand_gi is None:
+        return None
+    if ok_stats:
+        tbl = pf.read_row_groups([cand_gi], columns=["term_id", "df"],
+                                 use_threads=False)
+    else:  # stats unavailable: filtered full read of 2 columns
+        tbl = pq.read_table(path, columns=["term_id", "df"],
+                            use_threads=False)
+    terms = tbl["term_id"].to_numpy(zero_copy_only=False)
+    dfs = tbl["df"].to_numpy(zero_copy_only=False)
+    mask = terms <= key_u if less else terms >= key_u
+    if not mask.any():
+        return None
+    idx = np.flatnonzero(mask)
+    i = idx[-1] if less else idx[0]
+    return (int(terms[i]), int(dfs[i]))
+
+
+def _nearest_remote():
+    from .remote import remote_1cpu
+    return remote_1cpu(_nearest_part)
+
+
 @dataclass
 class Postings:
     """Decoded (or decodable) postings of one term."""
@@ -882,7 +927,8 @@ class SearchEngine:
         from .scan import select
         return select(self, visit, **kw)
 
-    def nearest_term(self, key: int, less: bool = True
+    def nearest_term(self, key: int, less: bool = True,
+                     distributed: bool | None = None
                      ) -> tuple[int, int] | None:
         """Nearest indexed key (reference J7 on the KEY space:
         FindNearByKey index_file.go:1461-1534 — exact hit if present,
@@ -891,55 +937,34 @@ class SearchEngine:
         Returns (term_id, df) of the largest indexed term <= key
         (``less=True``) or the smallest >= key. Per part this reads ONE
         row group picked from the term_id min/max statistics (terms are
-        sorted within a segment file); the driver merges one candidate
-        per part."""
-        key_u = np.uint64(key)
-        best: tuple[int, int] | None = None
+        sorted within a segment file); parts probe as parallel Ray tasks
+        (``distributed=None`` auto-selects, same policy as
+        ``term_range_docs``/``select_keys`` — serial at 8 parts is fine,
+        serial at 512 is not) and the driver merges one candidate per
+        part."""
+        paths = []
         for part in range(self.num_parts):
             path = self._segment_file(part)
             if not os.path.exists(path):
                 raise RuntimeError(
                     f"index partition file missing: {path}; the index "
                     "is truncated or mid-rebuild")
-            pf = pq.ParquetFile(path)
-            md = pf.metadata
-            ki = pf.schema_arrow.names.index("term_id")
-            cand_gi = None
-            ok_stats = True
-            for gi in range(md.num_row_groups):
-                st = md.row_group(gi).column(ki).statistics
-                if st is None or not st.has_min_max:
-                    ok_stats = False
-                    break
-                if less:
-                    if np.uint64(st.min) <= key_u:
-                        cand_gi = gi  # last group containing keys <= key
-                else:
-                    if np.uint64(st.max) >= key_u:
-                        cand_gi = gi  # first group containing keys >= key
-                        break
-            if ok_stats and cand_gi is None:
-                continue
-            if ok_stats:
-                tbl = pf.read_row_groups([cand_gi],
-                                         columns=["term_id", "df"],
-                                         use_threads=False)
-            else:  # stats unavailable: filtered full read of 2 columns
-                tbl = pq.read_table(path, columns=["term_id", "df"],
-                                    use_threads=False)
-            terms = tbl["term_id"].to_numpy(zero_copy_only=False)
-            dfs = tbl["df"].to_numpy(zero_copy_only=False)
-            mask = terms <= key_u if less else terms >= key_u
-            if not mask.any():
-                continue
-            idx = np.flatnonzero(mask)
-            i = idx[-1] if less else idx[0]
-            cand = (int(terms[i]), int(dfs[i]))
-            if best is None or \
-                    (less and cand[0] > best[0]) or \
-                    (not less and cand[0] < best[0]):
-                best = cand
-        return best
+            paths.append(path)
+        if distributed is None:
+            import ray
+            distributed = ray.is_initialized() and self.num_parts > 1
+        if distributed:
+            import ray
+            task = _nearest_remote()
+            cands = ray.get([task.remote(p, int(key), less)
+                             for p in paths])
+        else:
+            cands = [_nearest_part(p, int(key), less) for p in paths]
+        cands = [c for c in cands if c is not None]
+        if not cands:
+            return None
+        return (max(cands, key=lambda c: c[0]) if less
+                else min(cands, key=lambda c: c[0]))
 
     # ------------------------------------------------------------------
     def nears(self, q: str, k: int | None = None):
