@@ -1,0 +1,147 @@
+"""Deterministic sfN-equivalent gate fixture: tile an existing driver
+testdata dir by an integer factor (default 10× sf0.1 ≈ an sf1: 50k
+documents, 20k embeddings, 1M events, 1.5M orders).
+
+    python tools/make_sf_scale.py [--src /root/testdata/sf0.1] \
+        [--out /tmp/testdata_sf1] [--mult 10]
+
+Replica r = 0 copies every table byte-identically; replicas r > 0 remap
+ids by ``r * OFFSET`` (a power of ten above the max source id, so
+replica ids never collide) and append one replica+doc-unique token to
+each document's text (keeping n_chars consistent) so exact-dup
+structure is not inflated 10×. Everything is a pure function of the
+source tables — no wall-clock, no randomness — so the fixture is
+reproducible and the oracle gate (engine vs DuckDB over the SAME files)
+is meaningful at 10× scale. Tables the gate queries never touch are
+copied once, unchanged.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import shutil
+import sys
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+
+COPY_ONLY = ["region", "nation", "customer", "supplier", "part",
+             "lineitem"]
+
+
+def _offset_for(ids: np.ndarray) -> int:
+    m = int(ids.max()) if len(ids) else 0
+    off = 1
+    while off <= m:
+        off *= 10
+    return off
+
+
+def scale_documents(src: str, out: str, mult: int) -> None:
+    t = pq.read_table(src)
+    off = _offset_for(t["doc_id"].to_numpy(zero_copy_only=False))
+    reps = [t]
+    for r in range(1, mult):
+        ids = t["doc_id"].to_numpy(zero_copy_only=False) + r * off
+        # one unique token per (replica, doc): replicas are NEAR dups of
+        # the original (near-dup pipelines still see the cross-replica
+        # structure) but never EXACT dups, so exact-dedup output scales
+        # linearly, not degenerately
+        suffix = pa.array([f" uq{r}x{i}" for i in ids], pa.string())
+        text = pc.binary_join_element_wise(t["text"], suffix, "")
+        rep = pa.table({
+            "doc_id": pa.array(ids, pa.int64()),
+            "text": text,
+            "lang": t["lang"],
+            "source": t["source"],
+            "n_chars": pc.utf8_length(text).cast(pa.int64()),
+        })
+        reps.append(rep)
+    pq.write_table(pa.concat_tables(reps), out)
+
+
+def scale_embeddings(src: str, out: str, mult: int) -> None:
+    t = pq.read_table(src)
+    off = _offset_for(t["vec_id"].to_numpy(zero_copy_only=False))
+    reps = [t]
+    for r in range(1, mult):
+        reps.append(pa.table({
+            "vec_id": pa.array(
+                t["vec_id"].to_numpy(zero_copy_only=False) + r * off,
+                pa.int64()),
+            "embedding": t["embedding"],
+            "label": t["label"],
+        }))
+    pq.write_table(pa.concat_tables(reps), out)
+
+
+def scale_events(src: str, out: str, mult: int) -> None:
+    t = pq.read_table(src)
+    eoff = _offset_for(t["event_id"].to_numpy(zero_copy_only=False))
+    uoff = _offset_for(t["user_id"].to_numpy(zero_copy_only=False))
+    reps = [t]
+    for r in range(1, mult):
+        reps.append(pa.table({
+            "event_id": pa.array(
+                t["event_id"].to_numpy(zero_copy_only=False) + r * eoff,
+                pa.int64()),
+            "ts": t["ts"],
+            "user_id": pa.array(
+                t["user_id"].to_numpy(zero_copy_only=False) + r * uoff,
+                pa.int64()),
+            "event_type": t["event_type"],
+            "value": t["value"],
+            "props": t["props"],
+        }))
+    pq.write_table(pa.concat_tables(reps), out)
+
+
+def scale_orders(src: str, out: str, mult: int) -> None:
+    t = pq.read_table(src)
+    koff = _offset_for(t["o_orderkey"].to_numpy(zero_copy_only=False))
+    reps = [t]
+    for r in range(1, mult):
+        reps.append(pa.table({
+            "o_orderkey": pa.array(
+                t["o_orderkey"].to_numpy(zero_copy_only=False) + r * koff,
+                pa.int64()),
+            "o_custkey": t["o_custkey"],
+            "o_orderstatus": t["o_orderstatus"],
+            "o_totalprice": t["o_totalprice"],
+            "o_orderdate": t["o_orderdate"],
+            "o_orderpriority": t["o_orderpriority"],
+        }))
+    pq.write_table(pa.concat_tables(reps), out)
+
+
+def main(argv=None) -> int:
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--src", default="/root/testdata/sf0.1")
+    ap.add_argument("--out", default="/tmp/testdata_sf1")
+    ap.add_argument("--mult", type=int, default=10)
+    args = ap.parse_args(argv)
+    os.makedirs(args.out, exist_ok=True)
+    for t in COPY_ONLY:
+        shutil.copyfile(os.path.join(args.src, f"{t}.parquet"),
+                        os.path.join(args.out, f"{t}.parquet"))
+    scale_documents(os.path.join(args.src, "documents.parquet"),
+                    os.path.join(args.out, "documents.parquet"), args.mult)
+    scale_embeddings(os.path.join(args.src, "embeddings.parquet"),
+                     os.path.join(args.out, "embeddings.parquet"),
+                     args.mult)
+    scale_events(os.path.join(args.src, "events.parquet"),
+                 os.path.join(args.out, "events.parquet"), args.mult)
+    scale_orders(os.path.join(args.src, "orders.parquet"),
+                 os.path.join(args.out, "orders.parquet"), args.mult)
+    for name in ("documents", "embeddings", "events", "orders"):
+        n = pq.read_metadata(os.path.join(args.out,
+                                          f"{name}.parquet")).num_rows
+        print(f"{name}: {n} rows")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
