@@ -245,6 +245,7 @@ def test_staged_phrase_identical_to_batched(pos_index, pages_file):
     batched = SearchEngine(pos_index, corpus_files=[pages_file])
     staged = SearchEngine(pos_index, corpus_files=[pages_file])
     staged.phrase_stage_threshold = 0      # force the staged path
+    staged.phrase_distributed = False
     tbl = pq.read_table(pages_file, columns=["url", "text"])
     texts = tbl["text"].to_pylist()
     ids = [doc_id_from_url(u) for u in tbl["url"].to_pylist()]
@@ -267,6 +268,36 @@ def test_staged_phrase_identical_to_batched(pos_index, pages_file):
     # repeated-token phrase exercises multi-occurrence base constraints
     got = staged.phrase_match_positional("ba ba").tolist()
     assert got == batched.phrase_match_positional("ba ba").tolist()
+
+
+def test_distributed_phrase_identical_to_batched(ray_session, pos_index,
+                                                 pages_file):
+    """Chunked Ray fan-out phrase path (pure-head regime) returns
+    exactly the batched and staged paths' docs on fuzzed phrases."""
+    from vfs_index_ray.search import SearchEngine
+
+    batched = SearchEngine(pos_index, corpus_files=[pages_file])
+    dist = SearchEngine(pos_index, corpus_files=[pages_file])
+    dist.phrase_stage_threshold = 4        # tiny chunks → real fan-out
+    dist.phrase_distributed = True
+    tbl = pq.read_table(pages_file, columns=["text"])
+    texts = tbl["text"].to_pylist()
+    rng = np.random.Generator(np.random.Philox(key=[78, 0]))
+    checked = 0
+    for _ in range(12):
+        doc = texts[int(rng.integers(0, len(texts)))]
+        toks = _tokens(doc)
+        if len(toks) < 4:
+            continue
+        j = int(rng.integers(0, len(toks) - 3))
+        phrase = " ".join(toks[j:j + int(rng.integers(2, 5))])
+        assert dist.phrase_match_positional(phrase).tolist() == \
+            batched.phrase_match_positional(phrase).tolist(), phrase
+        checked += 1
+    assert checked > 5
+    # repeated-token phrase through the distributed path
+    assert dist.phrase_match_positional("ba ba").tolist() == \
+        batched.phrase_match_positional("ba ba").tolist()
 
 
 def test_staged_phrase_ordinal_underflow(ray_session, tmp_path):
@@ -292,5 +323,6 @@ def test_staged_phrase_ordinal_underflow(ray_session, tmp_path):
                  positions=True).build([src])
     eng = SearchEngine(idx, corpus_files=[src], id_col="doc_id")
     eng.phrase_stage_threshold = 0         # force the staged path
+    eng.phrase_distributed = False
     assert eng.phrase_match_positional("alpha beta").tolist() == [1]
     assert eng.phrase_match_positional("beta alpha").tolist() == [0]

@@ -40,18 +40,37 @@ def _offset_for(ids: np.ndarray) -> int:
     return off
 
 
+def _salt_text(texts: list[str], r: int) -> list[str]:
+    """Replica-r text transform: insert the replica token after every
+    3rd original token. This BREAKS cross-replica similarity — a 3-token
+    shingle survives only when it fits a gap, so replica↔original
+    Jaccard lands ≈0.2-0.3 (far below near-dup thresholds), and the
+    repeated salt token moves the replica's SimHash many bits — while
+    WITHIN a replica every transformation is identical, so planted
+    near-dup structure is preserved per replica. Without this, one
+    suffix token keeps every replica a near-dup of its original and the
+    near-dup pipelines (and their all-pairs oracle SQL) go quadratic in
+    the WHOLE corpus instead of per planted cluster."""
+    salt = f"q{r}zed"
+    out = []
+    for s in texts:
+        toks = s.split(" ")
+        parts = []
+        for i in range(0, len(toks), 3):
+            parts.extend(toks[i:i + 3])
+            parts.append(salt)
+        out.append(" ".join(parts))
+    return out
+
+
 def scale_documents(src: str, out: str, mult: int) -> None:
     t = pq.read_table(src)
     off = _offset_for(t["doc_id"].to_numpy(zero_copy_only=False))
+    texts0 = t["text"].to_pylist()
     reps = [t]
     for r in range(1, mult):
         ids = t["doc_id"].to_numpy(zero_copy_only=False) + r * off
-        # one unique token per (replica, doc): replicas are NEAR dups of
-        # the original (near-dup pipelines still see the cross-replica
-        # structure) but never EXACT dups, so exact-dedup output scales
-        # linearly, not degenerately
-        suffix = pa.array([f" uq{r}x{i}" for i in ids], pa.string())
-        text = pc.binary_join_element_wise(t["text"], suffix, "")
+        text = pa.array(_salt_text(texts0, r), pa.string())
         rep = pa.table({
             "doc_id": pa.array(ids, pa.int64()),
             "text": text,
@@ -66,13 +85,28 @@ def scale_documents(src: str, out: str, mult: int) -> None:
 def scale_embeddings(src: str, out: str, mult: int) -> None:
     t = pq.read_table(src)
     off = _offset_for(t["vec_id"].to_numpy(zero_copy_only=False))
+    emb = t["embedding"]
+    if isinstance(emb, pa.ChunkedArray):
+        emb = emb.combine_chunks()
+    n = len(emb)
+    flat = emb.values.to_numpy(zero_copy_only=False)
+    dim = len(flat) // n if n else 0
+    mat = flat.reshape(n, dim)
     reps = [t]
     for r in range(1, mult):
+        # roll the DIMENSIONS by r: cosine within a replica is preserved
+        # exactly (same rotation both sides), cross-replica similarity
+        # collapses to ≈0 for generic vectors — so near-dup/ANN structure
+        # tiles per replica instead of every copy pairing with its
+        # original (which would make the all-pairs oracle quadratic in
+        # the whole corpus)
+        rolled = np.roll(mat, r % max(dim, 1), axis=1)
         reps.append(pa.table({
             "vec_id": pa.array(
                 t["vec_id"].to_numpy(zero_copy_only=False) + r * off,
                 pa.int64()),
-            "embedding": t["embedding"],
+            "embedding": pa.array(list(rolled.astype(np.float32)),
+                                  emb.type),
             "label": t["label"],
         }))
     pq.write_table(pa.concat_tables(reps), out)

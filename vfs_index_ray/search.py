@@ -156,6 +156,22 @@ def _nearest_remote():
     return remote_1cpu(_nearest_part)
 
 
+def _phrase_chunk(index_dir: str, seq: list[int], by_df: list[int],
+                  chunk_docs: np.ndarray) -> np.ndarray:
+    """One candidate-doc chunk of a distributed positional phrase match
+    (SearchEngine._phrase_positional_distributed): staged rare-pivot
+    chain scoped to the chunk, df order precomputed by the driver."""
+    eng = SearchEngine(index_dir, io_threads=False)
+    return eng._phrase_positional_staged(
+        seq, sorted(set(seq)), np.asarray(chunk_docs, np.uint64),
+        by_df=by_df)
+
+
+def _phrase_chunk_remote():
+    from .remote import remote_1cpu
+    return remote_1cpu(_phrase_chunk)
+
+
 @dataclass
 class Postings:
     """Decoded (or decodable) postings of one term."""
@@ -766,9 +782,21 @@ class SearchEngine:
         uniq = sorted(set(seq))
         if len(cand_sorted) > self.phrase_stage_threshold and len(uniq) > 1:
             # pure-head phrase: too many candidates for the positional
-            # read to push doc filters down — switch to rare-pivot
-            # chaining (one term at a time, df-ascending, each fetch
-            # scoped to the docs still alive)
+            # read to push doc filters down. With Ray up, split the
+            # candidates into ≤threshold contiguous doc chunks and run
+            # the staged chain per chunk as parallel tasks (pushdown
+            # re-engages for EVERY term in every chunk, and the
+            # decode+intersect parallelizes); else switch to serial
+            # rare-pivot chaining (one term at a time, df-ascending,
+            # each fetch scoped to the docs still alive)
+            use_dist = self.phrase_distributed
+            if use_dist is None:
+                import ray
+                use_dist = ray.is_initialized() and \
+                    len(cand_sorted) > 2 * self.phrase_stage_threshold
+            if use_dist:
+                return self._phrase_positional_distributed(
+                    seq, uniq, cand_sorted)
             return self._phrase_positional_staged(seq, uniq, cand_sorted)
         # vectorized across ALL candidate docs at once: pack (doc,
         # ordinal) into one sortable key, then chain sorted-set
@@ -789,9 +817,49 @@ class SearchEngine:
     # (must match the regime where positions_flat can no longer push the
     # doc set down into the parquet read)
     phrase_stage_threshold = 8192
+    # None = auto (Ray up and candidates > 2x threshold → chunked
+    # fan-out); True/False pins the distributed vs serial-staged path
+    phrase_distributed: bool | None = None
+
+    def _phrase_positional_distributed(self, seq: list[int],
+                                       uniq: list[int],
+                                       cand_sorted: np.ndarray
+                                       ) -> np.ndarray:
+        """Pure-head phrase fan-out: contiguous ≤threshold-doc candidate
+        chunks, one Ray task each, running the staged rare-pivot chain
+        scoped to its chunk. Because every chunk is under the pushdown
+        threshold, every term's positional read row-group-prunes on the
+        chunk's (term, doc)-sorted doc range, and the varint decode +
+        key intersections — the wall-time of a pure-head phrase — run on
+        all cores instead of one. Docs partition cleanly (a phrase match
+        is per-doc), so the union of chunk results is exact."""
+        import ray
+
+        # df order computed ONCE here; tasks skip their own load_terms
+        loaded = self.load_terms(uniq)
+        by_df = sorted(uniq, key=lambda t: (loaded[t].df, t))
+        # chunk size: small enough for ~3 tasks per core (the decode +
+        # intersect work is the wall-time), never above the pushdown
+        # threshold, floor 1024 so per-task read/scheduling overhead
+        # stays amortized (tests pin a tiny threshold to force fan-out)
+        ncpu = max(1, int(ray.cluster_resources().get("CPU", 8)))
+        target = int(np.ceil(len(cand_sorted) / (3 * ncpu)))
+        chunk_sz = min(max(1, self.phrase_stage_threshold),
+                       max(1024, target))
+        n_chunks = int(np.ceil(len(cand_sorted) / chunk_sz))
+        chunks = np.array_split(cand_sorted, n_chunks)
+        task = _phrase_chunk_remote()
+        parts = ray.get([task.remote(self.index_dir, list(seq), by_df, c)
+                         for c in chunks])
+        parts = [p for p in parts if len(p)]
+        if not parts:
+            return np.empty(0, np.uint64)
+        return np.sort(np.concatenate(parts))
 
     def _phrase_positional_staged(self, seq: list[int], uniq: list[int],
-                                  cand_sorted: np.ndarray) -> np.ndarray:
+                                  cand_sorted: np.ndarray,
+                                  by_df: list[int] | None = None
+                                  ) -> np.ndarray:
         """Rare-pivot phrase chaining: process terms df-ASCENDING; after
         each term only phrase-start bases satisfying every occurrence so
         far survive, and the NEXT term's positional read is scoped to
@@ -807,8 +875,9 @@ class SearchEngine:
         subtraction would borrow into another candidate's key space, or
         wrap past zero for candidate 0) and are masked out before the
         subtraction."""
-        loaded = self.load_terms(uniq)
-        by_df = sorted(uniq, key=lambda t: (loaded[t].df, t))
+        if by_df is None:
+            loaded = self.load_terms(uniq)
+            by_df = sorted(uniq, key=lambda t: (loaded[t].df, t))
         idxs_of: dict[int, list[int]] = {t: [] for t in uniq}
         for i, t in enumerate(seq):
             idxs_of[t].append(i)
