@@ -156,6 +156,13 @@ def test_proximity_vs_python(pos_index, pages_file):
         assert got == py_prox(sorted(set(q.split())), w), (q, w)
     # window 0 with two distinct terms → impossible
     assert eng.proximity_match("bababa babade", 0).tolist() == []
+    # chunked distributed path returns identical docs
+    dist = SearchEngine(pos_index)
+    dist.phrase_stage_threshold = 4
+    dist.phrase_distributed = True
+    for q, w in [("bababa babade", 3), ("bababa babade", 20)]:
+        assert dist.proximity_match(q, w).tolist() == \
+            eng.proximity_match(q, w).tolist(), (q, w)
 
 
 def test_trigram_positional_exact_substring(ray_session, tmp_path):

@@ -172,6 +172,19 @@ def _phrase_chunk_remote():
     return remote_1cpu(_phrase_chunk)
 
 
+def _proximity_chunk(index_dir: str, tids: list[int], window: int,
+                     chunk_docs: np.ndarray) -> np.ndarray:
+    """One candidate-doc chunk of a distributed proximity match."""
+    eng = SearchEngine(index_dir, io_threads=False)
+    return eng._proximity_verify(tids, window,
+                                 np.asarray(chunk_docs, np.uint64))
+
+
+def _proximity_chunk_remote():
+    from .remote import remote_1cpu
+    return remote_1cpu(_proximity_chunk)
+
+
 @dataclass
 class Postings:
     """Decoded (or decodable) postings of one term."""
@@ -904,19 +917,45 @@ class SearchEngine:
         """Positional proximity: docs where some occurrence of every
         query term fits in a token window of ``window`` (max ordinal −
         min ordinal ≤ window). Classic k-sorted-lists minimal-range scan
-        per candidate doc."""
+        per candidate doc. Pure-head queries (candidates above 2× the
+        pushdown threshold) fan out as chunked Ray tasks exactly like
+        phrase matching — the per-doc window test partitions cleanly."""
         tids = sorted(set(self.query_term_ids(q)))
         if not tids:
             return np.empty(0, np.uint64)
         cands = self.match(q)
         if len(cands) == 0:
             return cands
+        cand_sorted = np.sort(np.asarray(cands, np.uint64))
+        use_dist = self.phrase_distributed
+        if use_dist is None:
+            import ray
+            use_dist = ray.is_initialized() and \
+                len(cand_sorted) > 2 * self.phrase_stage_threshold
+        if use_dist and len(cand_sorted) > 1:
+            import ray
+            ncpu = max(1, int(ray.cluster_resources().get("CPU", 8)))
+            target = int(np.ceil(len(cand_sorted) / (3 * ncpu)))
+            chunk_sz = min(max(1, self.phrase_stage_threshold),
+                           max(1024, target))
+            n_chunks = int(np.ceil(len(cand_sorted) / chunk_sz))
+            task = _proximity_chunk_remote()
+            parts = ray.get([task.remote(self.index_dir, tids, window, c)
+                             for c in np.array_split(cand_sorted,
+                                                     n_chunks)])
+            parts = [p for p in parts if len(p)]
+            if not parts:
+                return np.empty(0, np.uint64)
+            return np.sort(np.concatenate(parts))
+        return self._proximity_verify(tids, window, cand_sorted)
+
+    def _proximity_verify(self, tids: list[int], window: int,
+                          cand_sorted: np.ndarray) -> np.ndarray:
         # vectorized exact minimal-window test across all docs at once:
         # a doc matches iff for SOME occurrence position p,
         # max_j next_j(p) − p ≤ window, where next_j(p) is list j's first
         # occurrence ≥ p in the same doc (the optimal window's low end is
         # always an occurrence, so scanning occurrence positions is exact)
-        cand_sorted = np.sort(np.asarray(cands, np.uint64))
         flat = self.positions_flat(tids, cand_sorted)
         keys = [self._position_keys(flat[t], cand_sorted) for t in tids]
         P = sorted_union(keys) if keys else np.empty(0, np.uint64)
