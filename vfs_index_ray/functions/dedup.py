@@ -159,6 +159,20 @@ class BandEmit:
         })
 
 
+def _collect_arrow(ds) -> pa.Table | None:
+    """Materialize a (possibly large) result Dataset as ONE Arrow table
+    on the driver without per-row Python dicts: ``take_all`` builds a
+    dict per row, which at tens of millions of verified pairs costs
+    minutes of single-core driver CPU and GBs of heap; pulling the block
+    refs keeps everything columnar. Returns None when empty."""
+    import ray
+
+    tbls = [t for t in ray.get(ds.to_arrow_refs()) if t.num_rows]
+    if not tbls:
+        return None
+    return pa.concat_tables(tbls).combine_chunks()
+
+
 def banded_bucket_apply(bands, key_cols, bucket_fn, *,
                         num_parts: int | None = None,
                         spill_dir: str | None = None):
@@ -311,25 +325,34 @@ def minhash_candidates(ds, *, num_perm: int = 64, num_bands: int = 16,
 
         pairs_ds = banded_bucket_apply(bands, ("band", "band_hash"),
                                        bucket_pairs)
-        pair_rows = pairs_ds.take_all() if pairs_ds is not None else []
-        dropped = [r["doc_b"] for r in pair_rows if r["doc_a"] < 0]
-        pair_rows = [r for r in pair_rows if r["doc_a"] >= 0]
+        ptbl = _collect_arrow(pairs_ds) if pairs_ds is not None else None
+        empty = pa.table({"doc_a": pa.array([], pa.int64()),
+                          "doc_b": pa.array([], pa.int64()),
+                          "est_jaccard_x1e4": pa.array([], pa.int64())})
+        a = ptbl["doc_a"].to_numpy(zero_copy_only=False) \
+            if ptbl is not None else np.empty(0, np.int64)
+        b = ptbl["doc_b"].to_numpy(zero_copy_only=False) \
+            if ptbl is not None else np.empty(0, np.int64)
+        drop = a < 0
+        n_drop = int(drop.sum())
         if stats is not None:
-            stats["buckets_dropped"] = len(dropped)
-            stats["docs_in_dropped_max"] = max(dropped, default=0)
+            stats["buckets_dropped"] = n_drop
+            stats["docs_in_dropped_max"] = \
+                int(b[drop].max()) if n_drop else 0
             stats["bucket_cap"] = bucket_cap
-        if dropped:
-            print(f"minhash_candidates: dropped {len(dropped)} LSH "
+        if n_drop:
+            print(f"minhash_candidates: dropped {n_drop} LSH "
                   f"buckets over cap={bucket_cap} "
-                  f"(largest {max(dropped)} docs)")
-        if not pair_rows:
-            return pa.table({"doc_a": pa.array([], pa.int64()),
-                             "doc_b": pa.array([], pa.int64()),
-                             "est_jaccard_x1e4": pa.array([], pa.int64())})
-        # dedup pairs found in multiple bands
-        a = np.array([r["doc_a"] for r in pair_rows], np.int64)
-        b = np.array([r["doc_b"] for r in pair_rows], np.int64)
-        uniq = np.unique(np.stack([a, b], axis=1), axis=0)
+                  f"(largest {int(b[drop].max())} docs)")
+        a, b = a[~drop], b[~drop]
+        if not len(a):
+            return empty
+        # dedup pairs found in multiple bands (lexsort + boundary diffs)
+        order = np.lexsort((b, a))
+        a, b = a[order], b[order]
+        first = np.ones(len(a), bool)
+        first[1:] = (a[1:] != a[:-1]) | (b[1:] != b[:-1])
+        uniq = np.stack([a[first], b[first]], axis=1)
         # gather signatures of candidate docs only: predicate-pushdown
         # read of the spill (row-group pruning; never all signatures)
         import pyarrow.parquet as pq
@@ -715,33 +738,46 @@ def simhash_near_dups(ds, *, max_hamming: int = 3, text_col: str = "text",
         })
 
     work = banded_bucket_apply(bands, ("band", "key"), bucket_work)
-    if work is None:
-        rows = []
-    else:
+    tbl = None
+    if work is not None:
         verified = work.map_batches(
             lambda b: _hamming_work_kernel(b, max_hamming),
             batch_format="pyarrow", batch_size=8)
-        rows = verified.take_all()  # verified pairs + dropped sentinels
-    dropped = [r["doc_b"] for r in rows if r["doc_a"] < 0]
-    rows = [r for r in rows if r["doc_a"] >= 0]
+        tbl = _collect_arrow(verified)  # pairs + dropped sentinels
+    empty = pa.table({"doc_a": pa.array([], pa.int64()),
+                      "doc_b": pa.array([], pa.int64()),
+                      "hamming": pa.array([], pa.int64())})
+    if tbl is None:
+        if stats is not None:
+            stats["buckets_dropped"] = 0
+            stats["docs_in_dropped_max"] = 0
+            stats["bucket_cap"] = bucket_cap
+        return empty
+    a = tbl["doc_a"].to_numpy(zero_copy_only=False)
+    b = tbl["doc_b"].to_numpy(zero_copy_only=False)
+    ham = tbl["hamming"].to_numpy(zero_copy_only=False)
+    drop = a < 0
+    n_drop = int(drop.sum())
     if stats is not None:
-        stats["buckets_dropped"] = len(dropped)
-        stats["docs_in_dropped_max"] = max(dropped, default=0)
+        stats["buckets_dropped"] = n_drop
+        stats["docs_in_dropped_max"] = int(b[drop].max()) if n_drop else 0
         stats["bucket_cap"] = bucket_cap
-    if dropped:
-        print(f"simhash_near_dups: dropped {len(dropped)} LSH buckets "
-              f"over cap={bucket_cap} (largest {max(dropped)} docs)")
-    if not rows:
-        return pa.table({"doc_a": pa.array([], pa.int64()),
-                         "doc_b": pa.array([], pa.int64()),
-                         "hamming": pa.array([], pa.int64())})
-    a = np.array([r["doc_a"] for r in rows], np.int64)
-    b = np.array([r["doc_b"] for r in rows], np.int64)
-    ham = np.array([r["hamming"] for r in rows], np.int64)
-    uniq, idx = np.unique(np.stack([a, b], axis=1), axis=0,
-                          return_index=True)
+    if n_drop:
+        print(f"simhash_near_dups: dropped {n_drop} LSH buckets "
+              f"over cap={bucket_cap} (largest {int(b[drop].max())} docs)")
+    keep = ~drop
+    a, b, ham = a[keep], b[keep], ham[keep]
+    if not len(a):
+        return empty
+    # dedup pairs found in multiple bands: lexsort + boundary diffs
+    # (identical pairs carry identical hamming, so any survivor's value
+    # is THE value; never np.unique on the hot path — CLAUDE.md)
+    order = np.lexsort((b, a))
+    a, b, ham = a[order], b[order], ham[order]
+    first = np.ones(len(a), bool)
+    first[1:] = (a[1:] != a[:-1]) | (b[1:] != b[:-1])
     return pa.table({
-        "doc_a": pa.array(uniq[:, 0], pa.int64()),
-        "doc_b": pa.array(uniq[:, 1], pa.int64()),
-        "hamming": pa.array(ham[idx], pa.int64()),
+        "doc_a": pa.array(a[first], pa.int64()),
+        "doc_b": pa.array(b[first], pa.int64()),
+        "hamming": pa.array(ham[first], pa.int64()),
     })

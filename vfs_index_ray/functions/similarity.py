@@ -518,26 +518,33 @@ def embedding_near_dups(ds, threshold: float = 0.95,
                          "doc_b": pa.array(np.concatenate(out_b),
                                            pa.int64())})
 
-    from .dedup import banded_bucket_apply
+    from .dedup import _collect_arrow, banded_bucket_apply
     pairs_ds = banded_bucket_apply(bands, ("band", "key"), bucket_pairs)
-    pair_rows = pairs_ds.take_all() if pairs_ds is not None else []
-    dropped = [r["doc_b"] for r in pair_rows if r["doc_a"] < 0]
-    pair_rows = [r for r in pair_rows if r["doc_a"] >= 0]
-    if stats is not None:
-        stats["buckets_dropped"] = len(dropped)
-        stats["docs_in_dropped_max"] = max(dropped, default=0)
-        stats["bucket_cap"] = bucket_cap
-    if dropped:
-        print(f"embedding_near_dups: dropped {len(dropped)} LSH buckets "
-              f"over cap={bucket_cap} (largest {max(dropped)} docs)")
+    ptbl = _collect_arrow(pairs_ds) if pairs_ds is not None else None
     empty = pa.table({"doc_a": pa.array([], pa.int64()),
                       "doc_b": pa.array([], pa.int64()),
                       "sim_x1e4": pa.array([], pa.int64())})
-    if not pair_rows:
+    a = ptbl["doc_a"].to_numpy(zero_copy_only=False) \
+        if ptbl is not None else np.empty(0, np.int64)
+    b = ptbl["doc_b"].to_numpy(zero_copy_only=False) \
+        if ptbl is not None else np.empty(0, np.int64)
+    drop = a < 0
+    n_drop = int(drop.sum())
+    if stats is not None:
+        stats["buckets_dropped"] = n_drop
+        stats["docs_in_dropped_max"] = int(b[drop].max()) if n_drop else 0
+        stats["bucket_cap"] = bucket_cap
+    if n_drop:
+        print(f"embedding_near_dups: dropped {n_drop} LSH buckets "
+              f"over cap={bucket_cap} (largest {int(b[drop].max())} docs)")
+    a, b = a[~drop], b[~drop]
+    if not len(a):
         return empty
-    a = np.array([r["doc_a"] for r in pair_rows], np.int64)
-    b = np.array([r["doc_b"] for r in pair_rows], np.int64)
-    uniq = np.unique(np.stack([a, b], axis=1), axis=0)
+    order = np.lexsort((b, a))
+    a, b = a[order], b[order]
+    first = np.ones(len(a), bool)
+    first[1:] = (a[1:] != a[:-1]) | (b[1:] != b[:-1])
+    uniq = np.stack([a[first], b[first]], axis=1)
     # exact verify: gather ONLY candidate vectors (broadcast id filter)
     need = np.unique(uniq)
     need_arr = pa.array(need, pa.int64())
