@@ -27,6 +27,11 @@ def main(argv=None) -> int:
     ap.add_argument("--cpus", type=int, default=32)
     ap.add_argument("--which", default="simhash",
                     choices=["simhash", "minhash"])
+    ap.add_argument("--max-hamming", type=int, default=3,
+                    help="simhash verify threshold; 0 keeps the banding "
+                         "+ shuffle + verify work identical while the "
+                         "OUTPUT stays tiny (A/B the shuffle, not the "
+                         "pair materialization)")
     args = ap.parse_args(argv)
 
     import ray
@@ -58,7 +63,7 @@ def main(argv=None) -> int:
     t0 = time.perf_counter()
     if args.which == "simhash":
         from vfs_index_ray.functions.dedup import simhash_near_dups
-        out = simhash_near_dups(ds, max_hamming=3)
+        out = simhash_near_dups(ds, max_hamming=args.max_hamming)
         n = out.num_rows
     else:
         from vfs_index_ray.functions.dedup import minhash_candidates
@@ -66,6 +71,7 @@ def main(argv=None) -> int:
         n = out.num_rows
     sec = time.perf_counter() - t0
     print(json.dumps({"which": args.which, "docs": args.docs,
+                      "max_hamming": args.max_hamming,
                       "cpus": args.cpus, "pairs": int(n),
                       "sec": round(sec, 2)}))
     ray.shutdown()

@@ -82,6 +82,14 @@ class BruteForceTopK:
         })
 
 
+def _ann_brute_batch(batch: pa.Table, *, queries_ref, k, vec_col, id_col,
+                     exclude_self) -> pa.Table:
+    """Per-batch brute-force top-k as a stateless task: construction
+    cost is one zero-copy broadcast read + a tiny normalization."""
+    return BruteForceTopK(queries_ref, k=k, vec_col=vec_col,
+                          id_col=id_col, exclude_self=exclude_self)(batch)
+
+
 def ann_cosine_topk(ds, query_ids: list[int], k: int = 5,
                     vec_col: str = "embedding", id_col: str = "vec_id",
                     exclude_self: bool = True,
@@ -106,17 +114,20 @@ def ann_cosine_topk(ds, query_ids: list[int], k: int = 5,
     qids = [r[id_col] for r in qrows]
     ref = ray.put((qids, qmat))
 
-    # auto-size the actor pool to the cluster: the matmul stage is the
-    # compute-heavy path of brute-force ANN and must not be capped at a
-    # fixed actor count (elastic 1..CPUs, same shape as band_concurrency)
-    if concurrency is None:
-        concurrency = (1, max(2, int(
-            ray.cluster_resources().get("CPU", 8))))
+    # stateless TASKS, not an actor pool: the per-batch state (ray.get
+    # of the broadcast ref = zero-copy local object-store hit, plus
+    # normalizing a k×dim query matrix) is microseconds, so tasks get
+    # full elastic parallelism with no pool-startup churn and no fixed
+    # actor cap (the round-3 code pinned concurrency=2 actors — a
+    # starvation cap at scale; measured A/B in BASELINE.md).
+    # concurrency=None → Ray schedules tasks across the cluster; an int
+    # caps concurrent tasks.
+    kw = {} if concurrency is None else {"concurrency": concurrency}
     partials = ds.map_batches(
-        BruteForceTopK, fn_constructor_kwargs=dict(
+        _ann_brute_batch, fn_kwargs=dict(
             queries_ref=ref, k=k, vec_col=vec_col, id_col=id_col,
             exclude_self=exclude_self),
-        batch_format="pyarrow", concurrency=concurrency).take_all()
+        batch_format="pyarrow", **kw).take_all()
     if not partials:
         return pa.table({"query_id": pa.array([], pa.int64()),
                          "vec_id": pa.array([], pa.int64()),
