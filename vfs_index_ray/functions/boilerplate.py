@@ -1,0 +1,174 @@
+"""Corpus-level boilerplate removal (frequent-unit pruning).
+
+The CCNet / RefinedWeb webtext-cleanup shape: a unit (a LINE for real
+pages — nav bars, cookie banners, footers — or a TOKEN for df-based
+vocabulary pruning) that occurs in at least ``min_docs`` distinct
+documents corpus-wide is boilerplate; it is removed from every document
+and the text is rebuilt from the surviving units in original order.
+
+Reference parity note: vfs-index itself has no corpus-level rewrite —
+this is one of the beyond-reference LLM-data operators (brief: "the
+operations a large-scale training-data pipeline would need"). The
+100-TB shape:
+
+- phase 1 (map_batches): per-batch PARTIAL distinct-doc counts per unit
+  (Arrow C++ hash aggregation) — each batch ships at most its distinct
+  units, never its occurrences;
+- phase 2: corpus-wide sum + threshold filter over the partials as a
+  hive-partitioned DISK shuffle (``part = fnv(unit) % P`` parquet
+  write, then P independent per-part sum/filter tasks) — the same
+  pattern as the index build's postings shuffle and the LSH band
+  stages, avoiding Ray Data's pull-based sort shuffle (measured in-repo
+  to anti-scale at high core counts);
+- phase 3 (map_batches): the surviving frequent-unit set is SMALL (the
+  head of the df distribution) — broadcast once via ``ray.put``, then
+  one vectorized ``is_in`` + list-rebuild + ``binary_join`` pass per
+  batch. No per-row Python, no driver materialization of the corpus.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+_SEPS = {"line": "\n", "token": " "}
+
+
+def _group_counts(t: pa.Table, keys: list[str], agg: list[tuple]) -> pa.Table:
+    """Arrow hash aggregation, single-threaded (runs inside concurrent
+    Ray tasks — threads x tasks oversubscription otherwise)."""
+    try:
+        return pa.TableGroupBy(t, keys, use_threads=False).aggregate(agg)
+    except TypeError:  # older pyarrow: no use_threads kwarg
+        return pa.TableGroupBy(t, keys).aggregate(agg)
+
+
+def frequent_units(ds, *, min_docs: int, unit: str = "line",
+                   text_col: str = "text", num_parts: int | None = None,
+                   spill_dir: str | None = None) -> pa.Array:
+    """Return the units occurring in >= ``min_docs`` distinct documents
+    (exact string semantics end-to-end — hashing is only the partition
+    key, never the equality test, so collisions cannot merge counts)."""
+    import os
+    import shutil
+    import tempfile
+
+    import ray
+
+    from ..hashing import fnv1a64_tokens
+
+    sep = _SEPS[unit]
+    if num_parts is None:
+        num_parts = max(8, int(ray.cluster_resources().get("CPU", 8)))
+
+    def partial_counts(batch: pa.Table) -> pa.Table:
+        texts = batch[text_col]
+        if isinstance(texts, pa.ChunkedArray):
+            texts = texts.combine_chunks()
+        units = pc.split_pattern(texts, pattern=sep)
+        flat = pc.list_flatten(units)
+        parent = pc.list_parent_indices(units)
+        pairs = _group_counts(pa.table({"unit": flat, "p": parent}),
+                              ["unit", "p"], [])
+        cnt = _group_counts(pairs, ["unit"], [("p", "count")])
+        u = cnt["unit"]
+        if isinstance(u, pa.ChunkedArray):
+            u = u.combine_chunks()
+        part = (fnv1a64_tokens(u) % np.uint64(num_parts)).astype(np.int32)
+        return pa.table({
+            "unit": u,
+            "n": cnt["p_count"].cast(pa.int64()),
+            "part": pa.array(part, pa.int32()),
+        })
+
+    own = spill_dir is None
+    spill = spill_dir or tempfile.mkdtemp(prefix="boiler_", dir="/tmp")
+    try:
+        (ds.map_batches(partial_counts, batch_format="pyarrow")
+           .write_parquet(spill, partition_cols=["part"]))
+        part_dirs = sorted(os.path.join(spill, d) for d in os.listdir(spill)
+                           if d.startswith("part="))
+        if not part_dirs:
+            return pa.array([], pa.string())
+
+        @ray.remote(num_cpus=1)
+        def one_part(pdir: str) -> pa.Array:
+            import pyarrow.parquet as pq
+            t = pq.read_table(pdir, columns=["unit", "n"],
+                              use_threads=False)
+            g = _group_counts(t, ["unit"], [("n", "sum")])
+            keep = pc.greater_equal(g["n_sum"], pa.scalar(min_docs))
+            out = g.filter(keep)["unit"]
+            return (out.combine_chunks()
+                    if isinstance(out, pa.ChunkedArray) else out)
+        parts = ray.get([one_part.remote(d) for d in part_dirs])
+        parts = [p for p in parts if len(p)]
+        if not parts:
+            return pa.array([], pa.string())
+        return pa.concat_arrays(parts)
+    finally:
+        if own:
+            shutil.rmtree(spill, ignore_errors=True)
+
+
+def remove_boilerplate(ds, *, min_docs: int | None = None,
+                       min_frac: float | None = None, unit: str = "line",
+                       text_col: str = "text", id_col: str = "doc_id",
+                       num_parts: int | None = None):
+    """Remove corpus-frequent units from every document.
+
+    Exactly one of ``min_docs`` (absolute distinct-doc count) or
+    ``min_frac`` (fraction of the corpus; the threshold becomes
+    ``ceil(min_frac * N)`` in exact integer arithmetic) must be given.
+    Returns a Dataset of ``(id_col, text, n_removed)``; a document whose
+    every unit is boilerplate keeps an empty string.
+    """
+    import ray
+
+    if (min_docs is None) == (min_frac is None):
+        raise ValueError("pass exactly one of min_docs / min_frac")
+    sep = _SEPS[unit]
+    if min_docs is None:
+        n_corpus = ds.count()
+        # ceil(frac * N) without float: frac given as e.g. 0.79 -> 79/100
+        num = int(round(min_frac * 100))
+        min_docs = -(-(num * n_corpus) // 100)
+    freq = frequent_units(ds, min_docs=min_docs, unit=unit,
+                          text_col=text_col, num_parts=num_parts)
+    freq_ref = ray.put(freq)
+
+    def scrub(batch: pa.Table) -> pa.Table:
+        bad_set = ray.get(freq_ref)
+        texts = batch[text_col]
+        if isinstance(texts, pa.ChunkedArray):
+            texts = texts.combine_chunks()
+        units = pc.split_pattern(texts, pattern=sep)
+        flat = pc.list_flatten(units)
+        parent = pc.list_parent_indices(units).to_numpy(
+            zero_copy_only=False)
+        n = batch.num_rows
+        if len(bad_set):
+            bad = pc.is_in(flat, value_set=bad_set).to_numpy(
+                zero_copy_only=False)
+        else:
+            bad = np.zeros(len(flat), bool)
+        keep = ~bad
+        kept = flat.filter(pa.array(keep))
+        kept_per_doc = np.bincount(parent[keep], minlength=n)
+        offsets = np.zeros(n + 1, np.int64)
+        np.cumsum(kept_per_doc, out=offsets[1:])
+        # large offsets: joined output can exceed int32 list offsets
+        lst = pa.LargeListArray.from_arrays(
+            pa.array(offsets, pa.int64()), kept)
+        text = pc.binary_join(lst, sep)
+        if text.type != pa.string():
+            text = text.cast(pa.string())
+        n_removed = np.bincount(parent[bad], minlength=n).astype(np.int64)
+        return pa.table({
+            id_col: batch[id_col],
+            "text": text,
+            "n_removed": pa.array(n_removed, pa.int64()),
+        })
+
+    return ds.map_batches(scrub, batch_format="pyarrow")

@@ -182,6 +182,68 @@ class GopherQuality:
         })
 
 
+class RepetitionStats:
+    """Word-bigram repetition signals (the Gopher-family duplicate-
+    n-gram filters, Rae et al. 2021 public recipe):
+
+    - ``n_bigrams``: adjacent word pairs in the doc (``max(0, n_tok-1)``);
+    - ``dup_bigram_frac_x1e4``: fraction of bigram occurrences that are
+      repeats (``1 - distinct/total``) — high on looped / spammy text;
+    - ``top_bigram_frac_x1e4``: share of the single most frequent bigram.
+
+    One split + one element-wise join + one Arrow hash aggregation per
+    batch; per-doc reductions are bincount / maximum.at — no row loops.
+    Exact-string bigram equality (space-joined pair), never hashes, so
+    the DuckDB oracle (ord+1 self-join) matches bit-for-bit.
+    """
+
+    def __init__(self, text_col: str = "text", id_col: str = "doc_id"):
+        self.text_col = text_col
+        self.id_col = id_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        texts = batch[self.text_col]
+        if isinstance(texts, pa.ChunkedArray):
+            texts = texts.combine_chunks()
+        n = batch.num_rows
+        toks = pc.split_pattern(texts, pattern=" ")
+        flat = pc.list_flatten(toks)
+        parent = pc.list_parent_indices(toks).to_numpy(
+            zero_copy_only=False)
+        m = len(flat)
+        n_big = np.zeros(n, np.int64)
+        n_dist = np.zeros(n, np.int64)
+        mx = np.zeros(n, np.int64)
+        if m >= 2:
+            same = parent[1:] == parent[:-1]
+            bg = pc.binary_join_element_wise(
+                flat.slice(0, m - 1), flat.slice(1), " ")
+            pi = parent[:-1][same]
+            bgf = bg.filter(pa.array(same))
+            n_big = np.bincount(pi, minlength=n).astype(np.int64)
+            grp = pa.table({"p": pa.array(pi), "bg": bgf})
+            try:
+                g = pa.TableGroupBy(grp, ["p", "bg"],
+                                    use_threads=False).aggregate(
+                    [("bg", "count")])
+            except TypeError:
+                g = pa.TableGroupBy(grp, ["p", "bg"]).aggregate(
+                    [("bg", "count")])
+            gp = g["p"].to_numpy(zero_copy_only=False)
+            gc = g["bg_count"].to_numpy(zero_copy_only=False)
+            n_dist = np.bincount(gp, minlength=n).astype(np.int64)
+            np.maximum.at(mx, gp, gc)
+        safe = np.maximum(n_big, 1).astype(np.float64)
+        dup = (n_big - n_dist) / safe
+        top = np.where(n_big > 0, mx / safe, 0.0)
+        return pa.table({
+            "doc_id": batch[self.id_col],
+            "n_bigrams": pa.array(n_big, pa.int64()),
+            "dup_bigram_frac_x1e4": pa.array(_x1e4(dup), pa.int64()),
+            "top_bigram_frac_x1e4": pa.array(_x1e4(top), pa.int64()),
+        })
+
+
 def top_terms(ds, k: int = 20, text_col: str = "text"):
     """Exact corpus-wide top-k frequent terms (vocabulary head /
     stop-word discovery): per-batch partial counts (vectorized

@@ -1144,6 +1144,35 @@ def q_federated_bm25(sf_dir: str) -> pa.Table:
     })
 
 
+def q_prune_boilerplate(sf_dir: str) -> pa.Table:
+    """Corpus-level frequent-unit removal (the CCNet/RefinedWeb
+    boilerplate-dedup shape, token unit on this corpus): partial
+    distinct-doc counts per batch → hive-partitioned disk-shuffle sum +
+    threshold (100*df >= 79*N, exact integers) → broadcast frequent set
+    → one vectorized is_in + binary_join rebuild pass."""
+    from ..functions.boilerplate import remove_boilerplate
+    ds = _docs_ds(sf_dir, columns=["doc_id", "text"])
+    out = remove_boilerplate(ds, min_frac=0.79, unit="token")
+    tbl = pa.Table.from_pylist(out.take_all())
+    return tbl.select(["doc_id", "text", "n_removed"]).cast(pa.schema([
+        ("doc_id", pa.int64()), ("text", pa.string()),
+        ("n_removed", pa.int64())]))
+
+
+def q_repetition_stats(sf_dir: str) -> pa.Table:
+    """Per-doc word-bigram repetition signals (Gopher dup-n-gram family):
+    split + element-wise join + Arrow hash aggregation per batch."""
+    from ..functions.textstats import RepetitionStats
+    ds = _docs_ds(sf_dir, columns=["doc_id", "text"])
+    out = ds.map_batches(RepetitionStats(), batch_format="pyarrow")
+    tbl = pa.Table.from_pylist(out.take_all())
+    return tbl.select(["doc_id", "n_bigrams", "dup_bigram_frac_x1e4",
+                       "top_bigram_frac_x1e4"]).cast(pa.schema([
+        ("doc_id", pa.int64()), ("n_bigrams", pa.int64()),
+        ("dup_bigram_frac_x1e4", pa.int64()),
+        ("top_bigram_frac_x1e4", pa.int64())]))
+
+
 # ---------------------------------------------------------------------------
 # registry + oracle SQL
 # ---------------------------------------------------------------------------
@@ -1207,6 +1236,8 @@ QUERIES = {
     "pack_budget": q_pack_budget,
     "label_classify": q_label_classify,
     "nearest": q_nearest,
+    "prune_boilerplate": q_prune_boilerplate,
+    "repetition_stats": q_repetition_stats,
 }
 
 _STOP_SQL = "['the','and','of','to','a','in','is','it']"
@@ -1894,6 +1925,63 @@ WITH tok AS (
   FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
 SELECT doc_a, doc_b, hamming FROM p WHERE hamming <= 3
 ORDER BY doc_a, doc_b
+""",
+    # corpus-level frequent-token pruning: threshold in exact integer
+    # arithmetic (100*df >= 79*N == df >= ceil(0.79*N)); string_agg
+    # skips the NULLed-out boilerplate tokens, preserving token order.
+    "prune_boilerplate": """
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS tok,
+         generate_subscripts(string_split(text, ' '), 1) AS ord
+  FROM documents
+), freq AS (
+  SELECT tok FROM (
+    SELECT tok, count(DISTINCT doc_id) AS df FROM toks GROUP BY tok
+  ) WHERE 100 * df >= 79 * (SELECT count(*) FROM documents)
+), marked AS (
+  SELECT doc_id, tok, ord,
+         tok IN (SELECT tok FROM freq) AS bad
+  FROM toks
+), agg AS (
+  SELECT doc_id,
+         string_agg(CASE WHEN NOT bad THEN tok END, ' ' ORDER BY ord)
+           AS text,
+         sum(CASE WHEN bad THEN 1 ELSE 0 END)::BIGINT AS n_removed
+  FROM marked GROUP BY doc_id
+)
+SELECT d.doc_id, coalesce(a.text, '') AS text,
+       coalesce(a.n_removed, 0)::BIGINT AS n_removed
+FROM documents d LEFT JOIN agg a USING (doc_id)
+ORDER BY d.doc_id
+""",
+    # word-bigram repetition: ord+1 self-join builds the bigrams; the
+    # fp64 ratio association (divide, then *10000, then floor(+0.5))
+    # mirrors the engine's _x1e4 exactly.
+    "repetition_stats": """
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS tok,
+         generate_subscripts(string_split(text, ' '), 1) AS ord
+  FROM documents
+), big AS (
+  SELECT a.doc_id, a.tok || ' ' || b.tok AS bg
+  FROM toks a JOIN toks b ON a.doc_id = b.doc_id AND b.ord = a.ord + 1
+), cnt AS (
+  SELECT doc_id, bg, count(*) AS c FROM big GROUP BY doc_id, bg
+), per AS (
+  SELECT doc_id, sum(c)::BIGINT AS n_bigrams,
+         count(*)::BIGINT AS n_distinct, max(c)::BIGINT AS max_c
+  FROM cnt GROUP BY doc_id
+)
+SELECT d.doc_id,
+  coalesce(p.n_bigrams, 0)::BIGINT AS n_bigrams,
+  CASE WHEN coalesce(p.n_bigrams, 0) = 0 THEN 0
+       ELSE floor(((p.n_bigrams - p.n_distinct)::DOUBLE / p.n_bigrams)
+                  * 10000 + 0.5) END::BIGINT AS dup_bigram_frac_x1e4,
+  CASE WHEN coalesce(p.n_bigrams, 0) = 0 THEN 0
+       ELSE floor((p.max_c::DOUBLE / p.n_bigrams)
+                  * 10000 + 0.5) END::BIGINT AS top_bigram_frac_x1e4
+FROM documents d LEFT JOIN per p USING (doc_id)
+ORDER BY d.doc_id
 """,
     # minhash LSH candidate stage / media pipelines: remaining rows-only
     # checks (approximate IVF + Philox-noise media are approximate or
