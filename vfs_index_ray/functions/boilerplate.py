@@ -44,12 +44,16 @@ def _group_counts(t: pa.Table, keys: list[str], agg: list[tuple]) -> pa.Table:
         return pa.TableGroupBy(t, keys).aggregate(agg)
 
 
-def frequent_units(ds, *, min_docs: int, unit: str = "line",
-                   text_col: str = "text", num_parts: int | None = None,
-                   spill_dir: str | None = None) -> pa.Array:
-    """Return the units occurring in >= ``min_docs`` distinct documents
+def unit_doc_frequencies(ds, *, min_docs: int = 1, unit: str = "line",
+                         text_col: str = "text",
+                         num_parts: int | None = None,
+                         spill_dir: str | None = None) -> pa.Table:
+    """Corpus-wide unit document frequencies: an (``unit``, ``df``)
+    table of every unit occurring in >= ``min_docs`` distinct documents
     (exact string semantics end-to-end — hashing is only the partition
-    key, never the equality test, so collisions cannot merge counts)."""
+    key, never the equality test, so collisions cannot merge counts).
+    The threshold filter runs inside the per-part tasks, so only
+    survivors cross the wire."""
     import os
     import shutil
     import tempfile
@@ -87,29 +91,43 @@ def frequent_units(ds, *, min_docs: int, unit: str = "line",
     try:
         (ds.map_batches(partial_counts, batch_format="pyarrow")
            .write_parquet(spill, partition_cols=["part"]))
+        empty = pa.table({"unit": pa.array([], pa.string()),
+                          "df": pa.array([], pa.int64())})
         part_dirs = sorted(os.path.join(spill, d) for d in os.listdir(spill)
                            if d.startswith("part="))
         if not part_dirs:
-            return pa.array([], pa.string())
+            return empty
 
         @ray.remote(num_cpus=1)
-        def one_part(pdir: str) -> pa.Array:
+        def one_part(pdir: str) -> pa.Table:
             import pyarrow.parquet as pq
             t = pq.read_table(pdir, columns=["unit", "n"],
                               use_threads=False)
             g = _group_counts(t, ["unit"], [("n", "sum")])
             keep = pc.greater_equal(g["n_sum"], pa.scalar(min_docs))
-            out = g.filter(keep)["unit"]
-            return (out.combine_chunks()
-                    if isinstance(out, pa.ChunkedArray) else out)
+            g = g.filter(keep)
+            return pa.table({"unit": g["unit"],
+                             "df": g["n_sum"].cast(pa.int64())})
         parts = ray.get([one_part.remote(d) for d in part_dirs])
-        parts = [p for p in parts if len(p)]
+        parts = [p for p in parts if p.num_rows]
         if not parts:
-            return pa.array([], pa.string())
-        return pa.concat_arrays(parts)
+            return empty
+        return pa.concat_tables(parts).combine_chunks()
     finally:
         if own:
             shutil.rmtree(spill, ignore_errors=True)
+
+
+def frequent_units(ds, *, min_docs: int, unit: str = "line",
+                   text_col: str = "text", num_parts: int | None = None,
+                   spill_dir: str | None = None) -> pa.Array:
+    """Units occurring in >= ``min_docs`` distinct documents (the
+    boilerplate set): the unit column of ``unit_doc_frequencies``."""
+    t = unit_doc_frequencies(ds, min_docs=min_docs, unit=unit,
+                             text_col=text_col, num_parts=num_parts,
+                             spill_dir=spill_dir)
+    u = t["unit"]
+    return u.combine_chunks() if isinstance(u, pa.ChunkedArray) else u
 
 
 def remove_boilerplate(ds, *, min_docs: int | None = None,

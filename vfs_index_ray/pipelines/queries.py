@@ -1159,6 +1159,31 @@ def q_prune_boilerplate(sf_dir: str) -> pa.Table:
         ("n_removed", pa.int64())]))
 
 
+def q_token_df(sf_dir: str) -> pa.Table:
+    """Corpus vocabulary statistics: (token, df) document frequencies
+    via partial distinct-doc counts + hive-partitioned disk-shuffle
+    sum (the postings-shuffle pattern; no Ray Data sort shuffle)."""
+    from ..functions.boilerplate import unit_doc_frequencies
+    ds = _docs_ds(sf_dir, columns=["doc_id", "text"])
+    t = unit_doc_frequencies(ds, unit="token")
+    return t.select(["unit", "df"]).cast(pa.schema([
+        ("unit", pa.string()), ("df", pa.int64())]))
+
+
+def q_doc_keywords(sf_dir: str) -> pa.Table:
+    """Per-doc top-3 keywords by corpus rarity (df asc, tf desc, token
+    asc — the integer-exact tf-idf core): broadcast byte-sorted vocab,
+    one Arrow hash aggregation + integer lexsort per batch."""
+    from ..functions.keywords import doc_keywords
+    ds = _docs_ds(sf_dir, columns=["doc_id", "text"])
+    out = doc_keywords(ds, k=3, unit="token")
+    tbl = pa.Table.from_pylist(out.take_all())
+    return tbl.select(["doc_id", "rank", "token", "tf", "df"]).cast(
+        pa.schema([("doc_id", pa.int64()), ("rank", pa.int64()),
+                   ("token", pa.string()), ("tf", pa.int64()),
+                   ("df", pa.int64())]))
+
+
 def q_repetition_stats(sf_dir: str) -> pa.Table:
     """Per-doc word-bigram repetition signals (Gopher dup-n-gram family):
     split + element-wise join + Arrow hash aggregation per batch."""
@@ -1238,6 +1263,8 @@ QUERIES = {
     "nearest": q_nearest,
     "prune_boilerplate": q_prune_boilerplate,
     "repetition_stats": q_repetition_stats,
+    "token_df": q_token_df,
+    "doc_keywords": q_doc_keywords,
 }
 
 _STOP_SQL = "['the','and','of','to','a','in','is','it']"
@@ -1982,6 +2009,36 @@ SELECT d.doc_id,
                   * 10000 + 0.5) END::BIGINT AS top_bigram_frac_x1e4
 FROM documents d LEFT JOIN per p USING (doc_id)
 ORDER BY d.doc_id
+""",
+    # vocabulary document frequencies — the broadcast small side of the
+    # keyword extractor, checked corpus-wide
+    "token_df": """
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+)
+SELECT tok AS unit, count(DISTINCT doc_id)::BIGINT AS df
+FROM toks GROUP BY tok ORDER BY unit
+""",
+    # rare-term keyword extraction: integer-only ordering (df asc, tf
+    # desc, token asc) so engine and oracle are bit-identical with no
+    # floats; row_number ties are impossible (token is unique per doc)
+    "doc_keywords": """
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+), tf AS (
+  SELECT doc_id, tok, count(*)::BIGINT AS tf FROM toks
+  GROUP BY doc_id, tok
+), dfs AS (
+  SELECT tok, count(DISTINCT doc_id)::BIGINT AS df FROM toks GROUP BY tok
+), r AS (
+  SELECT t.doc_id, t.tok, t.tf, d.df,
+         row_number() OVER (PARTITION BY t.doc_id
+                            ORDER BY d.df ASC, t.tf DESC, t.tok ASC)
+           AS rnk
+  FROM tf t JOIN dfs d USING (tok)
+)
+SELECT doc_id, rnk::BIGINT AS rank, tok AS token, tf, df
+FROM r WHERE rnk <= 3 ORDER BY doc_id, rnk
 """,
     # minhash LSH candidate stage / media pipelines: remaining rows-only
     # checks (approximate IVF + Philox-noise media are approximate or
