@@ -176,6 +176,101 @@ def latest_per_key(events_ds, *, key_col: str = "user_id",
             .map_groups(per_part, batch_format="pyarrow"))
 
 
+def _asof_kernel(t: pa.Table, user_col: str, ts_col: str, id_col: str,
+                 type_col: str, left_type: str, right_type: str
+                 ) -> pa.Table:
+    """One key-partition → for every LEFT-type row, the most recent
+    strictly-preceding RIGHT-type row of the same key in (ts, id)
+    order. Vectorized segment trick: after the (user, ts, id) lexsort,
+    a running max of right-row indices needs no per-segment reset —
+    any right index inside the current user's run is larger than every
+    index of earlier runs, so a stale carry-over can only ever lose to
+    an in-segment hit and is rejected by comparing against the run's
+    first index."""
+    import pyarrow.compute as pc
+    empty = pa.table({
+        "event_id": pa.array([], pa.int64()),
+        user_col: pa.array([], pa.int64()),
+        "match_event_id": pa.array([], pa.int64()),
+        "lag_us": pa.array([], pa.int64()),
+    })
+    n = t.num_rows
+    if n == 0:
+        return empty
+    u = t[user_col].to_numpy(zero_copy_only=False).astype(np.int64)
+    ts = t[ts_col].to_numpy(zero_copy_only=False).astype("datetime64[us]"
+                                                         ).astype(np.int64)
+    ids = t[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+    typ = t[type_col]
+    if isinstance(typ, pa.ChunkedArray):
+        typ = typ.combine_chunks()
+    is_l = pc.equal(typ, pa.scalar(left_type)).to_numpy(
+        zero_copy_only=False).astype(bool)
+    is_r = pc.equal(typ, pa.scalar(right_type)).to_numpy(
+        zero_copy_only=False).astype(bool)
+    order = np.lexsort((ids, ts, u))
+    u_s, ts_s, id_s = u[order], ts[order], ids[order]
+    ir, il = is_r[order], is_l[order]
+    idx = np.arange(n, dtype=np.int64)
+    new_user = np.empty(n, bool)
+    new_user[0] = True
+    new_user[1:] = u_s[1:] != u_s[:-1]
+    base = np.maximum.accumulate(np.where(new_user, idx, 0))
+    cm = np.maximum.accumulate(np.where(ir, idx, -1))
+    prev = np.concatenate([[-1], cm[:-1]])    # strictly preceding
+    ok_all = prev >= base                      # same user run
+    li = np.flatnonzero(il)
+    if len(li) == 0:
+        return empty
+    j = np.maximum(prev[li], 0)
+    ok = ok_all[li]
+    return pa.table({
+        "event_id": pa.array(id_s[li], pa.int64()),
+        user_col: pa.array(u_s[li], pa.int64()),
+        "match_event_id": pa.array(
+            np.where(ok, id_s[j], -1), pa.int64()),
+        "lag_us": pa.array(np.where(ok, ts_s[li] - ts_s[j], -1),
+                           pa.int64()),
+    })
+
+
+def asof_prior(events_ds, *, left_type: str, right_type: str,
+               user_col: str = "user_id", ts_col: str = "ts",
+               id_col: str = "event_id", type_col: str = "event_type",
+               num_partitions: int = 32):
+    """As-of join inside one event log: every LEFT-type event matched
+    to the latest RIGHT-type event of the same key that strictly
+    precedes it in (ts, id) order — the temporal-attribution shape
+    (purchase → most recent prior click). Rows with no prior match
+    carry ``match_event_id = lag_us = -1``.
+
+    Ray Data has no native as-of join; the composition is the
+    sessionize shuffle shape (SURVEY §2.10): filter to the two types
+    (column/row pruning belongs at the read), ONE uniform
+    hash-partition groupby on the key, then a single vectorized
+    running-max kernel per partition. Keys partition independently, so
+    this scales exactly like sessionize at 100 TB."""
+    import pyarrow.compute as pc
+
+    def add_part(t: pa.Table) -> pa.Table:
+        keep = pc.is_in(t[type_col],
+                        value_set=pa.array([left_type, right_type]))
+        t = t.filter(keep)
+        uid = t[user_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        return t.append_column(
+            "upart", pa.array(uid % num_partitions, pa.int64()))
+
+    def per_part(g: pa.Table) -> pa.Table:
+        return _asof_kernel(g, user_col, ts_col, id_col, type_col,
+                            left_type, right_type)
+
+    return (events_ds
+            .map_batches(add_part, batch_format="pyarrow",
+                         zero_copy_batch=True)
+            .groupby("upart")
+            .map_groups(per_part, batch_format="pyarrow"))
+
+
 def _pack_kernel(t: pa.Table, key_col: str, order_col: str,
                  weight_col: str, budget: int) -> pa.Table:
     """One key-partition → pack ids: rows (ordered by ``order_col``

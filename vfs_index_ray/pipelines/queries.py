@@ -1159,6 +1159,25 @@ def q_prune_boilerplate(sf_dir: str) -> pa.Table:
         ("n_removed", pa.int64())]))
 
 
+def q_events_asof(sf_dir: str) -> pa.Table:
+    """As-of join: each purchase matched to the same user's most recent
+    strictly-prior click ((ts, event_id) order; -1 when none). The
+    sessionize shuffle shape + one vectorized running-max kernel per
+    partition."""
+    from ..functions.windows import asof_prior
+    import ray.data
+    _tune_context()
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["event_id", "ts", "user_id", "event_type"])
+    out = asof_prior(ds, left_type="purchase", right_type="click")
+    tbl = pa.Table.from_pylist(out.take_all())
+    return tbl.select(["event_id", "user_id", "match_event_id",
+                       "lag_us"]).cast(pa.schema([
+        ("event_id", pa.int64()), ("user_id", pa.int64()),
+        ("match_event_id", pa.int64()), ("lag_us", pa.int64())]))
+
+
 def q_token_df(sf_dir: str) -> pa.Table:
     """Corpus vocabulary statistics: (token, df) document frequencies
     via partial distinct-doc counts + hive-partitioned disk-shuffle
@@ -1265,6 +1284,7 @@ QUERIES = {
     "repetition_stats": q_repetition_stats,
     "token_df": q_token_df,
     "doc_keywords": q_doc_keywords,
+    "events_asof": q_events_asof,
 }
 
 _STOP_SQL = "['the','and','of','to','a','in','is','it']"
@@ -2009,6 +2029,33 @@ SELECT d.doc_id,
                   * 10000 + 0.5) END::BIGINT AS top_bigram_frac_x1e4
 FROM documents d LEFT JOIN per p USING (doc_id)
 ORDER BY d.doc_id
+""",
+    # as-of join: last_value IGNORE NULLS over ROWS ... 1 PRECEDING is
+    # exactly "latest strictly-prior right-type row in (ts, id) order";
+    # -1 sentinels keep the match columns pure BIGINT for the hash
+    "events_asof": """
+WITH ev AS (
+  SELECT event_id, user_id, ts, event_type FROM events
+  WHERE event_type IN ('click', 'purchase')
+), w AS (
+  SELECT event_id, user_id, ts, event_type,
+         last_value(CASE WHEN event_type = 'click' THEN event_id END
+                    IGNORE NULLS)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+           AS m_id,
+         last_value(CASE WHEN event_type = 'click' THEN ts END
+                    IGNORE NULLS)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+           AS m_ts
+  FROM ev
+)
+SELECT event_id, user_id,
+       coalesce(m_id, -1)::BIGINT AS match_event_id,
+       (CASE WHEN m_id IS NULL THEN -1
+             ELSE epoch_us(ts) - epoch_us(m_ts) END)::BIGINT AS lag_us
+FROM w WHERE event_type = 'purchase' ORDER BY event_id
 """,
     # vocabulary document frequencies — the broadcast small side of the
     # keyword extractor, checked corpus-wide
