@@ -271,6 +271,100 @@ def asof_prior(events_ds, *, left_type: str, right_type: str,
             .map_groups(per_part, batch_format="pyarrow"))
 
 
+def _window_count_kernel(t: pa.Table, user_col: str, ts_col: str,
+                         id_col: str, type_col: str, left_type: str,
+                         right_type: str, window_us: int) -> pa.Table:
+    """One key-partition → for every LEFT-type row, the number of
+    RIGHT-type rows of the same key inside the half-open window
+    ``(ts - window_us, ts)`` — strictly prior in (ts, id) order at the
+    top end, exclusive at the bottom. Range joins don't pack into a
+    single sortable key (user × microsecond span overflows int64), so
+    the kernel merges a PROBE row per left event at ``ts - window_us``
+    into the real stream via one lexsort and takes differences of a
+    global cumsum of right-rows: both ends of each difference live in
+    the same key run, so per-run bases cancel and no reset is needed."""
+    import pyarrow.compute as pc
+    empty = pa.table({
+        "event_id": pa.array([], pa.int64()),
+        user_col: pa.array([], pa.int64()),
+        "n_window": pa.array([], pa.int64()),
+    })
+    n = t.num_rows
+    if n == 0:
+        return empty
+    u = t[user_col].to_numpy(zero_copy_only=False).astype(np.int64)
+    ts = t[ts_col].to_numpy(zero_copy_only=False).astype("datetime64[us]"
+                                                         ).astype(np.int64)
+    ids = t[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+    typ = t[type_col]
+    if isinstance(typ, pa.ChunkedArray):
+        typ = typ.combine_chunks()
+    is_l = pc.equal(typ, pa.scalar(left_type)).to_numpy(
+        zero_copy_only=False).astype(bool)
+    is_r = pc.equal(typ, pa.scalar(right_type)).to_numpy(
+        zero_copy_only=False).astype(bool)
+    li = np.flatnonzero(is_l)
+    if len(li) == 0:
+        return empty
+    m = len(li)
+    # merged stream: n real rows (kind 0) + m probes (kind 1) at the
+    # window's low end; a probe sorts after every real row with the
+    # same (user, ts) regardless of id (ts <= low-end is excluded)
+    U = np.concatenate([u, u[li]])
+    TS = np.concatenate([ts, ts[li] - window_us])
+    ID = np.concatenate([ids, ids[li]])
+    KIND = np.concatenate([np.zeros(n, np.int8), np.ones(m, np.int8)])
+    order = np.lexsort((ID, KIND, TS, U))
+    inv = np.empty(n + m, np.int64)
+    inv[order] = np.arange(n + m)
+    cum = np.cumsum(np.concatenate([is_r, np.zeros(m, bool)])[order]
+                    .astype(np.int64))
+    at_left = cum[inv[li]] - is_r[li]          # strictly before the row
+    at_probe = cum[inv[n:]]                    # rows with ts <= low end
+    cnt = at_left - at_probe
+    return pa.table({
+        "event_id": pa.array(ids[li], pa.int64()),
+        user_col: pa.array(u[li], pa.int64()),
+        "n_window": pa.array(cnt, pa.int64()),
+    })
+
+
+def window_count_prior(events_ds, *, left_type: str, right_type: str,
+                       window_minutes: int = 60,
+                       user_col: str = "user_id", ts_col: str = "ts",
+                       id_col: str = "event_id",
+                       type_col: str = "event_type",
+                       num_partitions: int = 32):
+    """Range-join windowed aggregate: for every LEFT-type event, how
+    many RIGHT-type events of the same key fall in the sliding window
+    ``(ts - window, ts)`` strictly before it — the attribution-count
+    shape (clicks in the hour before each purchase). Same scale story
+    as ``asof_prior``: one uniform hash-partition groupby, one
+    lexsort + cumsum kernel per partition, keys fully independent."""
+    import pyarrow.compute as pc
+
+    window_us = window_minutes * 60_000_000
+
+    def add_part(t: pa.Table) -> pa.Table:
+        keep = pc.is_in(t[type_col],
+                        value_set=pa.array([left_type, right_type]))
+        t = t.filter(keep)
+        uid = t[user_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        return t.append_column(
+            "upart", pa.array(uid % num_partitions, pa.int64()))
+
+    def per_part(g: pa.Table) -> pa.Table:
+        return _window_count_kernel(g, user_col, ts_col, id_col,
+                                    type_col, left_type, right_type,
+                                    window_us)
+
+    return (events_ds
+            .map_batches(add_part, batch_format="pyarrow",
+                         zero_copy_batch=True)
+            .groupby("upart")
+            .map_groups(per_part, batch_format="pyarrow"))
+
+
 def _pack_kernel(t: pa.Table, key_col: str, order_col: str,
                  weight_col: str, budget: int) -> pa.Table:
     """One key-partition → pack ids: rows (ordered by ``order_col``

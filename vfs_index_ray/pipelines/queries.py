@@ -1178,6 +1178,23 @@ def q_events_asof(sf_dir: str) -> pa.Table:
         ("match_event_id", pa.int64()), ("lag_us", pa.int64())]))
 
 
+def q_events_window_count(sf_dir: str) -> pa.Table:
+    """Range-join windowed aggregate: clicks in the hour before each
+    purchase (same user, strictly prior in (ts, event_id) order)."""
+    from ..functions.windows import window_count_prior
+    import ray.data
+    _tune_context()
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["event_id", "ts", "user_id", "event_type"])
+    out = window_count_prior(ds, left_type="purchase",
+                             right_type="click", window_minutes=60)
+    tbl = pa.Table.from_pylist(out.take_all())
+    return tbl.select(["event_id", "user_id", "n_window"]).cast(
+        pa.schema([("event_id", pa.int64()), ("user_id", pa.int64()),
+                   ("n_window", pa.int64())]))
+
+
 def q_token_df(sf_dir: str) -> pa.Table:
     """Corpus vocabulary statistics: (token, df) document frequencies
     via partial distinct-doc counts + hive-partitioned disk-shuffle
@@ -1285,6 +1302,7 @@ QUERIES = {
     "token_df": q_token_df,
     "doc_keywords": q_doc_keywords,
     "events_asof": q_events_asof,
+    "events_window_count": q_events_window_count,
 }
 
 _STOP_SQL = "['the','and','of','to','a','in','is','it']"
@@ -2056,6 +2074,17 @@ SELECT event_id, user_id,
        (CASE WHEN m_id IS NULL THEN -1
              ELSE epoch_us(ts) - epoch_us(m_ts) END)::BIGINT AS lag_us
 FROM w WHERE event_type = 'purchase' ORDER BY event_id
+""",
+    # range-join windowed aggregate: inequality join bounds mirror the
+    # kernel's half-open (ts - 1h, ts) window with (ts, id) order
+    "events_window_count": """
+SELECT p.event_id, p.user_id, count(c.event_id)::BIGINT AS n_window
+FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+  ON c.user_id = p.user_id
+ AND c.ts > p.ts - INTERVAL 60 MINUTE
+ AND (c.ts < p.ts OR (c.ts = p.ts AND c.event_id < p.event_id))
+GROUP BY p.event_id, p.user_id ORDER BY p.event_id
 """,
     # vocabulary document frequencies — the broadcast small side of the
     # keyword extractor, checked corpus-wide
