@@ -1,0 +1,91 @@
+"""Exact distributed grouped quantiles over a fixed-point grid.
+
+Numeric telemetry summaries (latency/value percentiles per event type)
+need a distributed quantile. t-digest/KLL sketches are approximate; an
+exact answer normally needs a global sort — the shuffle this repo
+avoids on principle (Ray Data's pull-based sort shuffle measured
+anti-scaling in-repo).  This operator gets EXACT discrete quantiles
+with no sort shuffle by quantizing values to a fixed-point grid first
+(``floor(v*scale + 0.5)`` — the repo's *_x1e4 hash-compare convention):
+the working set collapses from one row per input row to one row per
+(key, grid point), which per-batch Arrow hash aggregation + a
+driver-side merge handle at any input scale.
+
+Semantics: ``quantile_disc`` over the QUANTIZED multiset, rank
+``ceil(pct * n / 100)`` (1-based) computed in integer arithmetic —
+bit-identical to DuckDB, whose decimal literals make ``q * n`` exact
+(measured: float ``ceil(0.99 * 400)`` would give 397; DuckDB and this
+module both give 396).
+
+Reference parity note: vfs-index has no quantile surface; this is a
+beyond-reference LLM-data/telemetry operator.  100-TB shape: the
+partial-counts table is bounded by keys × grid span (NOT input rows;
+e.g. values in [0, 1000] at scale 1e4 → ≤1e7 grid points per key);
+for wider grids, swap the driver merge for the hive-partitioned
+disk-shuffle sum used by ``boilerplate.unit_doc_frequencies`` — same
+pattern, same guarantees.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from .boilerplate import _group_counts
+
+
+def grouped_quantiles(ds, *, key_col: str = "event_type",
+                      val_col: str = "value",
+                      pcts: tuple[int, ...] = (50, 90, 99),
+                      scale: int = 10_000) -> pa.Table:
+    """Per-key exact discrete quantiles of ``floor(val*scale + 0.5)``.
+
+    Returns a table ``(key_col, pct, value_x1e4)`` with one row per
+    (key, pct), ordered by (key, pct).  Null values are excluded (the
+    SQL aggregate convention).
+    """
+
+    def partial(batch: pa.Table) -> pa.Table:
+        k = batch[key_col]
+        if isinstance(k, pa.ChunkedArray):
+            k = k.combine_chunks()
+        v = batch[val_col].to_numpy(zero_copy_only=False)
+        ok = ~np.isnan(v)
+        vq = np.floor(v[ok] * scale + 0.5).astype(np.int64)
+        t = pa.table({"k": k.filter(pa.array(ok)),
+                      "v": pa.array(vq, pa.int64())})
+        g = _group_counts(t, ["k", "v"], [("v", "count")])
+        return pa.table({"k": g["k"], "v": g["v"],
+                         "n": g["v_count"].cast(pa.int64())})
+
+    parts = ds.map_batches(partial, batch_format="pyarrow").take_all()
+    if not parts:
+        return pa.table({key_col: pa.array([], pa.string()),
+                         "pct": pa.array([], pa.int64()),
+                         "value_x1e4": pa.array([], pa.int64())})
+    merged = _group_counts(pa.Table.from_pylist(parts), ["k", "v"],
+                           [("n", "sum")])
+    kstr = np.asarray(merged["k"].to_pylist())   # '<U' array
+    uniq, kcode = np.unique(kstr, return_inverse=True)
+    v = merged["v"].to_numpy(zero_copy_only=False).astype(np.int64)
+    n = merged["n_sum"].to_numpy(zero_copy_only=False).astype(np.int64)
+    order = np.lexsort((v, kcode))
+    keys, v, n = uniq[kcode[order]], v[order], n[order]
+    kc = kcode[order]
+    out_k, out_p, out_v = [], [], []
+    bnd = np.flatnonzero(np.concatenate([[True], kc[1:] != kc[:-1]]))
+    ends = np.append(bnd[1:], len(kc))
+    for s, e in zip(bnd, ends):
+        cum = np.cumsum(n[s:e])
+        total = int(cum[-1])
+        for pct in pcts:
+            rank = -(-(pct * total) // 100)      # exact ceil
+            i = int(np.searchsorted(cum, rank, side="left"))
+            out_k.append(keys[s])
+            out_p.append(pct)
+            out_v.append(int(v[s + i]))
+    return pa.table({
+        key_col: pa.array(out_k, pa.string()),
+        "pct": pa.array(out_p, pa.int64()),
+        "value_x1e4": pa.array(out_v, pa.int64()),
+    })

@@ -1195,6 +1195,22 @@ def q_events_window_count(sf_dir: str) -> pa.Table:
                    ("n_window", pa.int64())]))
 
 
+def q_events_quantiles(sf_dir: str) -> pa.Table:
+    """Exact p50/p90/p99 of the event value per type over the x1e4
+    fixed-point grid — per-batch partial (key, grid) counts, no sort
+    shuffle; DuckDB-identical ceil(pct*n/100) discrete rank."""
+    from ..functions.quantiles import grouped_quantiles
+    import ray.data
+    _tune_context()
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["event_type", "value"])
+    return grouped_quantiles(ds, key_col="event_type", val_col="value",
+                             pcts=(50, 90, 99)).cast(pa.schema([
+        ("event_type", pa.string()), ("pct", pa.int64()),
+        ("value_x1e4", pa.int64())]))
+
+
 def q_token_df(sf_dir: str) -> pa.Table:
     """Corpus vocabulary statistics: (token, df) document frequencies
     via partial distinct-doc counts + hive-partitioned disk-shuffle
@@ -1303,6 +1319,7 @@ QUERIES = {
     "doc_keywords": q_doc_keywords,
     "events_asof": q_events_asof,
     "events_window_count": q_events_window_count,
+    "events_quantiles": q_events_quantiles,
 }
 
 _STOP_SQL = "['the','and','of','to','a','in','is','it']"
@@ -2085,6 +2102,27 @@ LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
  AND c.ts > p.ts - INTERVAL 60 MINUTE
  AND (c.ts < p.ts OR (c.ts = p.ts AND c.event_id < p.event_id))
 GROUP BY p.event_id, p.user_id ORDER BY p.event_id
+""",
+    # exact discrete quantiles over the quantized multiset: decimal
+    # literals keep q*n exact in DuckDB (float ceil(0.99*400) would be
+    # 397; both sides compute 396), so the grid values hash-match
+    "events_quantiles": """
+WITH v AS (
+  SELECT event_type,
+         CAST(floor(value * 10000 + 0.5) AS BIGINT) AS vq
+  FROM events WHERE value IS NOT NULL
+)
+SELECT event_type, pct, value_x1e4 FROM (
+  SELECT event_type, 50::BIGINT AS pct,
+         quantile_disc(vq, 0.50) AS value_x1e4 FROM v GROUP BY event_type
+  UNION ALL
+  SELECT event_type, 90::BIGINT, quantile_disc(vq, 0.90)
+  FROM v GROUP BY event_type
+  UNION ALL
+  SELECT event_type, 99::BIGINT, quantile_disc(vq, 0.99)
+  FROM v GROUP BY event_type
+)
+ORDER BY event_type, pct
 """,
     # vocabulary document frequencies — the broadcast small side of the
     # keyword extractor, checked corpus-wide
