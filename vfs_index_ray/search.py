@@ -164,7 +164,7 @@ def _phrase_chunk(index_dir: str, seq: list[int], by_df: list[int],
     eng = SearchEngine(index_dir, io_threads=False)
     return eng._phrase_positional_staged(
         seq, sorted(set(seq)), np.asarray(chunk_docs, np.uint64),
-        by_df=by_df)
+        by_df=by_df, doc_filter="range")
 
 
 def _phrase_chunk_remote():
@@ -177,7 +177,8 @@ def _proximity_chunk(index_dir: str, tids: list[int], window: int,
     """One candidate-doc chunk of a distributed proximity match."""
     eng = SearchEngine(index_dir, io_threads=False)
     return eng._proximity_verify(tids, window,
-                                 np.asarray(chunk_docs, np.uint64))
+                                 np.asarray(chunk_docs, np.uint64),
+                                 doc_filter="range")
 
 
 def _proximity_chunk_remote():
@@ -670,7 +671,8 @@ class SearchEngine:
         return np.sort(ids[ok])
 
     # ------------------------------------------------------------------
-    def positions_flat(self, term_ids: list[int], docs: np.ndarray
+    def positions_flat(self, term_ids: list[int], docs: np.ndarray,
+                       doc_filter: str = "in"
                        ) -> dict[int, tuple[np.ndarray, np.ndarray]]:
         """Flat positional postings for candidate docs: per term, a
         (doc_rep, ordinal) pair of aligned arrays sorted by (doc,
@@ -692,11 +694,21 @@ class SearchEngine:
             if not os.path.exists(path):
                 continue
             filters = [("term_id", "in", [np.uint64(t) for t in tids])]
-            if 0 < len(doc_set) <= 8192:
-                # small candidate set (e.g. rare∧head phrase): push the
-                # doc ids down too — rows are (term, doc)-sorted, so row
-                # groups of a head term's span prune on doc statistics
-                # instead of decoding its whole positional list
+            if len(doc_set) > 0 and doc_filter == "range":
+                # contiguous candidate chunk (the distributed pure-head
+                # fan-out): a min/max range predicate gives the same
+                # row-group pruning as an in-list for a dense span but
+                # is O(1) to evaluate per row instead of a set probe
+                # over thousands of members; exact membership is
+                # re-applied via the searchsorted pass below
+                filters.append(("doc_id", ">=", doc_set[0]))
+                filters.append(("doc_id", "<=", doc_set[-1]))
+            elif 0 < len(doc_set) <= 8192:
+                # small SCATTERED candidate set (e.g. rare∧head
+                # phrase): push the doc ids down — rows are (term,
+                # doc)-sorted, so row groups of a head term's span
+                # prune on doc statistics instead of decoding its
+                # whole positional list
                 filters.append(("doc_id", "in", list(doc_set)))  # keep
                 # np.uint64 scalars: plain ints > 2^63 overflow isin
             tbl = pq.read_table(path, filters=filters, use_threads=False)
@@ -871,8 +883,8 @@ class SearchEngine:
 
     def _phrase_positional_staged(self, seq: list[int], uniq: list[int],
                                   cand_sorted: np.ndarray,
-                                  by_df: list[int] | None = None
-                                  ) -> np.ndarray:
+                                  by_df: list[int] | None = None,
+                                  doc_filter: str = "in") -> np.ndarray:
         """Rare-pivot phrase chaining: process terms df-ASCENDING; after
         each term only phrase-start bases satisfying every occurrence so
         far survive, and the NEXT term's positional read is scoped to
@@ -897,7 +909,7 @@ class SearchEngine:
         A: np.ndarray | None = None
         live = cand_sorted
         for tid in by_df:
-            flat = self.positions_flat([tid], live)
+            flat = self.positions_flat([tid], live, doc_filter=doc_filter)
             K = self._position_keys(flat[tid], cand_sorted)
             T: np.ndarray | None = None
             for idx in idxs_of[tid]:
@@ -950,13 +962,15 @@ class SearchEngine:
         return self._proximity_verify(tids, window, cand_sorted)
 
     def _proximity_verify(self, tids: list[int], window: int,
-                          cand_sorted: np.ndarray) -> np.ndarray:
+                          cand_sorted: np.ndarray,
+                          doc_filter: str = "in") -> np.ndarray:
         # vectorized exact minimal-window test across all docs at once:
         # a doc matches iff for SOME occurrence position p,
         # max_j next_j(p) − p ≤ window, where next_j(p) is list j's first
         # occurrence ≥ p in the same doc (the optimal window's low end is
         # always an occurrence, so scanning occurrence positions is exact)
-        flat = self.positions_flat(tids, cand_sorted)
+        flat = self.positions_flat(tids, cand_sorted,
+                                   doc_filter=doc_filter)
         keys = [self._position_keys(flat[t], cand_sorted) for t in tids]
         P = sorted_union(keys) if keys else np.empty(0, np.uint64)
         if len(P) == 0:
