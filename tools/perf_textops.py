@@ -1,0 +1,95 @@
+"""Scale timings for the corpus-level text operators on the synthetic
+1.2M-page bench corpus (input_hint schema: url/warc_ts/html/text/lang).
+
+    python tools/perf_textops.py [--docs 1200000] [--cpus 32] \
+        [--ops token_df boilerplate keywords repetition]
+
+Each op streams the corpus through its full pipeline and lands in a
+parquet sink under /tmp (no driver materialization); prints one JSON
+line with per-op wall seconds.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import shutil
+import sys
+import time
+
+_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, _REPO)
+
+
+def main(argv=None) -> int:
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--docs", type=int, default=1_200_000)
+    ap.add_argument("--cpus", type=int, default=32)
+    ap.add_argument("--ops", nargs="*", default=[
+        "token_df", "boilerplate", "keywords", "repetition"])
+    args = ap.parse_args(argv)
+
+    import ray
+    if not ray.is_initialized():
+        ray.init(address="local", num_cpus=args.cpus,
+                 include_dashboard=False, logging_level="ERROR")
+    import ray.data
+    from ray.data import DataContext
+    DataContext.get_current().enable_progress_bars = False
+
+    from bench import _bench_corpus
+
+    bdir = _bench_corpus(args.docs)
+
+    def pages_ds():
+        return ray.data.read_parquet(bdir, columns=["url", "text"])
+
+    sink = "/tmp/vfsray_bench/textops_out"
+    times: dict[str, float] = {}
+    extra: dict[str, int] = {}
+
+    if "token_df" in args.ops:
+        from vfs_index_ray.functions.boilerplate import \
+            unit_doc_frequencies
+        t0 = time.perf_counter()
+        t = unit_doc_frequencies(pages_ds(), unit="token")
+        times["token_df"] = round(time.perf_counter() - t0, 3)
+        extra["vocab_size"] = t.num_rows
+
+    if "boilerplate" in args.ops:
+        from vfs_index_ray.functions.boilerplate import remove_boilerplate
+        shutil.rmtree(sink, ignore_errors=True)
+        t0 = time.perf_counter()
+        out = remove_boilerplate(pages_ds(), min_frac=0.5, unit="token",
+                                 id_col="url")
+        out.write_parquet(sink)
+        times["boilerplate"] = round(time.perf_counter() - t0, 3)
+
+    if "keywords" in args.ops:
+        from vfs_index_ray.functions.keywords import doc_keywords
+        shutil.rmtree(sink, ignore_errors=True)
+        t0 = time.perf_counter()
+        out = doc_keywords(pages_ds(), k=3, unit="token", id_col="url")
+        out.write_parquet(sink)
+        times["keywords"] = round(time.perf_counter() - t0, 3)
+
+    if "repetition" in args.ops:
+        from vfs_index_ray.functions.textstats import RepetitionStats
+        shutil.rmtree(sink, ignore_errors=True)
+        t0 = time.perf_counter()
+        out = pages_ds().map_batches(
+            RepetitionStats(text_col="text", id_col="url"),
+            batch_format="pyarrow")
+        out.write_parquet(sink)
+        times["repetition"] = round(time.perf_counter() - t0, 3)
+
+    shutil.rmtree(sink, ignore_errors=True)
+    print(json.dumps({"docs": args.docs, "cpus": args.cpus,
+                      "sec": times, **extra}))
+    ray.shutdown()
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
