@@ -228,3 +228,51 @@ def test_json_extract_int_missing_and_negative(ray_session):
         pa.string())})
     out = JsonExtractInt("k")(t)
     assert out["k"].to_pylist() == [7, -3, None, None, None]
+
+
+def test_disk_shuffle_identical_to_sort_shuffle(ray_session):
+    """The five keyed-partition ops produce identical results on the
+    hive-partitioned disk spill (default) and Ray Data's sort-shuffle
+    groupby substrates."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from vfs_index_ray.functions import windows as W
+
+    rng = np.random.default_rng(23)
+    n = 2000
+    t = pa.table({
+        "event_id": pa.array(np.arange(n, dtype=np.int64)),
+        "ts": pa.array((rng.integers(0, 86_400, n) * 1_000_000
+                        ).astype("datetime64[us]")),
+        "user_id": pa.array(rng.integers(0, 40, n)),
+        "event_type": pa.array(
+            np.array(["click", "purchase", "view"])[rng.integers(0, 3, n)]),
+        "value": pa.array(rng.random(n)),
+        "source": pa.array(
+            np.array(["a", "b", "c"])[rng.integers(0, 3, n)]),
+        "n_chars": pa.array(rng.integers(1, 500, n)),
+    })
+
+    def rows(out, keys):
+        return sorted((tuple(r[k] for k in keys) for r in out.take_all()))
+
+    for op, kw, keys in [
+        (W.sessionize, {}, ["user_id", "session_id", "session_start",
+                            "session_end", "n_events"]),
+        (W.latest_per_key, {}, ["user_id", "event_id"]),
+        (W.asof_prior, {"left_type": "purchase", "right_type": "click"},
+         ["event_id", "match_event_id", "lag_us"]),
+        (W.window_count_prior,
+         {"left_type": "purchase", "right_type": "click"},
+         ["event_id", "n_window"]),
+        (W.pack_by_budget, {"key_col": "source", "order_col": "event_id",
+                            "weight_col": "n_chars", "budget": 2048},
+         ["event_id", "pack_id"]),
+    ]:
+        ds = ray.data.from_arrow(t)
+        a = rows(op(ds, shuffle="disk", **kw), keys)
+        ds = ray.data.from_arrow(t)
+        b = rows(op(ds, shuffle="sort", **kw), keys)
+        assert a == b and len(a) > 0

@@ -1,0 +1,123 @@
+"""Scale timings for the event-log operators on a deterministic
+synthetic stream (10M events by default).
+
+    python tools/perf_events.py [--events 10000000] [--cpus 32] \
+        [--ops sessionize latest asof window quantiles]
+
+Each op runs its full pipeline to a parquet sink (or aggregate result);
+prints one JSON line with per-op wall seconds.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import shutil
+import sys
+import time
+
+_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, _REPO)
+
+
+def _events_corpus(n: int) -> str:
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    d = f"/tmp/vfsray_bench/events_{n}"
+    marker = os.path.join(d, "_done")
+    if not os.path.exists(marker):
+        shutil.rmtree(d, ignore_errors=True)
+        os.makedirs(d, exist_ok=True)
+        rng = np.random.Generator(np.random.Philox(key=[20260818, 0]))
+        nfiles = 16
+        step = (n + nfiles - 1) // nfiles
+        types = np.array(["click", "purchase", "view", "error", "signup"])
+        for i in range(nfiles):
+            m = min(step, n - i * step)
+            if m <= 0:
+                break
+            eid = np.arange(i * step, i * step + m, dtype=np.int64)
+            t = pa.table({
+                "event_id": pa.array(eid),
+                "ts": pa.array((rng.integers(0, 30 * 86_400, m)
+                                * 1_000_000).astype("datetime64[us]")),
+                "user_id": pa.array(rng.integers(0, 100_000, m)),
+                "event_type": pa.array(types[rng.integers(0, 5, m)]),
+                "value": pa.array(rng.random(m) * 100.0),
+            })
+            pq.write_table(t, os.path.join(d, f"part-{i:02d}.parquet"))
+        open(marker, "w").close()
+    return d
+
+
+def main(argv=None) -> int:
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--events", type=int, default=10_000_000)
+    ap.add_argument("--cpus", type=int, default=32)
+    ap.add_argument("--ops", nargs="*", default=[
+        "sessionize", "latest", "asof", "window", "quantiles"])
+    ap.add_argument("--shuffle", default="disk", choices=["disk", "sort"])
+    args = ap.parse_args(argv)
+
+    import ray
+    if not ray.is_initialized():
+        ray.init(address="local", num_cpus=args.cpus,
+                 include_dashboard=False, logging_level="ERROR")
+    import ray.data
+    from ray.data import DataContext
+    DataContext.get_current().enable_progress_bars = False
+
+    bdir = _events_corpus(args.events)
+    sink = "/tmp/vfsray_bench/events_out"
+    times: dict[str, float] = {}
+
+    def ds(cols):
+        return ray.data.read_parquet(bdir, columns=cols)
+
+    def run(name, out):
+        shutil.rmtree(sink, ignore_errors=True)
+        out.write_parquet(sink)
+        times[name] = round(time.perf_counter() - t0, 3)
+
+    from vfs_index_ray.functions import windows as W
+
+    if "sessionize" in args.ops:
+        t0 = time.perf_counter()
+        run("sessionize", W.sessionize(
+            ds(["event_id", "ts", "user_id"]), gap_minutes=30,
+            shuffle=args.shuffle))
+    if "latest" in args.ops:
+        t0 = time.perf_counter()
+        run("latest", W.latest_per_key(
+            ds(["event_id", "ts", "user_id", "event_type", "value"]),
+            shuffle=args.shuffle))
+    if "asof" in args.ops:
+        t0 = time.perf_counter()
+        run("asof", W.asof_prior(
+            ds(["event_id", "ts", "user_id", "event_type"]),
+            left_type="purchase", right_type="click",
+            shuffle=args.shuffle))
+    if "window" in args.ops:
+        t0 = time.perf_counter()
+        run("window", W.window_count_prior(
+            ds(["event_id", "ts", "user_id", "event_type"]),
+            left_type="purchase", right_type="click", window_minutes=60,
+            shuffle=args.shuffle))
+    if "quantiles" in args.ops:
+        from vfs_index_ray.functions.quantiles import grouped_quantiles
+        t0 = time.perf_counter()
+        t = grouped_quantiles(ds(["event_type", "value"]))
+        times["quantiles"] = round(time.perf_counter() - t0, 3)
+
+    shutil.rmtree(sink, ignore_errors=True)
+    print(json.dumps({"events": args.events, "cpus": args.cpus,
+                      "shuffle": args.shuffle, "sec": times}))
+    ray.shutdown()
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -22,6 +22,73 @@ import numpy as np
 import pyarrow as pa
 
 
+def _disk_partition_apply(ds, add_part, part_col: str, per_part,
+                          spill_dir: str | None = None):
+    """Hash-partition ``ds`` by ``part_col`` (added per batch by
+    ``add_part``) via a hive-partitioned parquet spill, then run
+    ``per_part`` once per partition as independent Ray tasks — the
+    build.py postings-shuffle pattern, replacing
+    ``groupby().map_groups()`` whose pull-based sort shuffle
+    anti-scales on high-core hosts (measured in-repo) and whose
+    per-group fns get little cross-group parallelism. The partition
+    column is consumed by the hive layout, so ``per_part`` receives
+    the partition's rows WITHOUT it. Results return as object-store
+    Arrow refs, never through the driver."""
+    import os
+    import shutil
+    import tempfile
+
+    import ray
+    import ray.data
+
+    own = spill_dir is None
+    spill = spill_dir or tempfile.mkdtemp(prefix="winpart_", dir="/tmp")
+    try:
+        (ds.map_batches(add_part, batch_format="pyarrow",
+                        zero_copy_batch=True)
+           .write_parquet(spill, partition_cols=[part_col]))
+        part_dirs = sorted(os.path.join(spill, d)
+                           for d in os.listdir(spill)
+                           if d.startswith(f"{part_col}="))
+        if not part_dirs:
+            return None
+
+        @ray.remote(num_cpus=1)
+        def one_part(pdir: str) -> pa.Table:
+            import pyarrow.parquet as pq
+            # use_threads=False: concurrent part tasks must not each
+            # spawn an Arrow thread pool
+            return per_part(pq.read_table(pdir, use_threads=False))
+
+        refs = [one_part.remote(d) for d in part_dirs]
+        ray.wait(refs, num_returns=len(refs))  # done before cleanup
+        return ray.data.from_arrow_refs(refs)
+    finally:
+        if own:
+            shutil.rmtree(spill, ignore_errors=True)
+
+
+def _keyed_partition_op(events_ds, add_part, part_col: str, per_part,
+                        shuffle: str = "disk"):
+    """Dispatch a hash-partitioned per-partition kernel over the disk
+    spill (default, the 100-TB path) or Ray Data's sort-shuffle
+    groupby (``shuffle="sort"``, kept for A/B and tiny inputs)."""
+    if shuffle == "sort":
+        return (events_ds
+                .map_batches(add_part, batch_format="pyarrow",
+                             zero_copy_batch=True)
+                .groupby(part_col)
+                .map_groups(lambda g: per_part(g.drop([part_col])),
+                            batch_format="pyarrow"))
+    out = _disk_partition_apply(events_ds, add_part, part_col, per_part)
+    if out is None:
+        # empty input: no partitions spilled; the sort path runs
+        # trivially and yields the correct (empty) output schema
+        return _keyed_partition_op(events_ds, add_part, part_col,
+                                   per_part, shuffle="sort")
+    return out
+
+
 def _sessions_kernel(t: pa.Table, gap_us: int, user_col: str,
                      ts_col: str, id_col: str) -> pa.Table:
     """All rows of one user-partition → one row per (user, session).
@@ -69,13 +136,17 @@ def _sessions_kernel(t: pa.Table, gap_us: int, user_col: str,
 
 def sessionize(events_ds, *, gap_minutes: int = 30,
                user_col: str = "user_id", ts_col: str = "ts",
-               id_col: str = "event_id", num_partitions: int = 32):
+               id_col: str = "event_id", num_partitions: int = 32,
+               shuffle: str = "disk"):
     """events → one row per (user, session): session_id (0-based per
     user, in time order), session_start, session_end, n_events.
 
-    Shuffle shape: ONE uniform hash-partition groupby on
-    ``user % num_partitions`` (size it to the cluster); the per-group fn
-    is a single vectorized kernel over the whole partition."""
+    Shuffle shape: ONE uniform hash-partition on
+    ``user % num_partitions`` (size it to the cluster); the per-part fn
+    is a single vectorized kernel over the whole partition. Default
+    substrate is the hive-partitioned disk spill
+    (``_disk_partition_apply``); ``shuffle="sort"`` keeps the Ray Data
+    groupby for A/B."""
     gap_us = gap_minutes * 60_000_000
 
     def add_part(t: pa.Table) -> pa.Table:
@@ -86,11 +157,8 @@ def sessionize(events_ds, *, gap_minutes: int = 30,
     def per_part(g: pa.Table) -> pa.Table:
         return _sessions_kernel(g, gap_us, user_col, ts_col, id_col)
 
-    return (events_ds
-            .map_batches(add_part, batch_format="pyarrow",
-                         zero_copy_batch=True)
-            .groupby("upart")
-            .map_groups(per_part, batch_format="pyarrow"))
+    return _keyed_partition_op(events_ds, add_part, "upart", per_part,
+                               shuffle=shuffle)
 
 
 class JsonExtractInt:
@@ -136,7 +204,7 @@ def _latest_kernel(t: pa.Table, key_col: str, ts_col: str,
     to max id). Vectorized: lexsort + run boundaries."""
     n = t.num_rows
     if n == 0:
-        return t.drop(["kpart"])
+        return t
     k = t[key_col].to_numpy(zero_copy_only=False).astype(np.int64)
     ts = t[ts_col].to_numpy(zero_copy_only=False).astype("datetime64[us]"
                                                          ).astype(np.int64)
@@ -148,18 +216,18 @@ def _latest_kernel(t: pa.Table, key_col: str, ts_col: str,
     last[-1] = True
     last[:-1] = ks[1:] != ks[:-1]
     keep = order[np.flatnonzero(last)]
-    return t.take(pa.array(np.sort(keep))).drop(["kpart"])
+    return t.take(pa.array(np.sort(keep)))
 
 
 def latest_per_key(events_ds, *, key_col: str = "user_id",
                    ts_col: str = "ts", id_col: str = "event_id",
-                   num_partitions: int = 32):
+                   num_partitions: int = 32, shuffle: str = "disk"):
     """Latest record per key — the re-crawl dedup shape for a web
     corpus (keep the newest snapshot per url: key=url-hash, ts=crawl
     timestamp). Shuffle shape identical to ``sessionize``: ONE uniform
-    hash-partition groupby, one vectorized kernel per partition; only
-    one row per key survives, so the output is tiny regardless of input
-    size. Ties on ts break to the larger ``id_col`` (deterministic).
+    hash-partition, one vectorized kernel per partition; only one row
+    per key survives, so the output is tiny regardless of input size.
+    Ties on ts break to the larger ``id_col`` (deterministic).
     """
     def add_part(t: pa.Table) -> pa.Table:
         kid = t[key_col].to_numpy(zero_copy_only=False).astype(np.int64)
@@ -169,11 +237,8 @@ def latest_per_key(events_ds, *, key_col: str = "user_id",
     def per_part(g: pa.Table) -> pa.Table:
         return _latest_kernel(g, key_col, ts_col, id_col)
 
-    return (events_ds
-            .map_batches(add_part, batch_format="pyarrow",
-                         zero_copy_batch=True)
-            .groupby("kpart")
-            .map_groups(per_part, batch_format="pyarrow"))
+    return _keyed_partition_op(events_ds, add_part, "kpart", per_part,
+                               shuffle=shuffle)
 
 
 def _asof_kernel(t: pa.Table, user_col: str, ts_col: str, id_col: str,
@@ -237,7 +302,7 @@ def _asof_kernel(t: pa.Table, user_col: str, ts_col: str, id_col: str,
 def asof_prior(events_ds, *, left_type: str, right_type: str,
                user_col: str = "user_id", ts_col: str = "ts",
                id_col: str = "event_id", type_col: str = "event_type",
-               num_partitions: int = 32):
+               num_partitions: int = 32, shuffle: str = "disk"):
     """As-of join inside one event log: every LEFT-type event matched
     to the latest RIGHT-type event of the same key that strictly
     precedes it in (ts, id) order — the temporal-attribution shape
@@ -264,11 +329,8 @@ def asof_prior(events_ds, *, left_type: str, right_type: str,
         return _asof_kernel(g, user_col, ts_col, id_col, type_col,
                             left_type, right_type)
 
-    return (events_ds
-            .map_batches(add_part, batch_format="pyarrow",
-                         zero_copy_batch=True)
-            .groupby("upart")
-            .map_groups(per_part, batch_format="pyarrow"))
+    return _keyed_partition_op(events_ds, add_part, "upart", per_part,
+                               shuffle=shuffle)
 
 
 def _window_count_kernel(t: pa.Table, user_col: str, ts_col: str,
@@ -334,7 +396,7 @@ def window_count_prior(events_ds, *, left_type: str, right_type: str,
                        user_col: str = "user_id", ts_col: str = "ts",
                        id_col: str = "event_id",
                        type_col: str = "event_type",
-                       num_partitions: int = 32):
+                       num_partitions: int = 32, shuffle: str = "disk"):
     """Range-join windowed aggregate: for every LEFT-type event, how
     many RIGHT-type events of the same key fall in the sliding window
     ``(ts - window, ts)`` strictly before it — the attribution-count
@@ -358,11 +420,8 @@ def window_count_prior(events_ds, *, left_type: str, right_type: str,
                                     type_col, left_type, right_type,
                                     window_us)
 
-    return (events_ds
-            .map_batches(add_part, batch_format="pyarrow",
-                         zero_copy_batch=True)
-            .groupby("upart")
-            .map_groups(per_part, batch_format="pyarrow"))
+    return _keyed_partition_op(events_ds, add_part, "upart", per_part,
+                               shuffle=shuffle)
 
 
 def _pack_kernel(t: pa.Table, key_col: str, order_col: str,
@@ -375,7 +434,7 @@ def _pack_kernel(t: pa.Table, key_col: str, order_col: str,
     cumsum."""
     n = t.num_rows
     if n == 0:
-        return t.drop(["kpart"])
+        return t
     k = t[key_col].to_numpy(zero_copy_only=False)
     # keys may be strings (e.g. source): factorize via np.unique
     _, kcode = np.unique(np.asarray(k), return_inverse=True)
@@ -392,14 +451,13 @@ def _pack_kernel(t: pa.Table, key_col: str, order_col: str,
     pack = excl // max(budget, 1)
     out = np.empty(n, np.int64)
     out[order] = pack
-    return t.append_column("pack_id", pa.array(out, pa.int64())
-                           ).drop(["kpart"])
+    return t.append_column("pack_id", pa.array(out, pa.int64()))
 
 
 def pack_by_budget(ds, *, key_col: str = "source",
                    order_col: str = "doc_id",
                    weight_col: str = "n_chars", budget: int = 4096,
-                   num_partitions: int = 32):
+                   num_partitions: int = 32, shuffle: str = "disk"):
     """Greedy budget packing (training-shard packing: fill each pack
     with ~``budget`` weight of consecutive docs per key). Same shuffle
     shape as sessionize: ONE uniform hash-partition groupby on the key,
@@ -423,7 +481,5 @@ def pack_by_budget(ds, *, key_col: str = "source",
     def per_part(g: pa.Table) -> pa.Table:
         return _pack_kernel(g, key_col, order_col, weight_col, budget)
 
-    return (ds.map_batches(add_part, batch_format="pyarrow",
-                           zero_copy_batch=True)
-            .groupby("kpart")
-            .map_groups(per_part, batch_format="pyarrow"))
+    return _keyed_partition_op(ds, add_part, "kpart", per_part,
+                               shuffle=shuffle)
