@@ -161,6 +161,53 @@ def sessionize(events_ds, *, gap_minutes: int = 30,
                                shuffle=shuffle)
 
 
+def tumbling_aggregate(events_ds, *, window_minutes: int = 60,
+                       type_col: str = "event_type", ts_col: str = "ts",
+                       val_col: str = "value") -> pa.Table:
+    """Tumbling-window count + sum per (type, window): per-batch PARTIAL
+    Arrow hash aggregation (the output space is types × windows — tiny
+    regardless of input rows), partials collected as object-store Arrow
+    refs and merged with one more hash aggregation. No sort shuffle:
+    the groupby().aggregate() equivalent moves every input row through
+    Ray Data's pull-based sort exchange for a 3,600-row result
+    (measured 21.1 s vs 2-3 s at 10M events, 32 cpus)."""
+    import pyarrow.compute as pc
+    import ray
+
+    from .boilerplate import _group_counts
+
+    win_us = window_minutes * 60_000_000
+
+    def partial(t: pa.Table) -> pa.Table:
+        us = t[ts_col].cast(pa.int64())
+        w = pc.multiply(pc.floor(pc.divide(us, win_us)), win_us)
+        g = _group_counts(
+            pa.table({"event_type": t[type_col],
+                      "window_us": w.cast(pa.int64()),
+                      "v": t[val_col]}),
+            ["event_type", "window_us"],
+            [("v", "sum"), ("v", "count")])
+        return pa.table({"event_type": g["event_type"],
+                         "window_us": g["window_us"],
+                         "s": g["v_sum"].cast(pa.float64()),
+                         "n": g["v_count"].cast(pa.int64())})
+
+    out = events_ds.map_batches(partial, batch_format="pyarrow")
+    tbls = [t for t in ray.get(out.to_arrow_refs()) if t.num_rows]
+    if not tbls:
+        return pa.table({"event_type": pa.array([], pa.string()),
+                         "window_us": pa.array([], pa.int64()),
+                         "n": pa.array([], pa.int64()),
+                         "sum_value": pa.array([], pa.float64())})
+    m = _group_counts(pa.concat_tables(tbls).combine_chunks(),
+                      ["event_type", "window_us"],
+                      [("s", "sum"), ("n", "sum")])
+    return pa.table({"event_type": m["event_type"],
+                     "window_us": m["window_us"],
+                     "n": m["n_sum"].cast(pa.int64()),
+                     "sum_value": m["s_sum"].cast(pa.float64())})
+
+
 class JsonExtractInt:
     """Vectorized flat-JSON integer field extraction from a string
     column (the decoder-registry analog at column granularity: the

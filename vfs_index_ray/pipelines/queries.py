@@ -836,29 +836,23 @@ def q_orders_numeric_range(sf_dir: str) -> pa.Table:
 # ---------------------------------------------------------------------------
 
 def q_events_hourly(sf_dir: str) -> pa.Table:
+    """Tumbling hourly windows: per-batch partial hash aggregation
+    (output space = types × hours, tiny), no sort shuffle — the
+    groupby().aggregate() equivalent moved every row through the sort
+    exchange (21.1 s vs ~2 s at 10M events, 32 cpus)."""
     import ray.data
-    from ray.data.aggregate import Count, Sum
+
+    from ..functions.windows import tumbling_aggregate
 
     ds = ray.data.read_parquet(os.path.join(sf_dir, "events.parquet"),
                                columns=["event_type", "ts", "value"])
-
-    def add_window(t: pa.Table) -> pa.Table:
-        us = t["ts"].cast(pa.int64())
-        hour = pc.multiply(pc.floor(pc.divide(us, 3_600_000_000)),
-                           3_600_000_000)
-        return t.append_column("window_us", hour.cast(pa.int64()))
-
-    out = (ds.map_batches(add_window, batch_format="pyarrow")
-           .groupby(["event_type", "window_us"])
-           .aggregate(Count(alias_name="n"),
-                      Sum("value", alias_name="sum_value")))
-    tbl = pa.Table.from_pylist(out.take_all())
-    sv = np.floor(np.asarray(tbl["sum_value"], np.float64) * 100.0 + 0.5
-                  ).astype(np.int64)
+    tbl = tumbling_aggregate(ds, window_minutes=60)
+    sv = np.floor(tbl["sum_value"].to_numpy(zero_copy_only=False)
+                  * 100.0 + 0.5).astype(np.int64)
     return pa.table({
         "event_type": tbl["event_type"].cast(pa.string()),
         "window_start": tbl["window_us"].cast(pa.timestamp("us")),
-        "n": tbl["n"].cast(pa.int64()),
+        "n": tbl["n"],
         "sum_value_x100": pa.array(sv, pa.int64()),
     })
 
