@@ -276,3 +276,24 @@ def test_disk_shuffle_identical_to_sort_shuffle(ray_session):
         ds = ray.data.from_arrow(t)
         b = rows(op(ds, shuffle="sort", **kw), keys)
         assert a == b and len(a) > 0
+
+
+def test_exact_dedup_disk_identical_to_sort(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from vfs_index_ray.functions.dedup import exact_dedup
+
+    rng = np.random.default_rng(31)
+    texts = [f"doc {i % 37}" for i in range(300)]  # planted dup groups
+    t = pa.table({"doc_id": pa.array(np.arange(300, dtype=np.int64)),
+                  "text": pa.array(texts)})
+
+    def rows(mode):
+        out = exact_dedup(ray.data.from_arrow(t), shuffle=mode)
+        return sorted((r["h"], r["doc_id"], r["n"])
+                      for r in out.take_all())
+
+    a, b = rows("disk"), rows("sort")
+    assert a == b and len(a) == 37

@@ -45,19 +45,55 @@ class ContentHash:
         return batch.append_column("h", pa.array(hs, pa.string()))
 
 
-def exact_dedup(ds, text_col: str = "text", id_col: str = "doc_id"):
+def exact_dedup(ds, text_col: str = "text", id_col: str = "doc_id",
+                num_partitions: int | None = None,
+                shuffle: str = "disk"):
     """groupby(content hash) → (h, doc_id=min, n=count).
 
     The A5 exact-dedup analog (search_finder.go:242-244 uniq on record
-    identity), as a hash-partitioned shuffle."""
+    identity), as a hash-partitioned shuffle. Default substrate is the
+    hive-partitioned disk spill (``fnv(h) % P`` — every hash group
+    lands whole in one part, so per-part Arrow min/count aggregation is
+    exact); ``shuffle="sort"`` keeps the Ray Data groupby for A/B
+    (measured 17.0 → 5.5 s at 1.2M pages, 32 cpus)."""
+    import ray
     import ray.data  # noqa: F401  (ds is a ray Dataset)
-    from ray.data.aggregate import Count, Min
 
-    hashed = ds.map_batches(ContentHash(text_col), batch_format="pyarrow")
-    return (hashed.select_columns(["h", id_col])
-            .groupby("h")
-            .aggregate(Min(id_col, alias_name="doc_id"),
-                       Count(alias_name="n")))
+    hashed = (ds.map_batches(ContentHash(text_col),
+                             batch_format="pyarrow")
+              .select_columns(["h", id_col]))
+    if shuffle == "sort":
+        from ray.data.aggregate import Count, Min
+        return (hashed.groupby("h")
+                .aggregate(Min(id_col, alias_name="doc_id"),
+                           Count(alias_name="n")))
+
+    from ..hashing import fnv1a64_tokens
+    from .boilerplate import _group_counts
+    from .windows import _keyed_partition_op
+
+    num_parts = num_partitions or max(
+        16, 2 * int(ray.cluster_resources().get("CPU", 8)))
+
+    def add_part(t: pa.Table) -> pa.Table:
+        hcol = t["h"]
+        if isinstance(hcol, pa.ChunkedArray):
+            hcol = hcol.combine_chunks()
+        part = (fnv1a64_tokens(hcol) % np.uint64(num_parts)
+                ).astype(np.int32)
+        return t.append_column("hpart", pa.array(part, pa.int32()))
+
+    def per_part(t: pa.Table) -> pa.Table:
+        g = _group_counts(t, ["h"],
+                          [(id_col, "min"), (id_col, "count")])
+        return pa.table({
+            "h": g["h"],
+            "doc_id": g[f"{id_col}_min"],
+            "n": g[f"{id_col}_count"].cast(pa.int64()),
+        })
+
+    return _keyed_partition_op(hashed, add_part, "hpart", per_part,
+                               shuffle="disk")
 
 
 # ---------------------------------------------------------------------------
