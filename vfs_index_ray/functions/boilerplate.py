@@ -44,6 +44,37 @@ def _group_counts(t: pa.Table, keys: list[str], agg: list[tuple]) -> pa.Table:
         return pa.TableGroupBy(t, keys).aggregate(agg)
 
 
+def partial_aggregate(ds, keys: list[str], aggs: list[tuple[str, str]],
+                      prepare=None) -> pa.Table | None:
+    """Distributed aggregation for SMALL output spaces (keys × groups
+    ≪ input rows): one Arrow hash aggregation per batch, partials
+    collected as object-store Arrow refs, one merge aggregation.
+    Replaces ``groupby().aggregate()``, which moves every input row
+    through Ray Data's sort exchange even when the result is a handful
+    of groups.  ``aggs`` are pyarrow (column, fn) pairs with
+    sum-mergeable fns ("count"/"sum"); output columns are named
+    ``{col}_{fn}``.  Returns None on an empty input."""
+    import ray
+
+    pnames = [f"{c}_{f}" for c, f in aggs]
+
+    def partial(t: pa.Table) -> pa.Table:
+        if prepare is not None:
+            t = prepare(t)
+        return _group_counts(t, list(keys), list(aggs))
+
+    out = ds.map_batches(partial, batch_format="pyarrow")
+    tbls = [t for t in ray.get(out.to_arrow_refs()) if t.num_rows]
+    if not tbls:
+        return None
+    m = _group_counts(pa.concat_tables(tbls).combine_chunks(),
+                      list(keys), [(p, "sum") for p in pnames])
+    cols = {k: m[k] for k in keys}
+    for p in pnames:
+        cols[p] = m[f"{p}_sum"]
+    return pa.table(cols)
+
+
 def unit_doc_frequencies(ds, *, min_docs: int = 1, unit: str = "line",
                          text_col: str = "text",
                          num_parts: int | None = None,

@@ -250,9 +250,9 @@ def top_terms(ds, k: int = 20, text_col: str = "text"):
     value_counts — each batch contributes at most its distinct terms,
     not its token count) → uniform groupby sum → tiny driver top-k.
     Ties: count desc, token asc. Returns pa.Table (token, n)."""
-    from ray.data.aggregate import Sum
+    from .boilerplate import partial_aggregate
 
-    def partial(t: pa.Table) -> pa.Table:
+    def prepare(t: pa.Table) -> pa.Table:
         flat, _, _ = word_tokens_flat(t[text_col])
         vc = pc.value_counts(flat)
         return pa.table({
@@ -260,11 +260,10 @@ def top_terms(ds, k: int = 20, text_col: str = "text"):
             "n": vc.field("counts").cast(pa.int64()),
         })
 
-    rows = (ds.map_batches(partial, batch_format="pyarrow")
-            .groupby("token").aggregate(Sum("n", alias_name="n"))
-            .take_all())
-    toks = np.array([r["token"] for r in rows])
-    ns = np.array([r["n"] for r in rows], np.int64)
+    tbl = partial_aggregate(ds, ["token"], [("n", "sum")],
+                            prepare=prepare)
+    toks = np.asarray(tbl["token"].to_pylist())
+    ns = tbl["n_sum"].to_numpy(zero_copy_only=False).astype(np.int64)
     order = np.lexsort((toks, -ns))[:k]
     return pa.table({
         "token": pa.array(toks[order].tolist(), pa.string()),

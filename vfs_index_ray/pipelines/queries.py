@@ -352,12 +352,11 @@ def q_extract_text(sf_dir: str) -> pa.Table:
 
 
 def q_lang_distribution(sf_dir: str) -> pa.Table:
-    from ray.data.aggregate import Count
-    out = (_docs_ds(sf_dir, columns=["lang"])
-           .groupby("lang").aggregate(Count(alias_name="n_docs")))
-    tbl = pa.Table.from_pylist(out.take_all())
+    from ..functions.boilerplate import partial_aggregate
+    tbl = partial_aggregate(_docs_ds(sf_dir, columns=["lang"]),
+                            ["lang"], [("lang", "count")])
     return pa.table({"lang": tbl["lang"].cast(pa.string()),
-                     "n_docs": tbl["n_docs"].cast(pa.int64())})
+                     "n_docs": tbl["lang_count"].cast(pa.int64())})
 
 
 def q_ann_cosine_topk(sf_dir: str) -> pa.Table:
@@ -686,20 +685,19 @@ def q_source_stats(sf_dir: str) -> pa.Table:
             "n_tokens": stats["n_tokens"],
         })
 
-    out = (ds.map_batches(signals, batch_format="pyarrow")
-           .groupby("source")
-           .aggregate(Count(alias_name="n_docs"),
-                      Sum("n_chars", alias_name="chars_sum"),
-                      Sum("n_tokens", alias_name="tokens_sum")))
-    tbl = pa.Table.from_pylist(out.take_all())
-    n = tbl["n_docs"].to_numpy(zero_copy_only=False).astype(np.float64)
-    cm = np.floor(tbl["chars_sum"].to_numpy(zero_copy_only=False)
+    from ..functions.boilerplate import partial_aggregate
+    tbl = partial_aggregate(ds, ["source"],
+                            [("source", "count"), ("n_chars", "sum"),
+                             ("n_tokens", "sum")], prepare=signals)
+    n = tbl["source_count"].to_numpy(zero_copy_only=False
+                                     ).astype(np.float64)
+    cm = np.floor(tbl["n_chars_sum"].to_numpy(zero_copy_only=False)
                   / n * 10000 + 0.5).astype(np.int64)
-    tm = np.floor(tbl["tokens_sum"].to_numpy(zero_copy_only=False)
+    tm = np.floor(tbl["n_tokens_sum"].to_numpy(zero_copy_only=False)
                   / n * 10000 + 0.5).astype(np.int64)
     return pa.table({
         "source": tbl["source"].cast(pa.string()),
-        "n_docs": tbl["n_docs"].cast(pa.int64()),
+        "n_docs": tbl["source_count"].cast(pa.int64()),
         "mean_chars_x1e4": pa.array(cm, pa.int64()),
         "mean_tokens_x1e4": pa.array(tm, pa.int64()),
     })
@@ -968,18 +966,17 @@ def q_events_latest(sf_dir: str) -> pa.Table:
 def q_events_props(sf_dir: str) -> pa.Table:
     """JSON property extraction (vectorized RE2) + per-type aggregate."""
     import ray.data
-    from ray.data.aggregate import Count, Sum
 
+    from ..functions.boilerplate import partial_aggregate
     from ..functions.windows import JsonExtractInt
     ds = ray.data.read_parquet(os.path.join(sf_dir, "events.parquet"),
                                columns=["event_type", "props"])
-    out = (ds.map_batches(JsonExtractInt("k"), batch_format="pyarrow")
-           .groupby("event_type")
-           .aggregate(Count(alias_name="n"), Sum("k", alias_name="k_sum")))
-    tbl = pa.Table.from_pylist(out.take_all())
+    tbl = partial_aggregate(
+        ds, ["event_type"], [("event_type", "count"), ("k", "sum")],
+        prepare=JsonExtractInt("k"))
     return pa.table({
         "event_type": tbl["event_type"].cast(pa.string()),
-        "n": tbl["n"].cast(pa.int64()),
+        "n": tbl["event_type_count"].cast(pa.int64()),
         "k_sum": tbl["k_sum"].cast(pa.int64()),
     })
 
