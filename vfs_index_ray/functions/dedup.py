@@ -47,7 +47,7 @@ class ContentHash:
 
 def exact_dedup(ds, text_col: str = "text", id_col: str = "doc_id",
                 num_partitions: int | None = None,
-                shuffle: str = "disk"):
+                shuffle: str = "auto"):
     """groupby(content hash) → (h, doc_id=min, n=count).
 
     The A5 exact-dedup analog (search_finder.go:242-244 uniq on record
@@ -59,6 +59,10 @@ def exact_dedup(ds, text_col: str = "text", id_col: str = "doc_id",
     import ray
     import ray.data  # noqa: F401  (ds is a ray Dataset)
 
+    from .windows import _auto_shuffle
+
+    if shuffle in (None, "auto"):
+        shuffle = _auto_shuffle(ds)
     hashed = (ds.map_batches(ContentHash(text_col),
                              batch_format="pyarrow")
               .select_columns(["h", id_col]))
@@ -70,7 +74,7 @@ def exact_dedup(ds, text_col: str = "text", id_col: str = "doc_id",
 
     from ..hashing import fnv1a64_tokens
     from .boilerplate import _group_counts
-    from .windows import _keyed_partition_op
+    from .windows import _keyed_partition_op  # noqa: F811
 
     num_parts = num_partitions or max(
         16, 2 * int(ray.cluster_resources().get("CPU", 8)))

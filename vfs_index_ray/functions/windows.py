@@ -68,11 +68,32 @@ def _disk_partition_apply(ds, add_part, part_col: str, per_part,
             shutil.rmtree(spill, ignore_errors=True)
 
 
+# auto shuffle dispatch: below this estimated in-memory size the disk
+# spill's fixed cost (parquet write + P part tasks, ~1-2 s) exceeds the
+# sort exchange it avoids; above it the sort exchange anti-scales
+# (measured crossings: 5k docs sort 0.96 s vs disk ~2 s; 1.2M pages
+# sort 13.5-14.1 s vs disk 2.3-3.5 s)
+AUTO_DISK_BYTES = 128 * 1024 * 1024
+
+
+def _auto_shuffle(ds) -> str:
+    """Pick the shuffle substrate from the dataset's metadata-based
+    size estimate (free for parquet reads; no execution)."""
+    try:
+        sz = ds.size_bytes() or 0
+    except Exception:
+        sz = 0
+    return "disk" if sz > AUTO_DISK_BYTES else "sort"
+
+
 def _keyed_partition_op(events_ds, add_part, part_col: str, per_part,
-                        shuffle: str = "disk"):
+                        shuffle: str = "auto"):
     """Dispatch a hash-partitioned per-partition kernel over the disk
-    spill (default, the 100-TB path) or Ray Data's sort-shuffle
-    groupby (``shuffle="sort"``, kept for A/B and tiny inputs)."""
+    spill (the 100-TB path) or Ray Data's sort-shuffle groupby
+    (``shuffle="sort"``, kept for A/B and tiny inputs); the default
+    ``"auto"`` picks by the input's metadata size estimate."""
+    if shuffle in (None, "auto"):
+        shuffle = _auto_shuffle(events_ds)
     if shuffle == "sort":
         return (events_ds
                 .map_batches(add_part, batch_format="pyarrow",
@@ -137,7 +158,7 @@ def _sessions_kernel(t: pa.Table, gap_us: int, user_col: str,
 def sessionize(events_ds, *, gap_minutes: int = 30,
                user_col: str = "user_id", ts_col: str = "ts",
                id_col: str = "event_id", num_partitions: int = 32,
-               shuffle: str = "disk"):
+               shuffle: str = "auto"):
     """events → one row per (user, session): session_id (0-based per
     user, in time order), session_start, session_end, n_events.
 
@@ -268,7 +289,7 @@ def _latest_kernel(t: pa.Table, key_col: str, ts_col: str,
 
 def latest_per_key(events_ds, *, key_col: str = "user_id",
                    ts_col: str = "ts", id_col: str = "event_id",
-                   num_partitions: int = 32, shuffle: str = "disk"):
+                   num_partitions: int = 32, shuffle: str = "auto"):
     """Latest record per key — the re-crawl dedup shape for a web
     corpus (keep the newest snapshot per url: key=url-hash, ts=crawl
     timestamp). Shuffle shape identical to ``sessionize``: ONE uniform
@@ -349,7 +370,7 @@ def _asof_kernel(t: pa.Table, user_col: str, ts_col: str, id_col: str,
 def asof_prior(events_ds, *, left_type: str, right_type: str,
                user_col: str = "user_id", ts_col: str = "ts",
                id_col: str = "event_id", type_col: str = "event_type",
-               num_partitions: int = 32, shuffle: str = "disk"):
+               num_partitions: int = 32, shuffle: str = "auto"):
     """As-of join inside one event log: every LEFT-type event matched
     to the latest RIGHT-type event of the same key that strictly
     precedes it in (ts, id) order — the temporal-attribution shape
@@ -443,7 +464,7 @@ def window_count_prior(events_ds, *, left_type: str, right_type: str,
                        user_col: str = "user_id", ts_col: str = "ts",
                        id_col: str = "event_id",
                        type_col: str = "event_type",
-                       num_partitions: int = 32, shuffle: str = "disk"):
+                       num_partitions: int = 32, shuffle: str = "auto"):
     """Range-join windowed aggregate: for every LEFT-type event, how
     many RIGHT-type events of the same key fall in the sliding window
     ``(ts - window, ts)`` strictly before it — the attribution-count
@@ -504,7 +525,7 @@ def _pack_kernel(t: pa.Table, key_col: str, order_col: str,
 def pack_by_budget(ds, *, key_col: str = "source",
                    order_col: str = "doc_id",
                    weight_col: str = "n_chars", budget: int = 4096,
-                   num_partitions: int = 32, shuffle: str = "disk"):
+                   num_partitions: int = 32, shuffle: str = "auto"):
     """Greedy budget packing (training-shard packing: fill each pack
     with ~``budget`` weight of consecutive docs per key). Same shuffle
     shape as sessionize: ONE uniform hash-partition groupby on the key,
