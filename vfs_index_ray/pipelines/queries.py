@@ -1202,6 +1202,97 @@ def q_events_quantiles(sf_dir: str) -> pa.Table:
         ("value_x1e4", pa.int64())]))
 
 
+def q_segment_revenue(sf_dir: str) -> pa.Table:
+    """Broadcast hash join + partial aggregation: revenue per customer
+    market segment. The small side (customer key → segment) is built
+    once, shipped via ray.put, and probed with one vectorized index_in
+    per orders batch — never a shuffle join; prices convert to integer
+    cents PER ROW before summing, so partial sums are exact and
+    order-free."""
+    import ray
+    import ray.data
+
+    from ..functions.boilerplate import partial_aggregate
+    import pyarrow.parquet as pqq
+    _tune_context()
+    cust = pqq.read_table(os.path.join(sf_dir, "customer.parquet"),
+                          columns=["c_custkey", "c_mktsegment"])
+    cust_ref = ray.put(cust)
+    orders = ray.data.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_custkey", "o_totalprice"])
+
+    def join_segment(t: pa.Table) -> pa.Table:
+        c = ray.get(cust_ref)
+        keys = c["c_custkey"]
+        if isinstance(keys, pa.ChunkedArray):
+            keys = keys.combine_chunks()
+        seg = c["c_mktsegment"]
+        if isinstance(seg, pa.ChunkedArray):
+            seg = seg.combine_chunks()
+        pos = pc.index_in(t["o_custkey"], value_set=keys)
+        cents = np.floor(t["o_totalprice"].to_numpy(zero_copy_only=False)
+                         * 100.0 + 0.5).astype(np.int64)
+        return pa.table({
+            "c_mktsegment": seg.take(pos),
+            "cents": pa.array(cents, pa.int64()),
+        })
+
+    tbl = partial_aggregate(orders, ["c_mktsegment"],
+                            [("c_mktsegment", "count"), ("cents", "sum")],
+                            prepare=join_segment)
+    return pa.table({
+        "c_mktsegment": tbl["c_mktsegment"].cast(pa.string()),
+        "n_orders": tbl["c_mktsegment_count"].cast(pa.int64()),
+        "revenue_x100": tbl["cents_sum"].cast(pa.int64()),
+    })
+
+
+def q_lineitem_pricing(sf_dir: str) -> pa.Table:
+    """TPC-H Q1-shape pricing summary over lineitem: per (returnflag,
+    linestatus) sums of quantity, base price and discounted price —
+    every measure quantized to integer hundredths PER ROW (the fp64
+    row product is IEEE-identical on both sides), so the distributed
+    partial sums are exact integers."""
+    import ray.data
+
+    from ..functions.boilerplate import partial_aggregate
+    _tune_context()
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_returnflag", "l_linestatus", "l_quantity",
+                 "l_extendedprice", "l_discount"])
+
+    def measures(t: pa.Table) -> pa.Table:
+        q = t["l_quantity"].to_numpy(zero_copy_only=False)
+        ep = t["l_extendedprice"].to_numpy(zero_copy_only=False)
+        dc = t["l_discount"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "l_returnflag": t["l_returnflag"],
+            "l_linestatus": t["l_linestatus"],
+            "qty_x100": pa.array(
+                np.floor(q * 100.0 + 0.5).astype(np.int64), pa.int64()),
+            "base_x100": pa.array(
+                np.floor(ep * 100.0 + 0.5).astype(np.int64), pa.int64()),
+            "disc_x100": pa.array(
+                np.floor(ep * (1.0 - dc) * 100.0 + 0.5
+                         ).astype(np.int64), pa.int64()),
+        })
+
+    tbl = partial_aggregate(
+        ds, ["l_returnflag", "l_linestatus"],
+        [("l_returnflag", "count"), ("qty_x100", "sum"),
+         ("base_x100", "sum"), ("disc_x100", "sum")], prepare=measures)
+    return pa.table({
+        "l_returnflag": tbl["l_returnflag"].cast(pa.string()),
+        "l_linestatus": tbl["l_linestatus"].cast(pa.string()),
+        "n_rows": tbl["l_returnflag_count"].cast(pa.int64()),
+        "sum_qty_x100": tbl["qty_x100_sum"].cast(pa.int64()),
+        "sum_base_x100": tbl["base_x100_sum"].cast(pa.int64()),
+        "sum_disc_x100": tbl["disc_x100_sum"].cast(pa.int64()),
+    })
+
+
 def q_token_df(sf_dir: str) -> pa.Table:
     """Corpus vocabulary statistics: (token, df) document frequencies
     via partial distinct-doc counts + hive-partitioned disk-shuffle
@@ -1311,6 +1402,8 @@ QUERIES = {
     "events_asof": q_events_asof,
     "events_window_count": q_events_window_count,
     "events_quantiles": q_events_quantiles,
+    "segment_revenue": q_segment_revenue,
+    "lineitem_pricing": q_lineitem_pricing,
 }
 
 _STOP_SQL = "['the','and','of','to','a','in','is','it']"
@@ -2093,6 +2186,30 @@ LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
  AND c.ts > p.ts - INTERVAL 60 MINUTE
  AND (c.ts < p.ts OR (c.ts = p.ts AND c.event_id < p.event_id))
 GROUP BY p.event_id, p.user_id ORDER BY p.event_id
+""",
+    # broadcast join + integer-cents partial sums: exact, order-free
+    "segment_revenue": """
+SELECT c.c_mktsegment,
+       count(*)::BIGINT AS n_orders,
+       sum(CAST(floor(o.o_totalprice * 100 + 0.5) AS BIGINT))::BIGINT
+         AS revenue_x100
+FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+GROUP BY c.c_mktsegment ORDER BY c.c_mktsegment
+""",
+    # TPC-H Q1 shape: every measure quantized to hundredths PER ROW
+    # (both sides compute the same IEEE fp64 row product), summed as
+    # exact integers
+    "lineitem_pricing": """
+SELECT l_returnflag, l_linestatus,
+       count(*)::BIGINT AS n_rows,
+       sum(CAST(floor(l_quantity * 100 + 0.5) AS BIGINT))::BIGINT
+         AS sum_qty_x100,
+       sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT))::BIGINT
+         AS sum_base_x100,
+       sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5)
+                AS BIGINT))::BIGINT AS sum_disc_x100
+FROM lineitem
+GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus
 """,
     # exact discrete quantiles over the quantized multiset: decimal
     # literals keep q*n exact in DuckDB (float ceil(0.99*400) would be
