@@ -375,8 +375,9 @@ def centroid_classify(ds, *, vec_col: str = "embedding",
                 pa.int64()),
         })
 
-    rows = ds.map_batches(assign, batch_format="pyarrow").take_all()
-    tbl = pa.Table.from_pylist(rows)
+    out = ds.map_batches(assign, batch_format="pyarrow")
+    tbls = [t for t in ray.get(out.to_arrow_refs()) if t.num_rows]
+    tbl = pa.concat_tables(tbls).combine_chunks()
     order = np.argsort(tbl["vec_id"].to_numpy(zero_copy_only=False),
                        kind="stable")
     return tbl.take(order).select(["vec_id", "pred_label", "sim_x1e4"])

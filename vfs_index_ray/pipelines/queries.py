@@ -84,6 +84,18 @@ def _docs_ds(sf_dir: str, columns=None):
     return ray.data.read_parquet(_doc_file(sf_dir), columns=columns)
 
 
+
+def _collect(out) -> pa.Table:
+    """Materialize a Dataset result as ONE Arrow table via object-store
+    block refs — never per-row Python dicts (the round-4 lesson: a
+    take_all() of a corpus-sized result pins the driver for minutes)."""
+    import ray
+    tbls = ray.get(out.to_arrow_refs())
+    non = [t for t in tbls if t.num_rows]
+    if non:
+        return pa.concat_tables(non).combine_chunks()
+    return tbls[0] if tbls else pa.table({})
+
 def _conc(concurrency=None):
     """Actor-pool sizing for the per-doc wrapper stages: elastic
     (1, cluster CPUs) by default — one actor covers sf-scale startup
@@ -296,7 +308,7 @@ def q_cooccur_distance(sf_dir: str) -> pa.Table:
 def q_dedup_exact(sf_dir: str) -> pa.Table:
     from ..functions.dedup import exact_dedup
     out = exact_dedup(_docs_ds(sf_dir, columns=["doc_id", "text"]))
-    tbl = pa.Table.from_pylist(out.take_all())
+    tbl = _collect(out)
     return pa.table({
         "h": tbl["h"].cast(pa.string()),
         "doc_id": tbl["doc_id"].cast(pa.int64()),
@@ -308,14 +320,14 @@ def q_fingerprint(sf_dir: str, concurrency=None) -> pa.Table:
     from ..functions.textstats import Fingerprint
     out = _docs_ds(sf_dir, columns=["doc_id", "text"]).map_batches(
         Fingerprint, batch_format="pyarrow", concurrency=_conc(concurrency))
-    return pa.Table.from_pylist(out.take_all()).select(["doc_id", "fp"])
+    return _collect(out).select(["doc_id", "fp"])
 
 
 def q_token_count(sf_dir: str, concurrency=None) -> pa.Table:
     from ..functions.textstats import TokenStats
     out = _docs_ds(sf_dir, columns=["doc_id", "text"]).map_batches(
         TokenStats, batch_format="pyarrow", concurrency=_conc(concurrency))
-    tbl = pa.Table.from_pylist(out.take_all())
+    tbl = _collect(out)
     return tbl.select(["doc_id", "n_tokens"])
 
 
@@ -323,7 +335,7 @@ def q_token_stats(sf_dir: str, concurrency=None) -> pa.Table:
     from ..functions.textstats import TokenStats
     out = _docs_ds(sf_dir, columns=["doc_id", "text"]).map_batches(
         TokenStats, batch_format="pyarrow", concurrency=_conc(concurrency))
-    return pa.Table.from_pylist(out.take_all()).select(
+    return _collect(out).select(
         ["doc_id", "n_tokens", "n_uniq", "stop_ratio_x1e4", "avg_len_x1e4"])
 
 
@@ -345,7 +357,7 @@ def q_extract_text(sf_dir: str) -> pa.Table:
            .map_batches(wrap, batch_format="pyarrow", zero_copy_batch=True)
            .map_batches(extract_text_batch, batch_format="pyarrow",
                         fn_kwargs=dict(html_col="html", text_col="text")))
-    tbl = pa.Table.from_pylist(out.take_all())
+    tbl = _collect(out)
     tbl = tbl.sort_by("doc_id")
     return pa.table({"doc_id": tbl["doc_id"].cast(pa.int64()),
                      "text": tbl["text"].cast(pa.string())})
@@ -483,7 +495,7 @@ def q_langid(sf_dir: str, concurrency=None) -> pa.Table:
     from ..functions.textstats import LangId
     out = _docs_ds(sf_dir, columns=["doc_id", "text"]).map_batches(
         LangId, batch_format="pyarrow", concurrency=_conc(concurrency))
-    return pa.Table.from_pylist(out.take_all()).select(
+    return _collect(out).select(
         ["doc_id", "lang_pred"])
 
 
@@ -491,7 +503,7 @@ def q_bpe_token_count(sf_dir: str, concurrency=None) -> pa.Table:
     from ..functions.textstats import BpeTokenCount
     out = _docs_ds(sf_dir, columns=["doc_id", "text"]).map_batches(
         BpeTokenCount, batch_format="pyarrow", concurrency=_conc(concurrency))
-    return pa.Table.from_pylist(out.take_all()).select(
+    return _collect(out).select(
         ["doc_id", "n_bpe_tokens"])
 
 
@@ -499,7 +511,7 @@ def q_gopher_quality(sf_dir: str, concurrency=None) -> pa.Table:
     from ..functions.textstats import GopherQuality
     out = _docs_ds(sf_dir, columns=["doc_id", "text"]).map_batches(
         GopherQuality, batch_format="pyarrow", concurrency=_conc(concurrency))
-    return pa.Table.from_pylist(out.take_all()).select(
+    return _collect(out).select(
         ["doc_id", "n_lines", "dup_line_frac_x1e4", "symbol_ratio_x1e4",
          "bullet_ratio_x1e4"])
 
@@ -511,7 +523,7 @@ def q_quantize_embeddings(sf_dir: str, concurrency=None) -> pa.Table:
     ds = ray.data.read_parquet(os.path.join(sf_dir, "embeddings.parquet"))
     out = ds.map_batches(QuantizeInt8, batch_format="pyarrow",
                          concurrency=_conc(concurrency))
-    return pa.Table.from_pylist(out.take_all()).select(
+    return _collect(out).select(
         ["vec_id", "qsum", "qmin", "qmax", "scale_x1e8"])
 
 
@@ -662,7 +674,7 @@ def q_train_split(sf_dir: str) -> pa.Table:
 
     out = _docs_ds(sf_dir, columns=["doc_id"]).map_batches(
         split, batch_format="pyarrow")
-    tbl = pa.Table.from_pylist(out.take_all())
+    tbl = _collect(out)
     order = np.argsort(tbl["doc_id"].to_numpy(zero_copy_only=False),
                        kind="stable")
     return tbl.take(order).select(["doc_id", "split"])
@@ -724,7 +736,7 @@ def q_curation(sf_dir: str) -> pa.Table:
 
     survivors = exact_dedup(ds.map_batches(keep, batch_format="pyarrow",
                                            zero_copy_batch=True))
-    tbl = pa.Table.from_pylist(survivors.take_all())
+    tbl = _collect(survivors)
     ids = np.sort(tbl["doc_id"].to_numpy(zero_copy_only=False)
                   .astype(np.int64))
     return pa.table({"doc_id": pa.array(ids, pa.int64())})
@@ -877,7 +889,7 @@ def q_decontaminate(sf_dir: str) -> pa.Table:
     ds = _docs_ds(sf_dir, columns=["doc_id", "text"])
     out = ds.map_batches(Decontaminate(DECON_PROBES, mode="flag"),
                          batch_format="pyarrow")
-    tbl = pa.Table.from_pylist(out.take_all())
+    tbl = _collect(out)
     if tbl.num_rows == 0:
         return pa.table({"doc_id": pa.array([], pa.int64()),
                          "probe_idx": pa.array([], pa.int64())})
@@ -893,7 +905,7 @@ def q_redact(sf_dir: str) -> pa.Table:
     ds = _docs_ds(sf_dir, columns=["doc_id", "text"])
     out = ds.map_batches(
         RedactRegex(r"\bcustomer\b", "<ENT>"), batch_format="pyarrow")
-    tbl = pa.Table.from_pylist(out.take_all())
+    tbl = _collect(out)
     return tbl.select(["doc_id", "text"]).cast(pa.schema([
         ("doc_id", pa.int64()), ("text", pa.string())]))
 
@@ -925,7 +937,7 @@ def q_chunk_documents(sf_dir: str) -> pa.Table:
     ds = _docs_ds(sf_dir, columns=["doc_id", "text"])
     out = ds.map_batches(ChunkDocuments(window=256, stride=192),
                          batch_format="pyarrow")
-    tbl = pa.Table.from_pylist(out.take_all())
+    tbl = _collect(out)
     return tbl.select(["doc_id", "chunk_id", "chunk"]).cast(pa.schema([
         ("doc_id", pa.int64()), ("chunk_id", pa.int64()),
         ("chunk", pa.string())]))
@@ -1144,7 +1156,7 @@ def q_prune_boilerplate(sf_dir: str) -> pa.Table:
     from ..functions.boilerplate import remove_boilerplate
     ds = _docs_ds(sf_dir, columns=["doc_id", "text"])
     out = remove_boilerplate(ds, min_frac=0.79, unit="token")
-    tbl = pa.Table.from_pylist(out.take_all())
+    tbl = _collect(out)
     return tbl.select(["doc_id", "text", "n_removed"]).cast(pa.schema([
         ("doc_id", pa.int64()), ("text", pa.string()),
         ("n_removed", pa.int64())]))
@@ -1162,7 +1174,7 @@ def q_events_asof(sf_dir: str) -> pa.Table:
         os.path.join(sf_dir, "events.parquet"),
         columns=["event_id", "ts", "user_id", "event_type"])
     out = asof_prior(ds, left_type="purchase", right_type="click")
-    tbl = pa.Table.from_pylist(out.take_all())
+    tbl = _collect(out)
     return tbl.select(["event_id", "user_id", "match_event_id",
                        "lag_us"]).cast(pa.schema([
         ("event_id", pa.int64()), ("user_id", pa.int64()),
@@ -1180,7 +1192,7 @@ def q_events_window_count(sf_dir: str) -> pa.Table:
         columns=["event_id", "ts", "user_id", "event_type"])
     out = window_count_prior(ds, left_type="purchase",
                              right_type="click", window_minutes=60)
-    tbl = pa.Table.from_pylist(out.take_all())
+    tbl = _collect(out)
     return tbl.select(["event_id", "user_id", "n_window"]).cast(
         pa.schema([("event_id", pa.int64()), ("user_id", pa.int64()),
                    ("n_window", pa.int64())]))
@@ -1311,7 +1323,7 @@ def q_doc_keywords(sf_dir: str) -> pa.Table:
     from ..functions.keywords import doc_keywords
     ds = _docs_ds(sf_dir, columns=["doc_id", "text"])
     out = doc_keywords(ds, k=3, unit="token")
-    tbl = pa.Table.from_pylist(out.take_all())
+    tbl = _collect(out)
     return tbl.select(["doc_id", "rank", "token", "tf", "df"]).cast(
         pa.schema([("doc_id", pa.int64()), ("rank", pa.int64()),
                    ("token", pa.string()), ("tf", pa.int64()),
@@ -1324,7 +1336,7 @@ def q_repetition_stats(sf_dir: str) -> pa.Table:
     from ..functions.textstats import RepetitionStats
     ds = _docs_ds(sf_dir, columns=["doc_id", "text"])
     out = ds.map_batches(RepetitionStats(), batch_format="pyarrow")
-    tbl = pa.Table.from_pylist(out.take_all())
+    tbl = _collect(out)
     return tbl.select(["doc_id", "n_bigrams", "dup_bigram_frac_x1e4",
                        "top_bigram_frac_x1e4"]).cast(pa.schema([
         ("doc_id", pa.int64()), ("n_bigrams", pa.int64()),
