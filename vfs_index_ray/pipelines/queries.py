@@ -683,8 +683,6 @@ def q_train_split(sf_dir: str) -> pa.Table:
 def q_source_stats(sf_dir: str) -> pa.Table:
     """Per-source (per-domain) corpus quality rollup: doc counts + mean
     doc length + mean token count — the curation dashboard staple."""
-    from ray.data.aggregate import Count, Sum
-
     from ..functions.textstats import TokenStats
 
     ds = _docs_ds(sf_dir, columns=["doc_id", "source", "text", "n_chars"])
