@@ -1,0 +1,106 @@
+"""partial_aggregate / tumbling_aggregate / _collect primitives."""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+
+def _ds(t):
+    import ray.data
+    return ray.data.from_arrow(t)
+
+
+def test_partial_aggregate_counts_and_sums(ray_session):
+    from vfs_index_ray.functions.boilerplate import partial_aggregate
+    t = pa.table({
+        "k": pa.array(["a", "b", "a", "a", "b"]),
+        "v": pa.array([1, 2, 3, 4, 5], pa.int64()),
+    })
+    out = partial_aggregate(_ds(t), ["k"], [("k", "count"), ("v", "sum")])
+    got = {k: (c, s) for k, c, s in zip(out["k"].to_pylist(),
+                                        out["k_count"].to_pylist(),
+                                        out["v_sum"].to_pylist())}
+    assert got == {"a": (3, 8), "b": (2, 7)}
+
+
+def test_partial_aggregate_sum_skips_nulls(ray_session):
+    from vfs_index_ray.functions.boilerplate import partial_aggregate
+    t = pa.table({
+        "k": pa.array(["a", "a", "a"]),
+        "v": pa.array([1, None, 3], pa.int64()),
+    })
+    out = partial_aggregate(_ds(t), ["k"], [("k", "count"), ("v", "sum")])
+    assert out["k_count"].to_pylist() == [3]
+    assert out["v_sum"].to_pylist() == [4]
+
+
+def test_partial_aggregate_empty_input_returns_none(ray_session):
+    from vfs_index_ray.functions.boilerplate import partial_aggregate
+    t = pa.table({"k": pa.array([], pa.string()),
+                  "v": pa.array([], pa.int64())})
+    assert partial_aggregate(_ds(t), ["k"], [("v", "sum")]) is None
+
+
+def test_partial_aggregate_matches_bruteforce_two_keys(ray_session):
+    from vfs_index_ray.functions.boilerplate import partial_aggregate
+    rng = np.random.default_rng(17)
+    k1 = np.array(["x", "y", "z"])[rng.integers(0, 3, 500)]
+    k2 = rng.integers(0, 4, 500)
+    v = rng.integers(-100, 100, 500)
+    t = pa.table({"a": pa.array(k1), "b": pa.array(k2, pa.int64()),
+                  "v": pa.array(v, pa.int64())})
+    out = partial_aggregate(_ds(t), ["a", "b"],
+                            [("a", "count"), ("v", "sum")])
+    got = {(a, b): (c, s) for a, b, c, s in zip(
+        out["a"].to_pylist(), out["b"].to_pylist(),
+        out["a_count"].to_pylist(), out["v_sum"].to_pylist())}
+    exp = {}
+    for a, b, x in zip(k1, k2, v):
+        c, s = exp.get((a, b), (0, 0))
+        exp[(a, b)] = (c + 1, s + int(x))
+    assert got == exp
+
+
+def test_tumbling_aggregate_matches_bruteforce(ray_session):
+    from vfs_index_ray.functions.windows import tumbling_aggregate
+    rng = np.random.default_rng(19)
+    n = 400
+    ts = (rng.integers(0, 10 * 3600, n) * 1_000_000).astype(np.int64)
+    typ = np.array(["a", "b"])[rng.integers(0, 2, n)]
+    val = rng.random(n)
+    t = pa.table({
+        "event_type": pa.array(typ),
+        "ts": pa.array(ts.astype("datetime64[us]")),
+        "value": pa.array(val, pa.float64()),
+    })
+    out = tumbling_aggregate(_ds(t), window_minutes=60)
+    got = {(k, w): (c, round(s, 9)) for k, w, c, s in zip(
+        out["event_type"].to_pylist(), out["window_us"].to_pylist(),
+        out["n"].to_pylist(), out["sum_value"].to_pylist())}
+    exp = {}
+    for k, tus, v in zip(typ, ts, val):
+        w = (tus // 3_600_000_000) * 3_600_000_000
+        c, s = exp.get((k, w), (0, 0.0))
+        exp[(k, w)] = (c + 1, s + v)
+    assert set(got) == set(exp)
+    for key in exp:
+        assert got[key][0] == exp[key][0]
+        assert abs(got[key][1] - round(exp[key][1], 9)) < 1e-6
+
+
+def test_collect_preserves_rows_and_schema(ray_session):
+    from vfs_index_ray.pipelines.queries import _collect
+    t = pa.table({"x": pa.array(range(1000), pa.int64())})
+    out = _collect(_ds(t).map_batches(lambda b: b,
+                                      batch_format="pyarrow"))
+    assert out.num_rows == 1000
+    assert sorted(out["x"].to_pylist()) == list(range(1000))
+
+
+def test_collect_empty_dataset(ray_session):
+    from vfs_index_ray.pipelines.queries import _collect
+    t = pa.table({"x": pa.array([], pa.int64())})
+    out = _collect(_ds(t).map_batches(lambda b: b,
+                                      batch_format="pyarrow"))
+    assert out.num_rows == 0
