@@ -7,8 +7,9 @@
 - n-gram Jaccard: exact Jaccard verification of candidate pairs
 - embedding:   cosine near-dup pairs over an embedding column
 
-Shuffle shapes: exact dedup is a groupby on a hash key (uniform,
-skew-free); LSH bucketing is a hive-partitioned disk shuffle + per-part
+Shuffle shapes: exact dedup hash-partitions on the content hash
+(uniform, skew-free; hive disk spill above the auto threshold, sort
+groupby below); LSH bucketing is a hive-partitioned disk shuffle + per-part
 tasks (``banded_bucket_apply`` — the build.py postings pattern, because
 Ray Data's pull-based sort shuffle anti-scales at high core counts);
 candidate-pair verification touches only the (tiny) candidate set.
@@ -55,7 +56,8 @@ def exact_dedup(ds, text_col: str = "text", id_col: str = "doc_id",
     hive-partitioned disk spill (``fnv(h) % P`` — every hash group
     lands whole in one part, so per-part Arrow min/count aggregation is
     exact); ``shuffle="sort"`` keeps the Ray Data groupby for A/B
-    (measured 17.0 → 5.5 s at 1.2M pages, 32 cpus)."""
+    (interleaved at 1.2M pages, 32 cpus: sort 13.5-14.1 s vs disk
+    2.3-3.5 s)."""
     import ray
     import ray.data  # noqa: F401  (ds is a ray Dataset)
 

@@ -12,8 +12,10 @@ results are deterministic under any shuffle.
 - ``sessionize``: gap-based session windows per user (session breaks when
   the gap to the previous event exceeds ``gap``). SQL-oracle-equivalent
   via lag()/cumulative sum window functions.
-- tumbling windows live in pipelines/queries.py (``events_hourly``) as a
-  plain two-key groupby.
+- ``tumbling_aggregate``: fixed windows per (type, window) via per-batch
+  partial hash aggregation (no sort shuffle; output space is tiny).
+- ``asof_prior`` / ``window_count_prior``: as-of join and range-join
+  window counts, same hash-partition + vectorized-kernel shape.
 """
 
 from __future__ import annotations
