@@ -47,13 +47,14 @@ _DF_MISSING = np.int64(2) ** np.int64(62)
 
 def _sort_vocab_bytes(df_table: pa.Table) -> pa.Table:
     """Sort the (unit, df) vocab by raw UTF-8 bytes (DuckDB's binary
-    collation for ORDER BY on VARCHAR), so vocab position doubles as
-    the token tie-break sort key inside the per-batch kernel."""
+    collation for ORDER BY on VARCHAR == Arrow's lexicographic string
+    order), so vocab position doubles as the token tie-break sort key
+    inside the per-batch kernel. Vectorized — the vocab can be the
+    whole web head."""
     u = df_table["unit"]
     if isinstance(u, pa.ChunkedArray):
         u = u.combine_chunks()
-    order = sorted(range(len(u)), key=lambda i: u[i].as_py().encode())
-    return df_table.take(pa.array(order, pa.int64()))
+    return df_table.take(pc.sort_indices(u))
 
 
 def doc_keywords(ds, *, k: int = 3, unit: str = "token",
