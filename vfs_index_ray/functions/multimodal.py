@@ -405,9 +405,15 @@ class FrameSample:
 
 
 def decode_images(ds, *, fake: bool = False, feat_dim: int = 64,
-                  batch_size: int = 64, concurrency=2):
+                  batch_size: int = 64, concurrency=None):
     """Actor-pool decode stage over a media dataset (small batches: binary
-    payloads dominate memory)."""
+    payloads dominate memory). ``concurrency=None`` sizes the pool
+    elastically to the cluster ((1, CPUs) — a fixed small cap starves
+    the stage at scale); pass an int or (min, max) to pin it."""
+    import ray
+    if concurrency is None:
+        concurrency = (1, max(1, int(ray.cluster_resources().get("CPU",
+                                                                 8))))
     return ds.map_batches(DecodeImage,
                           fn_constructor_kwargs=dict(fake=fake,
                                                      feat_dim=feat_dim),
