@@ -235,6 +235,29 @@ def run_bench() -> dict:
         best = min(best, time.perf_counter() - t0)
     timings["ann_topk"] = round(best, 3)
 
+    # event-log operator family (round-4): as-of join + tumbling
+    # aggregate over the sf events table — additive metrics, not part
+    # of the headline
+    from vfs_index_ray.functions.windows import (asof_prior,
+                                                 tumbling_aggregate)
+    ev = os.path.join(SF_DIR, "events.parquet")
+    best = float("inf")
+    for _ in range(2):
+        t0 = time.perf_counter()
+        asof_prior(ray.data.read_parquet(
+            ev, columns=["event_id", "ts", "user_id", "event_type"]),
+            left_type="purchase", right_type="click").count()
+        best = min(best, time.perf_counter() - t0)
+    timings["events_asof"] = round(best, 3)
+    best = float("inf")
+    for _ in range(2):
+        t0 = time.perf_counter()
+        tumbling_aggregate(ray.data.read_parquet(
+            ev, columns=["event_type", "ts", "value"]),
+            window_minutes=60)
+        best = min(best, time.perf_counter() - t0)
+    timings["events_hourly"] = round(best, 3)
+
     # scaling workload — THE contention-sensitive stage (32-way, memory
     # bound). Run k short rounds and record every round: a contended run
     # is then self-evidently contended (wide spread), instead of a
