@@ -41,6 +41,10 @@ def main(argv=None) -> int:
     ap.add_argument("--config", default=None,
                     help="TOML job config (reference K6 named-config "
                          "parity); CLI flags override file values")
+    ap.add_argument("--address", default=None,
+                    help="Ray cluster address (default $RAY_ADDRESS or "
+                         "a local session); non-local addresses ship "
+                         "the package to all nodes via py_modules")
     args = ap.parse_args(argv)
     if args.config:
         # named index configs, the reference's cmd_config.go TOML story:
@@ -62,10 +66,8 @@ def main(argv=None) -> int:
         return 2
 
     import ray
-    if not ray.is_initialized():
-        ray.init(address="local", include_dashboard=False,
-                 logging_level="ERROR",
-                 runtime_env={"env_vars": {"PYTHONPATH": _REPO}})
+    from vfs_index_ray.cluster import connect
+    connect(args.address)
     from ray.data import DataContext
     DataContext.get_current().enable_progress_bars = False
 

@@ -32,13 +32,13 @@ def main(argv=None) -> int:
                     help="delete source indexes once the merged index is "
                          "fully committed + verified (reference "
                          "EnableCleanAfterMerge)")
+    ap.add_argument("--address", default=None,
+                    help="Ray cluster address (default $RAY_ADDRESS or a local session); non-local addresses ship the package via py_modules")
     args = ap.parse_args(argv)
 
     import ray
-    if not ray.is_initialized():
-        ray.init(address="local", include_dashboard=False,
-                 logging_level="ERROR",
-                 runtime_env={"env_vars": {"PYTHONPATH": _REPO}})
+    from vfs_index_ray.cluster import connect
+    connect(args.address)
     from ray.data import DataContext
     DataContext.get_current().enable_progress_bars = False
 

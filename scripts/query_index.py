@@ -40,13 +40,13 @@ def main(argv=None) -> int:
                     help="emit full corpus records for matches (the "
                          "reference's JSON/CSV record output), not ids; "
                          "requires --corpus")
+    ap.add_argument("--address", default=None,
+                    help="Ray cluster address (default $RAY_ADDRESS or a local session); non-local addresses ship the package via py_modules")
     args = ap.parse_args(argv)
 
     import ray
-    if not ray.is_initialized():
-        ray.init(address="local", include_dashboard=False,
-                 logging_level="ERROR",
-                 runtime_env={"env_vars": {"PYTHONPATH": _REPO}})
+    from vfs_index_ray.cluster import connect
+    connect(args.address)
 
     import pyarrow as pa
 

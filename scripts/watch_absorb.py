@@ -50,13 +50,13 @@ def main(argv=None) -> int:
     ap.add_argument("--once", action="store_true",
                     help="one scan+absorb, then exit (cron mode)")
     ap.add_argument("--scratch", default=None)
+    ap.add_argument("--address", default=None,
+                    help="Ray cluster address (default $RAY_ADDRESS or a local session); non-local addresses ship the package via py_modules")
     args = ap.parse_args(argv)
 
     import ray
-    if not ray.is_initialized():
-        ray.init(address="local", include_dashboard=False,
-                 logging_level="ERROR",
-                 runtime_env={"env_vars": {"PYTHONPATH": _REPO}})
+    from vfs_index_ray.cluster import connect
+    connect(args.address)
     from vfs_index_ray.build import IndexBuilder
 
     b = IndexBuilder(args.index, mode=args.mode, num_parts=args.num_parts,

@@ -78,3 +78,102 @@ def test_query_service_spreads_across_two_nodes(tmp_path):
     assert res.returncode == 0, res.stdout[-2000:] + res.stderr[-2000:]
     assert "DISTINCT_NODES 2" in res.stdout, res.stdout
     assert "RESULTS_MATCH 1" in res.stdout
+
+
+SHIP_SCRIPT = r"""
+# Code-shipping proof: this driver runs from /tmp with NO PYTHONPATH.
+# The driver itself imports the package via an explicit sys.path entry
+# (which does NOT propagate to Ray workers); workers on the simulated
+# 3-node cluster can import vfs_index_ray ONLY through the runtime_env
+# py_modules upload that cluster.connect-style packaging provides.
+import sys
+sys.path.insert(0, "/root/repo")
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+import ray
+from ray.cluster_utils import Cluster
+
+from vfs_index_ray.cluster import job_runtime_env
+
+cluster = Cluster(initialize_head=True, head_node_args={"num_cpus": 2})
+cluster.add_node(num_cpus=2)
+cluster.add_node(num_cpus=2)
+ray.init(address=cluster.address, include_dashboard=False,
+         logging_level="ERROR", runtime_env=job_runtime_env())
+
+from vfs_index_ray import corpus
+from vfs_index_ray.build import IndexBuilder
+from vfs_index_ray.search import SearchEngine
+from vfs_index_ray.service import QueryService
+
+
+@ray.remote(num_cpus=0.1)
+def probe():
+    import vfs_index_ray
+    return vfs_index_ray.__file__
+
+
+# the worker resolved the package from the runtime_env working dir,
+# not from a shared checkout
+loc = ray.get(probe.remote())
+assert "/root/repo" not in loc, loc
+print("SHIPPED_FROM", loc)
+
+TMP = "%TMP%"
+pages = corpus.generate_pages(200)
+ids = pa.array(np.arange(200, dtype=np.int64), pa.int64())
+src = TMP + "/docs.parquet"
+pq.write_table(pages.append_column("doc_id", ids), src)
+idx = TMP + "/idx"
+IndexBuilder(idx, mode="word", num_parts=4, id_col="doc_id").build([src])
+print("BUILD_OK 1")
+
+import time
+for _ in range(100):
+    alive = [n for n in ray.nodes() if n["Alive"]]
+    if len(alive) >= 3 and all(n["Resources"].get("CPU", 0) > 0
+                               for n in alive):
+        break
+    time.sleep(0.2)
+
+nodes = []
+for attempt in range(3):
+    svc = QueryService(idx, replicas=3)
+    nodes = svc.worker_nodes()
+    if len(set(nodes)) == 3:
+        break
+    svc.shutdown()
+    time.sleep(1.0)
+print("DISTINCT_NODES", len(set(nodes)))
+d, s = svc.bm25("bababa", 5)
+eng = SearchEngine(idx)
+de, se = eng.bm25("bababa", 5)
+assert d.tolist() == de.tolist() and s.tolist() == se.tolist()
+print("RESULTS_MATCH 1")
+svc.shutdown()
+ray.shutdown()
+cluster.shutdown()
+"""
+
+
+def test_three_node_build_query_code_shipping(tmp_path):
+    """Full job on a simulated 3-node cluster with the package shipped
+    via runtime_env py_modules — no PYTHONPATH, driver cwd outside the
+    repo, so workers cannot see the checkout at all."""
+    script = SHIP_SCRIPT.replace("%TMP%", str(tmp_path))
+    f = tmp_path / "three_node.py"
+    f.write_text(script)
+    env = {k: v for k, v in os.environ.items() if k != "PYTHONPATH"}
+    res = subprocess.run([sys.executable, str(f)], cwd=str(tmp_path),
+                         env=env, capture_output=True, text=True,
+                         timeout=420)
+    assert res.returncode == 0, res.stdout[-2000:] + res.stderr[-2000:]
+    assert "SHIPPED_FROM" in res.stdout, res.stdout
+    assert "BUILD_OK 1" in res.stdout
+    # SPREAD is soft; require at least 2 distinct nodes, expect 3
+    n = [l for l in res.stdout.splitlines()
+         if l.startswith("DISTINCT_NODES")][0]
+    assert int(n.split()[1]) >= 2, res.stdout
+    assert "RESULTS_MATCH 1" in res.stdout
