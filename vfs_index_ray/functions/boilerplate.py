@@ -75,16 +75,16 @@ def partial_aggregate(ds, keys: list[str], aggs: list[tuple[str, str]],
     return pa.table(cols)
 
 
-def unit_doc_frequencies(ds, *, min_docs: int = 1, unit: str = "line",
-                         text_col: str = "text",
-                         num_parts: int | None = None,
-                         spill_dir: str | None = None) -> pa.Table:
-    """Corpus-wide unit document frequencies: an (``unit``, ``df``)
-    table of every unit occurring in >= ``min_docs`` distinct documents
-    (exact string semantics end-to-end — hashing is only the partition
-    key, never the equality test, so collisions cannot merge counts).
-    The threshold filter runs inside the per-part tasks, so only
-    survivors cross the wire."""
+def _unit_frequencies(ds, *, distinct_docs: bool, min_count: int,
+                      out_col: str, unit: str, text_col: str,
+                      num_parts: int | None,
+                      spill_dir: str | None) -> pa.Table:
+    """Shared corpus-wide unit-count kernel (exact string semantics
+    end-to-end — hashing is only the partition key, never the equality
+    test, so collisions cannot merge counts).  ``distinct_docs=True``
+    counts documents containing the unit (df); False counts raw
+    occurrences (collection tf).  The threshold filter runs inside the
+    per-part tasks, so only survivors cross the wire."""
     import os
     import shutil
     import tempfile
@@ -104,8 +104,9 @@ def unit_doc_frequencies(ds, *, min_docs: int = 1, unit: str = "line",
         units = pc.split_pattern(texts, pattern=sep)
         flat = pc.list_flatten(units)
         parent = pc.list_parent_indices(units)
-        pairs = _group_counts(pa.table({"unit": flat, "p": parent}),
-                              ["unit", "p"], [])
+        pairs = pa.table({"unit": flat, "p": parent})
+        if distinct_docs:
+            pairs = _group_counts(pairs, ["unit", "p"], [])
         cnt = _group_counts(pairs, ["unit"], [("p", "count")])
         u = cnt["unit"]
         if isinstance(u, pa.ChunkedArray):
@@ -123,7 +124,7 @@ def unit_doc_frequencies(ds, *, min_docs: int = 1, unit: str = "line",
         (ds.map_batches(partial_counts, batch_format="pyarrow")
            .write_parquet(spill, partition_cols=["part"]))
         empty = pa.table({"unit": pa.array([], pa.string()),
-                          "df": pa.array([], pa.int64())})
+                          out_col: pa.array([], pa.int64())})
         part_dirs = sorted(os.path.join(spill, d) for d in os.listdir(spill)
                            if d.startswith("part="))
         if not part_dirs:
@@ -135,10 +136,10 @@ def unit_doc_frequencies(ds, *, min_docs: int = 1, unit: str = "line",
             t = pq.read_table(pdir, columns=["unit", "n"],
                               use_threads=False)
             g = _group_counts(t, ["unit"], [("n", "sum")])
-            keep = pc.greater_equal(g["n_sum"], pa.scalar(min_docs))
+            keep = pc.greater_equal(g["n_sum"], pa.scalar(min_count))
             g = g.filter(keep)
             return pa.table({"unit": g["unit"],
-                             "df": g["n_sum"].cast(pa.int64())})
+                             out_col: g["n_sum"].cast(pa.int64())})
         parts = ray.get([one_part.remote(d) for d in part_dirs])
         parts = [p for p in parts if p.num_rows]
         if not parts:
@@ -147,6 +148,30 @@ def unit_doc_frequencies(ds, *, min_docs: int = 1, unit: str = "line",
     finally:
         if own:
             shutil.rmtree(spill, ignore_errors=True)
+
+
+def unit_doc_frequencies(ds, *, min_docs: int = 1, unit: str = "line",
+                         text_col: str = "text",
+                         num_parts: int | None = None,
+                         spill_dir: str | None = None) -> pa.Table:
+    """Corpus-wide unit DOCUMENT frequencies: an (``unit``, ``df``)
+    table of every unit occurring in >= ``min_docs`` distinct
+    documents."""
+    return _unit_frequencies(ds, distinct_docs=True, min_count=min_docs,
+                             out_col="df", unit=unit, text_col=text_col,
+                             num_parts=num_parts, spill_dir=spill_dir)
+
+
+def unit_term_frequencies(ds, *, min_count: int = 1, unit: str = "line",
+                          text_col: str = "text",
+                          num_parts: int | None = None,
+                          spill_dir: str | None = None) -> pa.Table:
+    """Corpus-wide unit OCCURRENCE counts (collection term frequency):
+    an (``unit``, ``tf``) table — the unigram-LM numerator
+    (functions/lmscore.py)."""
+    return _unit_frequencies(ds, distinct_docs=False, min_count=min_count,
+                             out_col="tf", unit=unit, text_col=text_col,
+                             num_parts=num_parts, spill_dir=spill_dir)
 
 
 def frequent_units(ds, *, min_docs: int, unit: str = "line",

@@ -1,0 +1,93 @@
+"""Stratified (per-group) deterministic sampling.
+
+Training-data mixes are drawn per stratum — k documents per language,
+per source domain, per quality band — not uniformly over the corpus.
+The scalable shape is priority sampling: every record's priority is a
+pure hash of its id (``hashing.mix32``), so "the k lowest-priority
+records of each group" is a deterministic, order- and
+partitioning-independent sample that needs NO shuffle:
+
+- map_batches: per batch, per group, keep the k lowest (priority, id)
+  pairs — an ``np.lexsort`` + boundary-diff head-take over integer
+  keys (the functions/keywords.py kernel);
+- driver: merge the tiny partials (≤ groups × k rows per batch) with
+  the same lexsort + head-take.  Equivalent to a per-group bottom-k
+  reservoir with a fixed seed; adding data never reorders priorities,
+  so the sample is stable under absorb/appends too.
+
+Reference parity note: vfs-index has no sampling surface; this is a
+beyond-reference LLM-data operator (brief: training-data pipeline
+operations).  The uniform (non-stratified) variant is the driver query
+``sample`` (pipelines/queries.py).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from ..hashing import mix32
+
+
+def _head_per_group(codes: np.ndarray, prio: np.ndarray,
+                    ids: np.ndarray, k: int) -> np.ndarray:
+    """Indices of the k lowest (prio, id) rows per group code."""
+    order = np.lexsort((ids, prio, codes))
+    gs = codes[order]
+    bnd = np.flatnonzero(np.concatenate([[True], gs[1:] != gs[:-1]]))
+    rank = np.arange(len(gs)) - np.repeat(bnd, np.diff(
+        np.concatenate([bnd, [len(gs)]])))
+    return order[rank < k]
+
+
+def stratified_sample(ds, *, group_col: str, k: int,
+                      id_col: str = "doc_id") -> pa.Table:
+    """k records per ``group_col`` value, chosen as the k lowest
+    ``(mix32(id), id)`` priorities — a deterministic per-stratum
+    sample.  Returns a small Arrow table ``(group_col, id_col, prio)``
+    sorted by (group, prio, id)."""
+    import ray
+
+    def local_top(t: pa.Table) -> pa.Table:
+        ids = t[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        prio = mix32(ids)
+        grp = t[group_col]
+        if isinstance(grp, pa.ChunkedArray):
+            grp = grp.combine_chunks()
+        codes = grp.dictionary_encode().indices.to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        keep = _head_per_group(codes, prio, ids, k)
+        return pa.table({
+            group_col: grp.take(pa.array(keep)),
+            id_col: pa.array(ids[keep], pa.int64()),
+            "prio": pa.array(prio[keep], pa.int64()),
+        })
+
+    out = ds.map_batches(local_top, batch_format="pyarrow")
+    parts = [t for t in ray.get(out.to_arrow_refs()) if t.num_rows]
+    if not parts:
+        return pa.table({group_col: pa.array([], pa.string()),
+                         id_col: pa.array([], pa.int64()),
+                         "prio": pa.array([], pa.int64())})
+    merged = pa.concat_tables(parts).combine_chunks()
+    grp = merged[group_col]
+    if isinstance(grp, pa.ChunkedArray):
+        grp = grp.combine_chunks()
+    codes = grp.dictionary_encode()
+    order_codes = codes.indices.to_numpy(zero_copy_only=False).astype(
+        np.int64)
+    # dictionary order is first-appearance; remap to value order so the
+    # final sort is by group VALUE (stable, partition-independent)
+    dic = codes.dictionary.to_pylist()
+    remap = np.argsort(np.argsort(np.array(dic, dtype=object)))
+    order_codes = remap[order_codes]
+    ids = merged[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+    prio = merged["prio"].to_numpy(zero_copy_only=False).astype(np.int64)
+    keep = _head_per_group(order_codes, prio, ids, k)
+    sel = np.lexsort((ids[keep], prio[keep], order_codes[keep]))
+    final = keep[sel]
+    return pa.table({
+        group_col: grp.take(pa.array(final)),
+        id_col: pa.array(ids[final], pa.int64()),
+        "prio": pa.array(prio[final], pa.int64()),
+    })

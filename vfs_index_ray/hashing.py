@@ -99,3 +99,17 @@ def doc_ids_from_urls(arr: pa.Array) -> np.ndarray:
         (int.from_bytes(sha1(u.encode()).digest()[:8], "big")
          for u in arr.to_pylist()),
         dtype=np.uint64, count=len(arr))
+
+
+def mix32(ids: np.ndarray) -> np.ndarray:
+    """Vectorized 32-bit integer finalizer (two multiplicative mixing
+    rounds, Knuth / xxHash-prime constants) over int ids — the
+    deterministic priority behind train/eval splitting and stratified
+    sampling.  Reproducible in plain SQL with HUGEINT arithmetic + xor
+    (see the ``train_split`` / ``stratified_sample`` oracles).  Returns
+    int64 values in [0, 2^32)."""
+    h = ids.astype(np.uint64)
+    m32 = np.uint64(0xFFFFFFFF)
+    h1 = (h * np.uint64(2654435761)) & m32
+    h2 = ((h1 ^ (h1 >> np.uint64(16))) * np.uint64(2246822519)) & m32
+    return (h2 ^ (h2 >> np.uint64(13))).astype(np.int64)

@@ -650,11 +650,8 @@ def train_split_buckets(ids: np.ndarray) -> np.ndarray:
     reproducible with HUGEINT arithmetic + xor in plain SQL, and a pure
     numpy kernel here (no per-row Python anywhere). Returns bucket in
     [0, 100)."""
-    h = ids.astype(np.uint64)
-    m32 = np.uint64(0xFFFFFFFF)
-    h1 = (h * np.uint64(2654435761)) & m32
-    h2 = ((h1 ^ (h1 >> np.uint64(16))) * np.uint64(2246822519)) & m32
-    return ((h2 ^ (h2 >> np.uint64(13))) % np.uint64(100)).astype(np.int64)
+    from ..hashing import mix32
+    return mix32(ids) % 100
 
 
 def q_train_split(sf_dir: str) -> pa.Table:
@@ -1342,6 +1339,33 @@ def q_repetition_stats(sf_dir: str) -> pa.Table:
         ("top_bigram_frac_x1e4", pa.int64())]))
 
 
+def q_lm_score(sf_dir: str) -> pa.Table:
+    """Unigram-LM quality score (the CCNet perplexity-filter shape):
+    disk-shuffled corpus (token, tf) counts → fixed-point per-token
+    logprobs quantized once on the driver → broadcast vocab + one
+    index_in/bincount pass per batch. Integer arithmetic end-to-end
+    after the one ln() per vocab entry, so the SQL oracle is
+    bit-identical."""
+    from ..functions.lmscore import lm_score
+    ds = _docs_ds(sf_dir, columns=["doc_id", "text"])
+    out = lm_score(ds, unit="token")
+    tbl = _collect(out)
+    return tbl.select(["doc_id", "n_tokens", "avg_logprob_x1e6"]).cast(
+        pa.schema([("doc_id", pa.int64()), ("n_tokens", pa.int64()),
+                   ("avg_logprob_x1e6", pa.int64())]))
+
+
+def q_stratified_sample(sf_dir: str) -> pa.Table:
+    """Per-language deterministic sample (k lowest mix32(doc_id)
+    priorities per lang): per-batch integer lexsort head-take + tiny
+    driver merge — no shuffle, stable under any partitioning."""
+    from ..functions.sampling import stratified_sample
+    ds = _docs_ds(sf_dir, columns=["doc_id", "lang"])
+    return stratified_sample(ds, group_col="lang", k=5).cast(pa.schema([
+        ("lang", pa.string()), ("doc_id", pa.int64()),
+        ("prio", pa.int64())]))
+
+
 # ---------------------------------------------------------------------------
 # registry + oracle SQL
 # ---------------------------------------------------------------------------
@@ -1414,6 +1438,8 @@ QUERIES = {
     "events_quantiles": q_events_quantiles,
     "segment_revenue": q_segment_revenue,
     "lineitem_pricing": q_lineitem_pricing,
+    "lm_score": q_lm_score,
+    "stratified_sample": q_stratified_sample,
 }
 
 _STOP_SQL = "['the','and','of','to','a','in','is','it']"
@@ -2271,6 +2297,50 @@ WITH toks AS (
 )
 SELECT doc_id, rnk::BIGINT AS rank, tok AS token, tf, df
 FROM r WHERE rnk <= 3 ORDER BY doc_id, rnk
+""",
+    # unigram-LM quality score: each token's logprob quantized to an
+    # integer via the SAME libm ln() double, then pure integer sums +
+    # one final division — no float summation-order hazards
+    "lm_score": """
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+), cnt AS (
+  SELECT tok, count(*)::BIGINT AS c FROM toks GROUP BY tok
+), tot AS (
+  SELECT sum(c)::BIGINT AS total FROM cnt
+), lp AS (
+  SELECT tok,
+    CAST(floor(ln(c::DOUBLE / (SELECT total FROM tot)) * 1000000 + 0.5)
+         AS BIGINT) AS lp
+  FROM cnt
+)
+SELECT t.doc_id, count(*)::BIGINT AS n_tokens,
+  CAST(floor(sum(l.lp)::DOUBLE / count(*)::DOUBLE + 0.5) AS BIGINT)
+    AS avg_logprob_x1e6
+FROM toks t JOIN lp l ON t.tok = l.tok
+GROUP BY t.doc_id ORDER BY t.doc_id
+""",
+    # stratified sample: same mix32 hash as train_split, full 32-bit
+    # value as the priority; k lowest (prio, doc_id) per lang
+    "stratified_sample": """
+WITH h1 AS (
+  SELECT doc_id, lang,
+    CAST((CAST(doc_id AS HUGEINT) * 2654435761) % 4294967296 AS BIGINT)
+      AS v FROM documents
+), h2 AS (
+  SELECT doc_id, lang,
+    CAST((CAST(xor(v, v >> 16) AS HUGEINT) * 2246822519) % 4294967296
+         AS BIGINT) AS v FROM h1
+), p AS (
+  SELECT doc_id, lang, xor(v, v >> 13) AS prio FROM h2
+), r AS (
+  SELECT lang, doc_id, prio,
+         row_number() OVER (PARTITION BY lang
+                            ORDER BY prio ASC, doc_id ASC) AS rn
+  FROM p
+)
+SELECT lang, doc_id, prio::BIGINT AS prio FROM r WHERE rn <= 5
+ORDER BY lang, prio, doc_id
 """,
     # minhash LSH candidate stage / media pipelines: remaining rows-only
     # checks (approximate IVF + Philox-noise media are approximate or
