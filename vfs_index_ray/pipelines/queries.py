@@ -1366,6 +1366,33 @@ def q_stratified_sample(sf_dir: str) -> pa.Table:
         ("prio", pa.int64())]))
 
 
+def q_shuffle_shards(sf_dir: str) -> pa.Table:
+    """Deterministic epoch-shuffle shard writer (the training global
+    shuffle): prio = mix32(doc_id^seed), shard = prio % S via the hive
+    disk-shuffle substrate, per-shard local (prio, id) sort + atomic
+    one-file-per-shard commit. The returned (shard, pos, doc_id) table
+    IS the written layout read back, so the hash check covers the sink
+    itself."""
+    import shutil
+    import tempfile
+    from ..functions.shards import read_shard, write_shuffled_shards
+    ds = _docs_ds(sf_dir, columns=["doc_id"])
+    out = tempfile.mkdtemp(prefix="shuf_", dir="/tmp")
+    try:
+        stats = write_shuffled_shards(ds, out, num_shards=8, seed=42)
+        parts = []
+        for k in range(stats["shards"]):
+            t = read_shard(out, k, columns=["pos", "doc_id"])
+            parts.append(t.append_column(
+                "shard", pa.array(np.full(t.num_rows, k, np.int64))))
+        tbl = pa.concat_tables(parts)
+        return tbl.select(["shard", "pos", "doc_id"]).cast(pa.schema([
+            ("shard", pa.int64()), ("pos", pa.int64()),
+            ("doc_id", pa.int64())]))
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+
+
 # ---------------------------------------------------------------------------
 # registry + oracle SQL
 # ---------------------------------------------------------------------------
@@ -1440,6 +1467,7 @@ QUERIES = {
     "lineitem_pricing": q_lineitem_pricing,
     "lm_score": q_lm_score,
     "stratified_sample": q_stratified_sample,
+    "shuffle_shards": q_shuffle_shards,
 }
 
 _STOP_SQL = "['the','and','of','to','a','in','is','it']"
@@ -2341,6 +2369,26 @@ WITH h1 AS (
 )
 SELECT lang, doc_id, prio::BIGINT AS prio FROM r WHERE rn <= 5
 ORDER BY lang, prio, doc_id
+""",
+    # epoch shuffle: shard = mix32(doc_id^42) % 8, pos = rank of
+    # (prio, doc_id) within the shard — the written shard layout
+    "shuffle_shards": """
+WITH h1 AS (
+  SELECT doc_id,
+    CAST((CAST(xor(doc_id, 42) AS HUGEINT) * 2654435761) % 4294967296
+         AS BIGINT) AS v FROM documents
+), h2 AS (
+  SELECT doc_id,
+    CAST((CAST(xor(v, v >> 16) AS HUGEINT) * 2246822519) % 4294967296
+         AS BIGINT) AS v FROM h1
+), p AS (
+  SELECT doc_id, xor(v, v >> 13) AS prio FROM h2
+)
+SELECT (prio % 8)::BIGINT AS shard,
+  (row_number() OVER (PARTITION BY prio % 8
+                      ORDER BY prio ASC, doc_id ASC) - 1)::BIGINT AS pos,
+  doc_id
+FROM p ORDER BY shard, pos
 """,
     # minhash LSH candidate stage / media pipelines: remaining rows-only
     # checks (approximate IVF + Philox-noise media are approximate or
