@@ -27,7 +27,8 @@ def main(argv=None) -> int:
     ap.add_argument("--docs", type=int, default=1_200_000)
     ap.add_argument("--cpus", type=int, default=32)
     ap.add_argument("--ops", nargs="*", default=[
-        "token_df", "boilerplate", "keywords", "repetition"])
+        "token_df", "boilerplate", "keywords", "repetition",
+        "lm_score", "shuffle_shards"])
     args = ap.parse_args(argv)
 
     import ray
@@ -83,6 +84,35 @@ def main(argv=None) -> int:
             batch_format="pyarrow")
         out.write_parquet(sink)
         times["repetition"] = round(time.perf_counter() - t0, 3)
+
+    if "lm_score" in args.ops:
+        from vfs_index_ray.functions.lmscore import lm_score
+        shutil.rmtree(sink, ignore_errors=True)
+        t0 = time.perf_counter()
+        out = lm_score(pages_ds(), unit="token", id_col="url")
+        out.write_parquet(sink)
+        times["lm_score"] = round(time.perf_counter() - t0, 3)
+
+    if "shuffle_shards" in args.ops:
+        from vfs_index_ray.functions.shards import write_shuffled_shards
+        shutil.rmtree(sink, ignore_errors=True)
+        t0 = time.perf_counter()
+        # url corpus: ids are the fnv of the url (int64 domain)
+        import numpy as np
+        import pyarrow as pa
+
+        def add_id(t: pa.Table) -> pa.Table:
+            from vfs_index_ray.hashing import fnv1a64_tokens
+            u = t["url"]
+            if isinstance(u, pa.ChunkedArray):
+                u = u.combine_chunks()
+            ids = fnv1a64_tokens(u).astype(np.int64)
+            return t.append_column("doc_id", pa.array(ids, pa.int64()))
+
+        write_shuffled_shards(
+            pages_ds().map_batches(add_id, batch_format="pyarrow"),
+            sink, num_shards=64, seed=3)
+        times["shuffle_shards"] = round(time.perf_counter() - t0, 3)
 
     shutil.rmtree(sink, ignore_errors=True)
     print(json.dumps({"docs": args.docs, "cpus": args.cpus,

@@ -108,8 +108,9 @@ def lm_score(ds, *, unit: str = "token", text_col: str = "text",
         ntok = np.bincount(parent.astype(np.int64), minlength=n)
         avg = np.floor(sum_lp / np.maximum(ntok, 1) + 0.5).astype(np.int64)
         avg[ntok == 0] = 0
+        # id passes through untouched (int64 doc ids OR string urls)
         return pa.table({
-            id_col: batch[id_col].cast(pa.int64()),
+            id_col: batch[id_col],
             "n_tokens": pa.array(ntok.astype(np.int64), pa.int64()),
             "avg_logprob_x1e6": pa.array(avg, pa.int64()),
         })
