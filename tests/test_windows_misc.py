@@ -239,6 +239,7 @@ def test_disk_shuffle_identical_to_sort_shuffle(ray_session):
     import ray.data
 
     from vfs_index_ray.functions import windows as W
+    from vfs_index_ray.functions.sampling import budget_mix as _budget_mix_op
 
     rng = np.random.default_rng(23)
     n = 2000
@@ -270,6 +271,9 @@ def test_disk_shuffle_identical_to_sort_shuffle(ray_session):
         (W.pack_by_budget, {"key_col": "source", "order_col": "event_id",
                             "weight_col": "n_chars", "budget": 2048},
          ["event_id", "pack_id"]),
+        (_budget_mix_op, {"key_col": "source", "id_col": "event_id",
+                          "weight_col": "n_chars", "budget": 4096},
+         ["source", "event_id", "prio", "weight", "cum_weight"]),
     ]:
         ds = ray.data.from_arrow(t)
         a = rows(op(ds, shuffle="disk", **kw), keys)
@@ -297,3 +301,35 @@ def test_exact_dedup_disk_identical_to_sort(ray_session):
 
     a, b = rows("disk"), rows("sort")
     assert a == b and len(a) == 37
+
+
+def test_budget_mix_greedy_semantics():
+    """The kernel keeps docs in (mix32(id), id) order while the key's
+    exclusive prefix-sum is under budget — the crossing doc is kept,
+    everything after it dropped; keys are independent."""
+    import pyarrow as pa
+
+    from vfs_index_ray.functions.sampling import _budget_mix_kernel
+    from vfs_index_ray.hashing import mix32
+
+    ids = np.arange(10, dtype=np.int64)
+    t = pa.table({
+        "source": pa.array(["a"] * 5 + ["b"] * 5),
+        "doc_id": pa.array(ids),
+        "n_chars": pa.array(np.full(10, 30, np.int64)),
+    })
+    out = _budget_mix_kernel(t, "source", "doc_id", "n_chars", 100)
+    # 30-char docs, budget 100: excl sums 0,30,60,90 < 100 -> 4 docs
+    # per key (the 4th crosses 100 and is kept), the 5th dropped
+    assert out.num_rows == 8
+    per = out.to_pydict()
+    for key in ("a", "b"):
+        rows = [(p, d, c) for s, d, p, c in zip(
+            per["source"], per["doc_id"], per["prio"], per["cum_weight"])
+            if s == key]
+        assert len(rows) == 4
+        assert [c for _, _, c in rows] == [30, 60, 90, 120]
+        # priority order == mix32 order over that key's ids
+        kid = ids[:5] if key == "a" else ids[5:]
+        want = sorted(zip(mix32(kid).tolist(), kid.tolist()))[:4]
+        assert [(p, d) for p, d, _ in rows] == want

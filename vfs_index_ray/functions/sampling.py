@@ -40,6 +40,86 @@ def _head_per_group(codes: np.ndarray, prio: np.ndarray,
     return order[rank < k]
 
 
+def _budget_mix_kernel(t: pa.Table, key_col: str, id_col: str,
+                       weight_col: str, budget: int) -> pa.Table:
+    """All rows of one key-partition → the rows selected by the greedy
+    budget fill: per key, walk docs in ``(mix32(id), id)`` order and
+    keep a doc while the key's EXCLUSIVE weight prefix-sum is still
+    below ``budget`` (so the doc that first crosses the budget is
+    included, then the key stops).  Vectorized lexsort + cumsum +
+    per-key base subtraction (the ``pack_by_budget`` trick); weights
+    must be non-negative."""
+    schema = pa.schema([(key_col, pa.string()), (id_col, pa.int64()),
+                        ("prio", pa.int64()), ("weight", pa.int64()),
+                        ("cum_weight", pa.int64())])
+    n = t.num_rows
+    if n == 0:
+        return schema.empty_table()
+    grp = t[key_col]
+    if isinstance(grp, pa.ChunkedArray):
+        grp = grp.combine_chunks()
+    kcode = grp.dictionary_encode().indices.to_numpy(
+        zero_copy_only=False).astype(np.int64)
+    ids = t[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+    w = t[weight_col].to_numpy(zero_copy_only=False).astype(np.int64)
+    prio = mix32(ids)
+    order = np.lexsort((ids, prio, kcode))
+    ks, ws = kcode[order], w[order]
+    csum = np.cumsum(ws)
+    new_key = np.empty(n, bool)
+    new_key[0] = True
+    new_key[1:] = ks[1:] != ks[:-1]
+    key_base = np.maximum.accumulate(np.where(new_key, csum - ws, 0))
+    excl = csum - ws - key_base
+    keep = excl < budget
+    sel = order[keep]
+    return pa.table({
+        key_col: grp.take(pa.array(sel)).cast(pa.string()),
+        id_col: pa.array(ids[sel], pa.int64()),
+        "prio": pa.array(prio[sel], pa.int64()),
+        "weight": pa.array(w[sel], pa.int64()),
+        "cum_weight": pa.array((excl + ws)[keep], pa.int64()),
+    })
+
+
+def budget_mix(ds, *, key_col: str = "source", id_col: str = "doc_id",
+               weight_col: str = "n_chars", budget: int,
+               num_partitions: int = 32, shuffle: str = "auto"):
+    """Deterministic mixture sampling under a per-key weight budget —
+    the training-data "mixing" step: each source (domain, language,
+    quality band) contributes documents in a seedless deterministic
+    shuffle order (``prio = mix32(id)``) until ``budget`` weight
+    (chars, tokens, bytes) is reached, so re-runs and appends never
+    reshuffle what was already picked.  Returns a Dataset of
+    ``(key, id, prio, weight, cum_weight)`` for the selected docs.
+
+    Same 100-TB shape as ``pack_by_budget``/sessionize: ONE uniform
+    hash-partition on the key over the auto-picked shuffle substrate
+    (hive disk spill above ~128 MiB, sort groupby below), then one
+    vectorized kernel per partition — the prefix sum is per-key, so
+    keys parallelize perfectly and no global order exists anywhere."""
+    from .windows import _keyed_partition_op
+
+    def add_part(t: pa.Table) -> pa.Table:
+        col = t[key_col]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        if pa.types.is_string(col.type) or pa.types.is_large_string(
+                col.type):
+            from ..hashing import fnv1a64_tokens
+            h = fnv1a64_tokens(col).astype(np.int64) & 0x7FFFFFFFFFFFFFFF
+        else:
+            h = np.abs(col.to_numpy(zero_copy_only=False).astype(np.int64))
+        return t.append_column(
+            "kpart", pa.array(h % num_partitions, pa.int64()))
+
+    def per_part(g: pa.Table) -> pa.Table:
+        return _budget_mix_kernel(g, key_col, id_col, weight_col, budget)
+
+    return _keyed_partition_op(ds, add_part, "kpart", per_part,
+                               shuffle=shuffle)
+
+
 def stratified_sample(ds, *, group_col: str, k: int,
                       id_col: str = "doc_id") -> pa.Table:
     """k records per ``group_col`` value, chosen as the k lowest

@@ -1366,6 +1366,26 @@ def q_stratified_sample(sf_dir: str) -> pa.Table:
         ("prio", pa.int64())]))
 
 
+def q_budget_mix(sf_dir: str) -> pa.Table:
+    """Per-source token-budget mixture sampling (the data-mixing step):
+    each source contributes docs in deterministic mix32 shuffle order
+    until 4000 chars — one hash-partition on source over the auto
+    shuffle substrate, one vectorized prefix-sum kernel per part."""
+    from ..functions.sampling import budget_mix
+    ds = _docs_ds(sf_dir, columns=["doc_id", "source", "n_chars"])
+    out = budget_mix(ds, key_col="source", weight_col="n_chars",
+                     budget=4000)
+    tbl = _collect(out)
+    idx = pc.sort_indices(tbl, sort_keys=[
+        ("source", "ascending"), ("prio", "ascending"),
+        ("doc_id", "ascending")])
+    return tbl.take(idx).select(
+        ["source", "doc_id", "prio", "weight", "cum_weight"]).cast(
+        pa.schema([("source", pa.string()), ("doc_id", pa.int64()),
+                   ("prio", pa.int64()), ("weight", pa.int64()),
+                   ("cum_weight", pa.int64())]))
+
+
 def q_shuffle_shards(sf_dir: str) -> pa.Table:
     """Deterministic epoch-shuffle shard writer (the training global
     shuffle): prio = mix32(doc_id^seed), shard = prio % S via the hive
@@ -1467,6 +1487,7 @@ QUERIES = {
     "lineitem_pricing": q_lineitem_pricing,
     "lm_score": q_lm_score,
     "stratified_sample": q_stratified_sample,
+    "budget_mix": q_budget_mix,
     "shuffle_shards": q_shuffle_shards,
 }
 
@@ -2369,6 +2390,33 @@ WITH h1 AS (
 )
 SELECT lang, doc_id, prio::BIGINT AS prio FROM r WHERE rn <= 5
 ORDER BY lang, prio, doc_id
+""",
+    # budget mix: greedy per-source fill in (mix32(doc_id), doc_id)
+    # order — keep a doc while the source's EXCLUSIVE char prefix-sum
+    # is below the budget (the crossing doc is included)
+    "budget_mix": """
+WITH h1 AS (
+  SELECT doc_id, source, n_chars,
+    CAST((CAST(doc_id AS HUGEINT) * 2654435761) % 4294967296 AS BIGINT)
+      AS v FROM documents
+), h2 AS (
+  SELECT doc_id, source, n_chars,
+    CAST((CAST(xor(v, v >> 16) AS HUGEINT) * 2246822519) % 4294967296
+         AS BIGINT) AS v FROM h1
+), p AS (
+  SELECT doc_id, source, n_chars, xor(v, v >> 13) AS prio FROM h2
+), c AS (
+  SELECT source, doc_id, prio, n_chars,
+    coalesce(sum(n_chars) OVER (
+      PARTITION BY source ORDER BY prio, doc_id
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS excl
+  FROM p
+)
+SELECT source, doc_id, prio::BIGINT AS prio,
+       n_chars::BIGINT AS weight,
+       (excl + n_chars)::BIGINT AS cum_weight
+FROM c WHERE excl < 4000
+ORDER BY source, prio, doc_id
 """,
     # epoch shuffle: shard = mix32(doc_id^42) % 8, pos = rank of
     # (prio, doc_id) within the shard — the written shard layout
