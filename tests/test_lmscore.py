@@ -106,3 +106,27 @@ def test_stratified_sample_deterministic_and_partition_free(ray_session):
     de_a = a.filter(pa.compute.equal(a["lang"], "de"))["doc_id"]
     de_c = c.filter(pa.compute.equal(c["lang"], "de"))["doc_id"]
     assert de_a.to_pylist() == de_c.to_pylist()
+
+
+def test_quality_filter_threshold_rank(ray_session):
+    """Threshold is the value at ascending rank ceil(pct*n/100); docs
+    at or above it survive (ties included), independent of
+    partitioning."""
+    from vfs_index_ray.functions.lmscore import quality_filter
+
+    # distinct ordered scores: doc i mixes one rare token (tf=1) with
+    # i+1 copies of the common token, so avg rises strictly with i
+    texts = [f"r{i} " + " ".join(["c"] * (i + 1)) for i in range(10)]
+    for par in (1, 5):
+        out, thr = quality_filter(_mk_ds(texts, parallelism=par), pct=40)
+        rows = sorted(r["doc_id"] for r in out.take_all())
+        scored = {r["doc_id"]: r["avg_logprob_x1e6"]
+                  for r in __import__("vfs_index_ray.functions.lmscore",
+                                      fromlist=["lm_score"]
+                                      ).lm_score(_mk_ds(texts)).take_all()}
+        vals = sorted(scored.values())
+        want_thr = vals[(40 * len(vals) + 99) // 100 - 1]
+        assert thr == want_thr
+        assert rows == sorted(i for i, v in scored.items()
+                              if v >= want_thr)
+        assert 0 < len(rows) < len(texts)

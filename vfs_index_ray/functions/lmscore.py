@@ -116,3 +116,64 @@ def lm_score(ds, *, unit: str = "token", text_col: str = "text",
         })
 
     return ds.map_batches(score, batch_format="pyarrow")
+
+
+def quality_filter(ds, *, pct: int = 30, unit: str = "token",
+                   text_col: str = "text", id_col: str = "doc_id",
+                   tf_table: pa.Table | None = None,
+                   num_parts: int | None = None, scale: int = 10**6):
+    """Corpus-percentile quality gate (the CCNet perplexity filter's
+    thresholding step): score every document with ``lm_score``, find
+    the EXACT ``pct``-th percentile of ``avg_logprob_x1e6`` over the
+    whole corpus (discrete ascending rank ``ceil(pct*n/100)`` — the
+    ``events_quantiles`` / DuckDB convention, exact because scores are
+    already fixed-point integers), and keep documents scoring at or
+    above it (ties at the threshold survive).  Returns ``(dataset,
+    threshold)`` where the dataset holds the surviving ``(id, n_tokens,
+    avg_logprob_x1e6)`` rows.
+
+    100-TB shape: the scored table (3 ints/doc) is materialized to
+    object-store Arrow refs; per-ref value-count partials ship only
+    (distinct score, count) pairs to the driver — the corpus text never
+    moves again, and the survivors stay distributed
+    (``from_arrow_refs``).  At extreme doc counts write the scores to
+    parquet first and histogram from a pruned re-read."""
+    import ray
+
+    from .boilerplate import _group_counts
+
+    if not 1 <= pct <= 100:
+        raise ValueError("pct must be in [1, 100]")
+    scored = lm_score(ds, unit=unit, text_col=text_col, id_col=id_col,
+                      tf_table=tf_table, num_parts=num_parts, scale=scale)
+    refs = scored.to_arrow_refs()
+
+    @ray.remote(num_cpus=1)
+    def val_counts(t: pa.Table) -> pa.Table:
+        return _group_counts(
+            t.select(["avg_logprob_x1e6"]), ["avg_logprob_x1e6"],
+            [("avg_logprob_x1e6", "count")])
+
+    partials = [t for t in ray.get([val_counts.remote(r) for r in refs])
+                if t.num_rows]
+    empty = pa.schema([(id_col, pa.int64()), ("n_tokens", pa.int64()),
+                       ("avg_logprob_x1e6", pa.int64())]).empty_table()
+    if not partials:
+        return ray.data.from_arrow(empty), 0
+    m = _group_counts(pa.concat_tables(partials).combine_chunks(),
+                      ["avg_logprob_x1e6"],
+                      [("avg_logprob_x1e6_count", "sum")])
+    vals = m["avg_logprob_x1e6"].to_numpy(zero_copy_only=False)
+    cnts = m["avg_logprob_x1e6_count_sum"].to_numpy(zero_copy_only=False)
+    order = np.argsort(vals, kind="stable")
+    vals, cnts = vals[order], cnts[order]
+    n = int(cnts.sum())
+    rank = (pct * n + 99) // 100                  # ceil(pct*n/100), 1-based
+    thr = int(vals[np.searchsorted(np.cumsum(cnts), rank)])
+
+    @ray.remote(num_cpus=1)
+    def filt(t: pa.Table) -> pa.Table:
+        return t.filter(pc.greater_equal(t["avg_logprob_x1e6"],
+                                         pa.scalar(thr, pa.int64())))
+
+    return ray.data.from_arrow_refs([filt.remote(r) for r in refs]), thr

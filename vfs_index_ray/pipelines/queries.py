@@ -1355,6 +1355,23 @@ def q_lm_score(sf_dir: str) -> pa.Table:
                    ("avg_logprob_x1e6", pa.int64())]))
 
 
+def q_quality_filter(sf_dir: str) -> pa.Table:
+    """Percentile quality gate on the unigram-LM score: keep docs at or
+    above the exact corpus 30th percentile of avg_logprob_x1e6 (discrete
+    ceil(pct*n/100) rank — integer scores make it hash-exact). Scores
+    histogram as per-ref value-count partials; survivors stay
+    distributed (from_arrow_refs)."""
+    from ..functions.lmscore import quality_filter
+    ds = _docs_ds(sf_dir, columns=["doc_id", "text"])
+    out, _thr = quality_filter(ds, pct=30, unit="token")
+    tbl = _collect(out)
+    idx = pc.sort_indices(tbl, sort_keys=[("doc_id", "ascending")])
+    return tbl.take(idx).select(
+        ["doc_id", "n_tokens", "avg_logprob_x1e6"]).cast(
+        pa.schema([("doc_id", pa.int64()), ("n_tokens", pa.int64()),
+                   ("avg_logprob_x1e6", pa.int64())]))
+
+
 def q_stratified_sample(sf_dir: str) -> pa.Table:
     """Per-language deterministic sample (k lowest mix32(doc_id)
     priorities per lang): per-batch integer lexsort head-take + tiny
@@ -1486,6 +1503,7 @@ QUERIES = {
     "segment_revenue": q_segment_revenue,
     "lineitem_pricing": q_lineitem_pricing,
     "lm_score": q_lm_score,
+    "quality_filter": q_quality_filter,
     "stratified_sample": q_stratified_sample,
     "budget_mix": q_budget_mix,
     "shuffle_shards": q_shuffle_shards,
@@ -2368,6 +2386,38 @@ SELECT t.doc_id, count(*)::BIGINT AS n_tokens,
     AS avg_logprob_x1e6
 FROM toks t JOIN lp l ON t.tok = l.tok
 GROUP BY t.doc_id ORDER BY t.doc_id
+""",
+    # percentile quality gate: the lm_score CTE, then the exact 30th
+    # ascending-rank value (ceil(30*n/100), events_quantiles rule) as
+    # the keep threshold; ties at the threshold survive on both sides
+    "quality_filter": """
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+), cnt AS (
+  SELECT tok, count(*)::BIGINT AS c FROM toks GROUP BY tok
+), tot AS (
+  SELECT sum(c)::BIGINT AS total FROM cnt
+), lp AS (
+  SELECT tok,
+    CAST(floor(ln(c::DOUBLE / (SELECT total FROM tot)) * 1000000 + 0.5)
+         AS BIGINT) AS lp
+  FROM cnt
+), scored AS (
+  SELECT t.doc_id, count(*)::BIGINT AS n_tokens,
+    CAST(floor(sum(l.lp)::DOUBLE / count(*)::DOUBLE + 0.5) AS BIGINT)
+      AS avg_logprob_x1e6
+  FROM toks t JOIN lp l ON t.tok = l.tok GROUP BY t.doc_id
+), ranked AS (
+  SELECT avg_logprob_x1e6 AS v,
+         row_number() OVER (ORDER BY avg_logprob_x1e6) AS rn
+  FROM scored
+), th AS (
+  SELECT v FROM ranked
+  WHERE rn = (SELECT (30 * count(*) + 99) // 100 FROM scored)
+)
+SELECT doc_id, n_tokens, avg_logprob_x1e6 FROM scored
+WHERE avg_logprob_x1e6 >= (SELECT v FROM th)
+ORDER BY doc_id
 """,
     # stratified sample: same mix32 hash as train_split, full 32-bit
     # value as the priority; k lowest (prio, doc_id) per lang
