@@ -1,0 +1,207 @@
+"""Exact duplicate-span detection (substring-level dedup statistics).
+
+Exact-substring deduplication (Lee et al. 2022, "Deduplicating Training
+Data Makes Language Models Better") removes repeated SPANS, not whole
+documents: a quote, a license header, a template paragraph that occurs
+twice anywhere in the corpus.  This module computes the span-level
+duplication signal — for every document, how many of its L-token
+windows occur at least twice corpus-wide — exactly and Ray-Data-first:
+
+- window construction is pure byte arithmetic over the Arrow string
+  buffer: token boundaries are the 0x20 positions (``string_split`` /
+  ``' '.join`` are exact inverses for a single-byte separator, so the
+  window string IS a byte slice of the original text), and the window
+  values are built with one vectorized gather — no per-row Python, no
+  tokenizer round-trip;
+- corpus-wide window counts ride the hive-partitioned DISK shuffle
+  (``part = fnv(window) % P`` parquet spill, then P independent
+  per-part sum+filter tasks) — the postings-shuffle pattern of
+  ``build.py`` / ``boilerplate.py``, never Ray Data's pull-based sort
+  shuffle (measured in-repo to anti-scale at high core counts).
+  Equality is on the WINDOW STRING end-to-end — hashing is only the
+  partition key, so collisions cannot merge counts;
+- the surviving duplicate-window set (count >= 2 — content that
+  actually repeats) is broadcast once via ``ray.put`` and probed with
+  one vectorized ``is_in`` per batch.
+
+Reference parity note: vfs-index has no substring-dedup surface; this
+is a beyond-reference LLM-data operator (brief: deduplication family).
+Scale notes: window emission is ~L x the text bytes per batch — cap
+``batch_size`` for very large documents; the broadcast assumes the
+duplicate-window set (true repeated content only, not the full window
+space) fits in the object store — at extreme dup rates swap the probe
+for a partitioned semi-join over the same spill layout.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ..hashing import _string_array_buffers, fnv1a64_tokens
+from .boilerplate import _group_counts
+
+
+def _window_spans(texts, L: int) -> tuple[np.ndarray, pa.Array]:
+    """(win_doc, windows) for every L-token window of every text: the
+    window's doc ordinal and its exact string (tokens joined by ' ',
+    i.e. the byte slice of the text from the first token's start to the
+    last token's end).  Nulls count as empty (1 empty token)."""
+    if isinstance(texts, pa.ChunkedArray):
+        texts = texts.combine_chunks()
+    texts = pc.fill_null(texts, "")
+    n = len(texts)
+    empty = pa.array([], pa.large_string())
+    if n == 0:
+        return np.empty(0, np.int64), empty
+    data, voff = _string_array_buffers(texts)
+    lo, hi = int(voff[0]), int(voff[-1])
+    spaces = lo + np.flatnonzero(data[lo:hi] == 0x20)
+    # containing doc of each separator byte: largest j with voff[j] <= s
+    # ('right' lands past runs of equal offsets, i.e. past empty docs)
+    sp_doc = np.searchsorted(voff, spaces, "right") - 1
+    ntok = 1 + np.bincount(sp_doc, minlength=n)
+    base = np.concatenate([[0], np.cumsum(ntok)])
+    starts = np.empty(base[-1], np.int64)
+    starts[base[:-1]] = voff[:-1]
+    if len(spaces):
+        run_start = np.concatenate(
+            [[0], np.flatnonzero(sp_doc[1:] != sp_doc[:-1]) + 1])
+        run_len = np.diff(np.append(run_start, len(spaces)))
+        r = np.arange(len(spaces)) - np.repeat(run_start, run_len)
+        starts[base[sp_doc] + 1 + r] = spaces + 1
+    nwin = np.maximum(ntok - (L - 1), 0)
+    total_win = int(nwin.sum())
+    if total_win == 0:
+        return np.empty(0, np.int64), empty
+    wbase = np.concatenate([[0], np.cumsum(nwin)])
+    win_doc = np.repeat(np.arange(n, dtype=np.int64), nwin)
+    win_j = np.arange(total_win) - np.repeat(wbase[:-1], nwin)
+    sidx = base[win_doc] + win_j
+    s = starts[sidx]
+    e = np.empty(total_win, np.int64)
+    last = win_j + L == ntok[win_doc]
+    e[last] = voff[win_doc[last] + 1]
+    nl = ~last
+    e[nl] = starts[sidx[nl] + L] - 1
+    lens = e - s
+    out_off = np.concatenate([[0], np.cumsum(lens)])
+    gather = np.repeat(s - out_off[:-1], lens) + np.arange(out_off[-1])
+    buf = np.ascontiguousarray(data[gather])
+    windows = pa.Array.from_buffers(
+        pa.large_string(), total_win,
+        [None, pa.py_buffer(out_off), pa.py_buffer(buf)])
+    return win_doc, windows
+
+
+def duplicate_windows(ds, *, L: int = 8, text_col: str = "text",
+                      min_count: int = 2, num_parts: int | None = None,
+                      spill_dir: str | None = None,
+                      batch_size: int | None = None) -> pa.Table:
+    """Corpus-wide duplicate L-token windows: a ``(window, n)`` table of
+    every window string occurring >= ``min_count`` times (multiplicity
+    counts every occurrence, within- and cross-document).  Exact string
+    semantics over the hive disk shuffle (see module docstring)."""
+    import os
+    import shutil
+    import tempfile
+
+    import ray
+
+    if L < 2:
+        raise ValueError("L must be >= 2")
+    if num_parts is None:
+        num_parts = max(8, int(ray.cluster_resources().get("CPU", 8)))
+
+    def partial(batch: pa.Table) -> pa.Table:
+        win_doc, wins = _window_spans(batch[text_col], L)
+        pairs = pa.table({"unit": wins,
+                          "p": pa.array(win_doc, pa.int64())})
+        cnt = _group_counts(pairs, ["unit"], [("p", "count")])
+        u = cnt["unit"]
+        if isinstance(u, pa.ChunkedArray):
+            u = u.combine_chunks()
+        part = (fnv1a64_tokens(u) % np.uint64(num_parts)).astype(np.int32)
+        return pa.table({"unit": u,
+                         "n": cnt["p_count"].cast(pa.int64()),
+                         "part": pa.array(part, pa.int32())})
+
+    own = spill_dir is None
+    spill = spill_dir or tempfile.mkdtemp(prefix="spans_", dir="/tmp")
+    empty = pa.table({"window": pa.array([], pa.large_string()),
+                      "n": pa.array([], pa.int64())})
+    try:
+        (ds.map_batches(partial, batch_format="pyarrow",
+                        batch_size=batch_size)
+           .write_parquet(spill, partition_cols=["part"]))
+        part_dirs = sorted(os.path.join(spill, d) for d in os.listdir(spill)
+                           if d.startswith("part="))
+        if not part_dirs:
+            return empty
+
+        @ray.remote(num_cpus=1)
+        def one_part(pdir: str) -> pa.Table:
+            import pyarrow.parquet as pq
+            t = pq.read_table(pdir, columns=["unit", "n"],
+                              use_threads=False)
+            g = _group_counts(t, ["unit"], [("n", "sum")])
+            g = g.filter(pc.greater_equal(g["n_sum"],
+                                          pa.scalar(min_count)))
+            return pa.table({
+                "window": g["unit"].cast(pa.large_string()),
+                "n": g["n_sum"].cast(pa.int64())})
+        parts = [p for p in ray.get([one_part.remote(d)
+                                     for d in part_dirs]) if p.num_rows]
+        if not parts:
+            return empty
+        return pa.concat_tables(parts).combine_chunks()
+    finally:
+        if own:
+            shutil.rmtree(spill, ignore_errors=True)
+
+
+def dup_spans(ds, *, L: int = 8, text_col: str = "text",
+              id_col: str = "doc_id", min_count: int = 2,
+              num_parts: int | None = None,
+              batch_size: int | None = None):
+    """Per-document duplicate-span statistics: a Dataset of ``(id,
+    n_windows, dup_windows, dup_frac_x1e4)`` where ``dup_windows``
+    counts the document's L-token windows whose exact window string
+    occurs >= ``min_count`` times corpus-wide.  The per-doc signal
+    behind exact-substring dedup: threshold ``dup_frac`` to drop
+    template-heavy documents, or feed ``duplicate_windows`` output to a
+    span-removal rewrite."""
+    import ray
+
+    dup = duplicate_windows(ds, L=L, text_col=text_col,
+                            min_count=min_count, num_parts=num_parts,
+                            batch_size=batch_size)
+    col = dup["window"]
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    dup_ref = ray.put(col)
+
+    def stats(batch: pa.Table) -> pa.Table:
+        dupset = ray.get(dup_ref)
+        win_doc, wins = _window_spans(batch[text_col], L)
+        nb = len(batch)
+        nw = np.bincount(win_doc, minlength=nb)
+        if len(dupset) and len(win_doc):
+            m = pc.is_in(wins, value_set=dupset).to_numpy(
+                zero_copy_only=False).astype(bool)
+            dw = np.bincount(win_doc[m], minlength=nb)
+        else:
+            dw = np.zeros(nb, np.int64)
+        frac = np.floor(
+            dw / np.maximum(nw, 1) * 10000 + 0.5).astype(np.int64)
+        frac[nw == 0] = 0
+        return pa.table({
+            id_col: batch[id_col],
+            "n_windows": pa.array(nw.astype(np.int64), pa.int64()),
+            "dup_windows": pa.array(dw.astype(np.int64), pa.int64()),
+            "dup_frac_x1e4": pa.array(frac, pa.int64()),
+        })
+
+    return ds.map_batches(stats, batch_format="pyarrow",
+                          batch_size=batch_size)

@@ -1355,6 +1355,23 @@ def q_lm_score(sf_dir: str) -> pa.Table:
                    ("avg_logprob_x1e6", pa.int64())]))
 
 
+def q_dup_spans(sf_dir: str) -> pa.Table:
+    """Exact duplicate-span stats (the substring-dedup signal): per doc,
+    its 8-token windows occurring >= 2x corpus-wide. Byte-arithmetic
+    window kernel + hive disk-shuffle exact window counts + broadcast
+    is_in probe."""
+    from ..functions.spans import dup_spans
+    ds = _docs_ds(sf_dir, columns=["doc_id", "text"])
+    out = dup_spans(ds, L=8)
+    tbl = _collect(out)
+    idx = pc.sort_indices(tbl, sort_keys=[("doc_id", "ascending")])
+    return tbl.take(idx).select(
+        ["doc_id", "n_windows", "dup_windows", "dup_frac_x1e4"]).cast(
+        pa.schema([("doc_id", pa.int64()), ("n_windows", pa.int64()),
+                   ("dup_windows", pa.int64()),
+                   ("dup_frac_x1e4", pa.int64())]))
+
+
 def q_quality_filter(sf_dir: str) -> pa.Table:
     """Percentile quality gate on the unigram-LM score: keep docs at or
     above the exact corpus 30th percentile of avg_logprob_x1e6 (discrete
@@ -1504,6 +1521,7 @@ QUERIES = {
     "lineitem_pricing": q_lineitem_pricing,
     "lm_score": q_lm_score,
     "quality_filter": q_quality_filter,
+    "dup_spans": q_dup_spans,
     "stratified_sample": q_stratified_sample,
     "budget_mix": q_budget_mix,
     "shuffle_shards": q_shuffle_shards,
@@ -2386,6 +2404,28 @@ SELECT t.doc_id, count(*)::BIGINT AS n_tokens,
     AS avg_logprob_x1e6
 FROM toks t JOIN lp l ON t.tok = l.tok
 GROUP BY t.doc_id ORDER BY t.doc_id
+""",
+    # duplicate spans: every 8-token window via list slicing; a window
+    # is duplicated when its exact joined string occurs >= 2x anywhere
+    # (within- and cross-document multiplicity both count)
+    "dup_spans": """
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+), wins AS (
+  SELECT doc_id, array_to_string(t[i:i+7], ' ') AS g
+  FROM toks, UNNEST(generate_series(1, greatest(len(t)-7, 0))) AS s(i)
+), cnt AS (SELECT g, count(*) AS c FROM wins GROUP BY g),
+per AS (
+  SELECT w.doc_id, count(*)::BIGINT AS n_windows,
+         sum(CASE WHEN c.c >= 2 THEN 1 ELSE 0 END)::BIGINT AS dup_windows
+  FROM wins w JOIN cnt c ON w.g = c.g GROUP BY w.doc_id
+)
+SELECT d.doc_id, coalesce(n_windows, 0)::BIGINT AS n_windows,
+       coalesce(dup_windows, 0)::BIGINT AS dup_windows,
+       CASE WHEN coalesce(n_windows, 0) = 0 THEN 0
+            ELSE floor(dup_windows::DOUBLE / n_windows * 10000 + 0.5)
+       END::BIGINT AS dup_frac_x1e4
+FROM documents d LEFT JOIN per USING (doc_id) ORDER BY d.doc_id
 """,
     # percentile quality gate: the lm_score CTE, then the exact 30th
     # ascending-rank value (ceil(30*n/100), events_quantiles rule) as
