@@ -28,7 +28,7 @@ def main(argv=None) -> int:
     ap.add_argument("--cpus", type=int, default=32)
     ap.add_argument("--ops", nargs="*", default=[
         "token_df", "boilerplate", "keywords", "repetition",
-        "lm_score", "shuffle_shards"])
+        "lm_score", "shuffle_shards", "dup_spans"])
     args = ap.parse_args(argv)
 
     import ray
@@ -92,6 +92,14 @@ def main(argv=None) -> int:
         out = lm_score(pages_ds(), unit="token", id_col="url")
         out.write_parquet(sink)
         times["lm_score"] = round(time.perf_counter() - t0, 3)
+
+    if "dup_spans" in args.ops:
+        from vfs_index_ray.functions.spans import dup_spans
+        shutil.rmtree(sink, ignore_errors=True)
+        t0 = time.perf_counter()
+        out = dup_spans(pages_ds(), L=8, id_col="url")
+        out.write_parquet(sink)
+        times["dup_spans"] = round(time.perf_counter() - t0, 3)
 
     if "shuffle_shards" in args.ops:
         from vfs_index_ray.functions.shards import write_shuffled_shards
