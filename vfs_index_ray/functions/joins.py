@@ -1,0 +1,183 @@
+"""Distributed relational equi-joins (SURVEY §2.5 extension).
+
+Reference parity: vfs-index's joins are index-mediated point / semi
+joins (info_reader.go record fetch; search.go query-to-record lookup) —
+re-expressed here as ``fetch_rows`` / ``search_and_fetch``
+(search.py). A *general* two-table equi-join over large inputs is part
+of the beyond-reference relational surface the brief asks for. Two
+physical shapes, chosen by the size of the build side:
+
+- ``broadcast_join``: the small side is materialized once, shipped via
+  ``ray.put`` (one copy per node, never per batch), and probed with
+  one Arrow/Acero hash-join kernel call per probe batch. No shuffle at
+  all — the 100-TB shape whenever one side fits in a worker heap.
+
+- ``hash_join``: both sides big — co-partition the two datasets by
+  ``hash(key) % P`` via the hive-partitioned parquet spill (the
+  build.py postings-shuffle pattern; Ray Data's pull-based sort
+  shuffle is measured in-repo to anti-scale at high core counts),
+  then run ONE single-threaded Acero hash join per partition as
+  independent Ray tasks.  An optional ``post`` kernel runs on each
+  joined partition before results leave the task — when the
+  downstream grouping key is the join key, co-partitioning makes a
+  per-partition aggregate exact with no further shuffle (used by the
+  TPC-H Q3-shape pipeline in pipelines/queries.py).
+
+Hashing is only ever the partition key — equality is decided by the
+join kernel on the raw values, so hash collisions cannot fabricate
+matches.  Keys are assumed non-null (TPC-H-style foreign keys); null
+keys land in a partition and follow Acero's null-join semantics.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+
+def _part_codes(arr, num_parts: int) -> np.ndarray:
+    """int32 partition codes for an int or string key array: splitmix64
+    finalizer for integers, FNV-1a for strings — both sides of a join
+    must (and do) use the identical function."""
+    from ..hashing import fnv1a64_tokens
+
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    if pa.types.is_integer(arr.type):
+        h = arr.cast(pa.int64()).to_numpy(zero_copy_only=False
+                                          ).astype(np.uint64)
+        h = (h ^ (h >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+        h = (h ^ (h >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+        h = h ^ (h >> np.uint64(31))
+    else:
+        h = fnv1a64_tokens(arr)
+    return (h % np.uint64(num_parts)).astype(np.int32)
+
+
+def _join(lt: pa.Table, rt: pa.Table, left_on, right_on, how: str,
+          left_suffix, right_suffix) -> pa.Table:
+    """One single-threaded Acero hash join (runs inside concurrent Ray
+    tasks — a thread pool per task would oversubscribe the host)."""
+    return lt.join(rt, keys=left_on, right_keys=right_on, join_type=how,
+                   left_suffix=left_suffix, right_suffix=right_suffix,
+                   use_threads=False)
+
+
+def broadcast_join(left_ds, right: pa.Table, *, left_on, right_on=None,
+                   how: str = "inner", left_suffix=None,
+                   right_suffix="_r"):
+    """Join a Dataset against a SMALL in-memory Arrow table: the table
+    ships once via ``ray.put``; each probe batch runs one Acero hash
+    join. Returns a Dataset (streaming — no materialization)."""
+    import ray
+
+    right_on = right_on or left_on
+    right = right.combine_chunks()
+    ref = ray.put(right)
+
+    def probe(batch: pa.Table) -> pa.Table:
+        return _join(batch, ray.get(ref), left_on, right_on, how,
+                     left_suffix, right_suffix)
+
+    return left_ds.map_batches(probe, batch_format="pyarrow",
+                               zero_copy_batch=True)
+
+
+def hash_join(left_ds, right_ds, *, left_on, right_on=None,
+              how: str = "inner", num_parts: int | None = None,
+              post=None, left_suffix=None, right_suffix="_r",
+              spill_dir: str | None = None):
+    """Co-partitioned disk-shuffle hash join of two Datasets.
+
+    Both inputs are spilled hive-partitioned by ``hash(key) % P``
+    (parquet, the partition column consumed by the layout), then each
+    partition pair is joined by an independent Ray task; results come
+    back as object-store Arrow refs (``ray.data.from_arrow_refs``) and
+    never pass through the driver.  ``post(tbl) -> tbl`` runs inside
+    each task on the joined partition (local aggregates / top-k when
+    grouping by the join key).  ``how`` is "inner" or "left outer".
+    """
+    import os
+    import shutil
+    import tempfile
+
+    import ray
+    import ray.data
+
+    right_on = right_on or left_on
+    if how not in ("inner", "left outer"):
+        raise ValueError(f"unsupported join type: {how!r}")
+    if num_parts is None:
+        num_parts = max(8, int(ray.cluster_resources().get("CPU", 8)))
+
+    def add_part(col):
+        def inner(batch: pa.Table) -> pa.Table:
+            return batch.append_column(
+                "_jp", pa.array(_part_codes(batch[col], num_parts),
+                                pa.int32()))
+        return inner
+
+    own = spill_dir is None
+    spill = spill_dir or tempfile.mkdtemp(prefix="join_", dir="/tmp")
+    ldir, rdir = os.path.join(spill, "L"), os.path.join(spill, "R")
+    try:
+        (left_ds.map_batches(add_part(left_on), batch_format="pyarrow",
+                             zero_copy_batch=True)
+                .write_parquet(ldir, partition_cols=["_jp"]))
+        (right_ds.map_batches(add_part(right_on), batch_format="pyarrow",
+                              zero_copy_batch=True)
+                 .write_parquet(rdir, partition_cols=["_jp"]))
+
+        def parts(d):
+            if not os.path.isdir(d):
+                return {}
+            return {p.split("=", 1)[1]: os.path.join(d, p)
+                    for p in os.listdir(d) if p.startswith("_jp=")}
+
+        lparts, rparts = parts(ldir), parts(rdir)
+        if not lparts:
+            return None  # empty probe side: empty result either way
+
+        def _schema_of(pdirs: dict) -> pa.Schema | None:
+            import pyarrow.parquet as pq
+            for d in pdirs.values():
+                for f in os.listdir(d):
+                    if f.endswith(".parquet"):
+                        return pq.read_schema(os.path.join(d, f))
+            return None
+
+        # right partitions the probe side misses entirely: only the
+        # left-outer path needs the right schema to emit null columns
+        rschema = _schema_of(rparts)
+        if rschema is None and how == "left outer":
+            try:
+                rschema = right_ds.schema().base_schema
+            except Exception:
+                rschema = pa.schema([])
+
+        @ray.remote(num_cpus=1)
+        def one_part(lp: str, rp: str | None,
+                     rsch: pa.Schema | None) -> pa.Table:
+            import pyarrow.parquet as pq
+            lt = pq.read_table(lp, use_threads=False)
+            if rp is None:
+                rt = rsch.empty_table()
+            else:
+                rt = pq.read_table(rp, use_threads=False)
+            j = _join(lt, rt, left_on, right_on, how,
+                      left_suffix, right_suffix)
+            return post(j) if post is not None else j
+
+        refs = []
+        for pid, lp in sorted(lparts.items()):
+            rp = rparts.get(pid)
+            if rp is None and how == "inner":
+                continue
+            refs.append(one_part.remote(lp, rp, rschema))
+        if not refs:
+            return None
+        ray.wait(refs, num_returns=len(refs))  # done before cleanup
+        return ray.data.from_arrow_refs(refs)
+    finally:
+        if own:
+            shutil.rmtree(spill, ignore_errors=True)

@@ -1300,6 +1300,85 @@ def q_lineitem_pricing(sf_dir: str) -> pa.Table:
     })
 
 
+def q_tpch_q3(sf_dir: str) -> pa.Table:
+    """TPC-H Q3-shape shipping-priority top-10: the general
+    co-partitioned hash join (functions/joins.py) over filtered
+    lineitem ⋈ filtered orders, with the customer dimension reduced to
+    a broadcast semi-join filter (keys shipped once via ray.put).
+    The join partitions BY the grouping key (orderkey), so the revenue
+    aggregate and a local top-10 run inside each join task — no second
+    shuffle; the driver merges P candidate top-10s. Revenue quantizes
+    per row (the fp64 product is IEEE-identical on both sides) so the
+    distributed sums are exact integers with a deterministic total
+    order (rev desc, orderdate asc, orderkey asc)."""
+    import ray
+    import ray.data
+    import pyarrow.parquet as pqq
+
+    from ..functions.boilerplate import _group_counts
+    from ..functions.joins import hash_join
+    _tune_context()
+    cut = pa.scalar(np.datetime64("1998-06-01", "us"), pa.timestamp("us"))
+    cust = pqq.read_table(os.path.join(sf_dir, "customer.parquet"),
+                          columns=["c_custkey", "c_mktsegment"])
+    keys = cust.filter(pc.equal(cust["c_mktsegment"], "BUILDING"))
+    keys = keys["c_custkey"].combine_chunks()
+    keys_ref = ray.put(keys)
+
+    orders = ray.data.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_orderkey", "o_custkey", "o_orderdate",
+                 "o_orderpriority"])
+
+    def filt_orders(t: pa.Table) -> pa.Table:
+        m = pc.and_(pc.less(t["o_orderdate"], cut),
+                    pc.is_in(t["o_custkey"], value_set=ray.get(keys_ref)))
+        return t.filter(m).select(
+            ["o_orderkey", "o_orderdate", "o_orderpriority"])
+
+    line = ray.data.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_orderkey", "l_extendedprice", "l_discount",
+                 "l_shipdate"])
+
+    def filt_line(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.greater(t["l_shipdate"], cut))
+        ep = t["l_extendedprice"].to_numpy(zero_copy_only=False)
+        dc = t["l_discount"].to_numpy(zero_copy_only=False)
+        rev = np.floor(ep * (1.0 - dc) * 10000.0 + 0.5).astype(np.int64)
+        return pa.table({"l_orderkey": t["l_orderkey"],
+                         "rev": pa.array(rev, pa.int64())})
+
+    gcols = ["l_orderkey", "o_orderdate", "o_orderpriority"]
+    skeys = [("rev_sum", "descending"), ("o_orderdate", "ascending"),
+             ("l_orderkey", "ascending")]
+
+    def local_topk(j: pa.Table) -> pa.Table:
+        g = _group_counts(j, gcols, [("rev", "sum")])
+        return g.take(pc.sort_indices(g, sort_keys=skeys)[:10])
+
+    out = hash_join(
+        line.map_batches(filt_line, batch_format="pyarrow",
+                         zero_copy_batch=True),
+        orders.map_batches(filt_orders, batch_format="pyarrow",
+                           zero_copy_batch=True),
+        left_on="l_orderkey", right_on="o_orderkey", post=local_topk)
+    schema = pa.schema([("l_orderkey", pa.int64()),
+                        ("revenue_x1e4", pa.int64()),
+                        ("o_orderdate", pa.timestamp("us")),
+                        ("o_orderpriority", pa.string())])
+    if out is None:
+        return schema.empty_table()
+    t = _collect(out)
+    t = t.take(pc.sort_indices(t, sort_keys=skeys)[:10])
+    return pa.table({
+        "l_orderkey": t["l_orderkey"].cast(pa.int64()),
+        "revenue_x1e4": t["rev_sum"].cast(pa.int64()),
+        "o_orderdate": t["o_orderdate"],
+        "o_orderpriority": t["o_orderpriority"].cast(pa.string()),
+    })
+
+
 def q_token_df(sf_dir: str) -> pa.Table:
     """Corpus vocabulary statistics: (token, df) document frequencies
     via partial distinct-doc counts + hive-partitioned disk-shuffle
@@ -1519,6 +1598,7 @@ QUERIES = {
     "events_quantiles": q_events_quantiles,
     "segment_revenue": q_segment_revenue,
     "lineitem_pricing": q_lineitem_pricing,
+    "tpch_q3": q_tpch_q3,
     "lm_score": q_lm_score,
     "quality_filter": q_quality_filter,
     "dup_spans": q_dup_spans,
@@ -2331,6 +2411,23 @@ SELECT l_returnflag, l_linestatus,
                 AS BIGINT))::BIGINT AS sum_disc_x100
 FROM lineitem
 GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus
+""",
+    # fp64 product identical on both sides: extendedprice * (1-discount)
+    # * 10000 left-assoc, floor(x+0.5), THEN integer sum — so the hash
+    # compare is exact; tie order is total (rev, orderdate, orderkey)
+    "tpch_q3": """
+SELECT l_orderkey,
+       sum(CAST(floor(l_extendedprice * (1 - l_discount) * 10000 + 0.5)
+                AS BIGINT))::BIGINT AS revenue_x1e4,
+       o_orderdate, o_orderpriority
+FROM customer, orders, lineitem
+WHERE c_mktsegment = 'BUILDING'
+  AND c_custkey = o_custkey AND l_orderkey = o_orderkey
+  AND o_orderdate < TIMESTAMP '1998-06-01'
+  AND l_shipdate > TIMESTAMP '1998-06-01'
+GROUP BY l_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue_x1e4 DESC, o_orderdate, l_orderkey
+LIMIT 10
 """,
     # exact discrete quantiles over the quantized multiset: decimal
     # literals keep q*n exact in DuckDB (float ceil(0.99*400) would be
