@@ -83,19 +83,21 @@ def broadcast_join(left_ds, right: pa.Table, *, left_on, right_on=None,
                                zero_copy_batch=True)
 
 
-def hash_join(left_ds, right_ds, *, left_on, right_on=None,
-              how: str = "inner", num_parts: int | None = None,
-              post=None, left_suffix=None, right_suffix="_r",
-              spill_dir: str | None = None):
-    """Co-partitioned disk-shuffle hash join of two Datasets.
-
-    Both inputs are spilled hive-partitioned by ``hash(key) % P``
-    (parquet, the partition column consumed by the layout), then each
-    partition pair is joined by an independent Ray task; results come
-    back as object-store Arrow refs (``ray.data.from_arrow_refs``) and
-    never pass through the driver.  ``post(tbl) -> tbl`` runs inside
-    each task on the joined partition (local aggregates / top-k when
-    grouping by the join key).  ``how`` is "inner" or "left outer".
+def co_partition_apply(left_ds, right_ds, *, left_on, right_on=None,
+                       kernel=None, num_parts: int | None = None,
+                       skip_missing_right: bool = False,
+                       spill_dir: str | None = None):
+    """Co-partition two Datasets by ``hash(key) % P`` via the
+    hive-partitioned parquet spill (partition column consumed by the
+    layout), then run ``kernel(left_part, right_part) -> Table`` once
+    per partition as independent Ray tasks; results come back as
+    object-store Arrow refs (``ray.data.from_arrow_refs``) and never
+    pass through the driver.  A partition missing on the right side
+    passes an empty right table (or is skipped entirely with
+    ``skip_missing_right=True`` — the inner-join case).  This is the
+    two-sided generalization of the build.py postings-shuffle pattern;
+    ``hash_join`` instantiates it with an Acero join kernel, and
+    corpus-rewrite ops (functions/linededup.py) with a rebuild kernel.
     """
     import os
     import shutil
@@ -105,8 +107,8 @@ def hash_join(left_ds, right_ds, *, left_on, right_on=None,
     import ray.data
 
     right_on = right_on or left_on
-    if how not in ("inner", "left outer"):
-        raise ValueError(f"unsupported join type: {how!r}")
+    if kernel is None:
+        raise ValueError("co_partition_apply requires a kernel")
     if num_parts is None:
         num_parts = max(8, int(ray.cluster_resources().get("CPU", 8)))
 
@@ -146,10 +148,10 @@ def hash_join(left_ds, right_ds, *, left_on, right_on=None,
                         return pq.read_schema(os.path.join(d, f))
             return None
 
-        # right partitions the probe side misses entirely: only the
-        # left-outer path needs the right schema to emit null columns
+        # right partitions the probe side misses entirely need the
+        # right schema for the empty-table stand-in (unless skipped)
         rschema = _schema_of(rparts)
-        if rschema is None and how == "left outer":
+        if rschema is None and not skip_missing_right:
             try:
                 rschema = right_ds.schema().base_schema
             except Exception:
@@ -164,14 +166,12 @@ def hash_join(left_ds, right_ds, *, left_on, right_on=None,
                 rt = rsch.empty_table()
             else:
                 rt = pq.read_table(rp, use_threads=False)
-            j = _join(lt, rt, left_on, right_on, how,
-                      left_suffix, right_suffix)
-            return post(j) if post is not None else j
+            return kernel(lt, rt)
 
         refs = []
         for pid, lp in sorted(lparts.items()):
             rp = rparts.get(pid)
-            if rp is None and how == "inner":
+            if rp is None and skip_missing_right:
                 continue
             refs.append(one_part.remote(lp, rp, rschema))
         if not refs:
@@ -181,3 +181,28 @@ def hash_join(left_ds, right_ds, *, left_on, right_on=None,
     finally:
         if own:
             shutil.rmtree(spill, ignore_errors=True)
+
+
+def hash_join(left_ds, right_ds, *, left_on, right_on=None,
+              how: str = "inner", num_parts: int | None = None,
+              post=None, left_suffix=None, right_suffix="_r",
+              spill_dir: str | None = None):
+    """Co-partitioned disk-shuffle hash join of two Datasets: one
+    single-threaded Acero hash join per partition pair, with an
+    optional ``post(tbl) -> tbl`` kernel run inside each task on the
+    joined partition (local aggregates / top-k when grouping by the
+    join key).  ``how`` is "inner" or "left outer"."""
+    right_on2 = right_on or left_on
+    if how not in ("inner", "left outer"):
+        raise ValueError(f"unsupported join type: {how!r}")
+
+    def kernel(lt: pa.Table, rt: pa.Table) -> pa.Table:
+        j = _join(lt, rt, left_on, right_on2, how,
+                  left_suffix, right_suffix)
+        return post(j) if post is not None else j
+
+    return co_partition_apply(left_ds, right_ds, left_on=left_on,
+                              right_on=right_on2, kernel=kernel,
+                              num_parts=num_parts,
+                              skip_missing_right=(how == "inner"),
+                              spill_dir=spill_dir)

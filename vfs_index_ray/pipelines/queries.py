@@ -1379,6 +1379,55 @@ def q_tpch_q3(sf_dir: str) -> pa.Table:
     })
 
 
+def q_line_dedup(sf_dir: str) -> pa.Table:
+    """C4-shape corpus-wide exact line dedup, keep-first
+    (functions/linededup.py).  The testdata documents are single-line,
+    so the wrapper first reflows each doc into fixed 8-token lines —
+    a deterministic, SQL-reproducible transform — then removes every
+    non-first occurrence of each line corpus-wide and rebuilds the
+    texts."""
+    from ..functions.linededup import line_dedup
+    W = 8
+    ds = _docs_ds(sf_dir, columns=["doc_id", "text"])
+
+    def reflow(t: pa.Table) -> pa.Table:
+        texts = t["text"]
+        if isinstance(texts, pa.ChunkedArray):
+            texts = texts.combine_chunks()
+        toks = pc.split_pattern(texts, pattern=" ")
+        flat = pc.list_flatten(toks)
+        parent = pc.list_parent_indices(toks).to_numpy(
+            zero_copy_only=False)
+        counts = pc.list_value_length(toks).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        offs = np.zeros(t.num_rows + 1, np.int64)
+        np.cumsum(counts, out=offs[1:])
+        pos = np.arange(len(flat), dtype=np.int64) - offs[parent]
+        starts = np.nonzero(pos % W == 0)[0]
+        line_offs = np.append(starts, len(flat)).astype(np.int64)
+        lines = pc.binary_join(
+            pa.LargeListArray.from_arrays(pa.array(line_offs), flat),
+            " ")
+        lcounts = -(-counts // W)  # ceil; 0-token docs keep 0 lines
+        doffs = np.zeros(t.num_rows + 1, np.int64)
+        np.cumsum(lcounts, out=doffs[1:])
+        text2 = pc.binary_join(
+            pa.LargeListArray.from_arrays(pa.array(doffs), lines),
+            "\n")
+        if text2.type != pa.string():
+            text2 = text2.cast(pa.string())
+        return pa.table({"doc_id": t["doc_id"], "text": text2})
+
+    out = line_dedup(ds.map_batches(reflow, batch_format="pyarrow",
+                                    zero_copy_batch=True))
+    tbl = _collect(out)
+    tbl = tbl.take(pc.sort_indices(tbl, sort_keys=[("doc_id",
+                                                    "ascending")]))
+    return tbl.select(["doc_id", "text", "n_removed"]).cast(pa.schema([
+        ("doc_id", pa.int64()), ("text", pa.string()),
+        ("n_removed", pa.int64())]))
+
+
 def q_token_df(sf_dir: str) -> pa.Table:
     """Corpus vocabulary statistics: (token, df) document frequencies
     via partial distinct-doc counts + hive-partitioned disk-shuffle
@@ -1599,6 +1648,7 @@ QUERIES = {
     "segment_revenue": q_segment_revenue,
     "lineitem_pricing": q_lineitem_pricing,
     "tpch_q3": q_tpch_q3,
+    "line_dedup": q_line_dedup,
     "lm_score": q_lm_score,
     "quality_filter": q_quality_filter,
     "dup_spans": q_dup_spans,
@@ -2428,6 +2478,30 @@ WHERE c_mktsegment = 'BUILDING'
 GROUP BY l_orderkey, o_orderdate, o_orderpriority
 ORDER BY revenue_x1e4 DESC, o_orderdate, l_orderkey
 LIMIT 10
+""",
+    # 8-token reflow on both sides, then keep-first global line dedup:
+    # rn=1 in (doc_id, ord) order is exactly the engine's min-(doc,ord)
+    # survivor; a doc whose every line is removed keeps text=''
+    "line_dedup": """
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS tok,
+         generate_subscripts(string_split(text, ' '), 1) AS i
+  FROM documents
+), lines AS (
+  SELECT doc_id, (i - 1) // 8 AS ord,
+         string_agg(tok, ' ' ORDER BY i) AS line
+  FROM toks GROUP BY doc_id, (i - 1) // 8
+), ranked AS (
+  SELECT doc_id, ord, line,
+         row_number() OVER (PARTITION BY line
+                            ORDER BY doc_id, ord) AS rn
+  FROM lines
+)
+SELECT doc_id,
+       coalesce(string_agg(line, chr(10) ORDER BY ord)
+                FILTER (WHERE rn = 1), '') AS text,
+       (count(*) FILTER (WHERE rn > 1))::BIGINT AS n_removed
+FROM ranked GROUP BY doc_id ORDER BY doc_id
 """,
     # exact discrete quantiles over the quantized multiset: decimal
     # literals keep q*n exact in DuckDB (float ceil(0.99*400) would be
