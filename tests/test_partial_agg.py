@@ -4,6 +4,8 @@ from __future__ import annotations
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
+import pytest
 
 
 def _ds(t):
@@ -104,3 +106,45 @@ def test_collect_empty_dataset(ray_session):
     out = _collect(_ds(t).map_batches(lambda b: b,
                                       batch_format="pyarrow"))
     assert out.num_rows == 0
+
+
+def test_hash_aggregate_matches_duckdb(ray_session):
+    """High-cardinality disk-shuffle aggregate: multi-key (string+int),
+    count/sum/min/max, vs DuckDB on the same table."""
+    import duckdb
+    import ray
+    import ray.data
+
+    from vfs_index_ray.functions.boilerplate import hash_aggregate
+
+    g = np.random.Generator(np.random.Philox(key=[5, 0]))
+    n = 5000
+    t = pa.table({
+        "s": pa.array([f"k{i}" for i in g.integers(0, 400, n)]),
+        "b": pa.array(g.integers(0, 3, n), pa.int64()),
+        "v": pa.array(g.integers(-50, 50, n), pa.int64()),
+    })
+    out = hash_aggregate(ray.data.from_arrow(t), ["s", "b"],
+                         [("v", "count"), ("v", "sum"), ("v", "min"),
+                          ("v", "max")], num_parts=7)
+    got = pa.concat_tables(ray.get(out.to_arrow_refs())).combine_chunks()
+    con = duckdb.connect()
+    con.register("t", t)
+    want = con.execute("""
+        SELECT s, b, count(v)::BIGINT AS v_count, sum(v)::BIGINT AS v_sum,
+               min(v)::BIGINT AS v_min, max(v)::BIGINT AS v_max
+        FROM t GROUP BY s, b""").arrow()
+    keys = [("s", "ascending"), ("b", "ascending")]
+    got = got.take(pc.sort_indices(got, sort_keys=keys))
+    want = want.take(pc.sort_indices(want, sort_keys=keys))
+    assert got.cast(want.schema).equals(want)
+
+
+def test_hash_aggregate_rejects_non_mergeable(ray_session):
+    import ray.data
+
+    from vfs_index_ray.functions.boilerplate import hash_aggregate
+
+    ds = ray.data.from_arrow(pa.table({"k": [1], "v": [1.0]}))
+    with pytest.raises(ValueError):
+        hash_aggregate(ds, ["k"], [("v", "mean")])

@@ -75,6 +75,96 @@ def partial_aggregate(ds, keys: list[str], aggs: list[tuple[str, str]],
     return pa.table(cols)
 
 
+_MERGE_FN = {"count": "sum", "sum": "sum", "min": "min", "max": "max"}
+
+
+def hash_aggregate(ds, keys: list[str], aggs: list[tuple[str, str]],
+                   *, prepare=None, num_parts: int | None = None,
+                   spill_dir: str | None = None):
+    """Distributed aggregation for LARGE output spaces (high-cardinality
+    keys, where ``partial_aggregate``'s driver-side merge would
+    materialize the whole result): per-batch partial Arrow hash
+    aggregation first (the combiner — a batch ships one row per
+    distinct key it saw, not one per input row), then a
+    hive-partitioned disk spill by key hash and one merge aggregation
+    per partition as independent Ray tasks — never Ray Data's
+    pull-based sort exchange.  ``aggs`` are (column, fn) with fn in
+    count/sum/min/max (all partial-mergeable); outputs are named
+    ``{col}_{fn}``.  Returns a Dataset of object-store Arrow refs, or
+    None on empty input."""
+    import os
+    import shutil
+    import tempfile
+
+    import ray
+    import ray.data
+
+    from ..hashing import fnv1a64_tokens
+
+    for _, f in aggs:
+        if f not in _MERGE_FN:
+            raise ValueError(f"non-mergeable aggregate fn: {f!r}")
+    if num_parts is None:
+        num_parts = max(8, int(ray.cluster_resources().get("CPU", 8)))
+    pnames = [f"{c}_{f}" for c, f in aggs]
+
+    def _key_codes(t: pa.Table) -> np.ndarray:
+        h = np.zeros(t.num_rows, np.uint64)
+        for k in keys:
+            col = t[k]
+            if isinstance(col, pa.ChunkedArray):
+                col = col.combine_chunks()
+            if pa.types.is_integer(col.type):
+                v = col.cast(pa.int64()).to_numpy(
+                    zero_copy_only=False).astype(np.uint64)
+                v = (v ^ (v >> np.uint64(30))) * np.uint64(
+                    0xBF58476D1CE4E5B9)
+                v = (v ^ (v >> np.uint64(27))) * np.uint64(
+                    0x94D049BB133111EB)
+                v ^= v >> np.uint64(31)
+            else:
+                v = fnv1a64_tokens(col)
+            h = h * np.uint64(0x100000001B3) ^ v
+        return (h % np.uint64(num_parts)).astype(np.int32)
+
+    def partial(t: pa.Table) -> pa.Table:
+        if prepare is not None:
+            t = prepare(t)
+        g = _group_counts(t, list(keys), list(aggs))
+        return g.append_column("_ap", pa.array(_key_codes(g), pa.int32()))
+
+    own = spill_dir is None
+    spill = spill_dir or tempfile.mkdtemp(prefix="hashagg_", dir="/tmp")
+    try:
+        (ds.map_batches(partial, batch_format="pyarrow",
+                        zero_copy_batch=True)
+           .write_parquet(spill, partition_cols=["_ap"]))
+        part_dirs = sorted(os.path.join(spill, d)
+                           for d in os.listdir(spill)
+                           if d.startswith("_ap="))
+        if not part_dirs:
+            return None
+
+        merge_aggs = [(p, _MERGE_FN[f]) for p, (_, f) in zip(pnames, aggs)]
+
+        @ray.remote(num_cpus=1)
+        def one_part(pdir: str) -> pa.Table:
+            import pyarrow.parquet as pq
+            t = pq.read_table(pdir, use_threads=False)
+            m = _group_counts(t, list(keys), merge_aggs)
+            cols = {k: m[k] for k in keys}
+            for p, (_, f) in zip(pnames, aggs):
+                cols[p] = m[f"{p}_{_MERGE_FN[f]}"]
+            return pa.table(cols)
+
+        refs = [one_part.remote(d) for d in part_dirs]
+        ray.wait(refs, num_returns=len(refs))  # done before cleanup
+        return ray.data.from_arrow_refs(refs)
+    finally:
+        if own:
+            shutil.rmtree(spill, ignore_errors=True)
+
+
 def _unit_frequencies(ds, *, distinct_docs: bool, min_count: int,
                       out_col: str, unit: str, text_col: str,
                       num_parts: int | None,

@@ -1379,6 +1379,37 @@ def q_tpch_q3(sf_dir: str) -> pa.Table:
     })
 
 
+def q_customer_revenue(sf_dir: str) -> pa.Table:
+    """High-cardinality grouped aggregate (one row per customer):
+    hash_aggregate — per-batch Arrow partials, hive disk-shuffle by
+    key hash, per-part merges — with prices quantized to integer
+    cents per row so the distributed sums/maxes are exact."""
+    import ray.data
+
+    from ..functions.boilerplate import hash_aggregate
+    _tune_context()
+    orders = ray.data.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_custkey", "o_totalprice"])
+
+    def cents(t: pa.Table) -> pa.Table:
+        c = np.floor(t["o_totalprice"].to_numpy(zero_copy_only=False)
+                     * 100.0 + 0.5).astype(np.int64)
+        return pa.table({"o_custkey": t["o_custkey"],
+                         "cents": pa.array(c, pa.int64())})
+
+    out = hash_aggregate(orders, ["o_custkey"],
+                         [("o_custkey", "count"), ("cents", "sum"),
+                          ("cents", "max")], prepare=cents)
+    t = _collect(out)
+    return pa.table({
+        "o_custkey": t["o_custkey"].cast(pa.int64()),
+        "n_orders": t["o_custkey_count"].cast(pa.int64()),
+        "revenue_x100": t["cents_sum"].cast(pa.int64()),
+        "max_order_x100": t["cents_max"].cast(pa.int64()),
+    })
+
+
 def q_line_dedup(sf_dir: str) -> pa.Table:
     """C4-shape corpus-wide exact line dedup, keep-first
     (functions/linededup.py).  The testdata documents are single-line,
@@ -1649,6 +1680,7 @@ QUERIES = {
     "lineitem_pricing": q_lineitem_pricing,
     "tpch_q3": q_tpch_q3,
     "line_dedup": q_line_dedup,
+    "customer_revenue": q_customer_revenue,
     "lm_score": q_lm_score,
     "quality_filter": q_quality_filter,
     "dup_spans": q_dup_spans,
@@ -2502,6 +2534,15 @@ SELECT doc_id,
                 FILTER (WHERE rn = 1), '') AS text,
        (count(*) FILTER (WHERE rn > 1))::BIGINT AS n_removed
 FROM ranked GROUP BY doc_id ORDER BY doc_id
+""",
+    "customer_revenue": """
+SELECT o_custkey,
+       count(*)::BIGINT AS n_orders,
+       sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))::BIGINT
+         AS revenue_x100,
+       max(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))::BIGINT
+         AS max_order_x100
+FROM orders GROUP BY o_custkey ORDER BY o_custkey
 """,
     # exact discrete quantiles over the quantized multiset: decimal
     # literals keep q*n exact in DuckDB (float ceil(0.99*400) would be
