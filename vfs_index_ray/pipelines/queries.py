@@ -1379,6 +1379,92 @@ def q_tpch_q3(sf_dir: str) -> pa.Table:
     })
 
 
+def q_tpch_q5(sf_dir: str) -> pa.Table:
+    """TPC-H Q5-shape local-supplier revenue: region/nation/customer/
+    supplier dims reduced driver-side and applied as BROADCAST joins
+    (functions/joins.py broadcast_join — shipped once, probed per
+    batch), the one genuinely large-large edge (lineitem ⋈ orders)
+    as the co-partitioned hash join with the nation-equality filter +
+    revenue partial aggregate run inside each join task; the driver
+    merges a handful of per-partition partials."""
+    import ray.data
+    import pyarrow.parquet as pqq
+
+    from ..functions.boilerplate import _group_counts
+    from ..functions.joins import broadcast_join, hash_join
+    _tune_context()
+    lo = pa.scalar(np.datetime64("1996-01-01", "us"), pa.timestamp("us"))
+    hi = pa.scalar(np.datetime64("1998-01-01", "us"), pa.timestamp("us"))
+
+    region = pqq.read_table(os.path.join(sf_dir, "region.parquet"))
+    nation = pqq.read_table(os.path.join(sf_dir, "nation.parquet"))
+    rk = region.filter(pc.equal(region["r_name"], "ASIA"))["r_regionkey"]
+    asia = nation.filter(pc.is_in(nation["n_regionkey"],
+                                  value_set=rk.combine_chunks()))
+    nkeys = asia["n_nationkey"].combine_chunks()
+    cust = pqq.read_table(os.path.join(sf_dir, "customer.parquet"),
+                          columns=["c_custkey", "c_nationkey"])
+    cust = cust.filter(pc.is_in(cust["c_nationkey"], value_set=nkeys))
+    supp = pqq.read_table(os.path.join(sf_dir, "supplier.parquet"),
+                          columns=["s_suppkey", "s_nationkey"])
+    supp = supp.filter(pc.is_in(supp["s_nationkey"], value_set=nkeys))
+
+    orders = ray.data.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_orderkey", "o_custkey", "o_orderdate"])
+
+    def filt_orders(t: pa.Table) -> pa.Table:
+        m = pc.and_(pc.greater_equal(t["o_orderdate"], lo),
+                    pc.less(t["o_orderdate"], hi))
+        return t.filter(m).select(["o_orderkey", "o_custkey"])
+
+    # inner broadcast joins also FILTER to the Asia dims
+    orders_f = broadcast_join(
+        orders.map_batches(filt_orders, batch_format="pyarrow",
+                           zero_copy_batch=True),
+        cust, left_on="o_custkey", right_on="c_custkey")
+
+    line = ray.data.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_orderkey", "l_suppkey", "l_extendedprice",
+                 "l_discount"])
+
+    def rev_rows(t: pa.Table) -> pa.Table:
+        ep = t["l_extendedprice"].to_numpy(zero_copy_only=False)
+        dc = t["l_discount"].to_numpy(zero_copy_only=False)
+        rev = np.floor(ep * (1.0 - dc) * 10000.0 + 0.5).astype(np.int64)
+        return pa.table({"l_orderkey": t["l_orderkey"],
+                         "l_suppkey": t["l_suppkey"],
+                         "rev": pa.array(rev, pa.int64())})
+
+    line_f = broadcast_join(
+        line.map_batches(rev_rows, batch_format="pyarrow",
+                         zero_copy_batch=True),
+        supp, left_on="l_suppkey", right_on="s_suppkey")
+
+    def local_agg(j: pa.Table) -> pa.Table:
+        j = j.filter(pc.equal(j["s_nationkey"], j["c_nationkey"]))
+        return _group_counts(j, ["s_nationkey"],
+                             [("rev", "count"), ("rev", "sum")])
+
+    out = hash_join(line_f, orders_f, left_on="l_orderkey",
+                    right_on="o_orderkey", post=local_agg)
+    schema = pa.schema([("n_name", pa.string()),
+                        ("n_items", pa.int64()),
+                        ("revenue_x1e4", pa.int64())])
+    if out is None:
+        return schema.empty_table()
+    partials = _collect(out)
+    m = _group_counts(partials, ["s_nationkey"],
+                      [("rev_count", "sum"), ("rev_sum", "sum")])
+    names = asia["n_name"].combine_chunks().take(
+        pc.index_in(m["s_nationkey"], value_set=nkeys))
+    t = pa.table({"n_name": names,
+                  "n_items": m["rev_count_sum"].cast(pa.int64()),
+                  "revenue_x1e4": m["rev_sum_sum"].cast(pa.int64())})
+    return t.take(pc.sort_indices(t, sort_keys=[("n_name", "ascending")]))
+
+
 def q_customer_revenue(sf_dir: str) -> pa.Table:
     """High-cardinality grouped aggregate (one row per customer):
     hash_aggregate — per-batch Arrow partials, hive disk-shuffle by
@@ -1681,6 +1767,7 @@ QUERIES = {
     "tpch_q3": q_tpch_q3,
     "line_dedup": q_line_dedup,
     "customer_revenue": q_customer_revenue,
+    "tpch_q5": q_tpch_q5,
     "lm_score": q_lm_score,
     "quality_filter": q_quality_filter,
     "dup_spans": q_dup_spans,
@@ -2543,6 +2630,19 @@ SELECT o_custkey,
        max(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))::BIGINT
          AS max_order_x100
 FROM orders GROUP BY o_custkey ORDER BY o_custkey
+""",
+    "tpch_q5": """
+SELECT n_name, count(*)::BIGINT AS n_items,
+       sum(CAST(floor(l_extendedprice * (1 - l_discount) * 10000 + 0.5)
+                AS BIGINT))::BIGINT AS revenue_x1e4
+FROM customer, orders, lineitem, supplier, nation, region
+WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+  AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+  AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+  AND r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate < TIMESTAMP '1998-01-01'
+GROUP BY n_name ORDER BY n_name
 """,
     # exact discrete quantiles over the quantized multiset: decimal
     # literals keep q*n exact in DuckDB (float ceil(0.99*400) would be
