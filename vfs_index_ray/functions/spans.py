@@ -205,3 +205,195 @@ def dup_spans(ds, *, L: int = 8, text_col: str = "text",
 
     return ds.map_batches(stats, batch_format="pyarrow",
                           batch_size=batch_size)
+
+
+def _dup_occurrence_starts(ds, dup_ref, *, L: int, text_col: str,
+                           id_col: str, num_parts: int,
+                           spill_dir: str | None, batch_size):
+    """Removal starts for the span rewrite: every occurrence of a
+    corpus-duplicated window EXCEPT the corpus-first (in (doc, j)
+    order) becomes a (doc, j) removal row.  Only duplicated windows'
+    occurrences enter the shuffle; grouping is by the window STRING
+    (hash = partition key only), so the canonical pick is exact."""
+    import os
+    import shutil
+    import tempfile
+
+    import ray
+    import ray.data
+
+    def emit(batch: pa.Table) -> pa.Table:
+        dupset = ray.get(dup_ref)
+        win_doc, wins = _window_spans(batch[text_col], L)
+        empty = pa.table({
+            "unit": pa.array([], pa.large_string()),
+            "doc": pa.array([], pa.int64()),
+            "j": pa.array([], pa.int64()),
+            "part": pa.array([], pa.int32())})
+        if not len(dupset) or not len(win_doc):
+            return empty
+        nb = batch.num_rows
+        nwin = np.bincount(win_doc, minlength=nb)
+        wbase = np.concatenate([[0], np.cumsum(nwin)])
+        j = np.arange(len(win_doc), dtype=np.int64) - wbase[win_doc]
+        m = pc.is_in(wins, value_set=dupset).to_numpy(
+            zero_copy_only=False).astype(bool)
+        if not m.any():
+            return empty
+        wins_d = wins.filter(pa.array(m))
+        docs = batch[id_col].to_numpy(zero_copy_only=False)[win_doc[m]]
+        part = (fnv1a64_tokens(wins_d) % np.uint64(num_parts)
+                ).astype(np.int32)
+        return pa.table({
+            "unit": wins_d,
+            "doc": pa.array(docs, pa.int64()),
+            "j": pa.array(j[m], pa.int64()),
+            "part": pa.array(part, pa.int32())})
+
+    own = spill_dir is None
+    spill = spill_dir or tempfile.mkdtemp(prefix="spanrw_", dir="/tmp")
+    try:
+        (ds.map_batches(emit, batch_format="pyarrow",
+                        batch_size=batch_size)
+           .write_parquet(spill, partition_cols=["part"]))
+        part_dirs = sorted(os.path.join(spill, d)
+                           for d in os.listdir(spill)
+                           if d.startswith("part="))
+        if not part_dirs:
+            return None
+
+        @ray.remote(num_cpus=1)
+        def one_part(pdir: str) -> pa.Table:
+            import pyarrow.parquet as pq
+            t = pq.read_table(pdir, columns=["unit", "doc", "j"],
+                              use_threads=False)
+            idx = pc.sort_indices(t, sort_keys=[
+                ("unit", "ascending"), ("doc", "ascending"),
+                ("j", "ascending")])
+            t = t.take(idx)
+            u = t["unit"]
+            if isinstance(u, pa.ChunkedArray):
+                u = u.combine_chunks()
+            n = len(u)
+            if n == 0:
+                return pa.table({"doc": pa.array([], pa.int64()),
+                                 "j": pa.array([], pa.int64())})
+            neq = pc.not_equal(u.slice(1), u.slice(0, n - 1))
+            dup = np.empty(n, bool)
+            dup[0] = False
+            np.logical_not(neq.to_numpy(zero_copy_only=False),
+                           out=dup[1:])
+            keep = pa.array(dup)
+            return pa.table({"doc": t["doc"].filter(keep),
+                             "j": t["j"].filter(keep)})
+
+        refs = [one_part.remote(d) for d in part_dirs]
+        ray.wait(refs, num_returns=len(refs))
+
+        @ray.remote(num_cpus=0)
+        def nrows(t: pa.Table) -> int:
+            return t.num_rows
+
+        if sum(ray.get([nrows.remote(r) for r in refs])) == 0:
+            return None
+        return ray.data.from_arrow_refs(refs)
+    finally:
+        if own:
+            shutil.rmtree(spill, ignore_errors=True)
+
+
+def remove_dup_spans(ds, *, L: int = 8, text_col: str = "text",
+                     id_col: str = "doc_id",
+                     num_parts: int | None = None,
+                     spill_dir: str | None = None,
+                     batch_size: int | None = None):
+    """Exact-substring dedup REWRITE (Lee et al. 2022 semantics at
+    token-window granularity): a token is removed iff it is covered by
+    some occurrence of a corpus-duplicated L-token window that is not
+    that window's corpus-first occurrence (ordered by (doc, position)).
+    Each document is rebuilt from its surviving tokens; returns a
+    Dataset of ``(id_col, text, n_removed)`` (token counts) covering
+    every input document.
+
+    Three stages, all on the hive disk shuffle: the duplicate-window
+    set (``duplicate_windows``) broadcast once; duplicated occurrences
+    only spilled by window hash with per-part keep-first; removal
+    starts co-partitioned with the documents (joins.co_partition_apply)
+    and one vectorized interval-coverage + rebuild kernel per
+    partition."""
+    import ray
+
+    if num_parts is None:
+        num_parts = max(8, int(ray.cluster_resources().get("CPU", 8)))
+    dup = duplicate_windows(ds, L=L, text_col=text_col, min_count=2,
+                            num_parts=num_parts, batch_size=batch_size)
+    col = dup["window"]
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    dup_ref = ray.put(col)
+    removals = _dup_occurrence_starts(
+        ds, dup_ref, L=L, text_col=text_col, id_col=id_col,
+        num_parts=num_parts, spill_dir=spill_dir,
+        batch_size=batch_size)
+
+    def ident(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            id_col: batch[id_col],
+            "text": pc.fill_null(batch[text_col], "").cast(pa.string()),
+            "n_removed": pa.array(
+                np.zeros(batch.num_rows, np.int64), pa.int64()),
+        })
+
+    if removals is None:
+        return ds.map_batches(ident, batch_format="pyarrow",
+                              zero_copy_batch=True)
+
+    from .joins import co_partition_apply
+
+    def kernel(docs: pa.Table, rem: pa.Table) -> pa.Table:
+        ids = docs[id_col].to_numpy(zero_copy_only=False)
+        order = np.argsort(ids, kind="stable")
+        docs = docs.take(pa.array(order))
+        ids = ids[order]
+        texts = docs[text_col]
+        if isinstance(texts, pa.ChunkedArray):
+            texts = texts.combine_chunks()
+        texts = pc.fill_null(texts, "")
+        toks = pc.split_pattern(texts, pattern=" ")
+        flat = pc.list_flatten(toks)
+        counts = pc.list_value_length(toks).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        offs = np.zeros(len(ids) + 1, np.int64)
+        np.cumsum(counts, out=offs[1:])
+        total = int(offs[-1])
+        diff = np.zeros(total + 1, np.int64)
+        if rem.num_rows:
+            rdoc = rem["doc"].to_numpy(zero_copy_only=False)
+            rj = rem["j"].to_numpy(zero_copy_only=False)
+            row = np.searchsorted(ids, rdoc)
+            s = offs[row] + rj
+            e = offs[row] + np.minimum(rj + L, counts[row])
+            np.add.at(diff, s, 1)
+            np.add.at(diff, e, -1)
+        covered = np.cumsum(diff[:-1]) > 0
+        parent = pc.list_parent_indices(toks).to_numpy(
+            zero_copy_only=False)
+        n_removed = np.bincount(parent[covered],
+                                minlength=len(ids)).astype(np.int64)
+        kept = flat.filter(pa.array(~covered))
+        koffs = np.zeros(len(ids) + 1, np.int64)
+        np.cumsum(counts - n_removed, out=koffs[1:])
+        lst = pa.LargeListArray.from_arrays(pa.array(koffs, pa.int64()),
+                                            kept)
+        text = pc.binary_join(lst, " ")
+        if text.type != pa.string():
+            text = text.cast(pa.string())
+        return pa.table({
+            id_col: docs[id_col],
+            "text": text,
+            "n_removed": pa.array(n_removed, pa.int64()),
+        })
+
+    return co_partition_apply(ds, removals, left_on=id_col,
+                              right_on="doc", kernel=kernel,
+                              num_parts=num_parts)

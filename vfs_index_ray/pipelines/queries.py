@@ -1465,6 +1465,23 @@ def q_tpch_q5(sf_dir: str) -> pa.Table:
     return t.take(pc.sort_indices(t, sort_keys=[("n_name", "ascending")]))
 
 
+def q_span_dedup(sf_dir: str) -> pa.Table:
+    """Exact-substring dedup rewrite (functions/spans.py
+    remove_dup_spans): every token covered by a non-first occurrence
+    of a corpus-duplicated 8-token window is removed and the text
+    rebuilt — the Lee et al. dedup rewrite at token-window
+    granularity."""
+    from ..functions.spans import remove_dup_spans
+    ds = _docs_ds(sf_dir, columns=["doc_id", "text"])
+    out = remove_dup_spans(ds, L=8)
+    tbl = _collect(out)
+    tbl = tbl.take(pc.sort_indices(tbl, sort_keys=[("doc_id",
+                                                    "ascending")]))
+    return tbl.select(["doc_id", "text", "n_removed"]).cast(pa.schema([
+        ("doc_id", pa.int64()), ("text", pa.string()),
+        ("n_removed", pa.int64())]))
+
+
 def q_customer_revenue(sf_dir: str) -> pa.Table:
     """High-cardinality grouped aggregate (one row per customer):
     hash_aggregate — per-batch Arrow partials, hive disk-shuffle by
@@ -1768,6 +1785,7 @@ QUERIES = {
     "line_dedup": q_line_dedup,
     "customer_revenue": q_customer_revenue,
     "tpch_q5": q_tpch_q5,
+    "span_dedup": q_span_dedup,
     "lm_score": q_lm_score,
     "quality_filter": q_quality_filter,
     "dup_spans": q_dup_spans,
@@ -2643,6 +2661,45 @@ WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
   AND o_orderdate >= TIMESTAMP '1996-01-01'
   AND o_orderdate < TIMESTAMP '1998-01-01'
 GROUP BY n_name ORDER BY n_name
+""",
+    # token i and window start j are 1-based here, 0-based in the
+    # engine — only the (doc, j) ORDER matters for the keep-first pick
+    "span_dedup": """
+WITH d AS (
+  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+), wins AS (
+  SELECT doc_id,
+         unnest(generate_series(1, greatest(len(toks) - 7, 0))) AS j,
+         toks
+  FROM d
+), w2 AS (
+  SELECT doc_id, j,
+         array_to_string(list_slice(toks, j, j + 7), ' ') AS win
+  FROM wins
+), dupw AS (
+  SELECT win FROM w2 GROUP BY win HAVING count(*) >= 2
+), occ AS (
+  SELECT w.doc_id, w.j,
+         row_number() OVER (PARTITION BY w.win
+                            ORDER BY w.doc_id, w.j) AS rn
+  FROM w2 w JOIN dupw USING (win)
+), rem AS (
+  SELECT DISTINCT doc_id, j + k AS i
+  FROM occ, (SELECT unnest(generate_series(0, 7)) AS k)
+  WHERE rn > 1
+), toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS tok,
+         generate_subscripts(string_split(text, ' '), 1) AS i
+  FROM documents
+), kept AS (
+  SELECT t.doc_id, t.i, t.tok, (r.i IS NOT NULL) AS removed
+  FROM toks t LEFT JOIN rem r ON r.doc_id = t.doc_id AND r.i = t.i
+)
+SELECT doc_id,
+       coalesce(string_agg(tok, ' ' ORDER BY i)
+                FILTER (WHERE NOT removed), '') AS text,
+       (count(*) FILTER (WHERE removed))::BIGINT AS n_removed
+FROM kept GROUP BY doc_id ORDER BY doc_id
 """,
     # exact discrete quantiles over the quantized multiset: decimal
     # literals keep q*n exact in DuckDB (float ceil(0.99*400) would be
