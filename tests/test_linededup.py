@@ -100,3 +100,24 @@ def test_line_dedup_scale_random(ray_session):
                                         t["n_removed"].to_pylist())}
     assert got == _brute(docs)
     assert sum(r for _, r in got.values()) > 0  # dups actually planted
+
+
+def test_line_dedup_string_ids(ray_session):
+    import ray
+    import ray.data
+
+    from vfs_index_ray.functions.linededup import line_dedup
+
+    docs = [("u/1", "shared line\nown line 1"),
+            ("u/2", "shared line\nown line 2")]
+    ds = ray.data.from_arrow(pa.table({
+        "url": pa.array([u for u, _ in docs]),
+        "text": pa.array([t for _, t in docs]),
+    }))
+    out = line_dedup(ds, id_col="url", num_parts=2)
+    t = pa.concat_tables(ray.get(out.to_arrow_refs())).combine_chunks()
+    got = {u: (s, r) for u, s, r in zip(t["url"].to_pylist(),
+                                        t["text"].to_pylist(),
+                                        t["n_removed"].to_pylist())}
+    assert got == {"u/1": ("shared line\nown line 1", 0),
+                   "u/2": ("own line 2", 1)}

@@ -82,3 +82,29 @@ def test_remove_dup_spans_no_dups_identity(ray_session):
                 f"y{i} z{i}") for i in range(10)]
     got = _run(docs, 4, 2)
     assert got == {i: (t, 0) for i, t in docs}
+
+
+def test_remove_dup_spans_string_ids(ray_session):
+    """url-keyed corpus (string id column) — the bench-corpus shape."""
+    import ray
+    import ray.data
+
+    from vfs_index_ray.functions.spans import remove_dup_spans
+
+    quote = "a b c d e f g h"
+    docs = [("https://x.test/1", f"{quote} tail one"),
+            ("https://x.test/2", f"other {quote} here"),
+            ("https://x.test/3", "unique words without any repeats")]
+    ds = ray.data.from_arrow(pa.table({
+        "url": pa.array([u for u, _ in docs]),
+        "text": pa.array([t for _, t in docs]),
+    }))
+    out = remove_dup_spans(ds, L=8, id_col="url", num_parts=3)
+    t = pa.concat_tables(ray.get(out.to_arrow_refs())).combine_chunks()
+    got = {u: (s, r) for u, s, r in zip(t["url"].to_pylist(),
+                                        t["text"].to_pylist(),
+                                        t["n_removed"].to_pylist())}
+    int_docs = [(i, txt) for i, (_, txt) in enumerate(docs, 1)]
+    want = {f"https://x.test/{i}": v
+            for i, v in _brute(int_docs, 8).items()}
+    assert got == want

@@ -28,7 +28,7 @@ def main(argv=None) -> int:
     ap.add_argument("--cpus", type=int, default=32)
     ap.add_argument("--ops", nargs="*", default=[
         "token_df", "boilerplate", "keywords", "repetition",
-        "lm_score", "shuffle_shards", "dup_spans"])
+        "lm_score", "shuffle_shards", "dup_spans", "span_rewrite"])
     args = ap.parse_args(argv)
 
     import ray
@@ -100,6 +100,14 @@ def main(argv=None) -> int:
         out = dup_spans(pages_ds(), L=8, id_col="url")
         out.write_parquet(sink)
         times["dup_spans"] = round(time.perf_counter() - t0, 3)
+
+    if "span_rewrite" in args.ops:
+        from vfs_index_ray.functions.spans import remove_dup_spans
+        shutil.rmtree(sink, ignore_errors=True)
+        t0 = time.perf_counter()
+        out = remove_dup_spans(pages_ds(), L=8, id_col="url")
+        out.write_parquet(sink)
+        times["span_rewrite"] = round(time.perf_counter() - t0, 3)
 
     if "shuffle_shards" in args.ops:
         from vfs_index_ray.functions.shards import write_shuffled_shards

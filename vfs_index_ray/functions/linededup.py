@@ -61,12 +61,12 @@ def _removal_rows(ds, *, text_col: str, id_col: str, sep: str,
         np.cumsum(pc.list_value_length(lines).to_numpy(
             zero_copy_only=False), out=offs[1:])
         ords = np.arange(len(flat), dtype=np.int64) - offs[parent]
-        docs = batch[id_col].to_numpy(zero_copy_only=False)[parent]
+        docs = batch[id_col].take(pa.array(parent))  # keeps id type
         part = (fnv1a64_tokens(flat) % np.uint64(num_parts)
                 ).astype(np.int32)
         return pa.table({
             "line": flat,
-            "doc": pa.array(docs, pa.int64()),
+            "doc": docs,
             "ord": pa.array(ords, pa.int64()),
             "part": pa.array(part, pa.int32()),
         })
@@ -97,8 +97,7 @@ def _removal_rows(ds, *, text_col: str, id_col: str, sep: str,
                 line = line.combine_chunks()
             n = len(line)
             if n == 0:
-                return pa.table({"doc": pa.array([], pa.int64()),
-                                 "ord": pa.array([], pa.int64())})
+                return t.select(["doc", "ord"])  # keeps the id type
             # boundary diff on the sorted line column: True where a new
             # group starts; everything else is a duplicate occurrence
             neq = pc.not_equal(line.slice(1), line.slice(0, n - 1))
@@ -131,10 +130,13 @@ def _rebuild_kernel(docs: pa.Table, rem: pa.Table, *, text_col: str,
                     id_col: str, sep: str) -> pa.Table:
     """One partition's rebuild: drop removed (doc, ord) lines and
     re-join the survivors — fully vectorized."""
-    ids = docs[id_col].to_numpy(zero_copy_only=False)
-    order = np.argsort(ids, kind="stable")
-    docs = docs.take(pa.array(order))
-    ids = ids[order]
+    # Arrow sort + index_in keep the id column type-agnostic (int doc
+    # ids or url strings)
+    docs = docs.take(pc.sort_indices(docs,
+                                     sort_keys=[(id_col, "ascending")]))
+    ids = docs[id_col]
+    if isinstance(ids, pa.ChunkedArray):
+        ids = ids.combine_chunks()
     texts = docs[text_col]
     if isinstance(texts, pa.ChunkedArray):
         texts = texts.combine_chunks()
@@ -146,11 +148,11 @@ def _rebuild_kernel(docs: pa.Table, rem: pa.Table, *, text_col: str,
     removed = np.zeros(len(flat), bool)
     n_removed = np.zeros(len(ids), np.int64)
     if rem.num_rows:
-        rdoc = rem["doc"].to_numpy(zero_copy_only=False)
         rord = rem["ord"].to_numpy(zero_copy_only=False)
-        row = np.searchsorted(ids, rdoc)
         # co-partitioning guarantees every removal's doc is here; the
         # ord is in range because both phases split identically
+        row = pc.index_in(rem["doc"], value_set=ids).to_numpy(
+            zero_copy_only=False).astype(np.int64)
         removed[offs[row] + rord] = True
         np.add.at(n_removed, row, 1)
     kept = flat.filter(pa.array(~removed))

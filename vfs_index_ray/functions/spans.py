@@ -225,9 +225,10 @@ def _dup_occurrence_starts(ds, dup_ref, *, L: int, text_col: str,
     def emit(batch: pa.Table) -> pa.Table:
         dupset = ray.get(dup_ref)
         win_doc, wins = _window_spans(batch[text_col], L)
+        id_type = batch.schema.field(id_col).type  # int OR string ids
         empty = pa.table({
             "unit": pa.array([], pa.large_string()),
-            "doc": pa.array([], pa.int64()),
+            "doc": pa.array([], id_type),
             "j": pa.array([], pa.int64()),
             "part": pa.array([], pa.int32())})
         if not len(dupset) or not len(win_doc):
@@ -241,12 +242,12 @@ def _dup_occurrence_starts(ds, dup_ref, *, L: int, text_col: str,
         if not m.any():
             return empty
         wins_d = wins.filter(pa.array(m))
-        docs = batch[id_col].to_numpy(zero_copy_only=False)[win_doc[m]]
+        docs = batch[id_col].take(pa.array(win_doc[m]))
         part = (fnv1a64_tokens(wins_d) % np.uint64(num_parts)
                 ).astype(np.int32)
         return pa.table({
             "unit": wins_d,
-            "doc": pa.array(docs, pa.int64()),
+            "doc": docs,
             "j": pa.array(j[m], pa.int64()),
             "part": pa.array(part, pa.int32())})
 
@@ -276,8 +277,7 @@ def _dup_occurrence_starts(ds, dup_ref, *, L: int, text_col: str,
                 u = u.combine_chunks()
             n = len(u)
             if n == 0:
-                return pa.table({"doc": pa.array([], pa.int64()),
-                                 "j": pa.array([], pa.int64())})
+                return t.select(["doc", "j"])  # keeps the id type
             neq = pc.not_equal(u.slice(1), u.slice(0, n - 1))
             dup = np.empty(n, bool)
             dup[0] = False
@@ -351,10 +351,13 @@ def remove_dup_spans(ds, *, L: int = 8, text_col: str = "text",
     from .joins import co_partition_apply
 
     def kernel(docs: pa.Table, rem: pa.Table) -> pa.Table:
-        ids = docs[id_col].to_numpy(zero_copy_only=False)
-        order = np.argsort(ids, kind="stable")
-        docs = docs.take(pa.array(order))
-        ids = ids[order]
+        # Arrow sort + index_in keep the id column type-agnostic
+        # (int doc ids or url strings)
+        docs = docs.take(pc.sort_indices(
+            docs, sort_keys=[(id_col, "ascending")]))
+        ids = docs[id_col]
+        if isinstance(ids, pa.ChunkedArray):
+            ids = ids.combine_chunks()
         texts = docs[text_col]
         if isinstance(texts, pa.ChunkedArray):
             texts = texts.combine_chunks()
@@ -368,9 +371,10 @@ def remove_dup_spans(ds, *, L: int = 8, text_col: str = "text",
         total = int(offs[-1])
         diff = np.zeros(total + 1, np.int64)
         if rem.num_rows:
-            rdoc = rem["doc"].to_numpy(zero_copy_only=False)
+            # co-partitioning guarantees every removal's doc is here
+            row = pc.index_in(rem["doc"], value_set=ids).to_numpy(
+                zero_copy_only=False).astype(np.int64)
             rj = rem["j"].to_numpy(zero_copy_only=False)
-            row = np.searchsorted(ids, rdoc)
             s = offs[row] + rj
             e = offs[row] + np.minimum(rj + L, counts[row])
             np.add.at(diff, s, 1)
