@@ -43,18 +43,22 @@ from ..hashing import _string_array_buffers, fnv1a64_tokens
 from .boilerplate import _group_counts
 
 
-def _window_spans(texts, L: int) -> tuple[np.ndarray, pa.Array]:
-    """(win_doc, windows) for every L-token window of every text: the
-    window's doc ordinal and its exact string (tokens joined by ' ',
-    i.e. the byte slice of the text from the first token's start to the
-    last token's end).  Nulls count as empty (1 empty token)."""
+def _token_layout(texts):
+    """Byte-level token layout of an Arrow string column: token
+    boundaries are the 0x20 positions (``string_split`` / ``' '.join``
+    are exact inverses for a single-byte separator).  Returns
+    ``(data, voff, ntok, base, starts)``: the value buffer, per-doc
+    value offsets, per-doc token counts, flat-token base offsets and
+    each flat token's byte start.  Nulls count as empty (1 empty
+    token)."""
     if isinstance(texts, pa.ChunkedArray):
         texts = texts.combine_chunks()
     texts = pc.fill_null(texts, "")
     n = len(texts)
-    empty = pa.array([], pa.large_string())
     if n == 0:
-        return np.empty(0, np.int64), empty
+        z = np.empty(0, np.int64)
+        return np.empty(0, np.uint8), np.zeros(1, np.int64), z, \
+            np.zeros(1, np.int64), z
     data, voff = _string_array_buffers(texts)
     lo, hi = int(voff[0]), int(voff[-1])
     spaces = lo + np.flatnonzero(data[lo:hi] == 0x20)
@@ -71,13 +75,30 @@ def _window_spans(texts, L: int) -> tuple[np.ndarray, pa.Array]:
         run_len = np.diff(np.append(run_start, len(spaces)))
         r = np.arange(len(spaces)) - np.repeat(run_start, run_len)
         starts[base[sp_doc] + 1 + r] = spaces + 1
+    return data, voff, ntok, base, starts
+
+
+def _enum_windows(ntok: np.ndarray, L: int):
+    """(win_doc, win_j) for every L-token window of every doc."""
     nwin = np.maximum(ntok - (L - 1), 0)
     total_win = int(nwin.sum())
+    n = len(ntok)
     if total_win == 0:
-        return np.empty(0, np.int64), empty
+        return np.empty(0, np.int64), np.empty(0, np.int64)
     wbase = np.concatenate([[0], np.cumsum(nwin)])
     win_doc = np.repeat(np.arange(n, dtype=np.int64), nwin)
     win_j = np.arange(total_win) - np.repeat(wbase[:-1], nwin)
+    return win_doc, win_j
+
+
+def _gather_windows(data, voff, ntok, base, starts, win_doc,
+                    win_j, L: int) -> pa.Array:
+    """Exact window strings for the SELECTED (win_doc, win_j) windows:
+    one vectorized gather of the byte slices (first token start to
+    last token end)."""
+    total_win = len(win_doc)
+    if total_win == 0:
+        return pa.array([], pa.large_string())
     sidx = base[win_doc] + win_j
     s = starts[sidx]
     e = np.empty(total_win, np.int64)
@@ -89,10 +110,125 @@ def _window_spans(texts, L: int) -> tuple[np.ndarray, pa.Array]:
     out_off = np.concatenate([[0], np.cumsum(lens)])
     gather = np.repeat(s - out_off[:-1], lens) + np.arange(out_off[-1])
     buf = np.ascontiguousarray(data[gather])
-    windows = pa.Array.from_buffers(
+    return pa.Array.from_buffers(
         pa.large_string(), total_win,
         [None, pa.py_buffer(out_off), pa.py_buffer(buf)])
-    return win_doc, windows
+
+
+def _window_spans(texts, L: int) -> tuple[np.ndarray, pa.Array]:
+    """(win_doc, windows) for every L-token window of every text: the
+    window's doc ordinal and its exact string (tokens joined by ' ',
+    i.e. the byte slice of the text from the first token's start to the
+    last token's end).  Nulls count as empty (1 empty token)."""
+    data, voff, ntok, base, starts = _token_layout(texts)
+    win_doc, win_j = _enum_windows(ntok, L)
+    return win_doc, _gather_windows(data, voff, ntok, base, starts,
+                                    win_doc, win_j, L)
+
+
+def _fold_hashes(layout, win_doc, win_j, L: int) -> np.ndarray:
+    """Window hashes for the given (win_doc, win_j) windows WITHOUT
+    constructing window strings: per-token FNV-1a (short spans), then
+    an L-step vectorized positional fold over the window's token
+    hashes.  Equal window strings always hash equal (collisions only
+    ever ADD false candidates — callers re-verify on the raw bytes),
+    so this is the cheap prefilter pass for the exact span family."""
+    from ..hashing import FNV_OFFSET, FNV_PRIME, fnv1a64_spans
+
+    data, voff, ntok, base, starts = layout
+    if not len(win_doc):
+        return np.empty(0, np.uint64)
+    total_tok = int(base[-1])
+    tok_end = np.empty(total_tok, np.int64)
+    tok_end[:-1] = starts[1:] - 1          # byte before the separator
+    n = len(ntok)
+    lastpos = base[1:] - 1                 # last token of each doc
+    tok_end[lastpos] = voff[1:n + 1]
+    tok_h = fnv1a64_spans(data, starts, tok_end - starts)
+    sidx = base[win_doc] + win_j
+    h = np.full(len(win_doc), FNV_OFFSET, np.uint64)
+    with np.errstate(over="ignore"):
+        for k in range(L):
+            h = (h ^ tok_h[sidx + k]) * np.uint64(FNV_PRIME)
+    return h
+
+
+def _window_hashes(texts, L: int):
+    """(win_doc, win_j, win_hash) for every L-token window (see
+    ``_fold_hashes``)."""
+    layout = _token_layout(texts)
+    win_doc, win_j = _enum_windows(layout[2], L)
+    return win_doc, win_j, _fold_hashes(layout, win_doc, win_j, L)
+
+
+def _in_sorted(h: np.ndarray, sorted_set: np.ndarray) -> np.ndarray:
+    """Membership mask of ``h`` in a SORTED uint64 array."""
+    if not len(sorted_set) or not len(h):
+        return np.zeros(len(h), bool)
+    idx = np.searchsorted(sorted_set, h)
+    idx[idx == len(sorted_set)] = len(sorted_set) - 1
+    return sorted_set[idx] == h
+
+
+def _candidate_hashes(ds, *, L: int, text_col: str, min_count: int,
+                      num_parts: int, spill_dir: str | None,
+                      batch_size) -> np.ndarray:
+    """SORTED uint64 hashes occurring >= ``min_count`` times
+    corpus-wide — a superset of the duplicated-window hash set (every
+    occurrence of a duplicated string shares its hash; collisions only
+    add false candidates).  16-byte rows through the disk shuffle
+    instead of window strings."""
+    import os
+    import shutil
+    import tempfile
+
+    import ray
+
+    def partial(batch: pa.Table) -> pa.Table:
+        _, _, h = _window_hashes(batch[text_col], L)
+        t = pa.table({"h": pa.array(h.view(np.int64), pa.int64())})
+        cnt = _group_counts(t, ["h"], [("h", "count")])
+        hh = cnt["h"]
+        if isinstance(hh, pa.ChunkedArray):
+            hh = hh.combine_chunks()
+        part = (hh.to_numpy(zero_copy_only=False).view(np.uint64)
+                % np.uint64(num_parts)).astype(np.int32)
+        return pa.table({"h": hh,
+                         "n": cnt["h_count"].cast(pa.int64()),
+                         "part": pa.array(part, pa.int32())})
+
+    own = spill_dir is None
+    spill = spill_dir or tempfile.mkdtemp(prefix="spanh_", dir="/tmp")
+    try:
+        (ds.map_batches(partial, batch_format="pyarrow",
+                        batch_size=batch_size)
+           .write_parquet(spill, partition_cols=["part"]))
+        part_dirs = sorted(os.path.join(spill, d)
+                           for d in os.listdir(spill)
+                           if d.startswith("part="))
+        if not part_dirs:
+            return np.empty(0, np.uint64)
+
+        @ray.remote(num_cpus=1)
+        def one_part(pdir: str) -> np.ndarray:
+            import pyarrow.parquet as pq
+            t = pq.read_table(pdir, columns=["h", "n"],
+                              use_threads=False)
+            g = _group_counts(t, ["h"], [("n", "sum")])
+            g = g.filter(pc.greater_equal(g["n_sum"],
+                                          pa.scalar(min_count)))
+            hh = g["h"]
+            if isinstance(hh, pa.ChunkedArray):
+                hh = hh.combine_chunks()
+            return hh.to_numpy(zero_copy_only=False).view(np.uint64)
+        parts = ray.get([one_part.remote(d) for d in part_dirs])
+        out = np.concatenate([p for p in parts if len(p)] or
+                             [np.empty(0, np.uint64)])
+        out.sort()
+        return out
+    finally:
+        if own:
+            shutil.rmtree(spill, ignore_errors=True)
 
 
 def duplicate_windows(ds, *, L: int = 8, text_col: str = "text",
@@ -114,10 +250,26 @@ def duplicate_windows(ds, *, L: int = 8, text_col: str = "text",
     if num_parts is None:
         num_parts = max(8, int(ray.cluster_resources().get("CPU", 8)))
 
+    empty = pa.table({"window": pa.array([], pa.large_string()),
+                      "n": pa.array([], pa.int64())})
+    cand = _candidate_hashes(ds, L=L, text_col=text_col,
+                             min_count=min_count, num_parts=num_parts,
+                             spill_dir=None, batch_size=batch_size)
+    if not len(cand):
+        return empty
+    cand_ref = ray.put(cand)
+
     def partial(batch: pa.Table) -> pa.Table:
-        win_doc, wins = _window_spans(batch[text_col], L)
+        # only candidate-hash windows materialize as strings; the
+        # exact >= min_count decision happens on the strings per part
+        csort = ray.get(cand_ref)
+        layout = _token_layout(batch[text_col])
+        win_doc, win_j = _enum_windows(layout[2], L)
+        h = _fold_hashes(layout, win_doc, win_j, L)
+        m = _in_sorted(h, csort)
+        wins = _gather_windows(*layout, win_doc[m], win_j[m], L)
         pairs = pa.table({"unit": wins,
-                          "p": pa.array(win_doc, pa.int64())})
+                          "p": pa.array(win_doc[m], pa.int64())})
         cnt = _group_counts(pairs, ["unit"], [("p", "count")])
         u = cnt["unit"]
         if isinstance(u, pa.ChunkedArray):
@@ -129,8 +281,6 @@ def duplicate_windows(ds, *, L: int = 8, text_col: str = "text",
 
     own = spill_dir is None
     spill = spill_dir or tempfile.mkdtemp(prefix="spans_", dir="/tmp")
-    empty = pa.table({"window": pa.array([], pa.large_string()),
-                      "n": pa.array([], pa.int64())})
     try:
         (ds.map_batches(partial, batch_format="pyarrow",
                         batch_size=batch_size)
@@ -181,16 +331,28 @@ def dup_spans(ds, *, L: int = 8, text_col: str = "text",
     if isinstance(col, pa.ChunkedArray):
         col = col.combine_chunks()
     dup_ref = ray.put(col)
+    # fold hashes of the dup strings (each is exactly one L-token
+    # window of itself): the probe pass materializes ONLY windows
+    # whose fold hash is in this small sorted set, then re-verifies
+    # string equality with is_in
+    _, _, dh = _window_hashes(col, L)
+    dh.sort()
+    dh_ref = ray.put(dh)
 
     def stats(batch: pa.Table) -> pa.Table:
         dupset = ray.get(dup_ref)
-        win_doc, wins = _window_spans(batch[text_col], L)
+        dsort = ray.get(dh_ref)
+        layout = _token_layout(batch[text_col])
+        win_doc, win_j = _enum_windows(layout[2], L)
         nb = len(batch)
         nw = np.bincount(win_doc, minlength=nb)
         if len(dupset) and len(win_doc):
+            h = _fold_hashes(layout, win_doc, win_j, L)
+            cm = _in_sorted(h, dsort)
+            wins = _gather_windows(*layout, win_doc[cm], win_j[cm], L)
             m = pc.is_in(wins, value_set=dupset).to_numpy(
                 zero_copy_only=False).astype(bool)
-            dw = np.bincount(win_doc[m], minlength=nb)
+            dw = np.bincount(win_doc[cm][m], minlength=nb)
         else:
             dw = np.zeros(nb, np.int64)
         frac = np.floor(
@@ -207,14 +369,19 @@ def dup_spans(ds, *, L: int = 8, text_col: str = "text",
                           batch_size=batch_size)
 
 
-def _dup_occurrence_starts(ds, dup_ref, *, L: int, text_col: str,
+def _dup_occurrence_starts(ds, *, L: int, text_col: str,
                            id_col: str, num_parts: int,
                            spill_dir: str | None, batch_size):
     """Removal starts for the span rewrite: every occurrence of a
     corpus-duplicated window EXCEPT the corpus-first (in (doc, j)
-    order) becomes a (doc, j) removal row.  Only duplicated windows'
-    occurrences enter the shuffle; grouping is by the window STRING
-    (hash = partition key only), so the canonical pick is exact."""
+    order) becomes a (doc, j) removal row.  The hash prefilter
+    (``_candidate_hashes``, 16-byte rows) bounds the string shuffle to
+    candidate windows only; each part then counts and keep-firsts its
+    window groups in one sorted pass over the exact strings — no
+    duplicate-set broadcast, no per-batch hash-set probe.  Grouping is
+    by the window STRING (hashes only partition and prefilter — a
+    collision only adds a singleton group, which emits nothing), so
+    the canonical pick is exact."""
     import os
     import shutil
     import tempfile
@@ -222,33 +389,35 @@ def _dup_occurrence_starts(ds, dup_ref, *, L: int, text_col: str,
     import ray
     import ray.data
 
+    cand = _candidate_hashes(ds, L=L, text_col=text_col, min_count=2,
+                             num_parts=num_parts, spill_dir=None,
+                             batch_size=batch_size)
+    if not len(cand):
+        return None
+    cand_ref = ray.put(cand)
+
     def emit(batch: pa.Table) -> pa.Table:
-        dupset = ray.get(dup_ref)
-        win_doc, wins = _window_spans(batch[text_col], L)
+        csort = ray.get(cand_ref)
+        layout = _token_layout(batch[text_col])
+        win_doc, win_j = _enum_windows(layout[2], L)
+        h = _fold_hashes(layout, win_doc, win_j, L)
+        m = _in_sorted(h, csort)
         id_type = batch.schema.field(id_col).type  # int OR string ids
-        empty = pa.table({
-            "unit": pa.array([], pa.large_string()),
-            "doc": pa.array([], id_type),
-            "j": pa.array([], pa.int64()),
-            "part": pa.array([], pa.int32())})
-        if not len(dupset) or not len(win_doc):
-            return empty
-        nb = batch.num_rows
-        nwin = np.bincount(win_doc, minlength=nb)
-        wbase = np.concatenate([[0], np.cumsum(nwin)])
-        j = np.arange(len(win_doc), dtype=np.int64) - wbase[win_doc]
-        m = pc.is_in(wins, value_set=dupset).to_numpy(
-            zero_copy_only=False).astype(bool)
         if not m.any():
-            return empty
-        wins_d = wins.filter(pa.array(m))
-        docs = batch[id_col].take(pa.array(win_doc[m]))
-        part = (fnv1a64_tokens(wins_d) % np.uint64(num_parts)
+            return pa.table({
+                "unit": pa.array([], pa.large_string()),
+                "doc": pa.array([], id_type),
+                "j": pa.array([], pa.int64()),
+                "part": pa.array([], pa.int32())})
+        win_doc, win_j = win_doc[m], win_j[m]
+        wins = _gather_windows(*layout, win_doc, win_j, L)
+        docs = batch[id_col].take(pa.array(win_doc))
+        part = (fnv1a64_tokens(wins) % np.uint64(num_parts)
                 ).astype(np.int32)
         return pa.table({
-            "unit": wins_d,
+            "unit": wins,
             "doc": docs,
-            "j": pa.array(j[m], pa.int64()),
+            "j": pa.array(win_j, pa.int64()),
             "part": pa.array(part, pa.int32())})
 
     own = spill_dir is None
@@ -315,24 +484,18 @@ def remove_dup_spans(ds, *, L: int = 8, text_col: str = "text",
     Dataset of ``(id_col, text, n_removed)`` (token counts) covering
     every input document.
 
-    Three stages, all on the hive disk shuffle: the duplicate-window
-    set (``duplicate_windows``) broadcast once; duplicated occurrences
-    only spilled by window hash with per-part keep-first; removal
-    starts co-partitioned with the documents (joins.co_partition_apply)
-    and one vectorized interval-coverage + rebuild kernel per
-    partition."""
+    Two shuffles total, both on the hive disk spill: every window
+    occurrence by window hash (count + keep-first in one per-part
+    sorted pass — no duplicate-set broadcast, no per-batch hash-set
+    probe), then removal starts co-partitioned with the documents
+    (joins.co_partition_apply) and one vectorized interval-coverage +
+    rebuild kernel per partition."""
     import ray
 
     if num_parts is None:
         num_parts = max(8, int(ray.cluster_resources().get("CPU", 8)))
-    dup = duplicate_windows(ds, L=L, text_col=text_col, min_count=2,
-                            num_parts=num_parts, batch_size=batch_size)
-    col = dup["window"]
-    if isinstance(col, pa.ChunkedArray):
-        col = col.combine_chunks()
-    dup_ref = ray.put(col)
     removals = _dup_occurrence_starts(
-        ds, dup_ref, L=L, text_col=text_col, id_col=id_col,
+        ds, L=L, text_col=text_col, id_col=id_col,
         num_parts=num_parts, spill_dir=spill_dir,
         batch_size=batch_size)
 
