@@ -39,7 +39,14 @@ def _removal_rows(ds, *, text_col: str, id_col: str, sep: str,
                   num_parts: int, spill_dir: str | None):
     """Phases 1+2: a Dataset of (doc, ord) rows marking every line
     occurrence that is NOT the corpus-first for its line value.
-    Returns None when the corpus has no duplicate lines."""
+    Returns None when the corpus has no duplicate lines.
+
+    A hash-prefilter pass runs first (the spans-family pattern,
+    functions/spans.py): per-line FNV counts as 16-byte rows through
+    the disk spill yield the small sorted candidate-hash set, and only
+    candidate lines' occurrence rows — duplicates plus rare collisions
+    — enter the string shuffle.  Equality stays on the raw line bytes
+    (a collision only adds a singleton group, which emits nothing)."""
     import os
     import shutil
     import tempfile
@@ -48,8 +55,9 @@ def _removal_rows(ds, *, text_col: str, id_col: str, sep: str,
     import ray.data
 
     from ..hashing import fnv1a64_tokens
+    from .spans import _in_sorted
 
-    def explode(batch: pa.Table) -> pa.Table:
+    def split_lines(batch: pa.Table):
         texts = batch[text_col]
         if isinstance(texts, pa.ChunkedArray):
             texts = texts.combine_chunks()
@@ -57,17 +65,72 @@ def _removal_rows(ds, *, text_col: str, id_col: str, sep: str,
         flat = pc.list_flatten(lines)
         parent = pc.list_parent_indices(lines).to_numpy(
             zero_copy_only=False)
+        return lines, flat, parent
+
+    from .boilerplate import _group_counts
+
+    def hash_partial(batch: pa.Table) -> pa.Table:
+        _, flat, _ = split_lines(batch)
+        h = fnv1a64_tokens(flat)
+        t = pa.table({"h": pa.array(h.view(np.int64), pa.int64())})
+        cnt = _group_counts(t, ["h"], [("h", "count")])
+        hh = cnt["h"]
+        if isinstance(hh, pa.ChunkedArray):
+            hh = hh.combine_chunks()
+        part = (hh.to_numpy(zero_copy_only=False).view(np.uint64)
+                % np.uint64(num_parts)).astype(np.int32)
+        return pa.table({"h": hh,
+                         "n": cnt["h_count"].cast(pa.int64()),
+                         "part": pa.array(part, pa.int32())})
+
+    hspill = tempfile.mkdtemp(prefix="linededup_h_", dir="/tmp")
+    try:
+        (ds.map_batches(hash_partial, batch_format="pyarrow",
+                        zero_copy_batch=True)
+           .write_parquet(hspill, partition_cols=["part"]))
+        hdirs = sorted(os.path.join(hspill, d)
+                       for d in os.listdir(hspill)
+                       if d.startswith("part="))
+
+        @ray.remote(num_cpus=1)
+        def hash_part(pdir: str) -> np.ndarray:
+            import pyarrow.parquet as pq
+            t = pq.read_table(pdir, columns=["h", "n"],
+                              use_threads=False)
+            g = _group_counts(t, ["h"], [("n", "sum")])
+            g = g.filter(pc.greater_equal(g["n_sum"], pa.scalar(2)))
+            hh = g["h"]
+            if isinstance(hh, pa.ChunkedArray):
+                hh = hh.combine_chunks()
+            return hh.to_numpy(zero_copy_only=False).view(np.uint64)
+
+        parts = ray.get([hash_part.remote(d) for d in hdirs]) \
+            if hdirs else []
+        cand = np.concatenate([p for p in parts if len(p)] or
+                              [np.empty(0, np.uint64)])
+        cand.sort()
+    finally:
+        shutil.rmtree(hspill, ignore_errors=True)
+    if not len(cand):
+        return None
+    cand_ref = ray.put(cand)
+
+    def explode(batch: pa.Table) -> pa.Table:
+        csort = ray.get(cand_ref)
+        lines, flat, parent = split_lines(batch)
         offs = np.zeros(batch.num_rows + 1, np.int64)
         np.cumsum(pc.list_value_length(lines).to_numpy(
             zero_copy_only=False), out=offs[1:])
         ords = np.arange(len(flat), dtype=np.int64) - offs[parent]
-        docs = batch[id_col].take(pa.array(parent))  # keeps id type
+        m = _in_sorted(fnv1a64_tokens(flat), csort)
+        flat = flat.filter(pa.array(m))
+        docs = batch[id_col].take(pa.array(parent[m]))  # keeps id type
         part = (fnv1a64_tokens(flat) % np.uint64(num_parts)
                 ).astype(np.int32)
         return pa.table({
             "line": flat,
             "doc": docs,
-            "ord": pa.array(ords, pa.int64()),
+            "ord": pa.array(ords[m], pa.int64()),
             "part": pa.array(part, pa.int32()),
         })
 
