@@ -119,3 +119,44 @@ def test_hash_join_empty_right(ray_session):
                        num_parts=3)
     t = pa.concat_tables(ray.get(louter.to_arrow_refs())).combine_chunks()
     assert t.num_rows == 50 and t["w"].null_count == 50
+
+
+@pytest.mark.parametrize("how,sql", [
+    ("left semi", "SELECT l.k, l.v FROM l SEMI JOIN r ON l.k = r.k2"),
+    ("left anti", "SELECT l.k, l.v FROM l ANTI JOIN r ON l.k = r.k2"),
+])
+def test_hash_join_semi_anti(ray_session, how, sql):
+    import ray
+    import ray.data
+
+    from vfs_index_ray.functions.joins import hash_join
+
+    lt, rt = _left_table(seed=21), _right_table()
+    out = hash_join(ray.data.from_arrow(lt), ray.data.from_arrow(rt),
+                    left_on="k", right_on="k2", how=how, num_parts=5)
+    got = _sorted(pa.concat_tables(ray.get(out.to_arrow_refs()))
+                  .combine_chunks())
+    con = duckdb.connect()
+    con.register("l", lt)
+    con.register("r", rt)
+    want = _sorted(con.execute(sql).arrow())
+    assert got.equals(want.cast(got.schema))
+
+
+def test_join_auto_dispatch(ray_session):
+    """Small right side -> broadcast; both give identical results."""
+    import ray
+    import ray.data
+
+    from vfs_index_ray.functions.joins import hash_join, join_auto
+
+    lt, rt = _left_table(seed=31), _right_table()
+    a = join_auto(ray.data.from_arrow(lt), ray.data.from_arrow(rt),
+                  left_on="k", right_on="k2", how="inner")
+    h = hash_join(ray.data.from_arrow(lt), ray.data.from_arrow(rt),
+                  left_on="k", right_on="k2", how="inner", num_parts=4)
+    at = _sorted(pa.concat_tables(ray.get(a.to_arrow_refs()))
+                 .combine_chunks())
+    ht = _sorted(pa.concat_tables(ray.get(h.to_arrow_refs()))
+                 .combine_chunks())
+    assert at.cast(ht.schema).equals(ht)

@@ -193,7 +193,7 @@ def hash_join(left_ds, right_ds, *, left_on, right_on=None,
     joined partition (local aggregates / top-k when grouping by the
     join key).  ``how`` is "inner" or "left outer"."""
     right_on2 = right_on or left_on
-    if how not in ("inner", "left outer"):
+    if how not in ("inner", "left outer", "left semi", "left anti"):
         raise ValueError(f"unsupported join type: {how!r}")
 
     def kernel(lt: pa.Table, rt: pa.Table) -> pa.Table:
@@ -201,8 +201,48 @@ def hash_join(left_ds, right_ds, *, left_on, right_on=None,
                   left_suffix, right_suffix)
         return post(j) if post is not None else j
 
+    # a left partition with NO right partition: inner/semi emit
+    # nothing; left-outer/anti pass every left row through the kernel
+    # against an empty right table
     return co_partition_apply(left_ds, right_ds, left_on=left_on,
                               right_on=right_on2, kernel=kernel,
                               num_parts=num_parts,
-                              skip_missing_right=(how == "inner"),
+                              skip_missing_right=(
+                                  how in ("inner", "left semi")),
                               spill_dir=spill_dir)
+
+
+# size below which join_auto broadcasts the build side instead of
+# co-partitioning both inputs (the measured crossover on this host is
+# between 50k- and 2.5M-row build sides; see BASELINE.md)
+AUTO_BROADCAST_BYTES = 64 * 1024 * 1024
+
+
+def join_auto(left_ds, right_ds, *, left_on, right_on=None,
+              how: str = "inner", num_parts: int | None = None,
+              post=None, left_suffix=None, right_suffix="_r",
+              broadcast_bytes: int = AUTO_BROADCAST_BYTES):
+    """Equi-join with physical-shape dispatch: if the right side's
+    metadata-based size estimate is under ``broadcast_bytes`` it is
+    materialized once and broadcast (per-batch Acero probes, no
+    shuffle); otherwise both sides co-partition through the disk
+    spill.  ``post`` only applies to the co-partitioned path (the
+    broadcast path has no join-key partitioning for a local
+    aggregate to exploit); apply batch transforms downstream
+    instead."""
+    try:
+        sz = right_ds.size_bytes() or 0
+    except Exception:  # noqa: BLE001
+        sz = broadcast_bytes + 1  # unknown: take the scalable path
+    if sz <= broadcast_bytes and post is None:
+        import ray
+        tbls = ray.get(right_ds.to_arrow_refs())
+        right = pa.concat_tables(tbls) if tbls else pa.table({})
+        return broadcast_join(left_ds, right, left_on=left_on,
+                              right_on=right_on, how=how,
+                              left_suffix=left_suffix,
+                              right_suffix=right_suffix)
+    return hash_join(left_ds, right_ds, left_on=left_on,
+                     right_on=right_on, how=how, num_parts=num_parts,
+                     post=post, left_suffix=left_suffix,
+                     right_suffix=right_suffix)

@@ -1482,6 +1482,43 @@ def q_span_dedup(sf_dir: str) -> pa.Table:
         ("n_removed", pa.int64())]))
 
 
+def q_customers_no_urgent(sf_dir: str) -> pa.Table:
+    """Distributed ANTI join (functions/joins.py hash_join, Acero
+    'left anti' per partition pair): customers with no 1-URGENT
+    order.  Both sides co-partition by custkey through the disk
+    spill — the shape that holds when neither side fits in a worker
+    heap."""
+    import ray.data
+
+    from ..functions.joins import hash_join
+    _tune_context()
+    cust = ray.data.read_parquet(
+        os.path.join(sf_dir, "customer.parquet"),
+        columns=["c_custkey", "c_name", "c_mktsegment"])
+    orders = ray.data.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_custkey", "o_orderpriority"])
+
+    def urgent(t: pa.Table) -> pa.Table:
+        m = pc.equal(t["o_orderpriority"], "1-URGENT")
+        return t.filter(m).select(["o_custkey"])
+
+    out = hash_join(cust,
+                    orders.map_batches(urgent, batch_format="pyarrow",
+                                       zero_copy_batch=True),
+                    left_on="c_custkey", right_on="o_custkey",
+                    how="left anti")
+    schema = pa.schema([("c_custkey", pa.int64()),
+                        ("c_name", pa.string()),
+                        ("c_mktsegment", pa.string())])
+    if out is None:
+        return schema.empty_table()
+    t = _collect(out)
+    t = t.take(pc.sort_indices(t, sort_keys=[("c_custkey",
+                                              "ascending")]))
+    return t.select(["c_custkey", "c_name", "c_mktsegment"]).cast(schema)
+
+
 def q_customer_revenue(sf_dir: str) -> pa.Table:
     """High-cardinality grouped aggregate (one row per customer):
     hash_aggregate — per-batch Arrow partials, hive disk-shuffle by
@@ -1786,6 +1823,7 @@ QUERIES = {
     "customer_revenue": q_customer_revenue,
     "tpch_q5": q_tpch_q5,
     "span_dedup": q_span_dedup,
+    "customers_no_urgent": q_customers_no_urgent,
     "lm_score": q_lm_score,
     "quality_filter": q_quality_filter,
     "dup_spans": q_dup_spans,
@@ -2648,6 +2686,12 @@ SELECT o_custkey,
        max(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))::BIGINT
          AS max_order_x100
 FROM orders GROUP BY o_custkey ORDER BY o_custkey
+""",
+    "customers_no_urgent": """
+SELECT c_custkey, c_name, c_mktsegment FROM customer
+WHERE c_custkey NOT IN (SELECT o_custkey FROM orders
+                        WHERE o_orderpriority = '1-URGENT')
+ORDER BY c_custkey
 """,
     "tpch_q5": """
 SELECT n_name, count(*)::BIGINT AS n_items,
