@@ -258,6 +258,17 @@ def run_bench() -> dict:
         best = min(best, time.perf_counter() - t0)
     timings["events_hourly"] = round(best, 3)
 
+    # relational join stage (round-4 second session): the TPC-H
+    # Q3-shape pipeline (broadcast semi filter + co-partitioned hash
+    # join with in-task aggregate) over the sf tables — additive
+    from vfs_index_ray.pipelines.queries import q_tpch_q3
+    best = float("inf")
+    for _ in range(2):
+        t0 = time.perf_counter()
+        q_tpch_q3(SF_DIR)
+        best = min(best, time.perf_counter() - t0)
+    timings["tpch_q3"] = round(best, 3)
+
     # scaling workload — THE contention-sensitive stage (32-way, memory
     # bound). Run k short rounds and record every round: a contended run
     # is then self-evidently contended (wide spread), instead of a
