@@ -177,3 +177,57 @@ def test_three_node_build_query_code_shipping(tmp_path):
          if l.startswith("DISTINCT_NODES")][0]
     assert int(n.split()[1]) >= 2, res.stdout
     assert "RESULTS_MATCH 1" in res.stdout
+
+
+JOIN_SCRIPT = r"""
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray
+from ray.cluster_utils import Cluster
+
+cluster = Cluster(initialize_head=True, head_node_args={"num_cpus": 2})
+cluster.add_node(num_cpus=2)
+ray.init(address=cluster.address, include_dashboard=False,
+         logging_level="ERROR",
+         runtime_env={"env_vars": {"PYTHONPATH": "/root/repo"}})
+import ray.data
+
+from vfs_index_ray.functions.joins import hash_join
+
+g = np.random.Generator(np.random.Philox(key=[3, 0]))
+lt = pa.table({"k": pa.array(g.integers(0, 500, 5000), pa.int64()),
+               "v": pa.array(g.integers(0, 100, 5000), pa.int64())})
+rt = pa.table({"k2": pa.array(np.arange(400), pa.int64()),
+               "w": pa.array(np.arange(400) * 3, pa.int64())})
+# the spill dir (/tmp) is one filesystem here — the documented
+# shared-storage assumption of the disk-shuffle substrate
+out = hash_join(ray.data.from_arrow(lt), ray.data.from_arrow(rt),
+                left_on="k", right_on="k2", how="inner", num_parts=6)
+t = pa.concat_tables(ray.get(out.to_arrow_refs())).combine_chunks()
+import duckdb
+con = duckdb.connect()
+con.register("l", lt)
+con.register("r", rt)
+want = con.execute(
+    "SELECT l.k, l.v, r.w FROM l JOIN r ON l.k = r.k2").arrow()
+def norm(x):
+    x = x.select(sorted(x.column_names))
+    return x.take(pc.sort_indices(x, sort_keys=[(c, "ascending")
+                                                for c in sorted(x.column_names)]))
+assert norm(t).equals(norm(want).cast(norm(t).schema))
+print("JOIN_MATCH 1")
+ray.shutdown()
+cluster.shutdown()
+"""
+
+
+def test_hash_join_on_two_node_cluster(tmp_path):
+    f = tmp_path / "two_node_join.py"
+    f.write_text(JOIN_SCRIPT)
+    env = dict(os.environ, PYTHONPATH="/root/repo")
+    res = subprocess.run([sys.executable, str(f)], cwd="/root/repo",
+                         env=env, capture_output=True, text=True,
+                         timeout=420)
+    assert res.returncode == 0, res.stdout[-2000:] + res.stderr[-2000:]
+    assert "JOIN_MATCH 1" in res.stdout

@@ -27,6 +27,11 @@ Hashing is only ever the partition key — equality is decided by the
 join kernel on the raw values, so hash collisions cannot fabricate
 matches.  Keys are assumed non-null (TPC-H-style foreign keys); null
 keys land in a partition and follow Acero's null-join semantics.
+
+Multi-node note (same assumption as the build.py postings shuffle,
+README "cluster layout"): the spill directory defaults to /tmp for
+single-node runs; on a real cluster pass ``spill_dir`` on storage
+every node can read (NFS / object store via pyarrow fs).
 """
 
 from __future__ import annotations
