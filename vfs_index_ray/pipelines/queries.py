@@ -464,6 +464,42 @@ def q_minhash_near_dup(sf_dir: str) -> pa.Table:
     return out.take(order)
 
 
+def q_near_dedup_keep(sf_dir: str) -> pa.Table:
+    """Near-dup REMOVAL composed on the MinHash pipeline: for every
+    verified pair (a, b), a < b, with jaccard ≥ 0.8, drop doc b (the
+    keep-smaller-id pairwise policy — each duplicated pair keeps
+    exactly one side; transitive-closure canonicalization is the
+    clustering family, functions/dedup.py cluster_pairs*).  Returns
+    the surviving doc ids."""
+    from ..functions.dedup import minhash_candidates, ngram_jaccard_pairs
+    import ray
+    ds = _docs_ds(sf_dir, columns=["doc_id", "text"])
+    cands = minhash_candidates(ds, num_perm=64, num_bands=16)
+    if cands.num_rows == 0:
+        removed = pa.array([], pa.int64())
+    else:
+        exact = ngram_jaccard_pairs(ds, cands.select(["doc_a", "doc_b"]))
+        dup = exact.filter(pc.greater_equal(exact["jaccard_x1e4"], 8000))
+        removed = dup["doc_b"]
+        if isinstance(removed, pa.ChunkedArray):
+            removed = removed.combine_chunks()
+    removed_ref = ray.put(removed)
+
+    def survivors(t: pa.Table) -> pa.Table:
+        rm = ray.get(removed_ref)
+        if len(rm):
+            keep = pc.invert(pc.is_in(t["doc_id"], value_set=rm))
+            t = t.filter(keep)
+        return t.select(["doc_id"])
+
+    out = _docs_ds(sf_dir, columns=["doc_id"]).map_batches(
+        survivors, batch_format="pyarrow", zero_copy_batch=True)
+    tbl = _collect(out)
+    tbl = tbl.take(pc.sort_indices(tbl, sort_keys=[("doc_id",
+                                                    "ascending")]))
+    return tbl.cast(pa.schema([("doc_id", pa.int64())]))
+
+
 def q_simhash_near_dup(sf_dir: str) -> pa.Table:
     """SimHash LSH pairs with hamming ≤ 3. The 4×16-bit banding is
     GUARANTEED recall at hamming ≤ 3 (pigeonhole: ≤3 flipped bits can
@@ -1775,6 +1811,7 @@ QUERIES = {
     "ann_ivf_topk": q_ann_ivf_topk,
     "ann_ivf_exact": q_ann_ivf_exact,
     "minhash_near_dup": q_minhash_near_dup,
+    "near_dedup_keep": q_near_dedup_keep,
     "simhash_near_dup": q_simhash_near_dup,
     "embedding_near_dup": q_embedding_near_dup,
     "langid": q_langid,
@@ -2361,6 +2398,27 @@ j AS (SELECT doc_a, doc_b,
                 JOIN s sb ON sb.doc_id = cand.doc_b)
 SELECT doc_a, doc_b, jaccard_x1e4 FROM j WHERE jaccard_x1e4 >= 8000
 ORDER BY doc_a, doc_b
+""",
+    # keep-smaller-id pairwise removal over the same all-pairs set
+    "near_dedup_keep": f"""
+WITH t AS (SELECT doc_id, {TOKS} AS toks FROM documents),
+s AS (SELECT doc_id,
+  list_distinct([toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+                 for i in generate_series(1, len(toks) - 2)]) AS sh
+  FROM t),
+u AS (SELECT doc_id, unnest(sh) AS g FROM s),
+cand AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+         FROM u a JOIN u b ON a.g = b.g AND a.doc_id < b.doc_id
+         GROUP BY 1, 2),
+j AS (SELECT doc_a, doc_b,
+        CAST(floor(inter::DOUBLE /
+             greatest(len(sa.sh) + len(sb.sh) - inter, 1) * 10000 + 0.5)
+             AS BIGINT) AS jaccard_x1e4
+      FROM cand JOIN s sa ON sa.doc_id = cand.doc_a
+                JOIN s sb ON sb.doc_id = cand.doc_b)
+SELECT doc_id FROM documents
+WHERE doc_id NOT IN (SELECT doc_b FROM j WHERE jaccard_x1e4 >= 8000)
+ORDER BY doc_id
 """,
     # ALL-PAIRS exact cosine ≥ 0.4 — hash-checks hyperplane-LSH recall
     # AND the exact cosine verify
