@@ -121,3 +121,24 @@ def test_line_dedup_string_ids(ray_session):
                                         t["n_removed"].to_pylist())}
     assert got == {"u/1": ("shared line\nown line 1", 0),
                    "u/2": ("own line 2", 1)}
+
+
+def test_line_dedup_null_text(ray_session):
+    """Null text counts as one empty line (same convention as the
+    spans family): the corpus-first empty line survives, later ones
+    are removed."""
+    import ray
+    import ray.data
+
+    from vfs_index_ray.functions.linededup import line_dedup
+
+    t = pa.table({
+        "doc_id": pa.array([1, 2, 3], pa.int64()),
+        "text": pa.array(["", None, "real line"]),
+    })
+    out = line_dedup(ray.data.from_arrow(t), num_parts=2)
+    got = pa.concat_tables(ray.get(out.to_arrow_refs())).combine_chunks()
+    m = {i: (s, r) for i, s, r in zip(got["doc_id"].to_pylist(),
+                                      got["text"].to_pylist(),
+                                      got["n_removed"].to_pylist())}
+    assert m == {1: ("", 0), 2: ("", 1), 3: ("real line", 0)}

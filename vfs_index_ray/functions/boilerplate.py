@@ -90,8 +90,10 @@ def hash_aggregate(ds, keys: list[str], aggs: list[tuple[str, str]],
     per partition as independent Ray tasks — never Ray Data's
     pull-based sort exchange.  ``aggs`` are (column, fn) with fn in
     count/sum/min/max (all partial-mergeable); outputs are named
-    ``{col}_{fn}``.  Returns a Dataset of object-store Arrow refs, or
-    None on empty input."""
+    ``{col}_{fn}``.  Integer key columns are assumed non-null (string
+    keys may be null — a null hashes like the empty string for
+    partitioning, and Arrow still groups it separately).  Returns a
+    Dataset of object-store Arrow refs, or None on empty input."""
     import os
     import shutil
     import tempfile

@@ -61,6 +61,7 @@ def _removal_rows(ds, *, text_col: str, id_col: str, sep: str,
         texts = batch[text_col]
         if isinstance(texts, pa.ChunkedArray):
             texts = texts.combine_chunks()
+        texts = pc.fill_null(texts, "")  # null text = one empty line
         lines = pc.split_pattern(texts, pattern=sep)
         flat = pc.list_flatten(lines)
         parent = pc.list_parent_indices(lines).to_numpy(
@@ -203,6 +204,7 @@ def _rebuild_kernel(docs: pa.Table, rem: pa.Table, *, text_col: str,
     texts = docs[text_col]
     if isinstance(texts, pa.ChunkedArray):
         texts = texts.combine_chunks()
+    texts = pc.fill_null(texts, "")  # null text = one empty line
     lines = pc.split_pattern(texts, pattern=sep)
     flat = pc.list_flatten(lines)
     counts = pc.list_value_length(lines).to_numpy(zero_copy_only=False)
@@ -253,7 +255,8 @@ def line_dedup(ds, *, text_col: str = "text", id_col: str = "doc_id",
         def ident(batch: pa.Table) -> pa.Table:
             return pa.table({
                 id_col: batch[id_col],
-                "text": batch[text_col].cast(pa.string()),
+                "text": pc.fill_null(batch[text_col],
+                                     "").cast(pa.string()),
                 "n_removed": pa.array(
                     np.zeros(batch.num_rows, np.int64), pa.int64()),
             })
