@@ -93,13 +93,19 @@ def _ann_brute_batch(batch: pa.Table, *, queries_ref, k, vec_col, id_col,
 def ann_cosine_topk(ds, query_ids: list[int], k: int = 5,
                     vec_col: str = "embedding", id_col: str = "vec_id",
                     exclude_self: bool = True,
-                    concurrency: int | tuple | None = None) -> pa.Table:
+                    concurrency: int | tuple | None = None,
+                    query_ds=None) -> pa.Table:
     """Exact cosine top-k for the given query vec_ids over the dataset.
 
     Query vectors are gathered once, broadcast via ``ray.put``; each batch
     computes a local top-k (matmul); the driver merges per-query partials.
     Deterministic ties: sim desc, vec_id asc.
     Returns (query_id, vec_id, rank, sim_x1e4).
+
+    ``query_ds``: where to gather the query vectors (defaults to
+    ``ds``) — pass the UNfiltered dataset when ``ds`` is
+    predicate-filtered (filtered vector search) so query ids outside
+    the filter still resolve.
     """
     import pyarrow.compute as pc
 
@@ -108,7 +114,8 @@ def ann_cosine_topk(ds, query_ids: list[int], k: int = 5,
     def grab(t: pa.Table) -> pa.Table:
         return t.filter(pc.is_in(t[id_col], value_set=qid_arr))
 
-    qrows = ds.map_batches(grab, batch_format="pyarrow").take_all()
+    qsrc = ds if query_ds is None else query_ds
+    qrows = qsrc.map_batches(grab, batch_format="pyarrow").take_all()
     qrows.sort(key=lambda r: query_ids.index(r[id_col]))
     qmat = np.array([r[vec_col] for r in qrows], np.float64)
     qids = [r[id_col] for r in qrows]

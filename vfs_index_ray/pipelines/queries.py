@@ -379,6 +379,27 @@ def q_ann_cosine_topk(sf_dir: str) -> pa.Table:
     return ann_cosine_topk(ds, ANN_QUERY_IDS, k=5)
 
 
+def q_ann_filtered(sf_dir: str) -> pa.Table:
+    """Filtered vector search: exact cosine top-5 among embeddings
+    whose ``label = 1`` only (the metadata-predicate ANN shape).
+    The predicate applies as a per-batch Arrow filter before the
+    matmul; query vectors resolve from the unfiltered set
+    (similarity.ann_cosine_topk query_ds)."""
+    import ray.data
+
+    from ..functions.similarity import ann_cosine_topk
+    _tune_context()
+    full = ray.data.read_parquet(
+        os.path.join(sf_dir, "embeddings.parquet"))
+
+    def only_label1(t: pa.Table) -> pa.Table:
+        return t.filter(pc.equal(t["label"], 1))
+
+    filt = full.map_batches(only_label1, batch_format="pyarrow",
+                            zero_copy_batch=True)
+    return ann_cosine_topk(filt, ANN_QUERY_IDS, k=5, query_ds=full)
+
+
 def _get_ivf(sf_dir: str, num_centroids: int = 8,
              seed_centroids: bool = False):
     """Build-or-reuse the IVF index for sf_dir (corpus-keyed cache)."""
@@ -1812,6 +1833,7 @@ QUERIES = {
     "ann_ivf_exact": q_ann_ivf_exact,
     "minhash_near_dup": q_minhash_near_dup,
     "near_dedup_keep": q_near_dedup_keep,
+    "ann_filtered": q_ann_filtered,
     "simhash_near_dup": q_simhash_near_dup,
     "embedding_near_dup": q_embedding_near_dup,
     "langid": q_langid,
@@ -2115,6 +2137,22 @@ WITH q AS (
   SELECT q.query_id, e.vec_id,
          list_cosine_similarity(q.qe, e.embedding) AS sim
   FROM q CROSS JOIN embeddings e WHERE e.vec_id <> q.query_id
+)
+SELECT query_id, vec_id,
+       row_number() OVER (PARTITION BY query_id
+                          ORDER BY sim DESC, vec_id)::BIGINT AS rank,
+       CAST(floor(sim*10000 + 0.5) AS BIGINT) AS sim_x1e4
+FROM sims QUALIFY rank <= 5 ORDER BY query_id, rank
+""",
+    "ann_filtered": """
+WITH q AS (
+  SELECT vec_id AS query_id, embedding AS qe FROM embeddings
+  WHERE vec_id IN (0,1,2)
+), sims AS (
+  SELECT q.query_id, e.vec_id,
+         list_cosine_similarity(q.qe, e.embedding) AS sim
+  FROM q CROSS JOIN embeddings e
+  WHERE e.vec_id <> q.query_id AND e.label = 1
 )
 SELECT query_id, vec_id,
        row_number() OVER (PARTITION BY query_id
