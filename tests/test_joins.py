@@ -160,3 +160,33 @@ def test_join_auto_dispatch(ray_session):
     ht = _sorted(pa.concat_tables(ray.get(h.to_arrow_refs()))
                  .combine_chunks())
     assert at.cast(ht.schema).equals(ht)
+
+
+@pytest.mark.parametrize("how", ["inner", "left outer", "left semi",
+                                 "left anti"])
+def test_hash_join_salted_matches_unsalted(ray_session, how):
+    """Hot-key mitigation: 70% of probe rows share one key; salt=4
+    must give identical results to salt=1 for every join type."""
+    import ray
+    import ray.data
+
+    g = np.random.Generator(np.random.Philox(key=[41, 0]))
+    n = 3000
+    keys = np.where(g.random(n) < 0.7, 7,
+                    g.integers(0, 300, n)).astype(np.int64)
+    lt = pa.table({"k": pa.array(keys, pa.int64()),
+                   "v": pa.array(np.arange(n), pa.int64())})
+    rt = _right_table()
+
+    from vfs_index_ray.functions.joins import hash_join
+
+    def run(salt):
+        out = hash_join(ray.data.from_arrow(lt),
+                        ray.data.from_arrow(rt), left_on="k",
+                        right_on="k2", how=how, num_parts=5, salt=salt,
+                        salt_keys=[7] if salt > 1 else None)
+        return _sorted(pa.concat_tables(ray.get(out.to_arrow_refs()))
+                       .combine_chunks())
+
+    a, b = run(1), run(4)
+    assert a.equals(b.cast(a.schema))

@@ -28,12 +28,13 @@ _REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, _REPO)
 
 
-def _corpus(rows: int, keys: int) -> tuple[str, str]:
+def _corpus(rows: int, keys: int, hot_frac: float = 0.0) -> tuple[str, str]:
     import numpy as np
     import pyarrow as pa
     import pyarrow.parquet as pq
 
-    base = f"/tmp/vfsray_bench/join_{rows}_{keys}"
+    tag = f"_hot{int(hot_frac * 100)}" if hot_frac else ""
+    base = f"/tmp/vfsray_bench/join_{rows}_{keys}{tag}"
     ldir, rdir = os.path.join(base, "lineitem"), os.path.join(base, "orders")
     done = os.path.join(base, "_done")
     if os.path.exists(done):
@@ -44,8 +45,11 @@ def _corpus(rows: int, keys: int) -> tuple[str, str]:
     chunk = 2_000_000
     for i, lo in enumerate(range(0, rows, chunk)):
         n = min(chunk, rows - lo)
+        ks = g.integers(0, keys, n)
+        if hot_frac:
+            ks = np.where(g.random(n) < hot_frac, 0, ks)
         t = pa.table({
-            "l_orderkey": pa.array(g.integers(0, keys, n), pa.int64()),
+            "l_orderkey": pa.array(ks.astype(np.int64), pa.int64()),
             "rev": pa.array(g.integers(1, 10_000, n), pa.int64()),
         })
         pq.write_table(t, os.path.join(ldir, f"part-{i:04d}.parquet"))
@@ -115,6 +119,22 @@ def main(argv=None) -> int:
         m = _group_counts(parts, ["o_flag"], [("rev_sum", "sum")])
         times["broadcast"] = round(time.perf_counter() - t0, 3)
         extra["broadcast_groups"] = m.num_rows
+
+    if "skew" in args.ops:
+        # 60% of probe rows on ONE key: salt=1 serializes that key's
+        # partition into a single task; salt=8 splits it
+        sldir, srdir = _corpus(args.rows, args.keys, hot_frac=0.6)
+        for s in (1, 8):
+            t0 = time.perf_counter()
+            out = hash_join(ray.data.read_parquet(sldir),
+                            ray.data.read_parquet(srdir),
+                            left_on="l_orderkey",
+                            right_on="o_orderkey", salt=s,
+                            salt_keys=[0] if s > 1 else None)
+            parts = pa.concat_tables(ray.get(out.to_arrow_refs()))
+            m = _group_counts(parts, ["o_flag"], [("rev", "sum")])
+            times[f"skew_salt{s}"] = round(time.perf_counter() - t0, 3)
+            extra[f"skew_salt{s}_rows"] = parts.num_rows
 
     if "agg" in args.ops:
         t0 = time.perf_counter()

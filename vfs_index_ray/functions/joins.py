@@ -91,6 +91,7 @@ def broadcast_join(left_ds, right: pa.Table, *, left_on, right_on=None,
 def co_partition_apply(left_ds, right_ds, *, left_on, right_on=None,
                        kernel=None, num_parts: int | None = None,
                        skip_missing_right: bool = False,
+                       salt: int = 1, salt_keys=None,
                        spill_dir: str | None = None):
     """Co-partition two Datasets by ``hash(key) % P`` via the
     hive-partitioned parquet spill (partition column consumed by the
@@ -103,6 +104,20 @@ def co_partition_apply(left_ds, right_ds, *, left_on, right_on=None,
     two-sided generalization of the build.py postings-shuffle pattern;
     ``hash_join`` instantiates it with an Acero join kernel, and
     corpus-rewrite ops (functions/linededup.py) with a rebuild kernel.
+
+    ``salt`` > 1 with ``salt_keys`` (the known hot probe keys) is the
+    skew mitigation: rows whose key is in ``salt_keys`` spread
+    round-robin across ``salt`` subparts on the LEFT and replicate
+    into every subpart on the RIGHT; all other rows stay in subpart
+    0, which also receives one copy of the hot rows — so every left
+    row still sees its key's full right partition and join-type
+    kernels stay exact.  Replication cost is |hot right rows| ×
+    salt, not the whole build side (measured: whole-side replication
+    costs more than the straggler it saves, tools/perf_joins.py).
+    Without ``salt_keys``, ``salt`` > 1 spreads EVERY left row and
+    replicates the whole right side — only for A/B measurement.
+    Kernels that AGGREGATE by key see partial groups per subpart, so
+    a salted ``post`` must be merge-aware (or merge downstream).
     """
     import os
     import shutil
@@ -114,24 +129,64 @@ def co_partition_apply(left_ds, right_ds, *, left_on, right_on=None,
     right_on = right_on or left_on
     if kernel is None:
         raise ValueError("co_partition_apply requires a kernel")
+    if salt < 1:
+        raise ValueError("salt must be >= 1")
     if num_parts is None:
         num_parts = max(8, int(ray.cluster_resources().get("CPU", 8)))
 
-    def add_part(col):
+    hot = None
+    if salt > 1 and salt_keys is not None:
+        hot = pa.array(list(salt_keys))
+
+    def add_part(col, side):
         def inner(batch: pa.Table) -> pa.Table:
-            return batch.append_column(
-                "_jp", pa.array(_part_codes(batch[col], num_parts),
+            import pyarrow.compute as pc
+            base = _part_codes(batch[col], num_parts)
+            if salt == 1:
+                return batch.append_column(
+                    "_jp", pa.array(base, pa.int32()))
+            if hot is not None:
+                m = pc.is_in(batch[col], value_set=hot).to_numpy(
+                    zero_copy_only=False).astype(bool)
+            else:
+                m = np.ones(batch.num_rows, bool)
+            if side == "left":
+                sl = np.where(
+                    m, np.arange(batch.num_rows, dtype=np.int64) % salt,
+                    0)
+                return batch.append_column(
+                    "_jp", pa.array((base * salt + sl).astype(np.int32),
+                                    pa.int32()))
+            # right: cold rows -> subpart 0 only; hot rows replicate
+            # into every subpart of their key partition
+            cold = batch.filter(pa.array(~m)).append_column(
+                "_jp", pa.array((base[~m] * salt).astype(np.int32),
                                 pa.int32()))
+            reps = [cold] if cold.num_rows else []
+            hotb = batch.filter(pa.array(m))
+            hbase = base[m]
+            for k in range(salt):
+                if hotb.num_rows:
+                    reps.append(hotb.append_column(
+                        "_jp", pa.array(
+                            (hbase * salt + k).astype(np.int32),
+                            pa.int32())))
+            if not reps:
+                return batch.slice(0, 0).append_column(
+                    "_jp", pa.array([], pa.int32()))
+            return pa.concat_tables(reps)
         return inner
 
     own = spill_dir is None
     spill = spill_dir or tempfile.mkdtemp(prefix="join_", dir="/tmp")
     ldir, rdir = os.path.join(spill, "L"), os.path.join(spill, "R")
     try:
-        (left_ds.map_batches(add_part(left_on), batch_format="pyarrow",
+        (left_ds.map_batches(add_part(left_on, "left"),
+                             batch_format="pyarrow",
                              zero_copy_batch=True)
                 .write_parquet(ldir, partition_cols=["_jp"]))
-        (right_ds.map_batches(add_part(right_on), batch_format="pyarrow",
+        (right_ds.map_batches(add_part(right_on, "right"),
+                              batch_format="pyarrow",
                               zero_copy_batch=True)
                  .write_parquet(rdir, partition_cols=["_jp"]))
 
@@ -191,12 +246,17 @@ def co_partition_apply(left_ds, right_ds, *, left_on, right_on=None,
 def hash_join(left_ds, right_ds, *, left_on, right_on=None,
               how: str = "inner", num_parts: int | None = None,
               post=None, left_suffix=None, right_suffix="_r",
+              salt: int = 1, salt_keys=None,
               spill_dir: str | None = None):
     """Co-partitioned disk-shuffle hash join of two Datasets: one
     single-threaded Acero hash join per partition pair, with an
     optional ``post(tbl) -> tbl`` kernel run inside each task on the
     joined partition (local aggregates / top-k when grouping by the
-    join key).  ``how`` is "inner" or "left outer"."""
+    join key).  ``how`` is "inner", "left outer", "left semi" or
+    "left anti".  ``salt`` > 1 with ``salt_keys`` (the known hot probe
+    keys) mitigates skew (see ``co_partition_apply``); a salted
+    ``post`` that aggregates by the join key sees partial groups per
+    subpart — merge downstream."""
     right_on2 = right_on or left_on
     if how not in ("inner", "left outer", "left semi", "left anti"):
         raise ValueError(f"unsupported join type: {how!r}")
@@ -214,6 +274,7 @@ def hash_join(left_ds, right_ds, *, left_on, right_on=None,
                               num_parts=num_parts,
                               skip_missing_right=(
                                   how in ("inner", "left semi")),
+                              salt=salt, salt_keys=salt_keys,
                               spill_dir=spill_dir)
 
 
