@@ -333,3 +333,40 @@ def test_budget_mix_greedy_semantics():
         kid = ids[:5] if key == "a" else ids[5:]
         want = sorted(zip(mix32(kid).tolist(), kid.tolist()))[:4]
         assert [(p, d) for p, d, _ in rows] == want
+
+
+def test_running_total_negative_values(ray_session):
+    """Per-key running sums with NEGATIVE values: the run-base repeat
+    must stay exact (a monotonicity-assuming accumulate would not)."""
+    import numpy as np
+    import pyarrow as pa
+    import ray
+    import ray.data
+
+    from vfs_index_ray.functions.windows import running_total
+
+    n = 400
+    g = np.random.Generator(np.random.Philox(key=[77, 0]))
+    users = g.integers(0, 7, n).astype(np.int64)
+    vals = g.uniform(-5, 5, n).round(4)
+    ts = np.datetime64("2026-01-01", "us") + \
+        g.integers(0, 10**9, n).astype("timedelta64[us]")
+    t = pa.table({
+        "event_id": pa.array(np.arange(n, dtype=np.int64), pa.int64()),
+        "ts": pa.array(ts),
+        "user_id": pa.array(users, pa.int64()),
+        "value": pa.array(vals, pa.float64()),
+    })
+    out = running_total(ray.data.from_arrow(t), shuffle="sort")
+    got = pa.concat_tables(ray.get(out.to_arrow_refs())).combine_chunks()
+    got = {e: r for e, r in zip(got["event_id"].to_pylist(),
+                                got["running_x1e4"].to_pylist())}
+    # brute force
+    order = np.lexsort((np.arange(n), ts, users))
+    q = np.floor(vals * 10000.0 + 0.5).astype(np.int64)
+    want, acc = {}, {}
+    for i in order:
+        u = users[i]
+        acc[u] = acc.get(u, 0) + int(q[i])
+        want[i] = acc[u]
+    assert got == want

@@ -22,6 +22,7 @@ from __future__ import annotations
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 
 
 def _disk_partition_apply(ds, add_part, part_col: str, per_part,
@@ -552,4 +553,60 @@ def pack_by_budget(ds, *, key_col: str = "source",
         return _pack_kernel(g, key_col, order_col, weight_col, budget)
 
     return _keyed_partition_op(ds, add_part, "kpart", per_part,
+                               shuffle=shuffle)
+
+
+def _running_total_kernel(t: pa.Table, key_col: str, ts_col: str,
+                          id_col: str, val_col: str) -> pa.Table:
+    """Per-key running sum in (ts, id) order, one vectorized pass:
+    global cumsum of the per-row fixed-point values minus each key
+    run's base (boundary diffs on the sorted key column)."""
+    idx = pc.sort_indices(t, sort_keys=[
+        (key_col, "ascending"), (ts_col, "ascending"),
+        (id_col, "ascending")])
+    t = t.take(idx)
+    n = t.num_rows
+    if n == 0:
+        return pa.table({
+            id_col: pa.array([], pa.int64()),
+            key_col: pa.array([], pa.int64()),
+            "running_x1e4": pa.array([], pa.int64())})
+    v = np.floor(t[val_col].to_numpy(zero_copy_only=False)
+                 * 10000.0 + 0.5).astype(np.int64)
+    cs = np.cumsum(v)
+    keys = t[key_col].to_numpy(zero_copy_only=False)
+    first = np.empty(n, bool)
+    first[0] = True
+    np.not_equal(keys[1:], keys[:-1], out=first[1:])
+    starts = np.flatnonzero(first)
+    run_lens = np.diff(np.append(starts, n))
+    # per-run base = cumsum just before the run start (0 for the
+    # first run); repeat-by-run-length stays correct for negative
+    # values, unlike a maximum.accumulate
+    base_vals = np.concatenate([[0], cs[starts[1:] - 1]])
+    running = cs - np.repeat(base_vals, run_lens)
+    return pa.table({
+        id_col: t[id_col],
+        key_col: t[key_col],
+        "running_x1e4": pa.array(running, pa.int64())})
+
+
+def running_total(events_ds, *, key_col: str = "user_id",
+                  ts_col: str = "ts", id_col: str = "event_id",
+                  val_col: str = "value", num_partitions: int = 32,
+                  shuffle: str = "auto"):
+    """Per-key running sum (the SQL ``SUM(v) OVER (PARTITION BY key
+    ORDER BY ts, id)`` window) — values quantize to integer x1e4 PER
+    ROW first, so the cumulative sums are exact and order-stable.
+    Same one-hash-partition shuffle shape as ``sessionize``."""
+    def add_part(t: pa.Table) -> pa.Table:
+        kid = t[key_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        return t.append_column(
+            "kpart", pa.array(kid % num_partitions, pa.int64()))
+
+    def per_part(g: pa.Table) -> pa.Table:
+        return _running_total_kernel(g, key_col, ts_col, id_col,
+                                     val_col)
+
+    return _keyed_partition_op(events_ds, add_part, "kpart", per_part,
                                shuffle=shuffle)

@@ -1576,6 +1576,27 @@ def q_customers_no_urgent(sf_dir: str) -> pa.Table:
     return t.select(["c_custkey", "c_name", "c_mktsegment"]).cast(schema)
 
 
+def q_events_running(sf_dir: str) -> pa.Table:
+    """Per-user running value total (the SQL SUM OVER window): one
+    hash partition by user, one vectorized cumsum-minus-run-base
+    kernel per partition (functions/windows.py running_total);
+    per-row x1e4 quantization makes the cumulative sums exact."""
+    import ray.data
+
+    from ..functions.windows import running_total
+    _tune_context()
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["event_id", "ts", "user_id", "value"])
+    out = running_total(ds)
+    tbl = _collect(out)
+    tbl = tbl.take(pc.sort_indices(tbl, sort_keys=[
+        ("event_id", "ascending")]))
+    return tbl.select(["event_id", "user_id", "running_x1e4"]).cast(
+        pa.schema([("event_id", pa.int64()), ("user_id", pa.int64()),
+                   ("running_x1e4", pa.int64())]))
+
+
 def q_customer_revenue(sf_dir: str) -> pa.Table:
     """High-cardinality grouped aggregate (one row per customer):
     hash_aggregate — per-batch Arrow partials, hive disk-shuffle by
@@ -1834,6 +1855,7 @@ QUERIES = {
     "minhash_near_dup": q_minhash_near_dup,
     "near_dedup_keep": q_near_dedup_keep,
     "ann_filtered": q_ann_filtered,
+    "events_running": q_events_running,
     "simhash_near_dup": q_simhash_near_dup,
     "embedding_near_dup": q_embedding_near_dup,
     "langid": q_langid,
@@ -2782,6 +2804,13 @@ SELECT o_custkey,
        max(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))::BIGINT
          AS max_order_x100
 FROM orders GROUP BY o_custkey ORDER BY o_custkey
+""",
+    "events_running": """
+SELECT event_id, user_id,
+       SUM(CAST(floor(value * 10000 + 0.5) AS BIGINT))
+         OVER (PARTITION BY user_id
+               ORDER BY ts, event_id)::BIGINT AS running_x1e4
+FROM events ORDER BY event_id
 """,
     "customers_no_urgent": """
 SELECT c_custkey, c_name, c_mktsegment FROM customer
