@@ -190,3 +190,17 @@ def test_hash_join_salted_matches_unsalted(ray_session, how):
 
     a, b = run(1), run(4)
     assert a.equals(b.cast(a.schema))
+
+
+def test_detect_hot_keys(ray_session):
+    import ray.data
+
+    from vfs_index_ray.functions.joins import detect_hot_keys
+
+    g = np.random.Generator(np.random.Philox(key=[51, 0]))
+    n = 20_000
+    keys = np.where(g.random(n) < 0.4, 7,
+                    g.integers(0, 5000, n)).astype(np.int64)
+    ds = ray.data.from_arrow(pa.table({"k": pa.array(keys, pa.int64())}))
+    hot = detect_hot_keys(ds, "k", threshold_frac=0.05)
+    assert hot == [7]

@@ -278,6 +278,38 @@ def hash_join(left_ds, right_ds, *, left_on, right_on=None,
                               spill_dir=spill_dir)
 
 
+def detect_hot_keys(ds, col, *, threshold_frac: float = 0.05,
+                    sample_rows: int = 250_000) -> list:
+    """Sample-based hot-key detection for ``salt_keys``: keys covering
+    more than ``threshold_frac`` of a random sample of ``ds``.
+    One pass over the sample with per-batch Arrow partials — the
+    result is advisory (a missed hot key only costs balance, never
+    correctness)."""
+    import ray
+
+    from .boilerplate import partial_aggregate
+
+    try:
+        n = ds.count()
+    except Exception:  # noqa: BLE001
+        n = None
+    sample = ds
+    if n and n > sample_rows:
+        sample = ds.random_sample(sample_rows / n, seed=7)
+    agg = partial_aggregate(sample, [col], [(col, "count")])
+    if agg is None or agg.num_rows == 0:
+        return []
+    cnt = agg[f"{col}_count"].to_numpy(zero_copy_only=False)
+    total = int(cnt.sum())
+    if total == 0:
+        return []
+    hot = cnt > threshold_frac * total
+    keys = agg[col]
+    if isinstance(keys, pa.ChunkedArray):
+        keys = keys.combine_chunks()
+    return keys.filter(pa.array(hot)).to_pylist()
+
+
 # size below which join_auto broadcasts the build side instead of
 # co-partitioning both inputs (the measured crossover on this host is
 # between 50k- and 2.5M-row build sides; see BASELINE.md)
