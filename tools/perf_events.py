@@ -58,7 +58,8 @@ def main(argv=None) -> int:
     ap.add_argument("--events", type=int, default=10_000_000)
     ap.add_argument("--cpus", type=int, default=32)
     ap.add_argument("--ops", nargs="*", default=[
-        "sessionize", "latest", "asof", "window", "quantiles"])
+        "sessionize", "latest", "asof", "window", "quantiles",
+        "running"])
     ap.add_argument("--shuffle", default="disk", choices=["disk", "sort"])
     args = ap.parse_args(argv)
 
@@ -105,6 +106,11 @@ def main(argv=None) -> int:
         run("window", W.window_count_prior(
             ds(["event_id", "ts", "user_id", "event_type"]),
             left_type="purchase", right_type="click", window_minutes=60,
+            shuffle=args.shuffle))
+    if "running" in args.ops:
+        t0 = time.perf_counter()
+        run("running", W.running_total(
+            ds(["event_id", "ts", "user_id", "value"]),
             shuffle=args.shuffle))
     if "quantiles" in args.ops:
         from vfs_index_ray.functions.quantiles import grouped_quantiles
