@@ -370,3 +370,30 @@ def test_running_total_negative_values(ray_session):
         acc[u] = acc.get(u, 0) + int(q[i])
         want[i] = acc[u]
     assert got == want
+
+
+def test_top_n_per_key_ties_and_partitions(ray_session):
+    """Value ties break to the smaller id; partition-count invariant."""
+    import numpy as np
+    import pyarrow as pa
+    import ray
+    import ray.data
+
+    from vfs_index_ray.functions.windows import top_n_per_key
+
+    t = pa.table({
+        "event_id": pa.array([1, 2, 3, 4, 5, 6, 7], pa.int64()),
+        "user_id": pa.array([1, 1, 1, 1, 2, 2, 2], pa.int64()),
+        "value": pa.array([5, 9, 9, 1, 3, 3, 3], pa.int64()),
+    })
+    want = {(1, 1): 2, (1, 2): 3, (1, 3): 1,   # 9(id2) 9(id3) 5(id1)
+            (2, 1): 5, (2, 2): 6, (2, 3): 7}
+    for parts in (1, 4):
+        out = top_n_per_key(ray.data.from_arrow(t), val_col="value",
+                            n=3, num_partitions=parts, shuffle="sort")
+        got = pa.concat_tables(
+            ray.get(out.to_arrow_refs())).combine_chunks()
+        m = {(u, r): e for u, r, e in zip(got["user_id"].to_pylist(),
+                                          got["rank"].to_pylist(),
+                                          got["event_id"].to_pylist())}
+        assert m == want

@@ -610,3 +610,46 @@ def running_total(events_ds, *, key_col: str = "user_id",
 
     return _keyed_partition_op(events_ds, add_part, "kpart", per_part,
                                shuffle=shuffle)
+
+
+def _top_n_kernel(t: pa.Table, key_col: str, val_col: str,
+                  id_col: str, n: int) -> pa.Table:
+    """Per-key top-n rows by (val desc, id asc) — one sort + run-rank
+    pass per partition (no per-key loop)."""
+    idx = pc.sort_indices(t, sort_keys=[
+        (key_col, "ascending"), (val_col, "descending"),
+        (id_col, "ascending")])
+    t = t.take(idx)
+    m = t.num_rows
+    if m == 0:
+        return t.append_column("rank", pa.array([], pa.int64()))
+    keys = t[key_col].to_numpy(zero_copy_only=False)
+    first = np.empty(m, bool)
+    first[0] = True
+    np.not_equal(keys[1:], keys[:-1], out=first[1:])
+    starts = np.flatnonzero(first)
+    run_lens = np.diff(np.append(starts, m))
+    rank = np.arange(m, dtype=np.int64) - np.repeat(starts, run_lens) + 1
+    keep = rank <= n
+    return t.filter(pa.array(keep)).append_column(
+        "rank", pa.array(rank[keep], pa.int64()))
+
+
+def top_n_per_key(events_ds, *, key_col: str = "user_id",
+                  val_col: str = "value", id_col: str = "event_id",
+                  n: int = 3, num_partitions: int = 32,
+                  shuffle: str = "auto"):
+    """Per-key top-n (the SQL ``row_number() OVER (PARTITION BY key
+    ORDER BY val DESC, id) <= n`` shape): one uniform hash partition,
+    one vectorized sort + run-rank kernel per partition; output is at
+    most ``n`` rows per key regardless of input size."""
+    def add_part(t: pa.Table) -> pa.Table:
+        kid = t[key_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        return t.append_column(
+            "kpart", pa.array(kid % num_partitions, pa.int64()))
+
+    def per_part(g: pa.Table) -> pa.Table:
+        return _top_n_kernel(g, key_col, val_col, id_col, n)
+
+    return _keyed_partition_op(events_ds, add_part, "kpart", per_part,
+                               shuffle=shuffle)

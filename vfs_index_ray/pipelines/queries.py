@@ -1597,6 +1597,38 @@ def q_events_running(sf_dir: str) -> pa.Table:
                    ("running_x1e4", pa.int64())]))
 
 
+def q_events_top_per_user(sf_dir: str) -> pa.Table:
+    """Per-key top-n (group-top-N): each user's 3 highest-value events
+    — one hash partition + a vectorized sort/run-rank kernel per
+    partition (functions/windows.py top_n_per_key).  Values quantize
+    x1e4 per row so the rank order and output are hash-exact."""
+    import ray.data
+
+    from ..functions.windows import top_n_per_key
+    _tune_context()
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["event_id", "user_id", "value"])
+
+    def quantize(t: pa.Table) -> pa.Table:
+        v = np.floor(t["value"].to_numpy(zero_copy_only=False)
+                     * 10000.0 + 0.5).astype(np.int64)
+        return pa.table({"event_id": t["event_id"],
+                         "user_id": t["user_id"],
+                         "value_x1e4": pa.array(v, pa.int64())})
+
+    out = top_n_per_key(ds.map_batches(quantize, batch_format="pyarrow",
+                                       zero_copy_batch=True),
+                        val_col="value_x1e4", n=3)
+    tbl = _collect(out)
+    tbl = tbl.take(pc.sort_indices(tbl, sort_keys=[
+        ("user_id", "ascending"), ("rank", "ascending")]))
+    return tbl.select(["user_id", "rank", "event_id",
+                       "value_x1e4"]).cast(pa.schema([
+        ("user_id", pa.int64()), ("rank", pa.int64()),
+        ("event_id", pa.int64()), ("value_x1e4", pa.int64())]))
+
+
 def q_customer_revenue(sf_dir: str) -> pa.Table:
     """High-cardinality grouped aggregate (one row per customer):
     hash_aggregate — per-batch Arrow partials, hive disk-shuffle by
@@ -1856,6 +1888,7 @@ QUERIES = {
     "near_dedup_keep": q_near_dedup_keep,
     "ann_filtered": q_ann_filtered,
     "events_running": q_events_running,
+    "events_top_per_user": q_events_top_per_user,
     "simhash_near_dup": q_simhash_near_dup,
     "embedding_near_dup": q_embedding_near_dup,
     "langid": q_langid,
@@ -2804,6 +2837,21 @@ SELECT o_custkey,
        max(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))::BIGINT
          AS max_order_x100
 FROM orders GROUP BY o_custkey ORDER BY o_custkey
+""",
+    "events_top_per_user": """
+WITH q AS (
+  SELECT event_id, user_id,
+         CAST(floor(value * 10000 + 0.5) AS BIGINT) AS value_x1e4
+  FROM events
+), r AS (
+  SELECT user_id, event_id, value_x1e4,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY value_x1e4 DESC, event_id)::BIGINT
+           AS rank
+  FROM q
+)
+SELECT user_id, rank, event_id, value_x1e4 FROM r
+WHERE rank <= 3 ORDER BY user_id, rank
 """,
     "events_running": """
 SELECT event_id, user_id,
