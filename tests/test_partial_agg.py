@@ -148,3 +148,25 @@ def test_hash_aggregate_rejects_non_mergeable(ray_session):
     ds = ray.data.from_arrow(pa.table({"k": [1], "v": [1.0]}))
     with pytest.raises(ValueError):
         hash_aggregate(ds, ["k"], [("v", "mean")])
+
+
+def test_distinct_aggregate_matches_duckdb(ray_session):
+    import duckdb
+    import ray
+
+    from vfs_index_ray.functions.boilerplate import distinct_aggregate
+
+    g = np.random.Generator(np.random.Philox(key=[9, 0]))
+    n = 8000
+    t = pa.table({
+        "k": pa.array([f"g{i}" for i in g.integers(0, 6, n)]),
+        "u": pa.array(g.integers(0, 900, n), pa.int64()),
+    })
+    got = distinct_aggregate(_ds(t), ["k"], "u", num_parts=5)
+    got = got.take(pc.sort_indices(got, sort_keys=[("k", "ascending")]))
+    con = duckdb.connect()
+    con.register("t", t)
+    want = con.execute("""
+        SELECT k, count(DISTINCT u)::BIGINT AS n_distinct
+        FROM t GROUP BY k ORDER BY k""").arrow()
+    assert got.cast(want.schema).equals(want)

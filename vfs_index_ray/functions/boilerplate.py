@@ -167,6 +167,91 @@ def hash_aggregate(ds, keys: list[str], aggs: list[tuple[str, str]],
             shutil.rmtree(spill, ignore_errors=True)
 
 
+def distinct_aggregate(ds, keys: list[str], distinct_col: str,
+                       *, num_parts: int | None = None,
+                       spill_dir: str | None = None) -> pa.Table | None:
+    """Exact ``count(DISTINCT distinct_col) GROUP BY keys``: per-batch
+    distinct (keys, value) pairs (Arrow hash agg — a batch ships each
+    pair once), hive disk spill by pair hash (identical pairs land in
+    one partition, so each counts exactly once globally), per-part
+    dedup + per-key counts, driver merge of the small per-key
+    partials.  Neither ``partial_aggregate`` nor ``hash_aggregate``
+    can express distinct (it is not sum-mergeable over raw rows);
+    this is the pair-spill shape that is.  Returns None on empty
+    input; assumes the KEYS output space is small (the distinct
+    values themselves never reach the driver)."""
+    import os
+    import shutil
+    import tempfile
+
+    import ray
+
+    from ..hashing import fnv1a64_tokens
+
+    if num_parts is None:
+        num_parts = max(8, int(ray.cluster_resources().get("CPU", 8)))
+    cols = list(keys) + [distinct_col]
+
+    def _pair_codes(t: pa.Table) -> np.ndarray:
+        h = np.zeros(t.num_rows, np.uint64)
+        for k in cols:
+            col = t[k]
+            if isinstance(col, pa.ChunkedArray):
+                col = col.combine_chunks()
+            if pa.types.is_integer(col.type):
+                v = col.cast(pa.int64()).to_numpy(
+                    zero_copy_only=False).astype(np.uint64)
+                v = (v ^ (v >> np.uint64(30))) * np.uint64(
+                    0xBF58476D1CE4E5B9)
+                v = (v ^ (v >> np.uint64(27))) * np.uint64(
+                    0x94D049BB133111EB)
+                v ^= v >> np.uint64(31)
+            else:
+                v = fnv1a64_tokens(col)
+            h = h * np.uint64(0x100000001B3) ^ v
+        return (h % np.uint64(num_parts)).astype(np.int32)
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = _group_counts(t.select(cols), cols, [])
+        return g.append_column("_dp", pa.array(_pair_codes(g),
+                                               pa.int32()))
+
+    own = spill_dir is None
+    spill = spill_dir or tempfile.mkdtemp(prefix="distagg_", dir="/tmp")
+    try:
+        (ds.map_batches(partial, batch_format="pyarrow",
+                        zero_copy_batch=True)
+           .write_parquet(spill, partition_cols=["_dp"]))
+        part_dirs = sorted(os.path.join(spill, d)
+                           for d in os.listdir(spill)
+                           if d.startswith("_dp="))
+        if not part_dirs:
+            return None
+
+        @ray.remote(num_cpus=1)
+        def one_part(pdir: str) -> pa.Table:
+            import pyarrow.parquet as pq
+            t = pq.read_table(pdir, use_threads=False)
+            dd = _group_counts(t, cols, [])          # global-exact dedup
+            return _group_counts(dd, list(keys),
+                                 [(distinct_col, "count")])
+
+        parts = [p for p in ray.get([one_part.remote(d)
+                                     for d in part_dirs]) if p.num_rows]
+        if not parts:
+            return None
+        m = _group_counts(pa.concat_tables(parts).combine_chunks(),
+                          list(keys),
+                          [(f"{distinct_col}_count", "sum")])
+        out = {k: m[k] for k in keys}
+        out["n_distinct"] = m[f"{distinct_col}_count_sum"].cast(
+            pa.int64())
+        return pa.table(out)
+    finally:
+        if own:
+            shutil.rmtree(spill, ignore_errors=True)
+
+
 def _unit_frequencies(ds, *, distinct_docs: bool, min_count: int,
                       out_col: str, unit: str, text_col: str,
                       num_parts: int | None,

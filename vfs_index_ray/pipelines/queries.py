@@ -1629,6 +1629,25 @@ def q_events_top_per_user(sf_dir: str) -> pa.Table:
         ("event_id", pa.int64()), ("value_x1e4", pa.int64())]))
 
 
+def q_events_distinct(sf_dir: str) -> pa.Table:
+    """Exact distinct aggregation (count(DISTINCT user) per event
+    type): per-batch distinct pairs + pair-hash disk spill + per-part
+    dedup/count (functions/boilerplate.py distinct_aggregate) — the
+    aggregate shape that is NOT sum-mergeable over raw rows."""
+    import ray.data
+
+    from ..functions.boilerplate import distinct_aggregate
+    _tune_context()
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["event_type", "user_id"])
+    t = distinct_aggregate(ds, ["event_type"], "user_id")
+    t = t.take(pc.sort_indices(t, sort_keys=[("event_type",
+                                              "ascending")]))
+    return t.cast(pa.schema([("event_type", pa.string()),
+                             ("n_distinct", pa.int64())]))
+
+
 def q_customer_revenue(sf_dir: str) -> pa.Table:
     """High-cardinality grouped aggregate (one row per customer):
     hash_aggregate — per-batch Arrow partials, hive disk-shuffle by
@@ -1889,6 +1908,7 @@ QUERIES = {
     "ann_filtered": q_ann_filtered,
     "events_running": q_events_running,
     "events_top_per_user": q_events_top_per_user,
+    "events_distinct": q_events_distinct,
     "simhash_near_dup": q_simhash_near_dup,
     "embedding_near_dup": q_embedding_near_dup,
     "langid": q_langid,
@@ -2837,6 +2857,10 @@ SELECT o_custkey,
        max(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))::BIGINT
          AS max_order_x100
 FROM orders GROUP BY o_custkey ORDER BY o_custkey
+""",
+    "events_distinct": """
+SELECT event_type, count(DISTINCT user_id)::BIGINT AS n_distinct
+FROM events GROUP BY event_type ORDER BY event_type
 """,
     "events_top_per_user": """
 WITH q AS (
