@@ -59,7 +59,7 @@ def main(argv=None) -> int:
     ap.add_argument("--cpus", type=int, default=32)
     ap.add_argument("--ops", nargs="*", default=[
         "sessionize", "latest", "asof", "window", "quantiles",
-        "running"])
+        "running", "topn", "distinct"])
     ap.add_argument("--shuffle", default="disk", choices=["disk", "sort"])
     args = ap.parse_args(argv)
 
@@ -112,6 +112,17 @@ def main(argv=None) -> int:
         run("running", W.running_total(
             ds(["event_id", "ts", "user_id", "value"]),
             shuffle=args.shuffle))
+    if "topn" in args.ops:
+        t0 = time.perf_counter()
+        run("topn", W.top_n_per_key(
+            ds(["event_id", "user_id", "value"]), val_col="value",
+            n=3, shuffle=args.shuffle))
+    if "distinct" in args.ops:
+        from vfs_index_ray.functions.boilerplate import distinct_aggregate
+        t0 = time.perf_counter()
+        t = distinct_aggregate(ds(["event_type", "user_id"]),
+                               ["event_type"], "user_id")
+        times["distinct"] = round(time.perf_counter() - t0, 3)
     if "quantiles" in args.ops:
         from vfs_index_ray.functions.quantiles import grouped_quantiles
         t0 = time.perf_counter()
