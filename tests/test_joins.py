@@ -204,3 +204,161 @@ def test_detect_hot_keys(ray_session):
     ds = ray.data.from_arrow(pa.table({"k": pa.array(keys, pa.int64())}))
     hot = detect_hot_keys(ds, "k", threshold_frac=0.05)
     assert hot == [7]
+
+@pytest.mark.parametrize("how,sql", [
+    ("inner", "SELECT l.k, l.v, r.w FROM l JOIN r ON l.k = r.k2"),
+    ("left outer",
+     "SELECT l.k, l.v, r.w FROM l LEFT JOIN r ON l.k = r.k2"),
+    ("left semi", "SELECT l.k, l.v FROM l SEMI JOIN r ON l.k = r.k2"),
+    ("left anti", "SELECT l.k, l.v FROM l ANTI JOIN r ON l.k = r.k2"),
+])
+def test_hash_join_null_keys_match_duckdb(ray_session, how, sql):
+    """ANSI null-key semantics, differential vs DuckDB: a null key
+    matches nothing — inner/semi drop it, left outer null-extends it,
+    anti keeps it. Nulls on BOTH sides."""
+    import ray
+    import ray.data
+
+    from vfs_index_ray.functions.joins import hash_join
+
+    g = np.random.Generator(np.random.Philox(key=[61, 0]))
+    n = 1200
+    keys = g.integers(0, 300, n).astype(np.int64)
+    mask = g.random(n) < 0.15  # ~15% null keys
+    lt = pa.table({
+        "k": pa.array([None if m else int(k)
+                       for k, m in zip(keys, mask)], pa.int64()),
+        "v": pa.array(np.arange(n), pa.int64()),
+    })
+    rt = pa.table({
+        "k2": pa.array(list(range(250)) + [None, None], pa.int64()),
+        "w": pa.array([i * 10 for i in range(252)], pa.int64()),
+    })
+    out = hash_join(ray.data.from_arrow(lt), ray.data.from_arrow(rt),
+                    left_on="k", right_on="k2", how=how, num_parts=5)
+    got = _sorted(pa.concat_tables(ray.get(out.to_arrow_refs()))
+                  .combine_chunks())
+    con = duckdb.connect()
+    con.register("l", lt)
+    con.register("r", rt)
+    want = _sorted(con.execute(sql).arrow())
+    assert got.equals(want.cast(got.schema))
+
+
+def test_string_null_keys_broadcast_and_hash(ray_session):
+    import ray
+    import ray.data
+
+    from vfs_index_ray.functions.joins import broadcast_join, hash_join
+
+    lt = pa.table({"s": pa.array(["a", None, "b", None, "c"]),
+                   "v": pa.array([1, 2, 3, 4, 5], pa.int64())})
+    rt = pa.table({"s": pa.array(["a", "b", None]),
+                   "w": pa.array([10, 20, 30], pa.int64())})
+    h = hash_join(ray.data.from_arrow(lt), ray.data.from_arrow(rt),
+                  left_on="s", how="left outer", num_parts=3)
+    b = broadcast_join(ray.data.from_arrow(lt), rt, left_on="s",
+                       how="left outer")
+    ht = _sorted(pa.concat_tables(ray.get(h.to_arrow_refs()))
+                 .combine_chunks())
+    bt = _sorted(pa.concat_tables(ray.get(b.to_arrow_refs()))
+                 .combine_chunks())
+    assert ht.equals(bt.cast(ht.schema))
+    # null keys never match: their w must be null
+    nulls = ht.filter(pc.is_null(ht["s"]))
+    assert nulls.num_rows == 2 and nulls["w"].null_count == 2
+
+
+def test_size_based_parts_scale_with_data(ray_session):
+    """10x the input at fixed CPUs -> ~10x partitions (per-task peak
+    memory stays bounded); small inputs keep the CPU-count floor."""
+    import ray.data
+
+    from vfs_index_ray.functions.joins import _size_based_parts
+
+    small = ray.data.from_arrow(_left_table(n=2000))
+    big = ray.data.from_arrow(_left_table(n=20_000))
+    target = 2048
+    p_small = _size_based_parts((small,), target_bytes=target)
+    p_big = _size_based_parts((big,), target_bytes=target)
+    assert p_big >= 5 * p_small / 2  # ~10x bytes -> >=~5x parts
+    # huge target: floor = max(8, CPUs) regardless of data size
+    floor = _size_based_parts((big,), target_bytes=1 << 40)
+    assert floor >= 8
+
+
+def test_join_auto_decoded_overshoot_falls_back(ray_session):
+    """Encoded estimate under budget but decoded blocks overshoot ->
+    join_auto hands the materialized blocks to the hash join; results
+    identical to the broadcast answer."""
+    import ray
+    import ray.data
+
+    from vfs_index_ray.functions.joins import join_auto
+
+    lt, rt = _left_table(seed=71), _right_table()
+    over = join_auto(ray.data.from_arrow(lt), ray.data.from_arrow(rt),
+                     left_on="k", right_on="k2", how="inner",
+                     broadcast_bytes=1 << 30,
+                     broadcast_decoded_bytes=1)  # force overshoot
+    normal = join_auto(ray.data.from_arrow(lt), ray.data.from_arrow(rt),
+                       left_on="k", right_on="k2", how="inner",
+                       broadcast_bytes=1 << 30)
+    a = _sorted(pa.concat_tables(ray.get(over.to_arrow_refs()))
+                .combine_chunks())
+    b = _sorted(pa.concat_tables(ray.get(normal.to_arrow_refs()))
+                .combine_chunks())
+    assert a.equals(b.cast(a.schema))
+
+
+def test_join_auto_unknown_size_takes_hash_path(ray_session):
+    """size_bytes() -> None (unknown) must take the co-partitioned
+    path, never materialize the right side on the driver."""
+    from unittest import mock
+
+    import ray
+    import ray.data
+
+    from vfs_index_ray.functions import joins
+    from vfs_index_ray.functions.joins import join_auto
+
+    lt, rt = _left_table(seed=81), _right_table()
+    rds = ray.data.from_arrow(rt)
+    called = {}
+    real_hash = joins.hash_join
+
+    def spy(*a, **k):
+        called["hash"] = True
+        return real_hash(*a, **k)
+
+    with mock.patch.object(rds, "size_bytes", return_value=None), \
+         mock.patch.object(joins, "hash_join", side_effect=spy):
+        out = join_auto(ray.data.from_arrow(lt), rds,
+                        left_on="k", right_on="k2", how="inner")
+        t = _sorted(pa.concat_tables(ray.get(out.to_arrow_refs()))
+                    .combine_chunks())
+    assert called.get("hash") is True
+    want = _sorted(_duck(lt, rt, "inner")
+                   .select(["k", "v", "w"]))
+    assert t.select(sorted(t.column_names)).equals(
+        want.cast(t.select(sorted(t.column_names)).schema))
+
+
+def test_detect_hot_keys_derived_dataset_single_pass(ray_session):
+    """A mapped (derived) dataset has no metadata row count; detection
+    must still work via the single aggregation pass (no count()
+    pre-pass) and honor an explicit sample_frac."""
+    import ray.data
+
+    from vfs_index_ray.functions.joins import detect_hot_keys
+
+    g = np.random.Generator(np.random.Philox(key=[91, 0]))
+    n = 20_000
+    keys = np.where(g.random(n) < 0.4, 7,
+                    g.integers(0, 5000, n)).astype(np.int64)
+    ds = ray.data.from_arrow(
+        pa.table({"k": pa.array(keys, pa.int64())}))
+    derived = ds.map_batches(lambda b: b, batch_format="pyarrow")
+    assert detect_hot_keys(derived, "k", threshold_frac=0.05) == [7]
+    assert detect_hot_keys(derived, "k", threshold_frac=0.05,
+                           sample_frac=0.5) == [7]

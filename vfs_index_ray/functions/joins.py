@@ -25,8 +25,13 @@ physical shapes, chosen by the size of the build side:
 
 Hashing is only ever the partition key — equality is decided by the
 join kernel on the raw values, so hash collisions cannot fabricate
-matches.  Keys are assumed non-null (TPC-H-style foreign keys); null
-keys land in a partition and follow Acero's null-join semantics.
+matches.  Null keys are supported with ANSI-SQL semantics (decided by
+Acero, differential-tested vs DuckDB in tests/test_joins.py): a null
+key matches nothing — inner/semi drop the row, left outer emits it
+null-extended, anti keeps it.  For partitioning, nulls hash like a
+sentinel (0 / empty string) so all null-key rows co-locate; since
+equality is decided on raw values, the sentinel collision cannot
+fabricate matches.
 
 Multi-node note (same assumption as the build.py postings shuffle,
 README "cluster layout"): the spill directory defaults to /tmp for
@@ -49,6 +54,12 @@ def _part_codes(arr, num_parts: int) -> np.ndarray:
     if isinstance(arr, pa.ChunkedArray):
         arr = arr.combine_chunks()
     if pa.types.is_integer(arr.type):
+        if arr.null_count:
+            # null -> sentinel partition code (to_numpy would yield
+            # float64 + NaN, and NaN->uint64 is undefined); equality is
+            # decided by the join kernel, so co-locating nulls with
+            # key 0 cannot fabricate matches
+            arr = arr.fill_null(0)
         h = arr.cast(pa.int64()).to_numpy(zero_copy_only=False
                                           ).astype(np.uint64)
         h = (h ^ (h >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
@@ -57,6 +68,30 @@ def _part_codes(arr, num_parts: int) -> np.ndarray:
     else:
         h = fnv1a64_tokens(arr)
     return (h % np.uint64(num_parts)).astype(np.int32)
+
+
+# per-partition spill byte target (parquet-encoded): one co-partition
+# (left + right slice) is loaded whole by a single 1-CPU task, so the
+# partition COUNT must grow with the data, not stay pinned to the CPU
+# count — at 100x input a CPU-count partitioning is an OOM cliff.
+# Parallelism still has a CPU-count floor for small inputs.
+PART_TARGET_BYTES = 64 * 1024 * 1024
+
+
+def _size_based_parts(dss, *, target_bytes: int = PART_TARGET_BYTES,
+                      ) -> int:
+    """Partition count from the datasets' metadata size estimates:
+    max(cluster-CPU floor, ceil(total_bytes / target_bytes))."""
+    import ray
+
+    total = 0
+    for d in dss:
+        try:
+            total += d.size_bytes() or 0
+        except Exception:  # noqa: BLE001
+            pass
+    floor = max(8, int(ray.cluster_resources().get("CPU", 8)))
+    return max(floor, -(-total // target_bytes))
 
 
 def _join(lt: pa.Table, rt: pa.Table, left_on, right_on, how: str,
@@ -92,7 +127,8 @@ def co_partition_apply(left_ds, right_ds, *, left_on, right_on=None,
                        kernel=None, num_parts: int | None = None,
                        skip_missing_right: bool = False,
                        salt: int = 1, salt_keys=None,
-                       spill_dir: str | None = None):
+                       spill_dir: str | None = None,
+                       part_target_bytes: int = PART_TARGET_BYTES):
     """Co-partition two Datasets by ``hash(key) % P`` via the
     hive-partitioned parquet spill (partition column consumed by the
     layout), then run ``kernel(left_part, right_part) -> Table`` once
@@ -132,7 +168,10 @@ def co_partition_apply(left_ds, right_ds, *, left_on, right_on=None,
     if salt < 1:
         raise ValueError("salt must be >= 1")
     if num_parts is None:
-        num_parts = max(8, int(ray.cluster_resources().get("CPU", 8)))
+        # size-aware: ceil(bytes / part_target_bytes) with a CPU floor,
+        # so per-task peak memory stays bounded as inputs grow
+        num_parts = _size_based_parts((left_ds, right_ds),
+                                      target_bytes=part_target_bytes)
 
     hot = None
     if salt > 1 and salt_keys is not None:
@@ -247,7 +286,8 @@ def hash_join(left_ds, right_ds, *, left_on, right_on=None,
               how: str = "inner", num_parts: int | None = None,
               post=None, left_suffix=None, right_suffix="_r",
               salt: int = 1, salt_keys=None,
-              spill_dir: str | None = None):
+              spill_dir: str | None = None,
+              part_target_bytes: int = PART_TARGET_BYTES):
     """Co-partitioned disk-shuffle hash join of two Datasets: one
     single-threaded Acero hash join per partition pair, with an
     optional ``post(tbl) -> tbl`` kernel run inside each task on the
@@ -275,27 +315,34 @@ def hash_join(left_ds, right_ds, *, left_on, right_on=None,
                               skip_missing_right=(
                                   how in ("inner", "left semi")),
                               salt=salt, salt_keys=salt_keys,
-                              spill_dir=spill_dir)
+                              spill_dir=spill_dir,
+                              part_target_bytes=part_target_bytes)
 
 
 def detect_hot_keys(ds, col, *, threshold_frac: float = 0.05,
-                    sample_rows: int = 250_000) -> list:
+                    sample_rows: int = 250_000,
+                    sample_frac: float | None = None) -> list:
     """Sample-based hot-key detection for ``salt_keys``: keys covering
     more than ``threshold_frac`` of a random sample of ``ds``.
-    One pass over the sample with per-batch Arrow partials — the
-    result is advisory (a missed hot key only costs balance, never
-    correctness)."""
-    import ray
-
+    Executes ``ds`` AT MOST once: the row count used to size the
+    sample comes from dataset metadata only (free for parquet reads;
+    unavailable for derived/mapped datasets, which instead either use
+    the caller's ``sample_frac`` or take the single full aggregation
+    pass — never a count() pre-pass that re-executes the pipeline).
+    The result is advisory (a missed hot key only costs balance,
+    never correctness)."""
     from .boilerplate import partial_aggregate
 
-    try:
-        n = ds.count()
-    except Exception:  # noqa: BLE001
-        n = None
     sample = ds
-    if n and n > sample_rows:
-        sample = ds.random_sample(sample_rows / n, seed=7)
+    if sample_frac is not None:
+        sample = ds.random_sample(sample_frac, seed=7)
+    else:
+        try:
+            n = ds._meta_count()  # metadata-only; None when unknown
+        except Exception:  # noqa: BLE001
+            n = None
+        if n and n > sample_rows:
+            sample = ds.random_sample(sample_rows / n, seed=7)
     agg = partial_aggregate(sample, [col], [(col, "count")])
     if agg is None or agg.num_rows == 0:
         return []
@@ -319,22 +366,45 @@ AUTO_BROADCAST_BYTES = 64 * 1024 * 1024
 def join_auto(left_ds, right_ds, *, left_on, right_on=None,
               how: str = "inner", num_parts: int | None = None,
               post=None, left_suffix=None, right_suffix="_r",
-              broadcast_bytes: int = AUTO_BROADCAST_BYTES):
+              broadcast_bytes: int = AUTO_BROADCAST_BYTES,
+              broadcast_decoded_bytes: int | None = None):
     """Equi-join with physical-shape dispatch: if the right side's
     metadata-based size estimate is under ``broadcast_bytes`` it is
     materialized once and broadcast (per-batch Acero probes, no
     shuffle); otherwise both sides co-partition through the disk
-    spill.  ``post`` only applies to the co-partitioned path (the
-    broadcast path has no join-key partitioning for a local
+    spill.  An UNKNOWN size (None) takes the scalable hash-join path.
+    Because the metadata estimate is parquet-ENCODED bytes, the
+    decoded size is re-checked during materialization: if it
+    overshoots ``broadcast_decoded_bytes`` (default 4x the broadcast
+    budget — a highly compressed right side), the already-materialized
+    object-store blocks are handed to the hash join instead (no
+    recompute).  ``post`` only applies to the co-partitioned path
+    (the broadcast path has no join-key partitioning for a local
     aggregate to exploit); apply batch transforms downstream
     instead."""
     try:
-        sz = right_ds.size_bytes() or 0
+        sz = right_ds.size_bytes()
     except Exception:  # noqa: BLE001
+        sz = None
+    if sz is None:
         sz = broadcast_bytes + 1  # unknown: take the scalable path
     if sz <= broadcast_bytes and post is None:
         import ray
-        tbls = ray.get(right_ds.to_arrow_refs())
+        import ray.data
+        cap = (broadcast_decoded_bytes if broadcast_decoded_bytes
+               is not None else 4 * broadcast_bytes)
+        refs = right_ds.to_arrow_refs()
+        tbls, acc = [], 0
+        for r in refs:
+            t = ray.get(r)
+            tbls.append(t)
+            acc += t.nbytes
+            if acc > cap:
+                return hash_join(
+                    left_ds, ray.data.from_arrow_refs(refs),
+                    left_on=left_on, right_on=right_on, how=how,
+                    num_parts=num_parts, post=post,
+                    left_suffix=left_suffix, right_suffix=right_suffix)
         right = pa.concat_tables(tbls) if tbls else pa.table({})
         return broadcast_join(left_ds, right, left_on=left_on,
                               right_on=right_on, how=how,
