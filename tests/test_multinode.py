@@ -231,3 +231,113 @@ def test_hash_join_on_two_node_cluster(tmp_path):
                          timeout=420)
     assert res.returncode == 0, res.stdout[-2000:] + res.stderr[-2000:]
     assert "JOIN_MATCH 1" in res.stdout
+
+FSSPILL_SCRIPT = r"""
+# End-to-end on a simulated two-node cluster with EVERY shuffle spill
+# routed through a non-native pyarrow filesystem (fsspec wrapped in
+# PyFileSystem): index build (postings scratch, sidecar-commit branch)
+# -> BM25 -> exact_dedup -> hash_join. Results must match single-node /
+# local-spill answers exactly. The fs object pickles into worker tasks
+# on both nodes; the backing storage is the one filesystem this sandbox
+# has, standing in for the cluster's shared store (S3/NFS).
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+import ray
+from ray.cluster_utils import Cluster
+
+cluster = Cluster(initialize_head=True, head_node_args={"num_cpus": 2})
+cluster.add_node(num_cpus=2)
+ray.init(address=cluster.address, include_dashboard=False,
+         logging_level="ERROR",
+         runtime_env={"env_vars": {"PYTHONPATH": "/root/repo"}})
+import ray.data
+
+import fsspec
+from pyarrow.fs import FSSpecHandler, PyFileSystem
+
+from vfs_index_ray import corpus
+from vfs_index_ray.build import IndexBuilder
+from vfs_index_ray.search import SearchEngine
+from vfs_index_ray.functions.dedup import exact_dedup
+from vfs_index_ray.functions.joins import hash_join
+
+TMP = "%TMP%"
+pyfs = PyFileSystem(FSSpecHandler(fsspec.filesystem("file")))
+spill = (pyfs, TMP + "/shared_spill")
+import os
+os.makedirs(TMP + "/shared_spill", exist_ok=True)
+os.makedirs(TMP + "/scratch", exist_ok=True)
+
+pages = corpus.generate_pages(300)
+ids = pa.array(np.arange(300, dtype=np.int64), pa.int64())
+src = TMP + "/docs.parquet"
+pq.write_table(pages.append_column("doc_id", ids), src)
+
+# build with non-local scratch across both nodes
+b = IndexBuilder(TMP + "/idx", mode="word", num_parts=4,
+                 id_col="doc_id", scratch_dir=(pyfs, TMP + "/scratch"))
+assert not b.scratch_local
+b.build([src])
+# reference: plain local build
+IndexBuilder(TMP + "/idx_local", mode="word", num_parts=4,
+             id_col="doc_id").build([src])
+e1, e2 = SearchEngine(TMP + "/idx"), SearchEngine(TMP + "/idx_local")
+for q in ("bababa", "zq kv", "the quick"):
+    d1, s1 = e1.bm25(q, 10)
+    d2, s2 = e2.bm25(q, 10)
+    assert d1.tolist() == d2.tolist() and s1.tolist() == s2.tolist()
+print("BUILD_BM25_MATCH 1")
+
+def norm(t):
+    t = t.select(sorted(t.column_names))
+    return t.take(pc.sort_indices(t, sort_keys=[(c, "ascending")
+                                                for c in t.column_names]))
+
+docs = pa.table({
+    "doc_id": pa.array(np.arange(400), pa.int64()),
+    "text": pa.array([f"page body {i % 77}" for i in range(400)]),
+})
+dd = exact_dedup(ray.data.from_arrow(docs), spill_dir=spill)
+ds_ = exact_dedup(ray.data.from_arrow(docs), shuffle="sort")
+a = norm(pa.concat_tables(ray.get(dd.to_arrow_refs())))
+b2 = norm(pa.concat_tables(ray.get(ds_.to_arrow_refs())))
+assert a.equals(b2.cast(a.schema))
+print("DEDUP_MATCH 1")
+
+g = np.random.Generator(np.random.Philox(key=[13, 0]))
+lt = pa.table({"k": pa.array(g.integers(0, 200, 3000), pa.int64()),
+               "v": pa.array(np.arange(3000), pa.int64())})
+rt = pa.table({"k2": pa.array(np.arange(150), pa.int64()),
+               "w": pa.array(np.arange(150) * 3, pa.int64())})
+jr = hash_join(ray.data.from_arrow(lt), ray.data.from_arrow(rt),
+               left_on="k", right_on="k2", how="inner", num_parts=6,
+               spill_dir=spill)
+import duckdb
+con = duckdb.connect()
+con.register("l", lt); con.register("r", rt)
+want = con.execute("SELECT l.k, l.v, r.w FROM l JOIN r ON l.k = r.k2").arrow()
+t = norm(pa.concat_tables(ray.get(jr.to_arrow_refs())))
+assert t.equals(norm(want).cast(t.schema))
+print("JOIN_MATCH 1")
+ray.shutdown()
+cluster.shutdown()
+"""
+
+
+def test_two_node_nonlocal_spill_end_to_end(tmp_path):
+    """North-rule item: build -> bm25 -> exact_dedup -> hash_join on a
+    simulated two-node cluster with every spill on a non-native
+    pyarrow filesystem; all results identical to local/single-node."""
+    script = FSSPILL_SCRIPT.replace("%TMP%", str(tmp_path))
+    f = tmp_path / "two_node_fsspill.py"
+    f.write_text(script)
+    env = dict(os.environ, PYTHONPATH="/root/repo")
+    res = subprocess.run([sys.executable, str(f)], cwd="/root/repo",
+                         env=env, capture_output=True, text=True,
+                         timeout=420)
+    assert res.returncode == 0, res.stdout[-2000:] + res.stderr[-2000:]
+    assert "BUILD_BM25_MATCH 1" in res.stdout
+    assert "DEDUP_MATCH 1" in res.stdout
+    assert "JOIN_MATCH 1" in res.stdout

@@ -222,18 +222,41 @@ class IndexBuilder:
         # positions/part=N.parquet files — token-adjacency phrase queries
         # then need no corpus access. Segment codec is untouched.
         self.positions = positions
-        # Shuffle spill (postings) is ephemeral per-node scratch — the
-        # Spark-local-dirs analog. On a cluster each node spills locally and
-        # aggregate bandwidth scales with nodes; point scratch_dir at fast
-        # local storage (e.g. /dev/shm) to get the same property on one
-        # node. Losing scratch only costs recomputing uncommitted waves
-        # (wave sidecars are validated against the postings dir).
-        self.postings_dir = os.path.join(scratch_dir or index_dir,
-                                         "postings")
+        # Shuffle spill (postings) is the build's scratch — the
+        # Spark-local-dirs analog. Single node: a local path (default
+        # under index_dir; /dev/shm for speed). Multi-node cluster:
+        # EVERY node must read each part's postings, so scratch_dir
+        # must be shared storage — pass an ``s3://…``/``file://…`` URI
+        # or a ``(pyarrow_fs, path)`` tuple (spillfs.resolve_location;
+        # no unique subdir — waves are RESUMABLE state reused across
+        # runs, commit is the wave sidecar). Losing scratch only costs
+        # recomputing uncommitted waves (sidecars are validated
+        # against the postings dir).
+        from .spillfs import resolve_location
+        import pyarrow.fs as pafs
+        self.scratch_fs, scratch_root = resolve_location(
+            scratch_dir, default_path=index_dir)
+        self.scratch_local = isinstance(self.scratch_fs,
+                                        pafs.LocalFileSystem)
+        self.postings_dir = scratch_root.rstrip("/") + "/postings"
         self.segments_dir = os.path.join(index_dir, "segments")
         self.waves_dir = os.path.join(index_dir, "waves")
-        for d in (self.postings_dir, self.segments_dir, self.waves_dir):
+        self.scratch_fs.create_dir(self.postings_dir, recursive=True)
+        for d in (self.segments_dir, self.waves_dir):
             os.makedirs(d, exist_ok=True)
+
+    # ----- scratch-fs helpers (postings may live on any pyarrow fs) ----
+    def _scratch_isdir(self, path: str) -> bool:
+        import pyarrow.fs as pafs
+        return self.scratch_fs.get_file_info(path).type == \
+            pafs.FileType.Directory
+
+    def _scratch_subdirs(self, path: str, prefix: str) -> list[str]:
+        import pyarrow.fs as pafs
+        sel = pafs.FileSelector(path, allow_not_found=True)
+        return sorted(fi.path for fi in self.scratch_fs.get_file_info(sel)
+                      if fi.type == pafs.FileType.Directory
+                      and fi.base_name.startswith(prefix))
 
     # ----- phase 1: tokenize → postings (per wave, resumable) ------------
     def _wave_done(self, wave: int) -> bool:
@@ -241,8 +264,8 @@ class IndexBuilder:
         # (scratch may be ephemeral)
         return (os.path.exists(os.path.join(self.waves_dir,
                                             f"wave={wave:04d}.json"))
-                and os.path.isdir(os.path.join(self.postings_dir,
-                                               f"wave={wave:04d}")))
+                and self._scratch_isdir(
+                    f"{self.postings_dir}/wave={wave:04d}"))
 
     def build_postings_wave(self, wave: int, files: list[str]) -> dict:
         if self._wave_done(wave):
@@ -312,14 +335,28 @@ class IndexBuilder:
         # Ray's groupby sort+map_groups on the same data ran the per-group
         # encode with almost no parallelism; this layout also makes the
         # shuffle itself restartable — it lives on disk, per wave.)
-        final = os.path.join(self.postings_dir, f"wave={wave:04d}")
-        tmp = os.path.join(self.postings_dir, f".tmp.wave={wave:04d}")
-        if os.path.exists(tmp):
-            import shutil
-            shutil.rmtree(tmp)
-        os.makedirs(tmp, exist_ok=True)  # empty input writes no files at all
-        post.write_parquet(tmp, partition_cols=["part"])
-        os.replace(tmp, final)
+        final = f"{self.postings_dir}/wave={wave:04d}"
+        if self.scratch_local:
+            # local fs: tmp + atomic rename
+            tmp = f"{self.postings_dir}/.tmp.wave={wave:04d}"
+            if os.path.exists(tmp):
+                import shutil
+                shutil.rmtree(tmp)
+            os.makedirs(tmp, exist_ok=True)  # empty input: no files
+            post.write_parquet(tmp, partition_cols=["part"])
+            os.replace(tmp, final)
+        else:
+            # object stores have no atomic dir rename: the wave sidecar
+            # (written below, after the data) is the commit marker —
+            # _wave_done requires BOTH — so clear any uncommitted
+            # leftover and write to the final path directly
+            try:
+                self.scratch_fs.delete_dir(final)
+            except (FileNotFoundError, OSError):
+                pass
+            self.scratch_fs.create_dir(final, recursive=True)
+            post.write_parquet(final, filesystem=self.scratch_fs,
+                               partition_cols=["part"])
         # n_tokens is NOT computed here: sum(tf) falls out of the segment
         # phase for free (tf_sum per chunk → part sidecars → finalize)
         meta = {"wave": wave, "files": list(files), "n_docs": int(n_docs)}
@@ -348,9 +385,7 @@ class IndexBuilder:
                 f"wave postings lost from scratch for {missing}; re-run "
                 "build()/absorb() (they re-tokenize lost waves) or point "
                 "scratch_dir at durable storage")
-        wave_dirs = [os.path.join(self.postings_dir, d)
-                     for d in sorted(os.listdir(self.postings_dir))
-                     if d.startswith("wave=")]
+        wave_dirs = self._scratch_subdirs(self.postings_dir, "wave=")
         if not wave_dirs:
             raise RuntimeError("no committed postings waves")
         done = self._done_parts()
@@ -370,22 +405,27 @@ class IndexBuilder:
         if want_pos:                  # closure free of `self`
             os.makedirs(pos_dir, exist_ok=True)
 
+        sfs = self.scratch_fs  # picklable: captured by the encode tasks
+
         def encode_one(batch: pa.Table) -> pa.Table:
             # one task per part: gather this part's postings from every
             # wave (hive layout wave=*/part=p/), encode, publish.
             # use_threads=False: each task owns ONE cpu — 64 concurrent
             # tasks each spinning up Arrow's full thread pool thrash the
             # node (threads = tasks × cores without it)
+            import pyarrow.fs as pafs
             cols = ["term_id", "doc_id", "tf", "dl"] + \
                 (["pos"] if want_pos else [])
             outs = []
             for p in batch["p"].to_pylist():
                 tables = []
                 for wd in wave_dirs:
-                    pdir = os.path.join(wd, f"part={p}")
-                    if os.path.isdir(pdir):
+                    pdir = f"{wd}/part={p}"
+                    if sfs.get_file_info(pdir).type == \
+                            pafs.FileType.Directory:
                         tables.append(pq.read_table(
-                            pdir, columns=cols, use_threads=False))
+                            pdir, columns=cols, filesystem=sfs,
+                            use_threads=False))
                 merged = (pa.concat_tables(tables) if tables
                           else pa.table({
                               "term_id": pa.array([], pa.uint64()),
@@ -424,12 +464,14 @@ class IndexBuilder:
         # part (every doc contains the head terms) doesn't become the tail
         # straggler of the whole phase
         def _part_bytes(p: int) -> int:
+            import pyarrow.fs as pafs
             total = 0
             for wd in wave_dirs:
-                pdir = os.path.join(wd, f"part={p}")
-                if os.path.isdir(pdir):
-                    for f in os.listdir(pdir):
-                        total += os.path.getsize(os.path.join(pdir, f))
+                sel = pafs.FileSelector(f"{wd}/part={p}",
+                                        allow_not_found=True)
+                total += sum(fi.size or 0
+                             for fi in sfs.get_file_info(sel)
+                             if fi.type == pafs.FileType.File)
             return total
 
         todo.sort(key=_part_bytes, reverse=True)

@@ -93,11 +93,10 @@ def hash_aggregate(ds, keys: list[str], aggs: list[tuple[str, str]],
     ``{col}_{fn}``.  Integer key columns are assumed non-null (string
     keys may be null — a null hashes like the empty string for
     partitioning, and Arrow still groups it separately).  Returns a
-    Dataset of object-store Arrow refs, or None on empty input."""
-    import os
-    import shutil
-    import tempfile
-
+    Dataset of object-store Arrow refs, or None on empty input.
+    ``spill_dir`` accepts any ``spillfs.open_spill`` spec (local path,
+    URI, ``(pyarrow_fs, path)``); a unique run-scoped subdir is always
+    created inside it."""
     import ray
     import ray.data
 
@@ -107,7 +106,8 @@ def hash_aggregate(ds, keys: list[str], aggs: list[tuple[str, str]],
         if f not in _MERGE_FN:
             raise ValueError(f"non-mergeable aggregate fn: {f!r}")
     if num_parts is None:
-        num_parts = max(8, int(ray.cluster_resources().get("CPU", 8)))
+        from .joins import _size_based_parts
+        num_parts = _size_based_parts((ds,))
     pnames = [f"{c}_{f}" for c, f in aggs]
 
     def _key_codes(t: pa.Table) -> np.ndarray:
@@ -135,24 +135,25 @@ def hash_aggregate(ds, keys: list[str], aggs: list[tuple[str, str]],
         g = _group_counts(t, list(keys), list(aggs))
         return g.append_column("_ap", pa.array(_key_codes(g), pa.int32()))
 
-    own = spill_dir is None
-    spill = spill_dir or tempfile.mkdtemp(prefix="hashagg_", dir="/tmp")
+    from ..spillfs import open_spill
+
+    sp = open_spill(spill_dir, prefix="hashagg_")
     try:
-        (ds.map_batches(partial, batch_format="pyarrow",
-                        zero_copy_batch=True)
-           .write_parquet(spill, partition_cols=["_ap"]))
-        part_dirs = sorted(os.path.join(spill, d)
-                           for d in os.listdir(spill)
-                           if d.startswith("_ap="))
+        sp.write_parquet(
+            ds.map_batches(partial, batch_format="pyarrow",
+                           zero_copy_batch=True),
+            partition_cols=["_ap"])
+        part_dirs = list(sp.list_parts("_ap").values())
         if not part_dirs:
             return None
 
         merge_aggs = [(p, _MERGE_FN[f]) for p, (_, f) in zip(pnames, aggs)]
+        fs = sp.fs
 
         @ray.remote(num_cpus=1)
         def one_part(pdir: str) -> pa.Table:
             import pyarrow.parquet as pq
-            t = pq.read_table(pdir, use_threads=False)
+            t = pq.read_table(pdir, filesystem=fs, use_threads=False)
             m = _group_counts(t, list(keys), merge_aggs)
             cols = {k: m[k] for k in keys}
             for p, (_, f) in zip(pnames, aggs):
@@ -163,8 +164,7 @@ def hash_aggregate(ds, keys: list[str], aggs: list[tuple[str, str]],
         ray.wait(refs, num_returns=len(refs))  # done before cleanup
         return ray.data.from_arrow_refs(refs)
     finally:
-        if own:
-            shutil.rmtree(spill, ignore_errors=True)
+        sp.cleanup()
 
 
 def distinct_aggregate(ds, keys: list[str], distinct_col: str,
@@ -180,16 +180,13 @@ def distinct_aggregate(ds, keys: list[str], distinct_col: str,
     this is the pair-spill shape that is.  Returns None on empty
     input; assumes the KEYS output space is small (the distinct
     values themselves never reach the driver)."""
-    import os
-    import shutil
-    import tempfile
-
     import ray
 
     from ..hashing import fnv1a64_tokens
 
     if num_parts is None:
-        num_parts = max(8, int(ray.cluster_resources().get("CPU", 8)))
+        from .joins import _size_based_parts
+        num_parts = _size_based_parts((ds,))
     cols = list(keys) + [distinct_col]
 
     def _pair_codes(t: pa.Table) -> np.ndarray:
@@ -216,22 +213,24 @@ def distinct_aggregate(ds, keys: list[str], distinct_col: str,
         return g.append_column("_dp", pa.array(_pair_codes(g),
                                                pa.int32()))
 
-    own = spill_dir is None
-    spill = spill_dir or tempfile.mkdtemp(prefix="distagg_", dir="/tmp")
+    from ..spillfs import open_spill
+
+    sp = open_spill(spill_dir, prefix="distagg_")
     try:
-        (ds.map_batches(partial, batch_format="pyarrow",
-                        zero_copy_batch=True)
-           .write_parquet(spill, partition_cols=["_dp"]))
-        part_dirs = sorted(os.path.join(spill, d)
-                           for d in os.listdir(spill)
-                           if d.startswith("_dp="))
+        sp.write_parquet(
+            ds.map_batches(partial, batch_format="pyarrow",
+                           zero_copy_batch=True),
+            partition_cols=["_dp"])
+        part_dirs = list(sp.list_parts("_dp").values())
         if not part_dirs:
             return None
+
+        fs = sp.fs
 
         @ray.remote(num_cpus=1)
         def one_part(pdir: str) -> pa.Table:
             import pyarrow.parquet as pq
-            t = pq.read_table(pdir, use_threads=False)
+            t = pq.read_table(pdir, filesystem=fs, use_threads=False)
             dd = _group_counts(t, cols, [])          # global-exact dedup
             return _group_counts(dd, list(keys),
                                  [(distinct_col, "count")])
@@ -248,8 +247,7 @@ def distinct_aggregate(ds, keys: list[str], distinct_col: str,
             pa.int64())
         return pa.table(out)
     finally:
-        if own:
-            shutil.rmtree(spill, ignore_errors=True)
+        sp.cleanup()
 
 
 def _unit_frequencies(ds, *, distinct_docs: bool, min_count: int,
@@ -262,17 +260,14 @@ def _unit_frequencies(ds, *, distinct_docs: bool, min_count: int,
     counts documents containing the unit (df); False counts raw
     occurrences (collection tf).  The threshold filter runs inside the
     per-part tasks, so only survivors cross the wire."""
-    import os
-    import shutil
-    import tempfile
-
     import ray
 
     from ..hashing import fnv1a64_tokens
 
     sep = _SEPS[unit]
     if num_parts is None:
-        num_parts = max(8, int(ray.cluster_resources().get("CPU", 8)))
+        from .joins import _size_based_parts
+        num_parts = _size_based_parts((ds,))
 
     def partial_counts(batch: pa.Table) -> pa.Table:
         texts = batch[text_col]
@@ -295,23 +290,26 @@ def _unit_frequencies(ds, *, distinct_docs: bool, min_count: int,
             "part": pa.array(part, pa.int32()),
         })
 
-    own = spill_dir is None
-    spill = spill_dir or tempfile.mkdtemp(prefix="boiler_", dir="/tmp")
+    from ..spillfs import open_spill
+
+    sp = open_spill(spill_dir, prefix="boiler_")
     try:
-        (ds.map_batches(partial_counts, batch_format="pyarrow")
-           .write_parquet(spill, partition_cols=["part"]))
+        sp.write_parquet(
+            ds.map_batches(partial_counts, batch_format="pyarrow"),
+            partition_cols=["part"])
         empty = pa.table({"unit": pa.array([], pa.string()),
                           out_col: pa.array([], pa.int64())})
-        part_dirs = sorted(os.path.join(spill, d) for d in os.listdir(spill)
-                           if d.startswith("part="))
+        part_dirs = list(sp.list_parts("part").values())
         if not part_dirs:
             return empty
+
+        fs = sp.fs
 
         @ray.remote(num_cpus=1)
         def one_part(pdir: str) -> pa.Table:
             import pyarrow.parquet as pq
             t = pq.read_table(pdir, columns=["unit", "n"],
-                              use_threads=False)
+                              filesystem=fs, use_threads=False)
             g = _group_counts(t, ["unit"], [("n", "sum")])
             keep = pc.greater_equal(g["n_sum"], pa.scalar(min_count))
             g = g.filter(keep)
@@ -323,8 +321,7 @@ def _unit_frequencies(ds, *, distinct_docs: bool, min_count: int,
             return empty
         return pa.concat_tables(parts).combine_chunks()
     finally:
-        if own:
-            shutil.rmtree(spill, ignore_errors=True)
+        sp.cleanup()
 
 
 def unit_doc_frequencies(ds, *, min_docs: int = 1, unit: str = "line",

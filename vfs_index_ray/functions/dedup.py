@@ -48,7 +48,8 @@ class ContentHash:
 
 def exact_dedup(ds, text_col: str = "text", id_col: str = "doc_id",
                 num_partitions: int | None = None,
-                shuffle: str = "auto"):
+                shuffle: str = "auto",
+                spill_dir: str | None = None):
     """groupby(content hash) → (h, doc_id=min, n=count).
 
     The A5 exact-dedup analog (search_finder.go:242-244 uniq on record
@@ -99,7 +100,7 @@ def exact_dedup(ds, text_col: str = "text", id_col: str = "doc_id",
         })
 
     return _keyed_partition_op(hashed, add_part, "hpart", per_part,
-                               shuffle="disk")
+                               shuffle="disk", spill_dir=spill_dir)
 
 
 # ---------------------------------------------------------------------------
@@ -237,16 +238,17 @@ def banded_bucket_apply(bands, key_cols, bucket_fn, *,
     Returns a ``ray.data.Dataset`` over the per-part result tables
     (``from_arrow_refs`` — results stay in the object store, never the
     driver), or ``None`` when the band input is empty.
-    """
-    import os
-    import shutil
-    import tempfile
 
+    ``spill_dir`` accepts any ``spillfs.open_spill`` spec (local path,
+    URI, ``(pyarrow_fs, path)``); a unique run-scoped subdir is always
+    created inside it.
+    """
     import ray
     import ray.data
 
-    own = spill_dir is None
-    spill = spill_dir or tempfile.mkdtemp(prefix="lsh_bands_", dir="/tmp")
+    from ..spillfs import open_spill
+
+    sp = open_spill(spill_dir, prefix="lsh_bands_")
     if num_parts is None:
         num_parts = max(16, 2 * int(ray.cluster_resources().get("CPU", 8)))
     kc = list(key_cols)
@@ -261,12 +263,14 @@ def banded_bucket_apply(bands, key_cols, bucket_fn, *,
         return t.append_column("part", pa.array(part, pa.int32()))
 
     try:
-        (bands.map_batches(add_part, batch_format="pyarrow")
-              .write_parquet(spill, partition_cols=["part"]))
-        part_dirs = sorted(os.path.join(spill, d) for d in os.listdir(spill)
-                           if d.startswith("part="))
+        sp.write_parquet(
+            bands.map_batches(add_part, batch_format="pyarrow"),
+            partition_cols=["part"])
+        part_dirs = list(sp.list_parts("part").values())
         if not part_dirs:
             return None
+
+        fs = sp.fs
 
         @ray.remote
         def one_part(pdir: str) -> pa.Table:
@@ -274,7 +278,7 @@ def banded_bucket_apply(bands, key_cols, bucket_fn, *,
 
             # use_threads=False: concurrent part tasks must not each spawn
             # an Arrow thread pool (threads × tasks oversubscription)
-            t = pq.read_table(pdir, use_threads=False)
+            t = pq.read_table(pdir, filesystem=fs, use_threads=False)
             arrs = [t[c].to_numpy(zero_copy_only=False) for c in kc]
             n = t.num_rows
             if n == 0:
@@ -299,8 +303,7 @@ def banded_bucket_apply(bands, key_cols, bucket_fn, *,
         ray.wait(refs, num_returns=len(refs))  # done before spill cleanup
         return ray.data.from_arrow_refs(refs)
     finally:
-        if own:
-            shutil.rmtree(spill, ignore_errors=True)
+        sp.cleanup()
 
 
 def minhash_candidates(ds, *, num_perm: int = 64, num_bands: int = 16,
@@ -329,22 +332,19 @@ def minhash_candidates(ds, *, num_perm: int = 64, num_bands: int = 16,
     line, never silent; the pair pipeline executes exactly once.
     ``sig_concurrency`` caps the signature stage (None = Ray auto-scales
     tasks across the cluster)."""
-    import shutil
-    import tempfile
-
     import ray.data
+
+    from ..spillfs import open_spill
 
     sig_kwargs = {} if sig_concurrency is None else \
         {"concurrency": sig_concurrency}
     sigs = ds.map_batches(MinHashSignature(num_perm, shingle, text_col,
                                            id_col),
                           batch_format="pyarrow", **sig_kwargs)
-    own_spill = spill_dir is None
-    spill = spill_dir or tempfile.mkdtemp(prefix="minhash_sigs_",
-                                          dir="/tmp")
+    sp = open_spill(spill_dir, prefix="minhash_sigs_")
     try:
-        sigs.write_parquet(spill)
-        sig_ds = ray.data.read_parquet(spill)
+        sp.write_parquet(sigs)
+        sig_ds = ray.data.read_parquet(sp.path, filesystem=sp.fs)
         bands = sig_ds.map_batches(BandEmit(num_bands),
                                    batch_format="pyarrow")
 
@@ -397,10 +397,9 @@ def minhash_candidates(ds, *, num_perm: int = 64, num_bands: int = 16,
         uniq = np.stack([a[first], b[first]], axis=1)
         # gather signatures of candidate docs only: predicate-pushdown
         # read of the spill (row-group pruning; never all signatures)
-        import pyarrow.parquet as pq
         need = np.unique(uniq)
-        cand = pq.read_table(
-            spill, filters=[("doc_id", "in", need.tolist())])
+        cand = sp.read_table(
+            sp.path, filters=[("doc_id", "in", need.tolist())])
         sig_rows = {did: np.asarray(sig, np.uint64)
                     for did, sig in zip(cand["doc_id"].to_pylist(),
                                         cand["sig"].to_pylist())}
@@ -414,8 +413,7 @@ def minhash_candidates(ds, *, num_perm: int = 64, num_bands: int = 16,
                 np.floor(est * 10000.0 + 0.5).astype(np.int64), pa.int64()),
         })
     finally:
-        if own_spill:
-            shutil.rmtree(spill, ignore_errors=True)
+        sp.cleanup()
 
 
 # ---------------------------------------------------------------------------
@@ -498,7 +496,8 @@ def drop_near_dups(ds, pairs: pa.Table, id_col: str = "doc_id"):
 
 
 def cluster_pairs_distributed(pairs_ds, *, num_partitions: int | None = None,
-                              max_iters: int = 200):
+                              max_iters: int = 200,
+                              spill_dir: str | None = None):
     """doc → representative (connected-component min) via partitioned
     min-label message passing — the scale path for when the near-dup
     PAIR set itself exceeds the driver (``cluster_pairs`` is the driver
@@ -521,12 +520,10 @@ def cluster_pairs_distributed(pairs_ds, *, num_partitions: int | None = None,
     diameter-25 chain graph); this design runs the same graph in
     seconds total with no per-round shuffle.
     Returns a Dataset of (node, rep)."""
-    import os
-    import shutil
-    import tempfile
-
     import ray
     import ray.data
+
+    from ..spillfs import open_spill
 
     P = num_partitions or min(
         32, max(8, int(ray.cluster_resources().get("CPU", 8))))
@@ -542,16 +539,19 @@ def cluster_pairs_distributed(pairs_ds, *, num_partitions: int | None = None,
             "part": pa.array((src % P).astype(np.int32), pa.int32()),
         })
 
-    spill = tempfile.mkdtemp(prefix="ccpairs_", dir="/tmp")
+    sp = open_spill(spill_dir, prefix="ccpairs_")
     try:
-        (pairs_ds.map_batches(emit, batch_format="pyarrow")
-                 .write_parquet(spill, partition_cols=["part"]))
-        part_dirs = {int(d.split("=")[1]): os.path.join(spill, d)
-                     for d in os.listdir(spill) if d.startswith("part=")}
+        sp.write_parquet(
+            pairs_ds.map_batches(emit, batch_format="pyarrow"),
+            partition_cols=["part"])
+        part_dirs = {int(v): d
+                     for v, d in sp.list_parts("part").items()}
         if not part_dirs:
             return ray.data.from_arrow(pa.table({
                 "node": pa.array([], pa.int64()),
                 "rep": pa.array([], pa.int64())}))
+
+        fs = sp.fs
 
         @ray.remote(num_cpus=1)
         def load_part(pdir: str | None):
@@ -560,7 +560,7 @@ def cluster_pairs_distributed(pairs_ds, *, num_partitions: int | None = None,
                 e = np.empty(0, np.int64)
                 return e, e.copy(), e.copy()
             t = pq.read_table(pdir, columns=["src", "dst"],
-                              use_threads=False)
+                              filesystem=fs, use_threads=False)
             src = t["src"].to_numpy(zero_copy_only=False).astype(np.int64)
             dst = t["dst"].to_numpy(zero_copy_only=False).astype(np.int64)
             order = np.argsort(src, kind="stable")
@@ -675,7 +675,7 @@ def cluster_pairs_distributed(pairs_ds, *, num_partitions: int | None = None,
         ray.wait(refs, num_returns=len(refs))
         return ray.data.from_arrow_refs(refs)
     finally:
-        shutil.rmtree(spill, ignore_errors=True)
+        sp.cleanup()
 
 
 # ---------------------------------------------------------------------------

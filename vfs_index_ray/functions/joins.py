@@ -141,6 +141,12 @@ def co_partition_apply(left_ds, right_ds, *, left_on, right_on=None,
     ``hash_join`` instantiates it with an Acero join kernel, and
     corpus-rewrite ops (functions/linededup.py) with a rebuild kernel.
 
+    ``spill_dir`` is any spec ``spillfs.open_spill`` accepts (None,
+    local path, ``s3://…``/``file://…`` URI, or ``(pyarrow_fs, path)``)
+    — a unique run-scoped subdirectory is always created inside it, so
+    a reused cluster spill root never mixes a prior run's stale
+    partition files into this run's results.
+
     ``salt`` > 1 with ``salt_keys`` (the known hot probe keys) is the
     skew mitigation: rows whose key is in ``salt_keys`` spread
     round-robin across ``salt`` subparts on the LEFT and replicate
@@ -155,10 +161,6 @@ def co_partition_apply(left_ds, right_ds, *, left_on, right_on=None,
     Kernels that AGGREGATE by key see partial groups per subpart, so
     a salted ``post`` must be merge-aware (or merge downstream).
     """
-    import os
-    import shutil
-    import tempfile
-
     import ray
     import ray.data
 
@@ -216,55 +218,47 @@ def co_partition_apply(left_ds, right_ds, *, left_on, right_on=None,
             return pa.concat_tables(reps)
         return inner
 
-    own = spill_dir is None
-    spill = spill_dir or tempfile.mkdtemp(prefix="join_", dir="/tmp")
-    ldir, rdir = os.path.join(spill, "L"), os.path.join(spill, "R")
+    from ..spillfs import open_spill
+
+    sp = open_spill(spill_dir, prefix="join_")
     try:
-        (left_ds.map_batches(add_part(left_on, "left"),
-                             batch_format="pyarrow",
-                             zero_copy_batch=True)
-                .write_parquet(ldir, partition_cols=["_jp"]))
-        (right_ds.map_batches(add_part(right_on, "right"),
-                              batch_format="pyarrow",
-                              zero_copy_batch=True)
-                 .write_parquet(rdir, partition_cols=["_jp"]))
+        sp.write_parquet(
+            left_ds.map_batches(add_part(left_on, "left"),
+                                batch_format="pyarrow",
+                                zero_copy_batch=True),
+            "L", partition_cols=["_jp"])
+        sp.write_parquet(
+            right_ds.map_batches(add_part(right_on, "right"),
+                                 batch_format="pyarrow",
+                                 zero_copy_batch=True),
+            "R", partition_cols=["_jp"])
 
-        def parts(d):
-            if not os.path.isdir(d):
-                return {}
-            return {p.split("=", 1)[1]: os.path.join(d, p)
-                    for p in os.listdir(d) if p.startswith("_jp=")}
-
-        lparts, rparts = parts(ldir), parts(rdir)
+        lparts = sp.list_parts("_jp", "L")
+        rparts = sp.list_parts("_jp", "R")
         if not lparts:
             return None  # empty probe side: empty result either way
 
-        def _schema_of(pdirs: dict) -> pa.Schema | None:
-            import pyarrow.parquet as pq
-            for d in pdirs.values():
-                for f in os.listdir(d):
-                    if f.endswith(".parquet"):
-                        return pq.read_schema(os.path.join(d, f))
-            return None
-
         # right partitions the probe side misses entirely need the
         # right schema for the empty-table stand-in (unless skipped)
-        rschema = _schema_of(rparts)
+        rschema = sp.schema_of(rparts)
         if rschema is None and not skip_missing_right:
             try:
                 rschema = right_ds.schema().base_schema
             except Exception:
                 rschema = pa.schema([])
 
+        fs = sp.fs  # picklable; tasks read from any spill backend
+
         @ray.remote(num_cpus=1)
         def one_part(lp: str, rp: str | None,
                      rsch: pa.Schema | None) -> pa.Table:
             import pyarrow.parquet as pq
-            lt = pq.read_table(lp, use_threads=False)
+            lt = pq.read_table(lp, filesystem=fs, use_threads=False)
             if rp is None:
                 rt = rsch.empty_table()
             else:
-                rt = pq.read_table(rp, use_threads=False)
+                rt = pq.read_table(rp, filesystem=fs,
+                                   use_threads=False)
             return kernel(lt, rt)
 
         refs = []
@@ -278,8 +272,7 @@ def co_partition_apply(left_ds, right_ds, *, left_on, right_on=None,
         ray.wait(refs, num_returns=len(refs))  # done before cleanup
         return ray.data.from_arrow_refs(refs)
     finally:
-        if own:
-            shutil.rmtree(spill, ignore_errors=True)
+        sp.cleanup()
 
 
 def hash_join(left_ds, right_ds, *, left_on, right_on=None,

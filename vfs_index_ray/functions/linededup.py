@@ -47,14 +47,11 @@ def _removal_rows(ds, *, text_col: str, id_col: str, sep: str,
     candidate lines' occurrence rows — duplicates plus rare collisions
     — enter the string shuffle.  Equality stays on the raw line bytes
     (a collision only adds a singleton group, which emits nothing)."""
-    import os
-    import shutil
-    import tempfile
-
     import ray
     import ray.data
 
     from ..hashing import fnv1a64_tokens
+    from ..spillfs import open_spill
     from .spans import _in_sorted
 
     def split_lines(batch: pa.Table):
@@ -84,20 +81,20 @@ def _removal_rows(ds, *, text_col: str, id_col: str, sep: str,
                          "n": cnt["h_count"].cast(pa.int64()),
                          "part": pa.array(part, pa.int32())})
 
-    hspill = tempfile.mkdtemp(prefix="linededup_h_", dir="/tmp")
+    hsp = open_spill(spill_dir, prefix="linededup_h_")
     try:
-        (ds.map_batches(hash_partial, batch_format="pyarrow",
-                        zero_copy_batch=True)
-           .write_parquet(hspill, partition_cols=["part"]))
-        hdirs = sorted(os.path.join(hspill, d)
-                       for d in os.listdir(hspill)
-                       if d.startswith("part="))
+        hsp.write_parquet(
+            ds.map_batches(hash_partial, batch_format="pyarrow",
+                           zero_copy_batch=True),
+            partition_cols=["part"])
+        hdirs = list(hsp.list_parts("part").values())
+        hfs = hsp.fs
 
         @ray.remote(num_cpus=1)
         def hash_part(pdir: str) -> np.ndarray:
             import pyarrow.parquet as pq
             t = pq.read_table(pdir, columns=["h", "n"],
-                              use_threads=False)
+                              filesystem=hfs, use_threads=False)
             g = _group_counts(t, ["h"], [("n", "sum")])
             g = g.filter(pc.greater_equal(g["n_sum"], pa.scalar(2)))
             hh = g["h"]
@@ -111,7 +108,7 @@ def _removal_rows(ds, *, text_col: str, id_col: str, sep: str,
                               [np.empty(0, np.uint64)])
         cand.sort()
     finally:
-        shutil.rmtree(hspill, ignore_errors=True)
+        hsp.cleanup()
     if not len(cand):
         return None
     cand_ref = ray.put(cand)
@@ -135,23 +132,23 @@ def _removal_rows(ds, *, text_col: str, id_col: str, sep: str,
             "part": pa.array(part, pa.int32()),
         })
 
-    own = spill_dir is None
-    spill = spill_dir or tempfile.mkdtemp(prefix="linededup_", dir="/tmp")
+    sp = open_spill(spill_dir, prefix="linededup_")
     try:
-        (ds.map_batches(explode, batch_format="pyarrow",
-                        zero_copy_batch=True)
-           .write_parquet(spill, partition_cols=["part"]))
-        part_dirs = sorted(os.path.join(spill, d)
-                           for d in os.listdir(spill)
-                           if d.startswith("part="))
+        sp.write_parquet(
+            ds.map_batches(explode, batch_format="pyarrow",
+                           zero_copy_batch=True),
+            partition_cols=["part"])
+        part_dirs = list(sp.list_parts("part").values())
         if not part_dirs:
             return None
+
+        fs = sp.fs
 
         @ray.remote(num_cpus=1)
         def one_part(pdir: str) -> pa.Table:
             import pyarrow.parquet as pq
             t = pq.read_table(pdir, columns=["line", "doc", "ord"],
-                              use_threads=False)
+                              filesystem=fs, use_threads=False)
             idx = pc.sort_indices(t, sort_keys=[
                 ("line", "ascending"), ("doc", "ascending"),
                 ("ord", "ascending")])
@@ -186,8 +183,7 @@ def _removal_rows(ds, *, text_col: str, id_col: str, sep: str,
             return None
         return ray.data.from_arrow_refs(refs)
     finally:
-        if own:
-            shutil.rmtree(spill, ignore_errors=True)
+        sp.cleanup()
 
 
 def _rebuild_kernel(docs: pa.Table, rem: pa.Table, *, text_col: str,

@@ -39,20 +39,25 @@ from ..hashing import mix32
 
 
 def write_shuffled_shards(ds, out_dir: str, *, num_shards: int,
-                          seed: int = 0, id_col: str = "doc_id") -> dict:
+                          seed: int = 0, id_col: str = "doc_id",
+                          spill_dir: str | None = None) -> dict:
     """Shuffle ``ds`` into ``num_shards`` ordered parquet shards under
     ``out_dir`` (``shard_{k:05d}.parquet``, each sorted by (prio, id)
     with a ``pos`` column).  Deterministic in ``seed``; reruns skip
-    already-written shards.  Returns ``{"rows": total, "shards": S,
-    "per_shard": [...]}``."""
+    already-written shards.  ``spill_dir`` accepts any
+    ``spillfs.open_spill`` spec for the shuffle scratch (cluster runs
+    point it at shared storage).  Returns ``{"rows": total, "shards":
+    S, "per_shard": [...]}``."""
     import pyarrow.parquet as pq
     import ray
+
+    from ..spillfs import open_spill
 
     os.makedirs(out_dir, exist_ok=True)
     todo = [k for k in range(num_shards) if not os.path.exists(
         os.path.join(out_dir, f"shard_{k:05d}.parquet"))]
     if todo:
-        spill = tempfile.mkdtemp(prefix="shards_", dir="/tmp")
+        sp = open_spill(spill_dir, prefix="shards_")
         try:
             def assign(t: pa.Table) -> pa.Table:
                 ids = t[id_col].to_numpy(zero_copy_only=False).astype(
@@ -62,15 +67,19 @@ def write_shuffled_shards(ds, out_dir: str, *, num_shards: int,
                     "prio", pa.array(prio, pa.int64())).append_column(
                     "shard", pa.array(prio % num_shards, pa.int32()))
 
-            (ds.map_batches(assign, batch_format="pyarrow")
-               .write_parquet(spill, partition_cols=["shard"]))
+            sp.write_parquet(
+                ds.map_batches(assign, batch_format="pyarrow"),
+                partition_cols=["shard"])
+            shard_dirs = sp.list_parts("shard")
+            fs = sp.fs
 
             @ray.remote(num_cpus=1)
             def one_shard(k: int) -> None:
-                pdir = os.path.join(spill, f"shard={k}")
+                pdir = shard_dirs.get(str(k))
                 final = os.path.join(out_dir, f"shard_{k:05d}.parquet")
-                if os.path.exists(pdir):
-                    t = pq.read_table(pdir, use_threads=False)
+                if pdir is not None:
+                    t = pq.read_table(pdir, filesystem=fs,
+                                      use_threads=False)
                 else:  # a shard can legitimately be empty
                     t = None
                 if t is not None and t.num_rows:
@@ -90,7 +99,7 @@ def write_shuffled_shards(ds, out_dir: str, *, num_shards: int,
 
             ray.get([one_shard.remote(k) for k in todo])
         finally:
-            shutil.rmtree(spill, ignore_errors=True)
+            sp.cleanup()
 
     per = []
     for k in range(num_shards):

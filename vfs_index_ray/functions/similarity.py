@@ -206,7 +206,8 @@ class IVFIndex:
     def build(cls, ds, path: str, *, num_centroids: int = 16,
               sample: int = 4096, iters: int = 5, seed: int = 11,
               vec_col: str = "embedding", id_col: str = "vec_id",
-              seed_centroids: bool = False) -> "IVFIndex":
+              seed_centroids: bool = False,
+              keep_cols: list[str] | None = None) -> "IVFIndex":
         """Distributed build: centroids are trained on a bounded sample
         (driver k-means — the sample is small by construction), then
         every vector is assigned and written via map_batches +
@@ -218,7 +219,12 @@ class IVFIndex:
         closed-form centroid rule that plain SQL can reproduce, making
         the APPROXIMATE nprobe<C probe path oracle-checkable end-to-end
         (assignment and probing are argmax-cosine either way; only the
-        centroid training differs)."""
+        centroid training differs).
+
+        ``keep_cols``: metadata columns carried verbatim into the
+        bucket files — the substrate for FILTERED vector search
+        (``search_filtered`` pushes its predicate into the probed
+        buckets' parquet reads instead of scanning the corpus)."""
         import shutil
 
         import ray
@@ -245,14 +251,18 @@ class IVFIndex:
                             cent[c] = v / n
         cent_ref = ray.put(cent)
 
+        extra = list(keep_cols or [])
+
         def assign_bucket(t: pa.Table) -> pa.Table:
             cm = ray.get(cent_ref)
             mat = _embedding_matrix(t, vec_col)
             if mat.shape[0] == 0:
-                return pa.table({id_col: pa.array([], pa.int64()),
-                                 vec_col: pa.array([],
-                                                   pa.list_(pa.float64())),
-                                 "bucket": pa.array([], pa.int32())})
+                cols = {id_col: pa.array([], pa.int64()),
+                        vec_col: pa.array([], pa.list_(pa.float64()))}
+                for c in extra:
+                    cols[c] = t[c]
+                cols["bucket"] = pa.array([], pa.int32())
+                return pa.table(cols)
             mat = cls._normalize(mat)
             b = np.argmax(mat @ cm.T, axis=1).astype(np.int32)
             flat = mat.ravel()
@@ -260,11 +270,11 @@ class IVFIndex:
                              mat.shape[1], dtype=np.int32)
             vec = pa.ListArray.from_arrays(pa.array(offs, pa.int32()),
                                            pa.array(flat, pa.float64()))
-            return pa.table({
-                id_col: t[id_col].cast(pa.int64()),
-                vec_col: vec,
-                "bucket": pa.array(b, pa.int32()),
-            })
+            cols = {id_col: t[id_col].cast(pa.int64()), vec_col: vec}
+            for c in extra:
+                cols[c] = t[c]
+            cols["bucket"] = pa.array(b, pa.int32())
+            return pa.table(cols)
 
         # hive-partitioned write: one dir per centroid, so a probe reads
         # only its buckets; tmp + rename = atomic publish
@@ -279,23 +289,23 @@ class IVFIndex:
         np.save(os.path.join(path, "centroids.npy"), cent)
         return cls(path)
 
-    def search(self, query_vec: np.ndarray, k: int = 5,
-               nprobe: int = 4, exclude_id: int | None = None):
-        """Returns (vec_ids, sims) — exact cosine within probed buckets,
-        ties sim desc then vec_id asc."""
+    def _scan_buckets(self, probe, q: np.ndarray, *, filters=None,
+                      exclude_id: int | None = None):
+        """Exact cosine over the given centroid buckets; ``filters`` is
+        a parquet row filter PUSHED INTO each bucket read (row-group
+        pruning on the bucket files — the corpus is never scanned).
+        Returns (ids, sims, rows_scanned)."""
         import pyarrow.parquet as pq
-        q = np.asarray(query_vec, np.float64)
-        q = q / max(np.linalg.norm(q), 1e-30)
-        csims = self.centroids @ q
-        probe = np.argsort(-csims, kind="stable")[:nprobe]
-        ids_l, sims_l = [], []
+        ids_l, sims_l, scanned = [], [], 0
         for c in probe:
             d = os.path.join(self.path, "buckets", f"bucket={c}")
             if not os.path.isdir(d):  # empty centroid bucket
                 continue
-            tbl = pq.read_table(d, use_threads=False)
+            tbl = pq.read_table(d, columns=["vec_id", "embedding"],
+                                filters=filters, use_threads=False)
             if tbl.num_rows == 0:
                 continue
+            scanned += tbl.num_rows
             ids = tbl["vec_id"].to_numpy(zero_copy_only=False)
             flat = tbl["embedding"].combine_chunks().values.to_numpy(
                 zero_copy_only=False).astype(np.float64)
@@ -307,11 +317,77 @@ class IVFIndex:
             ids_l.append(ids)
             sims_l.append(s)
         if not ids_l:
+            return (np.empty(0, np.int64), np.empty(0, np.float64),
+                    scanned)
+        return (np.concatenate(ids_l).astype(np.int64),
+                np.concatenate(sims_l), scanned)
+
+    @staticmethod
+    def _norm_q(query_vec) -> np.ndarray:
+        q = np.asarray(query_vec, np.float64)
+        return q / max(np.linalg.norm(q), 1e-30)
+
+    def search(self, query_vec: np.ndarray, k: int = 5,
+               nprobe: int = 4, exclude_id: int | None = None):
+        """Returns (vec_ids, sims) — exact cosine within probed buckets,
+        ties sim desc then vec_id asc."""
+        q = self._norm_q(query_vec)
+        csims = self.centroids @ q
+        probe = np.argsort(-csims, kind="stable")[:nprobe]
+        ids, sims, _ = self._scan_buckets(probe, q,
+                                          exclude_id=exclude_id)
+        order = np.lexsort((ids, -sims))[:k]
+        return ids[order], sims[order]
+
+    def search_filtered(self, query_vec: np.ndarray, k: int = 5, *,
+                        filters, nprobe: int = 4,
+                        exclude_id: int | None = None,
+                        stats: dict | None = None):
+        """FILTERED ANN through the index (the 100-TB shape — never a
+        full-corpus scan): probe the ``nprobe`` nearest centroids with
+        the predicate pushed into each bucket's parquet read; while
+        fewer than ``k`` rows survive the filter and unprobed centroids
+        remain, DOUBLE the probe width (scanning only the newly probed
+        buckets) — worst case every bucket is read, still
+        filter-pushed.  Approximation is exactly ``search``'s probe
+        rule at the final width; survivor scores are exact.  The
+        escalation rule (doubling, first width with >= k survivors) is
+        closed-form, so a SQL oracle can reproduce it (pipelines
+        ``ann_filtered_ivf``).  ``filters`` is a parquet row filter
+        over ``keep_cols`` metadata, e.g. ``[("label", "==", 1)]``.
+        ``stats`` (optional dict) receives ``rows_scanned`` and
+        ``nprobe_used``.  Returns (vec_ids, sims)."""
+        q = self._norm_q(query_vec)
+        csims = self.centroids @ q
+        order = np.argsort(-csims, kind="stable")
+        C = len(self.centroids)
+        width = min(nprobe, C)
+        probed = 0
+        scanned = 0
+        ids_l, sims_l = [], []
+        total = 0
+        while True:
+            ids, sims, sc = self._scan_buckets(
+                order[probed:width], q, filters=filters,
+                exclude_id=exclude_id)
+            scanned += sc
+            total += len(ids)
+            if len(ids):
+                ids_l.append(ids)
+                sims_l.append(sims)
+            probed = width
+            if total >= k or probed >= C:
+                break
+            width = min(2 * width, C)
+        if stats is not None:
+            stats["rows_scanned"] = scanned
+            stats["nprobe_used"] = probed
+        if not ids_l:
             return np.empty(0, np.int64), np.empty(0, np.float64)
         ids = np.concatenate(ids_l)
         sims = np.concatenate(sims_l)
-        order = np.lexsort((ids, -sims))[:k]
-        return ids[order].astype(np.int64), sims[order]
+        pick = np.lexsort((ids, -sims))[:k]
+        return ids[pick], sims[pick]
 
 
 def centroid_classify(ds, *, vec_col: str = "embedding",

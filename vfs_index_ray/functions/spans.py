@@ -178,11 +178,9 @@ def _candidate_hashes(ds, *, L: int, text_col: str, min_count: int,
     occurrence of a duplicated string shares its hash; collisions only
     add false candidates).  16-byte rows through the disk shuffle
     instead of window strings."""
-    import os
-    import shutil
-    import tempfile
-
     import ray
+
+    from ..spillfs import open_spill
 
     def partial(batch: pa.Table) -> pa.Table:
         _, _, h = _window_hashes(batch[text_col], L)
@@ -197,23 +195,23 @@ def _candidate_hashes(ds, *, L: int, text_col: str, min_count: int,
                          "n": cnt["h_count"].cast(pa.int64()),
                          "part": pa.array(part, pa.int32())})
 
-    own = spill_dir is None
-    spill = spill_dir or tempfile.mkdtemp(prefix="spanh_", dir="/tmp")
+    sp = open_spill(spill_dir, prefix="spanh_")
     try:
-        (ds.map_batches(partial, batch_format="pyarrow",
-                        batch_size=batch_size)
-           .write_parquet(spill, partition_cols=["part"]))
-        part_dirs = sorted(os.path.join(spill, d)
-                           for d in os.listdir(spill)
-                           if d.startswith("part="))
+        sp.write_parquet(
+            ds.map_batches(partial, batch_format="pyarrow",
+                           batch_size=batch_size),
+            partition_cols=["part"])
+        part_dirs = list(sp.list_parts("part").values())
         if not part_dirs:
             return np.empty(0, np.uint64)
+
+        fs = sp.fs
 
         @ray.remote(num_cpus=1)
         def one_part(pdir: str) -> np.ndarray:
             import pyarrow.parquet as pq
             t = pq.read_table(pdir, columns=["h", "n"],
-                              use_threads=False)
+                              filesystem=fs, use_threads=False)
             g = _group_counts(t, ["h"], [("n", "sum")])
             g = g.filter(pc.greater_equal(g["n_sum"],
                                           pa.scalar(min_count)))
@@ -227,8 +225,7 @@ def _candidate_hashes(ds, *, L: int, text_col: str, min_count: int,
         out.sort()
         return out
     finally:
-        if own:
-            shutil.rmtree(spill, ignore_errors=True)
+        sp.cleanup()
 
 
 def duplicate_windows(ds, *, L: int = 8, text_col: str = "text",
@@ -239,11 +236,9 @@ def duplicate_windows(ds, *, L: int = 8, text_col: str = "text",
     every window string occurring >= ``min_count`` times (multiplicity
     counts every occurrence, within- and cross-document).  Exact string
     semantics over the hive disk shuffle (see module docstring)."""
-    import os
-    import shutil
-    import tempfile
-
     import ray
+
+    from ..spillfs import open_spill
 
     if L < 2:
         raise ValueError("L must be >= 2")
@@ -279,22 +274,23 @@ def duplicate_windows(ds, *, L: int = 8, text_col: str = "text",
                          "n": cnt["p_count"].cast(pa.int64()),
                          "part": pa.array(part, pa.int32())})
 
-    own = spill_dir is None
-    spill = spill_dir or tempfile.mkdtemp(prefix="spans_", dir="/tmp")
+    sp = open_spill(spill_dir, prefix="spans_")
     try:
-        (ds.map_batches(partial, batch_format="pyarrow",
-                        batch_size=batch_size)
-           .write_parquet(spill, partition_cols=["part"]))
-        part_dirs = sorted(os.path.join(spill, d) for d in os.listdir(spill)
-                           if d.startswith("part="))
+        sp.write_parquet(
+            ds.map_batches(partial, batch_format="pyarrow",
+                           batch_size=batch_size),
+            partition_cols=["part"])
+        part_dirs = list(sp.list_parts("part").values())
         if not part_dirs:
             return empty
+
+        fs = sp.fs
 
         @ray.remote(num_cpus=1)
         def one_part(pdir: str) -> pa.Table:
             import pyarrow.parquet as pq
             t = pq.read_table(pdir, columns=["unit", "n"],
-                              use_threads=False)
+                              filesystem=fs, use_threads=False)
             g = _group_counts(t, ["unit"], [("n", "sum")])
             g = g.filter(pc.greater_equal(g["n_sum"],
                                           pa.scalar(min_count)))
@@ -307,8 +303,7 @@ def duplicate_windows(ds, *, L: int = 8, text_col: str = "text",
             return empty
         return pa.concat_tables(parts).combine_chunks()
     finally:
-        if own:
-            shutil.rmtree(spill, ignore_errors=True)
+        sp.cleanup()
 
 
 def dup_spans(ds, *, L: int = 8, text_col: str = "text",
@@ -382,12 +377,10 @@ def _dup_occurrence_starts(ds, *, L: int, text_col: str,
     by the window STRING (hashes only partition and prefilter — a
     collision only adds a singleton group, which emits nothing), so
     the canonical pick is exact."""
-    import os
-    import shutil
-    import tempfile
-
     import ray
     import ray.data
+
+    from ..spillfs import open_spill
 
     cand = _candidate_hashes(ds, L=L, text_col=text_col, min_count=2,
                              num_parts=num_parts, spill_dir=None,
@@ -420,23 +413,23 @@ def _dup_occurrence_starts(ds, *, L: int, text_col: str,
             "j": pa.array(win_j, pa.int64()),
             "part": pa.array(part, pa.int32())})
 
-    own = spill_dir is None
-    spill = spill_dir or tempfile.mkdtemp(prefix="spanrw_", dir="/tmp")
+    sp = open_spill(spill_dir, prefix="spanrw_")
     try:
-        (ds.map_batches(emit, batch_format="pyarrow",
-                        batch_size=batch_size)
-           .write_parquet(spill, partition_cols=["part"]))
-        part_dirs = sorted(os.path.join(spill, d)
-                           for d in os.listdir(spill)
-                           if d.startswith("part="))
+        sp.write_parquet(
+            ds.map_batches(emit, batch_format="pyarrow",
+                           batch_size=batch_size),
+            partition_cols=["part"])
+        part_dirs = list(sp.list_parts("part").values())
         if not part_dirs:
             return None
+
+        fs = sp.fs
 
         @ray.remote(num_cpus=1)
         def one_part(pdir: str) -> pa.Table:
             import pyarrow.parquet as pq
             t = pq.read_table(pdir, columns=["unit", "doc", "j"],
-                              use_threads=False)
+                              filesystem=fs, use_threads=False)
             idx = pc.sort_indices(t, sort_keys=[
                 ("unit", "ascending"), ("doc", "ascending"),
                 ("j", "ascending")])
@@ -467,8 +460,7 @@ def _dup_occurrence_starts(ds, *, L: int, text_col: str,
             return None
         return ray.data.from_arrow_refs(refs)
     finally:
-        if own:
-            shutil.rmtree(spill, ignore_errors=True)
+        sp.cleanup()
 
 
 def remove_dup_spans(ds, *, L: int = 8, text_col: str = "text",

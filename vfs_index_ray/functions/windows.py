@@ -36,39 +36,42 @@ def _disk_partition_apply(ds, add_part, part_col: str, per_part,
     per-group fns get little cross-group parallelism. The partition
     column is consumed by the hive layout, so ``per_part`` receives
     the partition's rows WITHOUT it. Results return as object-store
-    Arrow refs, never through the driver."""
-    import os
-    import shutil
-    import tempfile
+    Arrow refs, never through the driver.
 
+    ``spill_dir`` accepts any ``spillfs.open_spill`` spec (None, local
+    path, URI, or ``(pyarrow_fs, path)``); a unique run-scoped subdir
+    is always created, so reused cluster spill roots never leak stale
+    partitions into this run."""
     import ray
     import ray.data
 
-    own = spill_dir is None
-    spill = spill_dir or tempfile.mkdtemp(prefix="winpart_", dir="/tmp")
+    from ..spillfs import open_spill
+
+    sp = open_spill(spill_dir, prefix="winpart_")
     try:
-        (ds.map_batches(add_part, batch_format="pyarrow",
-                        zero_copy_batch=True)
-           .write_parquet(spill, partition_cols=[part_col]))
-        part_dirs = sorted(os.path.join(spill, d)
-                           for d in os.listdir(spill)
-                           if d.startswith(f"{part_col}="))
+        sp.write_parquet(
+            ds.map_batches(add_part, batch_format="pyarrow",
+                           zero_copy_batch=True),
+            partition_cols=[part_col])
+        part_dirs = list(sp.list_parts(part_col).values())
         if not part_dirs:
             return None
+
+        fs = sp.fs  # picklable; tasks read from any spill backend
 
         @ray.remote(num_cpus=1)
         def one_part(pdir: str) -> pa.Table:
             import pyarrow.parquet as pq
             # use_threads=False: concurrent part tasks must not each
             # spawn an Arrow thread pool
-            return per_part(pq.read_table(pdir, use_threads=False))
+            return per_part(pq.read_table(pdir, filesystem=fs,
+                                          use_threads=False))
 
         refs = [one_part.remote(d) for d in part_dirs]
         ray.wait(refs, num_returns=len(refs))  # done before cleanup
         return ray.data.from_arrow_refs(refs)
     finally:
-        if own:
-            shutil.rmtree(spill, ignore_errors=True)
+        sp.cleanup()
 
 
 # auto shuffle dispatch: below this estimated in-memory size the disk
@@ -90,12 +93,17 @@ def _auto_shuffle(ds) -> str:
 
 
 def _keyed_partition_op(events_ds, add_part, part_col: str, per_part,
-                        shuffle: str = "auto"):
+                        shuffle: str = "auto",
+                        spill_dir: str | None = None):
     """Dispatch a hash-partitioned per-partition kernel over the disk
     spill (the 100-TB path) or Ray Data's sort-shuffle groupby
     (``shuffle="sort"``, kept for A/B and tiny inputs); the default
-    ``"auto"`` picks by the input's metadata size estimate."""
-    if shuffle in (None, "auto"):
+    ``"auto"`` picks by the input's metadata size estimate.  Passing
+    ``spill_dir`` (any ``spillfs.open_spill`` spec — shared storage on
+    clusters) forces the disk substrate."""
+    if spill_dir is not None:
+        shuffle = "disk"
+    elif shuffle in (None, "auto"):
         shuffle = _auto_shuffle(events_ds)
     if shuffle == "sort":
         return (events_ds
@@ -104,7 +112,8 @@ def _keyed_partition_op(events_ds, add_part, part_col: str, per_part,
                 .groupby(part_col)
                 .map_groups(lambda g: per_part(g.drop([part_col])),
                             batch_format="pyarrow"))
-    out = _disk_partition_apply(events_ds, add_part, part_col, per_part)
+    out = _disk_partition_apply(events_ds, add_part, part_col, per_part,
+                                spill_dir=spill_dir)
     if out is None:
         # empty input: no partitions spilled; the sort path runs
         # trivially and yields the correct (empty) output schema

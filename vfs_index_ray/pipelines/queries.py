@@ -401,7 +401,8 @@ def q_ann_filtered(sf_dir: str) -> pa.Table:
 
 
 def _get_ivf(sf_dir: str, num_centroids: int = 8,
-             seed_centroids: bool = False):
+             seed_centroids: bool = False,
+             keep_cols: list[str] | None = None):
     """Build-or-reuse the IVF index for sf_dir (corpus-keyed cache)."""
     import ray.data
 
@@ -413,12 +414,14 @@ def _get_ivf(sf_dir: str, num_centroids: int = 8,
     key = hashlib.sha1(f"{os.path.abspath(src)}|{st.st_size}|"
                        f"{int(st.st_mtime)}".encode()).hexdigest()[:12]
     tag = "s" if seed_centroids else "k"
+    kc = ("_" + "-".join(keep_cols)) if keep_cols else ""
     path = os.path.join("/tmp", "vfsray_cache",
-                        f"ivf_{name}_{key}_c{num_centroids}{tag}")
+                        f"ivf_{name}_{key}_c{num_centroids}{tag}{kc}")
     if not os.path.exists(os.path.join(path, "centroids.npy")):
         IVFIndex.build(ray.data.read_parquet(src), path,
                        num_centroids=num_centroids,
-                       seed_centroids=seed_centroids)
+                       seed_centroids=seed_centroids,
+                       keep_cols=keep_cols)
     return IVFIndex(path), src
 
 
@@ -456,6 +459,39 @@ def q_ann_ivf_topk(sf_dir: str) -> pa.Table:
     layout, pruned probe reads and top-k ranking all hash-verified.
     The k-means-trained path is covered by ann_ivf_exact + tests."""
     return _ivf_query_table(sf_dir, nprobe=4, seed_centroids=True)
+
+
+def q_ann_filtered_ivf(sf_dir: str) -> pa.Table:
+    """Filtered vector search THROUGH the IVF index (the 100-TB shape
+    — ``q_ann_filtered`` is the exact brute baseline): label = 1
+    pushed into the probed buckets' parquet reads, doubling-nprobe
+    escalation (4 → 8 of 8) until 5 survivors.  Seeded centroids make
+    assignment + probing + the escalation rule closed-form, so the
+    SQL oracle reproduces the approximate result exactly."""
+    import pyarrow.parquet as pqq
+    ivf, src = _get_ivf(sf_dir, num_centroids=8, seed_centroids=True,
+                        keep_cols=["label"])
+    tbl = pqq.read_table(
+        src, filters=[("vec_id", "in", list(ANN_QUERY_IDS))])
+    by_id = dict(zip(tbl["vec_id"].to_pylist(),
+                     tbl["embedding"].to_pylist()))
+    out_q, out_v, out_r, out_s = [], [], [], []
+    for qid in ANN_QUERY_IDS:
+        vec = np.asarray(by_id[qid], np.float64)
+        vids, sims = ivf.search_filtered(
+            vec, k=5, filters=[("label", "==", 1)], nprobe=4,
+            exclude_id=qid)
+        for r, (v, s) in enumerate(zip(vids.tolist(), sims.tolist()), 1):
+            out_q.append(qid)
+            out_v.append(v)
+            out_r.append(r)
+            out_s.append(int(np.floor(s * 10000 + 0.5)))
+    return pa.table({
+        "query_id": pa.array(out_q, pa.int64()),
+        "vec_id": pa.array(out_v, pa.int64()),
+        "rank": pa.array(out_r, pa.int64()),
+        "sim_x1e4": pa.array(out_s, pa.int64()),
+    })
 
 
 def q_ann_ivf_exact(sf_dir: str) -> pa.Table:
@@ -1902,6 +1938,7 @@ QUERIES = {
     "lang_distribution": q_lang_distribution,
     "ann_cosine_topk": q_ann_cosine_topk,
     "ann_ivf_topk": q_ann_ivf_topk,
+    "ann_filtered_ivf": q_ann_filtered_ivf,
     "ann_ivf_exact": q_ann_ivf_exact,
     "minhash_near_dup": q_minhash_near_dup,
     "near_dedup_keep": q_near_dedup_keep,
@@ -2268,6 +2305,55 @@ WITH cent AS (
   FROM q JOIN probe p ON p.query_id = q.query_id AND p.rn <= 4
          JOIN bucket b ON b.b = p.c
   WHERE b.vec_id <> q.query_id
+)
+SELECT query_id, vec_id,
+       row_number() OVER (PARTITION BY query_id
+                          ORDER BY sim DESC, vec_id)::BIGINT AS rank,
+       CAST(floor(sim*10000 + 0.5) AS BIGINT) AS sim_x1e4
+FROM sims QUALIFY rank <= 5 ORDER BY query_id, rank
+""",
+    # filtered IVF probe path: ann_ivf_topk's seeded-centroid probe
+    # with the label predicate applied INSIDE the probed buckets, plus
+    # the engine's doubling-nprobe escalation rule — probe width 4,
+    # widen to all 8 iff fewer than k=5 rows survive the filter at 4
+    # (search_filtered, functions/similarity.py)
+    "ann_filtered_ivf": """
+WITH cent AS (
+  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS c, embedding AS ce
+  FROM (SELECT * FROM embeddings ORDER BY vec_id LIMIT 8)
+), asg AS (
+  SELECT e.vec_id, e.embedding, e.label, c.c,
+         row_number() OVER (
+           PARTITION BY e.vec_id
+           ORDER BY list_cosine_similarity(c.ce, e.embedding) DESC, c.c
+         ) AS rn
+  FROM embeddings e CROSS JOIN cent c
+), bucket AS (
+  SELECT vec_id, embedding, label, c AS b FROM asg WHERE rn = 1
+), q AS (
+  SELECT vec_id AS query_id, embedding AS qe FROM embeddings
+  WHERE vec_id IN (0,1,2)
+), probe AS (
+  SELECT q.query_id, c.c,
+         row_number() OVER (
+           PARTITION BY q.query_id
+           ORDER BY list_cosine_similarity(c.ce, q.qe) DESC, c.c
+         ) AS rn
+  FROM q CROSS JOIN cent c
+), cnt AS (
+  SELECT q.query_id, count(b.vec_id) AS n4
+  FROM q LEFT JOIN probe p ON p.query_id = q.query_id AND p.rn <= 4
+         LEFT JOIN bucket b ON b.b = p.c
+           AND b.vec_id <> q.query_id AND b.label = 1
+  GROUP BY q.query_id
+), sims AS (
+  SELECT q.query_id, b.vec_id,
+         list_cosine_similarity(q.qe, b.embedding) AS sim
+  FROM q JOIN cnt ON cnt.query_id = q.query_id
+         JOIN probe p ON p.query_id = q.query_id
+           AND p.rn <= CASE WHEN cnt.n4 >= 5 THEN 4 ELSE 8 END
+         JOIN bucket b ON b.b = p.c
+  WHERE b.vec_id <> q.query_id AND b.label = 1
 )
 SELECT query_id, vec_id,
        row_number() OVER (PARTITION BY query_id
