@@ -574,3 +574,44 @@ def test_lsh_dropped_bucket_reporting(ray_session):
     st3: dict = {}
     full = minhash_candidates(ds, num_perm=64, num_bands=16, stats=st3)
     assert st3["buckets_dropped"] == 0 and full.num_rows == 15
+
+
+def test_media_checksum_stages_match_numpy(ray_session):
+    """ImageChecksum / AudioChecksum equal direct numpy sums of the
+    closed-form synthetic rasters/samples — the decode really ran."""
+    import ray.data
+
+    from vfs_index_ray.functions.multimodal import (AudioChecksum,
+                                                    ImageChecksum,
+                                                    synth_audio_table,
+                                                    synth_media_table)
+
+    dids = np.arange(10, dtype=np.int64)
+    media = synth_media_table(dids, noise=False)
+    out = (ray.data.from_items(media.to_pylist())
+           .map_batches(ImageChecksum, batch_format="pyarrow",
+                        batch_size=4, concurrency=2).take_all())
+    out.sort(key=lambda r: r["media_id"])
+    for r in out:
+        did = r["media_id"]
+        w, h = 24 + did % 17, 20 + did % 13
+        yy, xx = np.mgrid[0:h, 0:w]
+        cc = np.arange(3)
+        base = (xx * 255) // (w - 1) + (yy * 131) // (h - 1)
+        tex = (xx[:, :, None] * 7 + yy[:, :, None] * 11
+               + cc[None, None, :] * 5 + did) % 32
+        want = int(np.minimum(base[:, :, None] + tex, 255).sum())
+        assert (r["width"], r["height"], r["pix_sum"]) == (w, h, want)
+
+    audio = synth_audio_table(dids)
+    aout = (ray.data.from_items(audio.to_pylist())
+            .map_batches(AudioChecksum, batch_format="pyarrow",
+                         batch_size=4, concurrency=2).take_all())
+    aout.sort(key=lambda r: r["media_id"])
+    for r in aout:
+        did = r["media_id"]
+        n = 2048 + (did % 5) * 17
+        i = np.arange(n, dtype=np.int64)
+        want = int(((did * 31 + i * 7) % 65536 - 32768).sum())
+        assert (r["sample_rate"], r["n_frames"], r["sample_sum"]) == \
+            (16000, n, want)

@@ -421,21 +421,35 @@ def decode_images(ds, *, fake: bool = False, feat_dim: int = 64,
                           concurrency=concurrency)
 
 
-def synth_media_table(doc_ids: np.ndarray) -> pa.Table:
+def synth_media_table(doc_ids: np.ndarray, *,
+                      noise: bool = True) -> pa.Table:
     """Deterministic synthetic media table derived from doc ids: one
-    small image per doc (seeded gradient + noise) — even ids as P6 PPM,
-    odd ids as PNG (cycling through the five scanline filters). Used by
-    the driver media query and tests — real container bytes through the
-    real decoders."""
+    small image per doc — even ids as P6 PPM, odd ids as PNG (cycling
+    through the five scanline filters). Used by the driver media
+    queries and tests — real container bytes through the real
+    decoders.
+
+    ``noise=True`` adds Philox noise to the gradient (plumbing tests).
+    ``noise=False`` uses a CLOSED-FORM texture instead —
+    ``pix(x,y,c) = min(x*255//(w-1) + y*131//(h-1) +
+    (x*7 + y*11 + c*5 + did) % 32, 255)`` — integer arithmetic a SQL
+    oracle can recompute analytically from doc_id alone, which makes
+    the real decode path end-to-end hash-checkable (pipelines
+    ``media_decode``)."""
     ids, mimes, payloads = [], [], []
     for did in np.asarray(doc_ids, np.int64).tolist():
-        rng = np.random.Generator(np.random.Philox(key=[did, 0]))
         w = 24 + did % 17
         h = 20 + did % 13
         yy, xx = np.mgrid[0:h, 0:w]
         base = ((xx * 255) // max(w - 1, 1) + (yy * 131) // max(h - 1, 1))
-        noise = rng.integers(0, 32, (h, w, 3), dtype=np.int64)
-        pix = np.clip(base[:, :, None] + noise, 0, 255).astype(np.uint8)
+        if noise:
+            rng = np.random.Generator(np.random.Philox(key=[did, 0]))
+            tex = rng.integers(0, 32, (h, w, 3), dtype=np.int64)
+        else:
+            cc = np.arange(3, dtype=np.int64)
+            tex = (xx[:, :, None] * 7 + yy[:, :, None] * 11
+                   + cc[None, None, :] * 5 + did) % 32
+        pix = np.clip(base[:, :, None] + tex, 0, 255).astype(np.uint8)
         ids.append(did)
         if did % 2:
             mimes.append("image/png")
@@ -448,3 +462,85 @@ def synth_media_table(doc_ids: np.ndarray) -> pa.Table:
         "mime": pa.array(mimes, pa.string()),
         "payload": pa.array(payloads, pa.binary()),
     })
+
+
+def synth_audio_table(doc_ids: np.ndarray) -> pa.Table:
+    """Deterministic synthetic WAV table with CLOSED-FORM samples:
+    mono PCM16, ``n = 2048 + (did % 5) * 17`` frames at 16 kHz,
+    ``sample[i] = ((did*31 + i*7) % 65536) - 32768`` — real RIFF/WAVE
+    bytes whose decoded integer checksum a SQL oracle can recompute
+    from doc_id alone (pipelines ``media_audio``)."""
+    ids, payloads = [], []
+    for did in np.asarray(doc_ids, np.int64).tolist():
+        n = 2048 + (did % 5) * 17
+        i = np.arange(n, dtype=np.int64)
+        samples = ((did * 31 + i * 7) % 65536 - 32768).astype(np.int16)
+        ids.append(did)
+        payloads.append(encode_wav(samples, rate=16000))
+    return pa.table({
+        "media_id": pa.array(ids, pa.int64()),
+        "mime": pa.array(["audio/wav"] * len(ids), pa.string()),
+        "payload": pa.array(payloads, pa.binary()),
+    })
+
+
+class ImageChecksum:
+    """binary image payload → (media_id, width, height, pix_sum):
+    the REAL decode (P6 PPM / PNG) reduced to an exact int64 pixel sum
+    — the oracle-comparable fingerprint of the decoded raster (any
+    decoder defect shifts the sum). Actor-pool stage like DecodeImage."""
+
+    def __init__(self, payload_col: str = "payload",
+                 id_col: str = "media_id"):
+        self.payload_col = payload_col
+        self.id_col = id_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids, ws, hs, sums = [], [], [], []
+        for mid, p in zip(batch[self.id_col].to_pylist(),
+                          batch[self.payload_col].to_pylist()):
+            p = p or b""
+            if p.startswith(b"P6"):
+                w, h, pix = decode_ppm(p)
+            elif p.startswith(_PNG_SIG):
+                w, h, pix = decode_png(p)
+            else:
+                raise NotImplementedError(
+                    "only P6 PPM and 8-bit PNG decode natively")
+            ids.append(mid)
+            ws.append(w)
+            hs.append(h)
+            sums.append(int(pix.astype(np.int64).sum()))
+        return pa.table({
+            "media_id": pa.array(ids, pa.int64()),
+            "width": pa.array(ws, pa.int64()),
+            "height": pa.array(hs, pa.int64()),
+            "pix_sum": pa.array(sums, pa.int64()),
+        })
+
+
+class AudioChecksum:
+    """binary WAV payload → (media_id, sample_rate, n_frames,
+    sample_sum): the real PCM16 decode reduced to an exact int64
+    sample sum (oracle-comparable)."""
+
+    def __init__(self, payload_col: str = "payload",
+                 id_col: str = "media_id"):
+        self.payload_col = payload_col
+        self.id_col = id_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids, rates, nf, sums = [], [], [], []
+        for mid, p in zip(batch[self.id_col].to_pylist(),
+                          batch[self.payload_col].to_pylist()):
+            rate, samples = decode_wav(p)
+            ids.append(mid)
+            rates.append(rate)
+            nf.append(samples.shape[0])
+            sums.append(int(samples.astype(np.int64).sum()))
+        return pa.table({
+            "media_id": pa.array(ids, pa.int64()),
+            "sample_rate": pa.array(rates, pa.int64()),
+            "n_frames": pa.array(nf, pa.int64()),
+            "sample_sum": pa.array(sums, pa.int64()),
+        })

@@ -831,34 +831,66 @@ def q_curation(sf_dir: str) -> pa.Table:
 
 
 def q_media_decode(sf_dir: str) -> pa.Table:
-    """Multimodal decode pipeline (rows-only): a deterministic P6 media
-    table derived from the first 64 doc_ids is decoded by the real
-    pure-numpy PPM decoder in an actor-pool map_batches stage; output is
-    per-image dims + a fixed-point feature checksum."""
+    """Multimodal image decode, end-to-end ORACLE-CHECKED: a
+    closed-form synthetic media table over the first 64 doc_ids (even
+    ids as P6 PPM, odd as PNG cycling all five scanline filters —
+    synth_media_table(noise=False)) is decoded by the REAL pure-numpy
+    decoders in an actor-pool map_batches stage, reduced to the exact
+    int64 pixel sum per image.  The SQL oracle recomputes the same sum
+    analytically from doc_id alone, so any decoder defect (header
+    parse, zlib inflate, scanline unfiltering) shifts the sum and
+    fails the hash.  Feature pooling (DecodeImage) stays pinned by
+    unit tests."""
     import ray.data
 
-    from ..functions.multimodal import decode_images, synth_media_table
+    from ..functions.multimodal import ImageChecksum, synth_media_table
     ids = (_docs_ds(sf_dir, columns=["doc_id"]).take(64))
     doc_ids = np.sort(np.array([r["doc_id"] for r in ids], np.int64))
-    media = synth_media_table(doc_ids)
-    out = decode_images(ray.data.from_items(media.to_pylist()),
-                        feat_dim=16, batch_size=16).take_all()
+    media = synth_media_table(doc_ids, noise=False)
+    out = (ray.data.from_items(media.to_pylist())
+           .map_batches(ImageChecksum, batch_format="pyarrow",
+                        batch_size=16, concurrency=(1, 8)).take_all())
     out.sort(key=lambda r: r["media_id"])
-    fsum = [int(np.floor(float(np.sum(r["features"])) * 10000 + 0.5))
-            for r in out]
     return pa.table({
         "media_id": pa.array([r["media_id"] for r in out], pa.int64()),
         "width": pa.array([r["width"] for r in out], pa.int64()),
         "height": pa.array([r["height"] for r in out], pa.int64()),
-        "feat_sum_x1e4": pa.array(fsum, pa.int64()),
+        "pix_sum": pa.array([r["pix_sum"] for r in out], pa.int64()),
+    })
+
+
+def q_media_audio(sf_dir: str) -> pa.Table:
+    """WAV decode, end-to-end ORACLE-CHECKED: closed-form PCM16 clips
+    (synth_audio_table) through the real RIFF/WAVE decoder in an
+    actor-pool stage, reduced to (sample_rate, n_frames, exact int64
+    sample sum) — the SQL oracle recomputes all three from doc_id."""
+    import ray.data
+
+    from ..functions.multimodal import AudioChecksum, synth_audio_table
+    ids = (_docs_ds(sf_dir, columns=["doc_id"]).take(32))
+    doc_ids = np.sort(np.array([r["doc_id"] for r in ids], np.int64))
+    media = synth_audio_table(doc_ids)
+    out = (ray.data.from_items(media.to_pylist())
+           .map_batches(AudioChecksum, batch_format="pyarrow",
+                        batch_size=8, concurrency=(1, 8)).take_all())
+    out.sort(key=lambda r: r["media_id"])
+    return pa.table({
+        "media_id": pa.array([r["media_id"] for r in out], pa.int64()),
+        "sample_rate": pa.array([r["sample_rate"] for r in out],
+                                pa.int64()),
+        "n_frames": pa.array([r["n_frames"] for r in out], pa.int64()),
+        "sample_sum": pa.array([r["sample_sum"] for r in out],
+                               pa.int64()),
     })
 
 
 def q_media_frames(sf_dir: str) -> pa.Table:
-    """Video-column plumbing (rows-only): deterministic opaque payloads
-    sampled into per-frame metadata rows by the FrameSample stage — the
-    frame-sampling shape with the decode itself behind the same
-    NotImplementedError boundary as compressed images."""
+    """Video-column plumbing, ORACLE-CHECKED: deterministic opaque
+    payloads (size closed-form in doc_id) sampled into per-frame
+    metadata rows by the FrameSample stage; the SQL oracle recomputes
+    frame counts and byte offsets from doc_id.  The decode itself
+    stays behind the same NotImplementedError boundary as compressed
+    images."""
     import ray.data
 
     from ..functions.multimodal import FrameSample
@@ -1967,6 +1999,7 @@ QUERIES = {
     "source_stats": q_source_stats,
     "media_decode": q_media_decode,
     "media_frames": q_media_frames,
+    "media_audio": q_media_audio,
     "orders_priority_search": q_orders_priority_search,
     "orders_numeric_range": q_orders_numeric_range,
     "events_hourly": q_events_hourly,
@@ -2311,6 +2344,39 @@ SELECT query_id, vec_id,
                           ORDER BY sim DESC, vec_id)::BIGINT AS rank,
        CAST(floor(sim*10000 + 0.5) AS BIGINT) AS sim_x1e4
 FROM sims QUALIFY rank <= 5 ORDER BY query_id, rank
+""",
+    # real-decoder media checksums: the engine decodes real container
+    # bytes (PPM/PNG/WAV built from closed-form pixel/sample rules);
+    # the SQL recomputes the exact integer checksums analytically from
+    # doc_id — any decoder defect shifts the sum and fails the hash
+    "media_decode": """
+WITH ids AS (SELECT doc_id AS did FROM documents ORDER BY doc_id LIMIT 64),
+dims AS (SELECT did, 24 + did % 17 AS w, 20 + did % 13 AS h FROM ids),
+px AS (SELECT did, w, h,
+              unnest(generate_series(0, w*h*3 - 1)) AS i FROM dims),
+v AS (SELECT did, w, h,
+             (i // 3) % w AS x, (i // 3) // w AS y, i % 3 AS c FROM px)
+SELECT did AS media_id, w::BIGINT AS width, h::BIGINT AS height,
+       sum(least(x*255 // (w-1) + y*131 // (h-1)
+                 + (x*7 + y*11 + c*5 + did) % 32, 255))::BIGINT AS pix_sum
+FROM v GROUP BY did, w, h ORDER BY media_id
+""",
+    "media_frames": """
+WITH ids AS (SELECT doc_id AS did FROM documents ORDER BY doc_id LIMIT 16),
+f AS (SELECT did, unnest(generate_series(0, did % 4)) AS frame FROM ids)
+SELECT did AS media_id, frame::BIGINT AS frame,
+       (frame * 65536)::BIGINT AS byte_offset
+FROM f ORDER BY media_id, frame
+""",
+    "media_audio": """
+WITH ids AS (SELECT doc_id AS did FROM documents ORDER BY doc_id LIMIT 32),
+s AS (SELECT did,
+             unnest(generate_series(0, 2048 + (did % 5) * 17 - 1)) AS i
+      FROM ids)
+SELECT did AS media_id, 16000::BIGINT AS sample_rate,
+       (2048 + (did % 5) * 17)::BIGINT AS n_frames,
+       sum((did*31 + i*7) % 65536 - 32768)::BIGINT AS sample_sum
+FROM s GROUP BY did ORDER BY media_id
 """,
     # filtered IVF probe path: ann_ivf_topk's seeded-centroid probe
     # with the label predicate applied INSIDE the probed buckets, plus
