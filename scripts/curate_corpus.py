@@ -63,9 +63,11 @@ def main(argv=None) -> int:
     stats = {"input_docs": n_in}
 
     def _removed_total(rewr) -> int:
-        # per-batch partial sums, merged on the driver (ints only) —
-        # rewrite outputs are object-store-resident Arrow refs, so the
-        # second consumption below does not recompute the pipeline
+        # per-batch partial sums, merged on the driver (ints only).
+        # The caller materializes the rewrite output first, so this
+        # stats pass and the downstream stage share one execution
+        # (duplicate-free rewrites return a LAZY identity dataset that
+        # would otherwise re-execute per consumer).
         refs = rewr.map_batches(
             lambda t: pa.table({"s": pa.array(
                 [pc.sum(t["n_removed"]).as_py() or 0], pa.int64())}),
@@ -82,7 +84,7 @@ def main(argv=None) -> int:
     if args.line_dedup:
         from vfs_index_ray.functions.linededup import line_dedup
         out = line_dedup(ds, text_col=args.text_col,
-                         id_col=args.id_col)
+                         id_col=args.id_col).materialize()
         stats["lines_removed"] = _removed_total(out)
         ds = _drop_counter(out)
 
@@ -90,7 +92,7 @@ def main(argv=None) -> int:
         from vfs_index_ray.functions.spans import remove_dup_spans
         out = remove_dup_spans(ds, L=args.span_l,
                                text_col=args.text_col,
-                               id_col=args.id_col)
+                               id_col=args.id_col).materialize()
         stats["span_tokens_removed"] = _removed_total(out)
         ds = _drop_counter(out)
 

@@ -533,20 +533,34 @@ class IndexBuilder:
         # while finalize() still counts their sidecars (corrupting n_docs/
         # avgdl and every BM25 score)
         next_wave = 0
+        done_files: set[str] = set()
         for name in sorted(os.listdir(self.waves_dir)):
             if name.startswith("wave=") and name.endswith(".json"):
                 w = int(name[len("wave="):-len(".json")])
                 next_wave = max(next_wave, w + 1)
-                if not self._wave_done(w):
-                    with open(os.path.join(self.waves_dir, name)) as f:
-                        meta = json.load(f)
+                with open(os.path.join(self.waves_dir, name)) as f:
+                    meta = json.load(f)
+                if self._wave_done(w):
+                    done_files.update(meta["files"])
+                else:
                     os.remove(os.path.join(self.waves_dir, name))
                     self.build_postings_wave(w, meta["files"])
-        self.build_postings_wave(next_wave, new_files)
-        # invalidate committed partitions: their inputs changed
-        for name in os.listdir(self.segments_dir):
-            path = os.path.join(self.segments_dir, name)
-            os.remove(path)
+                    done_files.update(meta["files"])
+        # crash-idempotence (file-level dirty filter, the reference's
+        # Regist-skips-known-files behavior): a file whose wave sidecar
+        # already committed must NOT be re-ingested when an interrupted
+        # absorb is re-run — without this, the retry double-counts its
+        # docs (found by tests/test_chaos.py mid-absorb kill). File
+        # identity is the path string as recorded in the sidecar.
+        new_files = [f for f in new_files if f not in done_files]
+        if new_files:
+            self.build_postings_wave(next_wave, new_files)
+            # invalidate committed partitions: their inputs changed
+            for name in os.listdir(self.segments_dir):
+                path = os.path.join(self.segments_dir, name)
+                os.remove(path)
+        # (re-)encode whatever is missing: after a mid-absorb crash the
+        # wave may already be committed with only some segments rebuilt
         self.build_segments()
         return self.finalize()
 

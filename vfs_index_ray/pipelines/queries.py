@@ -527,7 +527,16 @@ def q_near_dedup_keep(sf_dir: str) -> pa.Table:
     keep-smaller-id pairwise policy — each duplicated pair keeps
     exactly one side; transitive-closure canonicalization is the
     clustering family, functions/dedup.py cluster_pairs*).  Returns
-    the surviving doc ids."""
+    the surviving doc ids.
+
+    Probabilistic-recall note (same assumption as minhash_near_dup):
+    the engine's candidates come from 64-perm/16-band LSH while the
+    oracle enumerates ALL shared-shingle pairs exactly; a true j≈0.8
+    pair misses every band with prob ~(1-0.8^4)^16 ≈ 2e-4.  The
+    pipeline is deterministic (seeded permutations), and the parity
+    is corpus-verified at sf0.01/sf0.1/sf1 at every change — a future
+    corpus regeneration could legitimately surface a miss, which
+    would show as a 1-2 row diff here, not an engine bug."""
     from ..functions.dedup import minhash_candidates, ngram_jaccard_pairs
     import ray
     ds = _docs_ds(sf_dir, columns=["doc_id", "text"])
