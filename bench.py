@@ -218,6 +218,39 @@ def run_bench() -> dict:
     svc.shutdown()
     timings["batch_query_qps"] = round(400 / qsec, 1)
 
+    # MIXED serving workload (round-5): the same replica pool answers
+    # BM25 and resident-IVF ANN (incl. filtered probes) — 300 text
+    # queries + 100 vector probes, warm steady state
+    from vfs_index_ray.functions.similarity import IVFIndex
+    emb_src = os.path.join(SF_DIR, "embeddings.parquet")
+    _sf_tag = os.path.basename(os.path.normpath(SF_DIR)) or "sf"
+    ivf_dir = f"/tmp/vfsray_bench/ivf_{_sf_tag}_" \
+              f"{pq.read_metadata(emb_src).num_rows}"
+    if not os.path.exists(os.path.join(ivf_dir, "centroids.npy")):
+        IVFIndex.build(ray.data.read_parquet(emb_src), ivf_dir,
+                       num_centroids=16, seed_centroids=True,
+                       keep_cols=["label"])
+    qtbl = pq.read_table(emb_src, filters=[("vec_id", "in",
+                                            list(range(20)))])
+    qvecs = [list(v) for v in qtbl["embedding"].to_pylist()]
+    svc = QueryService(idx, replicas=4, ann_dir=ivf_dir)
+    text_batch = [QUERY_SET[i % len(QUERY_SET)] for i in range(300)]
+    vec_batch = [qvecs[i % len(qvecs)] for i in range(100)]
+
+    def mixed_round():
+        futs_done = svc.bm25_batch(text_batch, k=10)
+        svc.ann_batch(vec_batch[:50], k=5, nprobe=4)
+        svc.ann_batch(vec_batch[50:], k=5, nprobe=4,
+                      filters=[("label", "==", 1)])
+        return futs_done
+
+    mixed_round()                                  # cold: caches fill
+    t0 = time.perf_counter()
+    mixed_round()                                  # warm, same actors
+    msec = time.perf_counter() - t0
+    svc.shutdown()
+    timings["mixed_query_qps"] = round(400 / msec, 1)
+
     from vfs_index_ray.functions.dedup import exact_dedup
     from vfs_index_ray.functions.similarity import ann_cosine_topk
     best = float("inf")

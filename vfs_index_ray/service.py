@@ -31,13 +31,27 @@ from .hashing import fnv1a64
 
 @ray.remote
 class QueryWorker:
-    """One resident engine replica (caches live as long as the actor)."""
+    """One resident engine replica (caches live as long as the actor).
+
+    Beyond BM25, a replica can serve the whole query surface resident:
+    ``ann_dir`` loads an IVF vector index (centroids pinned in the
+    actor, bucket reads stay pruned parquet), and ``text_col`` enables
+    the expression planner (``execute``) over the corpus files."""
 
     def __init__(self, index_dir: str, corpus_files=None,
-                 id_col: str = "doc_id"):
+                 id_col: str = "doc_id", ann_dir: str | None = None,
+                 text_col: str = "text"):
         from .search import SearchEngine
         self.engine = SearchEngine(index_dir, corpus_files=corpus_files,
                                    id_col=id_col, io_threads=False)
+        self.ivf = None
+        if ann_dir is not None:
+            from .functions.similarity import IVFIndex
+            self.ivf = IVFIndex(ann_dir)
+        self._executor = None
+        self._corpus_files = corpus_files
+        self._id_col = id_col
+        self._text_col = text_col
         self.n_calls = 0
 
     def bm25_batch(self, queries: list[str], k: int = 10,
@@ -57,6 +71,42 @@ class QueryWorker:
         self.n_calls += 1
         return self.engine.df(q)
 
+    def ann_batch(self, vecs, k: int = 5, nprobe: int = 4,
+                  filters=None, exclude_ids=None):
+        """Resident IVF probes for a batch of query vectors; with
+        ``filters`` each probe pushes the predicate into its bucket
+        reads (search_filtered's escalating probe)."""
+        if self.ivf is None:
+            raise RuntimeError("replica has no ANN index (pass ann_dir)")
+        self.n_calls += 1
+        out = []
+        ex = exclude_ids or [None] * len(vecs)
+        for v, e in zip(vecs, ex):
+            v = np.asarray(v, np.float64)
+            if filters is None:
+                ids, sims = self.ivf.search(v, k, nprobe=nprobe,
+                                            exclude_id=e)
+            else:
+                ids, sims = self.ivf.search_filtered(
+                    v, k, filters=filters, nprobe=nprobe, exclude_id=e)
+            out.append((ids.tolist(), sims.tolist()))
+        return out
+
+    def execute(self, expr: str, limit: int | None = None) -> list[int]:
+        """Expression-planner query (``a && b``, ``||``, ``!``, ranges)
+        — the planner is built once per actor and kept resident."""
+        self.n_calls += 1
+        if self._executor is None:
+            from .planner import QueryExecutor
+            if not self._corpus_files:
+                raise RuntimeError(
+                    "planner execution needs corpus_files")
+            self._executor = QueryExecutor(
+                self.engine, self._corpus_files,
+                text_col=self._text_col, id_col=self._id_col)
+        return np.asarray(self._executor.execute(expr, limit=limit)
+                          ).tolist()
+
     def calls(self) -> int:
         return self.n_calls
 
@@ -71,7 +121,8 @@ class QueryService:
     def __init__(self, index_dir: str, *, replicas: int = 4,
                  corpus_files=None, id_col: str = "doc_id",
                  num_cpus: float = 1,
-                 scheduling_strategy: str | None = "SPREAD"):
+                 scheduling_strategy: str | None = "SPREAD",
+                 ann_dir: str | None = None, text_col: str = "text"):
         # max_restarts: a crashed replica restarts and rebuilds its
         # caches from the index on shared storage (workers hold no
         # unrecoverable state); in-flight calls on the dead actor fail
@@ -83,7 +134,8 @@ class QueryService:
             opts["scheduling_strategy"] = scheduling_strategy
         self.workers = [
             QueryWorker.options(**opts).remote(
-                index_dir, corpus_files=corpus_files, id_col=id_col)
+                index_dir, corpus_files=corpus_files, id_col=id_col,
+                ann_dir=ann_dir, text_col=text_col)
             for _ in range(replicas)]
         # fail fast if the index is unreadable (actor init raises lazily)
         ray.get([w.calls.remote() for w in self.workers])
@@ -119,6 +171,35 @@ class QueryService:
         return np.array(
             ray.get(self.workers[self._route(q)].match.remote(q)),
             np.uint64)
+
+    def execute(self, expr: str, limit: int | None = None) -> np.ndarray:
+        """Planner expression through a resident replica (routed by
+        expression for executor-cache affinity)."""
+        return np.array(ray.get(
+            self.workers[self._route(expr)].execute.remote(expr, limit)),
+            np.int64)
+
+    def ann_batch(self, vecs, k: int = 5, nprobe: int = 4,
+                  filters=None, exclude_ids=None):
+        """IVF ANN over the replica pool: vectors round-robin across
+        replicas (no query-string affinity to exploit — bucket reads
+        are pruned parquet either way), one RPC per replica, results
+        reassembled in input order.  Returns [(ids, sims), ...]."""
+        n = len(self.workers)
+        by_worker: dict[int, list[int]] = {}
+        for i in range(len(vecs)):
+            by_worker.setdefault(i % n, []).append(i)
+        ex = exclude_ids or [None] * len(vecs)
+        futs = {w: self.workers[w].ann_batch.remote(
+            [vecs[i] for i in idxs], k, nprobe, filters,
+            [ex[i] for i in idxs])
+            for w, idxs in by_worker.items()}
+        out: list = [None] * len(vecs)
+        for w, idxs in by_worker.items():
+            for i, (ids, sims) in zip(idxs, ray.get(futs[w])):
+                out[i] = (np.array(ids, np.int64),
+                          np.array(sims, np.float64))
+        return out
 
     def calls_per_worker(self) -> list[int]:
         return ray.get([w.calls.remote() for w in self.workers])
