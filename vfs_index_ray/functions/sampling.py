@@ -84,7 +84,8 @@ def _budget_mix_kernel(t: pa.Table, key_col: str, id_col: str,
 
 def budget_mix(ds, *, key_col: str = "source", id_col: str = "doc_id",
                weight_col: str = "n_chars", budget: int,
-               num_partitions: int = 32, shuffle: str = "auto"):
+               num_partitions: int = 32, shuffle: str = "auto",
+               spill_dir: str | None = None):
     """Deterministic mixture sampling under a per-key weight budget —
     the training-data "mixing" step: each source (domain, language,
     quality band) contributes documents in a seedless deterministic
@@ -117,7 +118,8 @@ def budget_mix(ds, *, key_col: str = "source", id_col: str = "doc_id",
         return _budget_mix_kernel(g, key_col, id_col, weight_col, budget)
 
     return _keyed_partition_op(ds, add_part, "kpart", per_part,
-                               shuffle=shuffle)
+                               shuffle=shuffle,
+                               spill_dir=spill_dir)
 
 
 def stratified_sample(ds, *, group_col: str, k: int,

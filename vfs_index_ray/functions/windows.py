@@ -26,7 +26,7 @@ import pyarrow.compute as pc
 
 
 def _disk_partition_apply(ds, add_part, part_col: str, per_part,
-                          spill_dir: str | None = None):
+spill_dir: str | None = None):
     """Hash-partition ``ds`` by ``part_col`` (added per batch by
     ``add_part``) via a hive-partitioned parquet spill, then run
     ``per_part`` once per partition as independent Ray tasks — the
@@ -170,7 +170,8 @@ def _sessions_kernel(t: pa.Table, gap_us: int, user_col: str,
 def sessionize(events_ds, *, gap_minutes: int = 30,
                user_col: str = "user_id", ts_col: str = "ts",
                id_col: str = "event_id", num_partitions: int = 32,
-               shuffle: str = "auto"):
+               shuffle: str = "auto",
+               spill_dir: str | None = None):
     """events → one row per (user, session): session_id (0-based per
     user, in time order), session_start, session_end, n_events.
 
@@ -191,7 +192,8 @@ def sessionize(events_ds, *, gap_minutes: int = 30,
         return _sessions_kernel(g, gap_us, user_col, ts_col, id_col)
 
     return _keyed_partition_op(events_ds, add_part, "upart", per_part,
-                               shuffle=shuffle)
+                               shuffle=shuffle,
+                               spill_dir=spill_dir)
 
 
 def tumbling_aggregate(events_ds, *, window_minutes: int = 60,
@@ -301,7 +303,8 @@ def _latest_kernel(t: pa.Table, key_col: str, ts_col: str,
 
 def latest_per_key(events_ds, *, key_col: str = "user_id",
                    ts_col: str = "ts", id_col: str = "event_id",
-                   num_partitions: int = 32, shuffle: str = "auto"):
+                   num_partitions: int = 32, shuffle: str = "auto",
+                   spill_dir: str | None = None):
     """Latest record per key — the re-crawl dedup shape for a web
     corpus (keep the newest snapshot per url: key=url-hash, ts=crawl
     timestamp). Shuffle shape identical to ``sessionize``: ONE uniform
@@ -318,7 +321,8 @@ def latest_per_key(events_ds, *, key_col: str = "user_id",
         return _latest_kernel(g, key_col, ts_col, id_col)
 
     return _keyed_partition_op(events_ds, add_part, "kpart", per_part,
-                               shuffle=shuffle)
+                               shuffle=shuffle,
+                               spill_dir=spill_dir)
 
 
 def _asof_kernel(t: pa.Table, user_col: str, ts_col: str, id_col: str,
@@ -382,7 +386,8 @@ def _asof_kernel(t: pa.Table, user_col: str, ts_col: str, id_col: str,
 def asof_prior(events_ds, *, left_type: str, right_type: str,
                user_col: str = "user_id", ts_col: str = "ts",
                id_col: str = "event_id", type_col: str = "event_type",
-               num_partitions: int = 32, shuffle: str = "auto"):
+               num_partitions: int = 32, shuffle: str = "auto",
+               spill_dir: str | None = None):
     """As-of join inside one event log: every LEFT-type event matched
     to the latest RIGHT-type event of the same key that strictly
     precedes it in (ts, id) order — the temporal-attribution shape
@@ -410,7 +415,8 @@ def asof_prior(events_ds, *, left_type: str, right_type: str,
                             left_type, right_type)
 
     return _keyed_partition_op(events_ds, add_part, "upart", per_part,
-                               shuffle=shuffle)
+                               shuffle=shuffle,
+                               spill_dir=spill_dir)
 
 
 def _window_count_kernel(t: pa.Table, user_col: str, ts_col: str,
@@ -476,7 +482,8 @@ def window_count_prior(events_ds, *, left_type: str, right_type: str,
                        user_col: str = "user_id", ts_col: str = "ts",
                        id_col: str = "event_id",
                        type_col: str = "event_type",
-                       num_partitions: int = 32, shuffle: str = "auto"):
+                       num_partitions: int = 32, shuffle: str = "auto",
+                       spill_dir: str | None = None):
     """Range-join windowed aggregate: for every LEFT-type event, how
     many RIGHT-type events of the same key fall in the sliding window
     ``(ts - window, ts)`` strictly before it — the attribution-count
@@ -501,7 +508,8 @@ def window_count_prior(events_ds, *, left_type: str, right_type: str,
                                     window_us)
 
     return _keyed_partition_op(events_ds, add_part, "upart", per_part,
-                               shuffle=shuffle)
+                               shuffle=shuffle,
+                               spill_dir=spill_dir)
 
 
 def _pack_kernel(t: pa.Table, key_col: str, order_col: str,
@@ -537,7 +545,8 @@ def _pack_kernel(t: pa.Table, key_col: str, order_col: str,
 def pack_by_budget(ds, *, key_col: str = "source",
                    order_col: str = "doc_id",
                    weight_col: str = "n_chars", budget: int = 4096,
-                   num_partitions: int = 32, shuffle: str = "auto"):
+                   num_partitions: int = 32, shuffle: str = "auto",
+                   spill_dir: str | None = None):
     """Greedy budget packing (training-shard packing: fill each pack
     with ~``budget`` weight of consecutive docs per key). Same shuffle
     shape as sessionize: ONE uniform hash-partition groupby on the key,
@@ -562,7 +571,8 @@ def pack_by_budget(ds, *, key_col: str = "source",
         return _pack_kernel(g, key_col, order_col, weight_col, budget)
 
     return _keyed_partition_op(ds, add_part, "kpart", per_part,
-                               shuffle=shuffle)
+                               shuffle=shuffle,
+                               spill_dir=spill_dir)
 
 
 def _running_total_kernel(t: pa.Table, key_col: str, ts_col: str,
@@ -603,7 +613,8 @@ def _running_total_kernel(t: pa.Table, key_col: str, ts_col: str,
 def running_total(events_ds, *, key_col: str = "user_id",
                   ts_col: str = "ts", id_col: str = "event_id",
                   val_col: str = "value", num_partitions: int = 32,
-                  shuffle: str = "auto"):
+                  shuffle: str = "auto",
+                  spill_dir: str | None = None):
     """Per-key running sum (the SQL ``SUM(v) OVER (PARTITION BY key
     ORDER BY ts, id)`` window) — values quantize to integer x1e4 PER
     ROW first, so the cumulative sums are exact and order-stable.
@@ -618,7 +629,8 @@ def running_total(events_ds, *, key_col: str = "user_id",
                                      val_col)
 
     return _keyed_partition_op(events_ds, add_part, "kpart", per_part,
-                               shuffle=shuffle)
+                               shuffle=shuffle,
+                               spill_dir=spill_dir)
 
 
 def _top_n_kernel(t: pa.Table, key_col: str, val_col: str,
@@ -647,7 +659,8 @@ def _top_n_kernel(t: pa.Table, key_col: str, val_col: str,
 def top_n_per_key(events_ds, *, key_col: str = "user_id",
                   val_col: str = "value", id_col: str = "event_id",
                   n: int = 3, num_partitions: int = 32,
-                  shuffle: str = "auto"):
+                  shuffle: str = "auto",
+                  spill_dir: str | None = None):
     """Per-key top-n (the SQL ``row_number() OVER (PARTITION BY key
     ORDER BY val DESC, id) <= n`` shape): one uniform hash partition,
     one vectorized sort + run-rank kernel per partition; output is at
@@ -661,4 +674,5 @@ def top_n_per_key(events_ds, *, key_col: str = "user_id",
         return _top_n_kernel(g, key_col, val_col, id_col, n)
 
     return _keyed_partition_op(events_ds, add_part, "kpart", per_part,
-                               shuffle=shuffle)
+                               shuffle=shuffle,
+                               spill_dir=spill_dir)
