@@ -174,9 +174,57 @@ class IVFIndex:
     buckets and a failed build can be re-run atomically.
     """
 
-    def __init__(self, path: str):
+    def __init__(self, path: str, cache_bytes: int = 0):
+        """``cache_bytes`` > 0 turns on a byte-capped LRU of DECODED
+        buckets (ids + float64 matrix + keep_cols metadata) — the
+        serving shape: a resident replica pays the parquet read +
+        decode once per bucket it probes, then every later probe is a
+        pure matmul.  Filters are evaluated in memory over the cached
+        metadata with ``pq.filters_to_expression`` — the exact
+        semantics parquet applies on the disk path, so cached and
+        uncached results are bit-identical.  At 100-TB scale a replica
+        caches its hot probe set, never the corpus: eviction is
+        strictly by bytes, least-recently-probed first."""
         self.path = path
         self.centroids = np.load(os.path.join(path, "centroids.npy"))
+        self.cache_bytes = int(cache_bytes)
+        from collections import OrderedDict
+        self._cache: OrderedDict[int, tuple] = OrderedDict()
+        self._cache_used = 0
+
+    def _bucket_resident(self, c: int):
+        """(ids, mat, meta) for one bucket via the LRU, or None if the
+        bucket is empty/absent. meta carries keep_cols + a ``_row``
+        index so a filter can subset ids/mat consistently."""
+        import pyarrow.parquet as pq
+        c = int(c)
+        ent = self._cache.get(c)
+        if ent is not None:
+            self._cache.move_to_end(c)
+            return ent[0]
+        d = os.path.join(self.path, "buckets", f"bucket={c}")
+        if not os.path.isdir(d):
+            payload, nbytes = None, 64
+        else:
+            tbl = pq.read_table(d, use_threads=False)
+            ids = tbl["vec_id"].to_numpy(zero_copy_only=False
+                                         ).astype(np.int64)
+            if len(ids) == 0:
+                payload, nbytes = None, 64
+            else:
+                flat = tbl["embedding"].combine_chunks().values \
+                    .to_numpy(zero_copy_only=False).astype(np.float64)
+                mat = flat.reshape(len(ids), -1)
+                meta = tbl.drop_columns(["embedding"]).append_column(
+                    "_row", pa.array(np.arange(len(ids)), pa.int64()))
+                nbytes = mat.nbytes + ids.nbytes + meta.nbytes
+                payload = (ids, mat, meta)
+        self._cache[c] = (payload, nbytes)
+        self._cache_used += nbytes
+        while self._cache_used > self.cache_bytes and len(self._cache) > 1:
+            _, (_, old_bytes) = self._cache.popitem(last=False)
+            self._cache_used -= old_bytes
+        return payload
 
     @staticmethod
     def _normalize(mat: np.ndarray) -> np.ndarray:
@@ -294,9 +342,42 @@ class IVFIndex:
         """Exact cosine over the given centroid buckets; ``filters`` is
         a parquet row filter PUSHED INTO each bucket read (row-group
         pruning on the bucket files — the corpus is never scanned).
-        Returns (ids, sims, rows_scanned)."""
+        Returns (ids, sims, rows_scanned).
+
+        With ``cache_bytes`` > 0 the same scan runs over the resident
+        LRU instead: filters evaluate in memory over cached keep_cols
+        metadata (``filters_to_expression`` — identical row semantics
+        to the parquet pushdown), and ``rows_scanned`` still counts
+        post-filter rows, so the escalation rule and every output are
+        unchanged."""
         import pyarrow.parquet as pq
         ids_l, sims_l, scanned = [], [], 0
+        if self.cache_bytes > 0:
+            expr = (pq.filters_to_expression(filters)
+                    if filters is not None else None)
+            for c in probe:
+                ent = self._bucket_resident(c)
+                if ent is None:
+                    continue
+                ids, mat, meta = ent
+                if expr is not None:
+                    sel = meta.filter(expr)["_row"].to_numpy(
+                        zero_copy_only=False)
+                    if len(sel) == 0:
+                        continue
+                    ids, mat = ids[sel], mat[sel]
+                scanned += len(ids)
+                s = mat @ q
+                if exclude_id is not None:
+                    m = ids != exclude_id
+                    ids, s = ids[m], s[m]
+                ids_l.append(ids)
+                sims_l.append(s)
+            if not ids_l:
+                return (np.empty(0, np.int64),
+                        np.empty(0, np.float64), scanned)
+            return (np.concatenate(ids_l).astype(np.int64),
+                    np.concatenate(sims_l), scanned)
         for c in probe:
             d = os.path.join(self.path, "buckets", f"bucket={c}")
             if not os.path.isdir(d):  # empty centroid bucket

@@ -40,14 +40,18 @@ class QueryWorker:
 
     def __init__(self, index_dir: str, corpus_files=None,
                  id_col: str = "doc_id", ann_dir: str | None = None,
-                 text_col: str = "text"):
+                 text_col: str = "text",
+                 ann_cache_bytes: int = 256 << 20):
         from .search import SearchEngine
         self.engine = SearchEngine(index_dir, corpus_files=corpus_files,
                                    id_col=id_col, io_threads=False)
         self.ivf = None
         if ann_dir is not None:
             from .functions.similarity import IVFIndex
-            self.ivf = IVFIndex(ann_dir)
+            # resident LRU of decoded buckets (byte-capped): repeat
+            # probes of a hot bucket are matmuls, not parquet reads —
+            # the ANN analog of the warm postings cache
+            self.ivf = IVFIndex(ann_dir, cache_bytes=ann_cache_bytes)
         self._executor = None
         self._corpus_files = corpus_files
         self._id_col = id_col
@@ -122,7 +126,8 @@ class QueryService:
                  corpus_files=None, id_col: str = "doc_id",
                  num_cpus: float = 1,
                  scheduling_strategy: str | None = "SPREAD",
-                 ann_dir: str | None = None, text_col: str = "text"):
+                 ann_dir: str | None = None, text_col: str = "text",
+                 ann_cache_bytes: int = 256 << 20):
         # max_restarts: a crashed replica restarts and rebuilds its
         # caches from the index on shared storage (workers hold no
         # unrecoverable state); in-flight calls on the dead actor fail
@@ -135,7 +140,8 @@ class QueryService:
         self.workers = [
             QueryWorker.options(**opts).remote(
                 index_dir, corpus_files=corpus_files, id_col=id_col,
-                ann_dir=ann_dir, text_col=text_col)
+                ann_dir=ann_dir, text_col=text_col,
+                ann_cache_bytes=ann_cache_bytes)
             for _ in range(replicas)]
         # fail fast if the index is unreadable (actor init raises lazily)
         ray.get([w.calls.remote() for w in self.workers])
