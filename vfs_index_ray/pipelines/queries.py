@@ -20,6 +20,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 from ..build import IndexBuilder
+from ..functions.sketches import hll_oracle_sql as _hll_oracle_sql
 from ..search import SearchEngine
 
 BM25_QUERY = "spark join window"
@@ -1725,6 +1726,25 @@ def q_events_distinct(sf_dir: str) -> pa.Table:
                              ("n_distinct", pa.int64())]))
 
 
+def q_events_approx_users(sf_dir: str) -> pa.Table:
+    """APPROXIMATE distinct users per event type via the 64-register
+    HyperLogLog sketch (functions/sketches.py) — the shuffle-free
+    companion to events_distinct: batches fold into tiny max-register
+    partials, nothing keyed ever moves.  Integer-exact closed form,
+    so the oracle SQL recomputes the identical sketch (mix32 hash in
+    HUGEINT, printf('%b') bitlen, shared linear-counting literals)."""
+    import ray.data
+
+    from ..functions.sketches import approx_distinct
+    _tune_context()
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["event_type", "user_id"])
+    return approx_distinct(ds, key_col="user_id",
+                           group_col="event_type",
+                           out_col="approx_users")
+
+
 def q_customer_revenue(sf_dir: str) -> pa.Table:
     """High-cardinality grouped aggregate (one row per customer):
     hash_aggregate — per-batch Arrow partials, hive disk-shuffle by
@@ -1987,6 +2007,7 @@ QUERIES = {
     "events_running": q_events_running,
     "events_top_per_user": q_events_top_per_user,
     "events_distinct": q_events_distinct,
+    "events_approx_users": q_events_approx_users,
     "simhash_near_dup": q_simhash_near_dup,
     "embedding_near_dup": q_embedding_near_dup,
     "langid": q_langid,
@@ -3023,6 +3044,10 @@ FROM orders GROUP BY o_custkey ORDER BY o_custkey
 SELECT event_type, count(DISTINCT user_id)::BIGINT AS n_distinct
 FROM events GROUP BY event_type ORDER BY event_type
 """,
+    # generated: recomputes the engine's exact integer HLL sketch
+    # (functions/sketches.py hll_oracle_sql — shared literals)
+    "events_approx_users": _hll_oracle_sql(
+        "events", "user_id", "event_type", "approx_users"),
     "events_top_per_user": """
 WITH q AS (
   SELECT event_id, user_id,
