@@ -2,7 +2,7 @@
 on a synthetic orders/lineitem-shaped pair.
 
     python tools/perf_joins.py [--rows 10000000] [--keys 2500000] \
-        [--cpus 32] [--ops hash broadcast agg]
+        [--cpus 32] [--ops hash broadcast agg bloom]
 
 - hash:      lineitem(rows) ⋈ orders(keys) on the co-partitioned disk
              shuffle, with the revenue aggregate inside each join task
@@ -28,12 +28,15 @@ _REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, _REPO)
 
 
-def _corpus(rows: int, keys: int, hot_frac: float = 0.0) -> tuple[str, str]:
+def _corpus(rows: int, keys: int, hot_frac: float = 0.0,
+            spread: int = 1) -> tuple[str, str]:
     import numpy as np
     import pyarrow as pa
     import pyarrow.parquet as pq
 
     tag = f"_hot{int(hot_frac * 100)}" if hot_frac else ""
+    if spread != 1:
+        tag += f"_sp{spread}"
     base = f"/tmp/vfsray_bench/join_{rows}_{keys}{tag}"
     ldir, rdir = os.path.join(base, "lineitem"), os.path.join(base, "orders")
     done = os.path.join(base, "_done")
@@ -45,7 +48,7 @@ def _corpus(rows: int, keys: int, hot_frac: float = 0.0) -> tuple[str, str]:
     chunk = 2_000_000
     for i, lo in enumerate(range(0, rows, chunk)):
         n = min(chunk, rows - lo)
-        ks = g.integers(0, keys, n)
+        ks = g.integers(0, keys * spread, n)
         if hot_frac:
             ks = np.where(g.random(n) < hot_frac, 0, ks)
         t = pa.table({
@@ -135,6 +138,24 @@ def main(argv=None) -> int:
             m = _group_counts(parts, ["o_flag"], [("rev", "sum")])
             times[f"skew_salt{s}"] = round(time.perf_counter() - t0, 3)
             extra[f"skew_salt{s}_rows"] = parts.num_rows
+
+    if "bloom" in args.ops:
+        # selective inner join (~1/20 of probe rows have a matching
+        # build key): the bloom prefilter drops non-matching probe
+        # rows before the spill — same output, less shuffled volume
+        bldir, brdir = _corpus(args.rows, args.keys, spread=20)
+        for flag in (False, True):
+            t0 = time.perf_counter()
+            out = hash_join(ray.data.read_parquet(bldir),
+                            ray.data.read_parquet(brdir),
+                            left_on="l_orderkey",
+                            right_on="o_orderkey", post=post,
+                            bloom_prefilter=flag)
+            parts = pa.concat_tables(ray.get(out.to_arrow_refs()))
+            m = _group_counts(parts, ["o_flag"], [("rev_sum", "sum")])
+            name = "bloom_on" if flag else "bloom_off"
+            times[name] = round(time.perf_counter() - t0, 3)
+            extra[f"{name}_groups"] = m.num_rows
 
     if "agg" in args.ops:
         t0 = time.perf_counter()

@@ -45,29 +45,35 @@ import numpy as np
 import pyarrow as pa
 
 
-def _part_codes(arr, num_parts: int) -> np.ndarray:
-    """int32 partition codes for an int or string key array: splitmix64
+def _key_hash64(arr) -> np.ndarray:
+    """uint64 key hashes for an int or string key array: splitmix64
     finalizer for integers, FNV-1a for strings — both sides of a join
-    must (and do) use the identical function."""
+    must (and do) use the identical function.  Nulls hash like a
+    sentinel (0 / empty string); callers that care mask them via the
+    array's validity."""
     from ..hashing import fnv1a64_tokens
 
     if isinstance(arr, pa.ChunkedArray):
         arr = arr.combine_chunks()
     if pa.types.is_integer(arr.type):
         if arr.null_count:
-            # null -> sentinel partition code (to_numpy would yield
-            # float64 + NaN, and NaN->uint64 is undefined); equality is
-            # decided by the join kernel, so co-locating nulls with
-            # key 0 cannot fabricate matches
+            # null -> sentinel (to_numpy would yield float64 + NaN,
+            # and NaN->uint64 is undefined); equality is decided by
+            # the join kernel, so a sentinel collision cannot
+            # fabricate matches
             arr = arr.fill_null(0)
         h = arr.cast(pa.int64()).to_numpy(zero_copy_only=False
                                           ).astype(np.uint64)
         h = (h ^ (h >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
         h = (h ^ (h >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
-        h = h ^ (h >> np.uint64(31))
-    else:
-        h = fnv1a64_tokens(arr)
-    return (h % np.uint64(num_parts)).astype(np.int32)
+        return h ^ (h >> np.uint64(31))
+    return fnv1a64_tokens(arr)
+
+
+def _part_codes(arr, num_parts: int) -> np.ndarray:
+    """int32 partition codes from ``_key_hash64`` (null-key rows
+    co-locate on the sentinel partition)."""
+    return (_key_hash64(arr) % np.uint64(num_parts)).astype(np.int32)
 
 
 # per-partition spill byte target (parquet-encoded): one co-partition
@@ -121,6 +127,98 @@ def broadcast_join(left_ds, right: pa.Table, *, left_on, right_on=None,
 
     return left_ds.map_batches(probe, batch_format="pyarrow",
                                zero_copy_batch=True)
+
+
+# ---- Bloom-filter join prefilter -----------------------------------
+#
+# The 100-TB shuffle reducer for selective inner/semi joins: build a
+# bit-array sketch of the BUILD side's keys (one streaming pass, tiny
+# mergeable partials), broadcast it once, and drop probe rows that
+# provably cannot match BEFORE they are spilled/shuffled.  False
+# positives pass through to the exact Acero join, so results are
+# bit-identical with the filter on or off — only the spilled probe
+# volume changes.  Default m=2^23 bits (1 MiB): ~2% FPR at 1M distinct
+# build keys with k=4 probes; size m to ~8-10 bits per expected
+# distinct key.
+
+_BLOOM_SEED = np.uint64(0x9E3779B97F4A7C15)
+
+
+def _bloom_h2(h1: np.ndarray) -> np.ndarray:
+    """Second, odd-valued hash stream for double hashing."""
+    h = (h1 ^ _BLOOM_SEED) * np.uint64(0xBF58476D1CE4E5B9)
+    h = h ^ (h >> np.uint64(29))
+    return h | np.uint64(1)
+
+
+def build_key_bloom(ds, col, *, m_bits: int = 1 << 23,
+                    k: int = 4) -> dict:
+    """One streaming pass over ``ds[col]`` -> a Bloom filter dict
+    ``{"words": uint64[m/64], "m_bits", "k"}``.  Each batch sets bits
+    in a local word array shipped back as one binary blob; the driver
+    OR-merges (order-free).  Null keys are skipped: a null never
+    equals anything, so inner/semi probes may drop them too."""
+    import ray
+
+    m = int(m_bits)
+    if m % 64:
+        raise ValueError("m_bits must be a multiple of 64")
+
+    def partial(t: pa.Table) -> pa.Table:
+        arr = t[col]
+        if isinstance(arr, pa.ChunkedArray):
+            arr = arr.combine_chunks()
+        arr = arr.drop_null()
+        words = np.zeros(m // 64, np.uint64)
+        if len(arr):
+            h1 = _key_hash64(arr)
+            h2 = _bloom_h2(h1)
+            for i in range(k):
+                pos = (h1 + np.uint64(i) * h2) % np.uint64(m)
+                np.bitwise_or.at(
+                    words, (pos >> np.uint64(6)).astype(np.int64),
+                    np.uint64(1) << (pos & np.uint64(63)))
+        return pa.table({"bloom": pa.array([words.tobytes()],
+                                           pa.large_binary())})
+
+    out = ds.select_columns([col]).map_batches(
+        partial, batch_format="pyarrow", zero_copy_batch=True)
+    words = np.zeros(m // 64, np.uint64)
+    for t in ray.get(out.to_arrow_refs()):
+        for blob in t["bloom"].to_pylist():
+            words |= np.frombuffer(blob, np.uint64)
+    return {"words": words, "m_bits": m, "k": k}
+
+
+def bloom_filter_keys(ds, bloom: dict, col):
+    """Filter ``ds`` to rows whose ``col`` MAY be in the bloom (plus
+    never null): the inner/semi-join prefilter.  The bloom words ship
+    once via ``ray.put``; each batch is k vectorized bit-gathers."""
+    import ray
+
+    m = np.uint64(bloom["m_bits"])
+    k = bloom["k"]
+    ref = ray.put(bloom["words"])
+
+    def probe(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        arr = t[col]
+        if isinstance(arr, pa.ChunkedArray):
+            arr = arr.combine_chunks()
+        words = ray.get(ref)
+        h1 = _key_hash64(arr)
+        h2 = _bloom_h2(h1)
+        ok = pc.is_valid(arr).to_numpy(zero_copy_only=False
+                                       ).astype(bool)
+        for i in range(k):
+            pos = (h1 + np.uint64(i) * h2) % m
+            bit = (words[(pos >> np.uint64(6)).astype(np.int64)]
+                   >> (pos & np.uint64(63))) & np.uint64(1)
+            ok &= bit.astype(bool)
+        return t.filter(pa.array(ok))
+
+    return ds.map_batches(probe, batch_format="pyarrow",
+                          zero_copy_batch=True)
 
 
 def co_partition_apply(left_ds, right_ds, *, left_on, right_on=None,
@@ -280,7 +378,9 @@ def hash_join(left_ds, right_ds, *, left_on, right_on=None,
               post=None, left_suffix=None, right_suffix="_r",
               salt: int = 1, salt_keys=None,
               spill_dir: str | None = None,
-              part_target_bytes: int = PART_TARGET_BYTES):
+              part_target_bytes: int = PART_TARGET_BYTES,
+              bloom_prefilter: bool = False,
+              bloom_m_bits: int = 1 << 23):
     """Co-partitioned disk-shuffle hash join of two Datasets: one
     single-threaded Acero hash join per partition pair, with an
     optional ``post(tbl) -> tbl`` kernel run inside each task on the
@@ -289,10 +389,25 @@ def hash_join(left_ds, right_ds, *, left_on, right_on=None,
     "left anti".  ``salt`` > 1 with ``salt_keys`` (the known hot probe
     keys) mitigates skew (see ``co_partition_apply``); a salted
     ``post`` that aggregates by the join key sees partial groups per
-    subpart — merge downstream."""
+    subpart — merge downstream.
+
+    ``bloom_prefilter=True`` (inner/semi only — outer/anti must keep
+    non-matching rows) first streams the RIGHT side's key column into
+    a Bloom filter and drops left rows that provably cannot match
+    before they are spilled: identical results (false positives reach
+    the exact join), less shuffled probe volume.  Costs one extra
+    pass over the right side's key column — worth it when the probe
+    side is much larger than its matching subset."""
     right_on2 = right_on or left_on
     if how not in ("inner", "left outer", "left semi", "left anti"):
         raise ValueError(f"unsupported join type: {how!r}")
+    if bloom_prefilter:
+        if how not in ("inner", "left semi"):
+            raise ValueError(
+                "bloom_prefilter only applies to inner/semi joins")
+        bloom = build_key_bloom(right_ds, right_on2,
+                                m_bits=bloom_m_bits)
+        left_ds = bloom_filter_keys(left_ds, bloom, left_on)
 
     def kernel(lt: pa.Table, rt: pa.Table) -> pa.Table:
         j = _join(lt, rt, left_on, right_on2, how,
