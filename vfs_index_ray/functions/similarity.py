@@ -191,6 +191,11 @@ class IVFIndex:
         from collections import OrderedDict
         self._cache: OrderedDict[int, tuple] = OrderedDict()
         self._cache_used = 0
+        # (bucket, repr(filters)) -> row selection, for repeated
+        # identical predicates (the common serving case); entry-capped
+        # LRU — selections are tiny (int64 row indices)
+        self._filter_cache: OrderedDict[tuple, np.ndarray] = OrderedDict()
+        self._filter_cache_max = 256
 
     def _bucket_resident(self, c: int):
         """(ids, mat, meta) for one bucket via the LRU, or None if the
@@ -361,8 +366,17 @@ class IVFIndex:
                     continue
                 ids, mat, meta = ent
                 if expr is not None:
-                    sel = meta.filter(expr)["_row"].to_numpy(
-                        zero_copy_only=False)
+                    fkey = (int(c), repr(filters))
+                    sel = self._filter_cache.get(fkey)
+                    if sel is None:
+                        sel = meta.filter(expr)["_row"].to_numpy(
+                            zero_copy_only=False)
+                        self._filter_cache[fkey] = sel
+                        if (len(self._filter_cache)
+                                > self._filter_cache_max):
+                            self._filter_cache.popitem(last=False)
+                    else:
+                        self._filter_cache.move_to_end(fkey)
                     if len(sel) == 0:
                         continue
                     ids, mat = ids[sel], mat[sel]
