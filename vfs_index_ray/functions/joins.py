@@ -76,6 +76,28 @@ def _part_codes(arr, num_parts: int) -> np.ndarray:
     return (_key_hash64(arr) % np.uint64(num_parts)).astype(np.int32)
 
 
+def _norm_keys(on) -> list[str]:
+    """Normalize a join-key spec (str or list of str) to a list."""
+    return [on] if isinstance(on, str) else list(on)
+
+
+def _keys_hash64(t: pa.Table, cols: list[str]) -> np.ndarray:
+    """Combined uint64 hash over one or more key columns: per-column
+    ``_key_hash64`` folded FNV-style (order-sensitive, so both sides
+    must list their key columns in corresponding order — they do, by
+    the pairwise ``left_on``/``right_on`` contract)."""
+    h = _key_hash64(t[cols[0]])
+    for c in cols[1:]:
+        h = (h * np.uint64(0x100000001B3)) ^ _key_hash64(t[c])
+    return h
+
+
+def _part_codes_multi(t: pa.Table, cols: list[str],
+                      num_parts: int) -> np.ndarray:
+    return (_keys_hash64(t, cols) % np.uint64(num_parts)
+            ).astype(np.int32)
+
+
 # per-partition spill byte target (parquet-encoded): one co-partition
 # (left + right slice) is loaded whole by a single 1-CPU task, so the
 # partition COUNT must grow with the data, not stay pinned to the CPU
@@ -151,27 +173,31 @@ def _bloom_h2(h1: np.ndarray) -> np.ndarray:
     return h | np.uint64(1)
 
 
-def build_key_bloom(ds, col, *, m_bits: int = 1 << 23,
+def build_key_bloom(ds, on, *, m_bits: int = 1 << 23,
                     k: int = 4) -> dict:
-    """One streaming pass over ``ds[col]`` -> a Bloom filter dict
-    ``{"words": uint64[m/64], "m_bits", "k"}``.  Each batch sets bits
-    in a local word array shipped back as one binary blob; the driver
-    OR-merges (order-free).  Null keys are skipped: a null never
-    equals anything, so inner/semi probes may drop them too."""
+    """One streaming pass over the key column(s) -> a Bloom filter
+    dict ``{"words": uint64[m/64], "m_bits", "k"}``.  ``on`` is a
+    column name or list (multi-column keys hash with the join's
+    ``_keys_hash64`` fold).  Each batch sets bits in a local word
+    array shipped back as one binary blob; the driver OR-merges
+    (order-free).  Rows with ANY null key column are skipped: a null
+    never equals anything, so inner/semi probes may drop them too."""
     import ray
 
+    cols = _norm_keys(on)
     m = int(m_bits)
     if m % 64:
         raise ValueError("m_bits must be a multiple of 64")
 
     def partial(t: pa.Table) -> pa.Table:
-        arr = t[col]
-        if isinstance(arr, pa.ChunkedArray):
-            arr = arr.combine_chunks()
-        arr = arr.drop_null()
+        import pyarrow.compute as pc
+        valid = pc.is_valid(t[cols[0]])
+        for c in cols[1:]:
+            valid = pc.and_(valid, pc.is_valid(t[c]))
+        t = t.filter(valid)
         words = np.zeros(m // 64, np.uint64)
-        if len(arr):
-            h1 = _key_hash64(arr)
+        if t.num_rows:
+            h1 = _keys_hash64(t, cols)
             h2 = _bloom_h2(h1)
             for i in range(k):
                 pos = (h1 + np.uint64(i) * h2) % np.uint64(m)
@@ -181,7 +207,7 @@ def build_key_bloom(ds, col, *, m_bits: int = 1 << 23,
         return pa.table({"bloom": pa.array([words.tobytes()],
                                            pa.large_binary())})
 
-    out = ds.select_columns([col]).map_batches(
+    out = ds.select_columns(cols).map_batches(
         partial, batch_format="pyarrow", zero_copy_batch=True)
     words = np.zeros(m // 64, np.uint64)
     for t in ray.get(out.to_arrow_refs()):
@@ -190,26 +216,28 @@ def build_key_bloom(ds, col, *, m_bits: int = 1 << 23,
     return {"words": words, "m_bits": m, "k": k}
 
 
-def bloom_filter_keys(ds, bloom: dict, col):
-    """Filter ``ds`` to rows whose ``col`` MAY be in the bloom (plus
-    never null): the inner/semi-join prefilter.  The bloom words ship
-    once via ``ray.put``; each batch is k vectorized bit-gathers."""
+def bloom_filter_keys(ds, bloom: dict, on):
+    """Filter ``ds`` to rows whose key(s) MAY be in the bloom (plus
+    no null key column): the inner/semi-join prefilter.  The bloom
+    words ship once via ``ray.put``; each batch is k vectorized
+    bit-gathers."""
     import ray
 
+    cols = _norm_keys(on)
     m = np.uint64(bloom["m_bits"])
     k = bloom["k"]
     ref = ray.put(bloom["words"])
 
     def probe(t: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
-        arr = t[col]
-        if isinstance(arr, pa.ChunkedArray):
-            arr = arr.combine_chunks()
         words = ray.get(ref)
-        h1 = _key_hash64(arr)
+        h1 = _keys_hash64(t, cols)
         h2 = _bloom_h2(h1)
-        ok = pc.is_valid(arr).to_numpy(zero_copy_only=False
-                                       ).astype(bool)
+        valid = pc.is_valid(t[cols[0]])
+        for c in cols[1:]:
+            valid = pc.and_(valid, pc.is_valid(t[c]))
+        ok = valid.combine_chunks().to_numpy(zero_copy_only=False
+                                             ).astype(bool)
         for i in range(k):
             pos = (h1 + np.uint64(i) * h2) % m
             bit = (words[(pos >> np.uint64(6)).astype(np.int64)]
@@ -263,10 +291,15 @@ def co_partition_apply(left_ds, right_ds, *, left_on, right_on=None,
     import ray.data
 
     right_on = right_on or left_on
+    lcols, rcols = _norm_keys(left_on), _norm_keys(right_on)
+    if len(lcols) != len(rcols):
+        raise ValueError("left_on/right_on must pair up")
     if kernel is None:
         raise ValueError("co_partition_apply requires a kernel")
     if salt < 1:
         raise ValueError("salt must be >= 1")
+    if salt > 1 and len(lcols) > 1:
+        raise ValueError("salting supports single-column keys only")
     if num_parts is None:
         # size-aware: ceil(bytes / part_target_bytes) with a CPU floor,
         # so per-task peak memory stays bounded as inputs grow
@@ -277,15 +310,15 @@ def co_partition_apply(left_ds, right_ds, *, left_on, right_on=None,
     if salt > 1 and salt_keys is not None:
         hot = pa.array(list(salt_keys))
 
-    def add_part(col, side):
+    def add_part(cols, side):
         def inner(batch: pa.Table) -> pa.Table:
             import pyarrow.compute as pc
-            base = _part_codes(batch[col], num_parts)
+            base = _part_codes_multi(batch, cols, num_parts)
             if salt == 1:
                 return batch.append_column(
                     "_jp", pa.array(base, pa.int32()))
             if hot is not None:
-                m = pc.is_in(batch[col], value_set=hot).to_numpy(
+                m = pc.is_in(batch[cols[0]], value_set=hot).to_numpy(
                     zero_copy_only=False).astype(bool)
             else:
                 m = np.ones(batch.num_rows, bool)
@@ -321,12 +354,12 @@ def co_partition_apply(left_ds, right_ds, *, left_on, right_on=None,
     sp = open_spill(spill_dir, prefix="join_")
     try:
         sp.write_parquet(
-            left_ds.map_batches(add_part(left_on, "left"),
+            left_ds.map_batches(add_part(lcols, "left"),
                                 batch_format="pyarrow",
                                 zero_copy_batch=True),
             "L", partition_cols=["_jp"])
         sp.write_parquet(
-            right_ds.map_batches(add_part(right_on, "right"),
+            right_ds.map_batches(add_part(rcols, "right"),
                                  batch_format="pyarrow",
                                  zero_copy_batch=True),
             "R", partition_cols=["_jp"])
@@ -385,9 +418,12 @@ def hash_join(left_ds, right_ds, *, left_on, right_on=None,
     single-threaded Acero hash join per partition pair, with an
     optional ``post(tbl) -> tbl`` kernel run inside each task on the
     joined partition (local aggregates / top-k when grouping by the
-    join key).  ``how`` is "inner", "left outer", "left semi" or
-    "left anti".  ``salt`` > 1 with ``salt_keys`` (the known hot probe
-    keys) mitigates skew (see ``co_partition_apply``); a salted
+    join key).  ``left_on``/``right_on`` are a column name or a list
+    of names (multi-column equi-keys co-partition on a combined hash;
+    ANSI semantics — any null key column matches nothing).  ``how``
+    is "inner", "left outer", "left semi" or "left anti".  ``salt`` >
+    1 with ``salt_keys`` (the known hot probe keys, single-column
+    keys only) mitigates skew (see ``co_partition_apply``); a salted
     ``post`` that aggregates by the join key sees partial groups per
     subpart — merge downstream.
 

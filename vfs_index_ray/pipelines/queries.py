@@ -1745,6 +1745,60 @@ def q_events_approx_users(sf_dir: str) -> pa.Table:
                            out_col="approx_users")
 
 
+def q_lineitem_maxline(sf_dir: str) -> pa.Table:
+    """Multi-column equi-join: lines achieving their (partkey,
+    suppkey) pair's MAX quantity.  The per-pair max is a
+    high-cardinality hash_aggregate; the join back to lineitem
+    co-partitions BOTH sides on the combined two-column key hash
+    (functions/joins.py list keys) with the equality filter running
+    inside each join task.  Quantities quantize to integer x100 so
+    the compared values are exact."""
+    import ray.data
+
+    from ..functions.boilerplate import hash_aggregate
+    from ..functions.joins import hash_join
+    _tune_context()
+
+    def prep(t: pa.Table) -> pa.Table:
+        q = t["l_quantity"].to_numpy(zero_copy_only=False)
+        qx = np.floor(q * 100.0 + 0.5).astype(np.int64)
+        return pa.table({
+            "l_orderkey": t["l_orderkey"].cast(pa.int64()),
+            "l_partkey": t["l_partkey"].cast(pa.int64()),
+            "l_suppkey": t["l_suppkey"].cast(pa.int64()),
+            "qty_x100": pa.array(qx, pa.int64())})
+
+    def read():
+        return ray.data.read_parquet(
+            os.path.join(sf_dir, "lineitem.parquet"),
+            columns=["l_orderkey", "l_partkey", "l_suppkey",
+                     "l_quantity"]
+        ).map_batches(prep, batch_format="pyarrow",
+                      zero_copy_batch=True)
+
+    right = hash_aggregate(read(), ["l_partkey", "l_suppkey"],
+                           [("qty_x100", "max")])
+
+    def keep_max(j: pa.Table) -> pa.Table:
+        j = j.filter(pc.equal(j["qty_x100"], j["qty_x100_max"]))
+        return j.select(["l_orderkey", "l_partkey", "l_suppkey",
+                         "qty_x100"])
+
+    out = hash_join(read(), right,
+                    left_on=["l_partkey", "l_suppkey"],
+                    post=keep_max)
+    schema = pa.schema([("l_orderkey", pa.int64()),
+                        ("l_partkey", pa.int64()),
+                        ("l_suppkey", pa.int64()),
+                        ("qty_x100", pa.int64())])
+    if out is None:
+        return schema.empty_table()
+    t = _collect(out)
+    return t.take(pc.sort_indices(t, sort_keys=[
+        ("l_orderkey", "ascending"), ("l_partkey", "ascending"),
+        ("l_suppkey", "ascending"), ("qty_x100", "ascending")]))
+
+
 def q_customer_revenue(sf_dir: str) -> pa.Table:
     """High-cardinality grouped aggregate (one row per customer):
     hash_aggregate — per-batch Arrow partials, hive disk-shuffle by
@@ -2008,6 +2062,7 @@ QUERIES = {
     "events_top_per_user": q_events_top_per_user,
     "events_distinct": q_events_distinct,
     "events_approx_users": q_events_approx_users,
+    "lineitem_maxline": q_lineitem_maxline,
     "simhash_near_dup": q_simhash_near_dup,
     "embedding_near_dup": q_embedding_near_dup,
     "langid": q_langid,
@@ -3048,6 +3103,21 @@ FROM events GROUP BY event_type ORDER BY event_type
     # (functions/sketches.py hll_oracle_sql — shared literals)
     "events_approx_users": _hll_oracle_sql(
         "events", "user_id", "event_type", "approx_users"),
+    "lineitem_maxline": """
+WITH q AS (
+  SELECT l_orderkey, l_partkey, l_suppkey,
+         CAST(floor(l_quantity * 100 + 0.5) AS BIGINT) AS qty_x100
+  FROM lineitem
+), mx AS (
+  SELECT l_partkey, l_suppkey, max(qty_x100) AS max_qty
+  FROM q GROUP BY l_partkey, l_suppkey
+)
+SELECT q.l_orderkey, q.l_partkey, q.l_suppkey, q.qty_x100
+FROM q JOIN mx ON q.l_partkey = mx.l_partkey
+              AND q.l_suppkey = mx.l_suppkey
+WHERE q.qty_x100 = mx.max_qty
+ORDER BY q.l_orderkey, q.l_partkey, q.l_suppkey, q.qty_x100
+""",
     "events_top_per_user": """
 WITH q AS (
   SELECT event_id, user_id,
