@@ -93,13 +93,49 @@ def test_bloom_join_string_keys(ray_session):
     assert _sorted(ta) == _sorted(tb)
 
 
-def test_bloom_rejected_for_outer_anti(ray_session):
+def test_bloom_anti_bypass_identical(ray_session):
+    """Anti join with the bloom bypass: definite non-matches (bloom
+    miss or null key) skip the shuffle; output equals the plain anti
+    join exactly."""
+    import ray
+    import ray.data
+
+    from vfs_index_ray.functions.joins import hash_join
+
+    g = np.random.Generator(np.random.Philox(key=[37, 0]))
+    lk = g.integers(0, 50000, size=30000)
+    left = pa.table({
+        "k": pa.array([None if i % 89 == 0 else int(v)
+                       for i, v in enumerate(lk)], pa.int64()),
+        "lv": pa.array(np.arange(30000), pa.int64()),
+    })
+    right = pa.table({
+        "k": pa.array(list(range(0, 2000, 2)) + [None], pa.int64()),
+        "rv": pa.array(np.arange(1001), pa.int64()),
+    })
+    a = hash_join(ray.data.from_arrow(left), ray.data.from_arrow(right),
+                  left_on="k", how="left anti", num_parts=8)
+    b = hash_join(ray.data.from_arrow(left), ray.data.from_arrow(right),
+                  left_on="k", how="left anti", num_parts=8,
+                  bloom_prefilter=True)
+    ta = pa.concat_tables(ray.get(a.to_arrow_refs()))
+    tb = pa.concat_tables(
+        t.select(sorted(t.column_names))
+        for t in ray.get(b.to_arrow_refs()))
+    assert _sorted(ta) == _sorted(tb)
+    assert ta.num_rows > 0
+
+
+def test_bloom_rejected_for_outer_and_anti_post(ray_session):
     import ray.data
 
     from vfs_index_ray.functions.joins import hash_join
 
     t = pa.table({"k": pa.array([1, 2], pa.int64())})
-    for how in ("left outer", "left anti"):
-        with pytest.raises(ValueError):
-            hash_join(ray.data.from_arrow(t), ray.data.from_arrow(t),
-                      left_on="k", how=how, bloom_prefilter=True)
+    with pytest.raises(ValueError):
+        hash_join(ray.data.from_arrow(t), ray.data.from_arrow(t),
+                  left_on="k", how="left outer", bloom_prefilter=True)
+    with pytest.raises(ValueError):
+        hash_join(ray.data.from_arrow(t), ray.data.from_arrow(t),
+                  left_on="k", how="left anti", bloom_prefilter=True,
+                  post=lambda x: x)

@@ -216,11 +216,13 @@ def build_key_bloom(ds, on, *, m_bits: int = 1 << 23,
     return {"words": words, "m_bits": m, "k": k}
 
 
-def bloom_filter_keys(ds, bloom: dict, on):
+def bloom_filter_keys(ds, bloom: dict, on, *, invert: bool = False):
     """Filter ``ds`` to rows whose key(s) MAY be in the bloom (plus
     no null key column): the inner/semi-join prefilter.  The bloom
     words ship once via ``ray.put``; each batch is k vectorized
-    bit-gathers."""
+    bit-gathers.  ``invert=True`` keeps the complement — rows that
+    PROVABLY have no match (bloom miss or a null key column): the
+    anti-join bypass set."""
     import ray
 
     cols = _norm_keys(on)
@@ -243,6 +245,8 @@ def bloom_filter_keys(ds, bloom: dict, on):
             bit = (words[(pos >> np.uint64(6)).astype(np.int64)]
                    >> (pos & np.uint64(63))) & np.uint64(1)
             ok &= bit.astype(bool)
+        if invert:
+            ok = ~ok
         return t.filter(pa.array(ok))
 
     return ds.map_batches(probe, batch_format="pyarrow",
@@ -427,22 +431,44 @@ def hash_join(left_ds, right_ds, *, left_on, right_on=None,
     ``post`` that aggregates by the join key sees partial groups per
     subpart — merge downstream.
 
-    ``bloom_prefilter=True`` (inner/semi only — outer/anti must keep
-    non-matching rows) first streams the RIGHT side's key column into
-    a Bloom filter and drops left rows that provably cannot match
-    before they are spilled: identical results (false positives reach
-    the exact join), less shuffled probe volume.  Costs one extra
-    pass over the right side's key column — worth it when the probe
-    side is much larger than its matching subset."""
+    ``bloom_prefilter=True`` first streams the RIGHT side's key
+    column(s) into a Bloom filter.  For inner/semi it drops left rows
+    that provably cannot match before they are spilled; for "left
+    anti" it ROUTES instead: bloom-miss / null-key rows are definite
+    non-matches and bypass the shuffle straight into the result,
+    only maybe-match rows go through the exact anti join (``post``
+    is unsupported there — the bypass rows never see a partition).
+    "left outer" must null-extend non-matching rows inside the join
+    and is not eligible.  Identical results either way (false
+    positives reach the exact join); what changes is the spilled
+    probe volume.  Costs one extra pass over the right side's key
+    column — worth it when the probe side is much larger than its
+    matching (or for anti: non-matching) subset."""
     right_on2 = right_on or left_on
     if how not in ("inner", "left outer", "left semi", "left anti"):
         raise ValueError(f"unsupported join type: {how!r}")
     if bloom_prefilter:
-        if how not in ("inner", "left semi"):
+        if how == "left outer":
             raise ValueError(
-                "bloom_prefilter only applies to inner/semi joins")
+                "bloom_prefilter does not apply to left outer joins")
         bloom = build_key_bloom(right_ds, right_on2,
                                 m_bits=bloom_m_bits)
+        if how == "left anti":
+            if post is not None:
+                raise ValueError("post is unsupported with the "
+                                 "anti-join bloom bypass")
+            definite = bloom_filter_keys(left_ds, bloom, left_on,
+                                         invert=True)
+            maybe = bloom_filter_keys(left_ds, bloom, left_on)
+            checked = hash_join(
+                maybe, right_ds, left_on=left_on, right_on=right_on2,
+                how="left anti", num_parts=num_parts,
+                left_suffix=left_suffix, right_suffix=right_suffix,
+                salt=salt, salt_keys=salt_keys, spill_dir=spill_dir,
+                part_target_bytes=part_target_bytes)
+            if checked is None:
+                return definite
+            return checked.union(definite)
         left_ds = bloom_filter_keys(left_ds, bloom, left_on)
 
     def kernel(lt: pa.Table, rt: pa.Table) -> pa.Table:
