@@ -59,7 +59,7 @@ def main(argv=None) -> int:
     ap.add_argument("--cpus", type=int, default=32)
     ap.add_argument("--ops", nargs="*", default=[
         "sessionize", "latest", "asof", "window", "quantiles",
-        "running", "topn", "distinct"])
+        "running", "topn", "distinct", "hll"])
     ap.add_argument("--shuffle", default="disk", choices=["disk", "sort"])
     args = ap.parse_args(argv)
 
@@ -123,6 +123,12 @@ def main(argv=None) -> int:
         t = distinct_aggregate(ds(["event_type", "user_id"]),
                                ["event_type"], "user_id")
         times["distinct"] = round(time.perf_counter() - t0, 3)
+    if "hll" in args.ops:
+        from vfs_index_ray.functions.sketches import approx_distinct
+        t0 = time.perf_counter()
+        t = approx_distinct(ds(["event_type", "user_id"]),
+                            key_col="user_id", group_col="event_type")
+        times["hll"] = round(time.perf_counter() - t0, 3)
     if "quantiles" in args.ops:
         from vfs_index_ray.functions.quantiles import grouped_quantiles
         t0 = time.perf_counter()

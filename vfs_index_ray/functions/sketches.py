@@ -94,9 +94,10 @@ def approx_distinct(ds, *, key_col: str, group_col: str,
         mask = pc.and_(pc.is_valid(t[group_col]), pc.is_valid(t[key_col]))
         t = t.filter(mask)
         if t.num_rows == 0:
-            return pa.table({group_col: pa.array([], pa.string()),
-                             "bucket": pa.array([], pa.int64()),
-                             "rho": pa.array([], pa.int64())})
+            return pa.table({
+                group_col: pa.array([], t.schema.field(group_col).type),
+                "bucket": pa.array([], pa.int64()),
+                "rho": pa.array([], pa.int64())})
         enc = t[group_col].combine_chunks().dictionary_encode()
         codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
         groups = enc.dictionary
