@@ -1,6 +1,8 @@
-"""HyperLogLog approximate count-distinct (functions/sketches.py):
-partition-invariant, null-safe, SQL-oracle-identical, and within the
-expected error band for m=64 (~13% typical, test allows 3 sigma)."""
+"""Mergeable sketches (functions/sketches.py): HyperLogLog approximate
+count-distinct — partition-invariant, null-safe, SQL-oracle-identical,
+within the expected error band for m=64 (~13% typical, 3 sigma) — and
+Count-Min-Sketch approximate frequency (upper-bound, additive-merge,
+SQL-oracle-identical)."""
 
 from __future__ import annotations
 
@@ -102,4 +104,71 @@ def test_matches_sql_oracle(ray_session, tmp_path):
             f"SELECT * FROM read_parquet('{src}')")
     got = con.sql(hll_oracle_sql("events", "user_id",
                                  "event_type")).arrow()
+    assert eng.to_pydict() == got.to_pydict()
+
+
+def _cms_tbl(rng_seed=2, n_keys=300, n_rows=20000):
+    g = np.random.Generator(np.random.Philox(key=[rng_seed, 0]))
+    ids = g.integers(0, n_keys, size=n_rows).astype(np.int64)
+    return pa.table({"user_id": pa.array(ids, pa.int64())})
+
+
+def test_cms_upper_bound_and_tightness(ray_session):
+    """CMS estimates never undercount, and at 4x1024 over 300 keys
+    the inflation is bounded by the epsilon*N guarantee."""
+    import ray.data
+
+    from vfs_index_ray.functions.sketches import cms_counts
+    tbl = _cms_tbl()
+    keys = list(range(0, 300, 7)) + [10**9]
+    t = cms_counts(ray.data.from_arrow(tbl),
+                   key_col="user_id", query_keys=keys)
+    vals, counts = np.unique(tbl["user_id"].to_numpy(),
+                             return_counts=True)
+    exact = dict(zip(vals.tolist(), counts.tolist()))
+    n_total = tbl.num_rows
+    for k, e in zip(t["user_id"].to_pylist(),
+                    t["approx_count"].to_pylist()):
+        x = exact.get(k, 0)
+        assert e >= x, (k, e, x)
+        # epsilon = e/w per row; min over 4 rows is far tighter, use
+        # the single-row Markov bound x + 2*e*N/w as a loose ceiling
+        assert e <= x + 2 * 2.718281828 * n_total / 1024, (k, e, x)
+
+
+def test_cms_partition_invariant_and_null_safe(ray_session):
+    import ray.data
+
+    from vfs_index_ray.functions.sketches import cms_counts
+    tbl = _cms_tbl(rng_seed=5, n_keys=50, n_rows=5000)
+    keys = [0, 1, 2, 49]
+    a = cms_counts(ray.data.from_arrow(tbl),
+                   key_col="user_id", query_keys=keys)
+    perm = np.random.Generator(np.random.Philox(key=[7, 0])
+                               ).permutation(tbl.num_rows)
+    with_nulls = pa.table({"user_id": pa.concat_arrays(
+        [tbl.take(pa.array(perm))["user_id"].combine_chunks(),
+         pa.array([None, None], pa.int64())])})
+    b = cms_counts(ray.data.from_arrow(with_nulls).repartition(9),
+                   key_col="user_id", query_keys=keys)
+    assert a.to_pydict() == b.to_pydict()
+
+
+def test_cms_matches_sql_oracle(ray_session, tmp_path):
+    duckdb = pytest.importorskip("duckdb")
+    import pyarrow.parquet as pq
+    import ray.data
+
+    from vfs_index_ray.functions.sketches import (cms_counts,
+                                                  cms_oracle_sql)
+    tbl = _cms_tbl(rng_seed=11)
+    src = str(tmp_path / "ev.parquet")
+    pq.write_table(tbl, src)
+    keys = [0, 3, 17, 299, 12345]
+    eng = cms_counts(ray.data.read_parquet(src),
+                     key_col="user_id", query_keys=keys)
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW events AS "
+            f"SELECT * FROM read_parquet('{src}')")
+    got = con.sql(cms_oracle_sql("events", "user_id", keys)).arrow()
     assert eng.to_pydict() == got.to_pydict()

@@ -144,6 +144,114 @@ def approx_distinct(ds, *, key_col: str, group_col: str,
     })
 
 
+CMS_D = 4
+CMS_W = 1024
+# row salts: arbitrary fixed literals shared verbatim with the SQL
+CMS_SALTS = (0, 1215752191, 2462152381, 3266489917)
+
+
+def cms_counts(ds, *, key_col: str, query_keys,
+               depth: int = None, width: int = None,
+               out_col: str = "approx_count") -> pa.Table:
+    """Count-Min-Sketch approximate frequency: estimated occurrence
+    count of each ``query_keys`` member in ``ds[key_col]``.
+
+    The 100-TB shape for frequency estimation: exact per-key counts of
+    a huge key space need a full keyed shuffle; the sketch ships at
+    most depth x width int64 counters per batch (16 KiB at the 4x1024
+    default) and merges by addition, so the estimate for ANY key is
+    available after one streaming pass with no exchange.  Estimates
+    are upper bounds (collisions only ever inflate); rows are salted
+    mix32 hashes so the whole thing is integer-exact, deterministic
+    under any partitioning, and reproducible in SQL
+    (``cms_oracle_sql`` — pipelines ``events_cms_counts``).
+
+    Reference analog: vfs-index's per-key COUNT() is exact over
+    posting lists (query.go); this is the companion sketch for
+    frequency probes over key spaces too large to index."""
+    import ray
+
+    depth = CMS_D if depth is None else depth
+    width = CMS_W if width is None else width
+    salts = CMS_SALTS[:depth]
+
+    def partial(t: pa.Table) -> pa.Table:
+        col = t[key_col].combine_chunks().drop_null()
+        if len(col) == 0:
+            return pa.table({"rb": pa.array([], pa.int64()),
+                             "c": pa.array([], pa.int64())})
+        ids = col.to_numpy(zero_copy_only=False).astype(np.int64)
+        counters = np.zeros(depth * width, np.int64)
+        for r, s in enumerate(salts):
+            b = mix32(ids + np.int64(s)) % width
+            np.add.at(counters, r * width + b, 1)
+        nz = np.nonzero(counters)[0]
+        return pa.table({"rb": pa.array(nz, pa.int64()),
+                         "c": pa.array(counters[nz], pa.int64())})
+
+    out = ds.map_batches(partial, batch_format="pyarrow",
+                         zero_copy_batch=True)
+    merged = np.zeros(depth * width, np.int64)
+    for t in ray.get(out.to_arrow_refs()):
+        if t.num_rows:
+            np.add.at(merged,
+                      t["rb"].to_numpy(zero_copy_only=False),
+                      t["c"].to_numpy(zero_copy_only=False))
+    qk = np.asarray(sorted(int(k) for k in query_keys), np.int64)
+    est = np.full(len(qk), np.iinfo(np.int64).max, np.int64)
+    for r, s in enumerate(salts):
+        b = mix32(qk + np.int64(s)) % width
+        np.minimum(est, merged[r * width + b], out=est)
+    return pa.table({key_col: pa.array(qk, pa.int64()),
+                     out_col: pa.array(est, pa.int64())})
+
+
+def cms_oracle_sql(table: str, key_col: str, query_keys,
+                   depth: int = None, width: int = None,
+                   out_col: str = "approx_count") -> str:
+    """DuckDB SQL recomputing the exact CMS estimate from the raw
+    rows: same salted mix32 buckets, counts per (row, bucket), min
+    over rows with COALESCE 0 for never-touched buckets."""
+    depth = CMS_D if depth is None else depth
+    width = CMS_W if width is None else width
+    sal = ", ".join(f"({r}, {s})"
+                    for r, s in enumerate(CMS_SALTS[:depth]))
+    qk = ", ".join(f"({int(k)})" for k in sorted(query_keys))
+    return f"""
+WITH sal(r, s) AS (VALUES {sal}),
+qk(id) AS (VALUES {qk}),
+ev AS (
+  SELECT {key_col} AS id FROM {table} WHERE {key_col} IS NOT NULL
+), h1 AS (
+  SELECT sal.r,
+         CAST((CAST(ev.id + sal.s AS HUGEINT) * 2654435761)
+              % 4294967296 AS BIGINT) AS v
+  FROM ev CROSS JOIN sal
+), h2 AS (
+  SELECT r, CAST((CAST(xor(v, v >> 16) AS HUGEINT) * 2246822519)
+                 % 4294967296 AS BIGINT) AS v FROM h1
+), cnt AS (
+  SELECT r, xor(v, v >> 13) % {width} AS bucket,
+         count(*)::BIGINT AS c
+  FROM h2 GROUP BY r, xor(v, v >> 13) % {width}
+), q1 AS (
+  SELECT qk.id, sal.r,
+         CAST((CAST(qk.id + sal.s AS HUGEINT) * 2654435761)
+              % 4294967296 AS BIGINT) AS v
+  FROM qk CROSS JOIN sal
+), q2 AS (
+  SELECT id, r, CAST((CAST(xor(v, v >> 16) AS HUGEINT) * 2246822519)
+                     % 4294967296 AS BIGINT) AS v FROM q1
+), qb AS (
+  SELECT id, r, xor(v, v >> 13) % {width} AS bucket FROM q2
+)
+SELECT qb.id AS {key_col},
+       CAST(min(COALESCE(cnt.c, 0)) AS BIGINT) AS {out_col}
+FROM qb LEFT JOIN cnt ON cnt.r = qb.r AND cnt.bucket = qb.bucket
+GROUP BY qb.id ORDER BY {key_col}
+"""
+
+
 def hll_oracle_sql(table: str, key_col: str, group_col: str,
                    out_col: str = "approx_distinct") -> str:
     """DuckDB SQL that recomputes the EXACT same sketch from the raw

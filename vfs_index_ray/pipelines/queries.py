@@ -20,6 +20,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 from ..build import IndexBuilder
+from ..functions.sketches import cms_oracle_sql as _cms_oracle_sql
 from ..functions.sketches import hll_oracle_sql as _hll_oracle_sql
 from ..search import SearchEngine
 
@@ -1745,6 +1746,28 @@ def q_events_approx_users(sf_dir: str) -> pa.Table:
                            out_col="approx_users")
 
 
+CMS_QUERY_KEYS = list(range(10)) + [10**9]   # last key is absent
+
+
+def q_events_cms_counts(sf_dir: str) -> pa.Table:
+    """APPROXIMATE per-user event counts via a 4x1024 Count-Min
+    Sketch (functions/sketches.py cms_counts) — the shuffle-free
+    frequency probe: batches fold into 16 KiB additive counter
+    partials, estimates are collision-inflated upper bounds, and the
+    oracle SQL recomputes the identical sketch (salted mix32 buckets
+    in HUGEINT, min over rows).  One deliberately-absent key
+    (10^9) exercises the zero/collision path."""
+    import ray.data
+
+    from ..functions.sketches import cms_counts
+    _tune_context()
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "events.parquet"), columns=["user_id"])
+    return cms_counts(ds, key_col="user_id",
+                      query_keys=CMS_QUERY_KEYS,
+                      out_col="approx_count")
+
+
 def q_lineitem_maxline(sf_dir: str) -> pa.Table:
     """Multi-column equi-join: lines achieving their (partkey,
     suppkey) pair's MAX quantity.  The per-pair max is a
@@ -2062,6 +2085,7 @@ QUERIES = {
     "events_top_per_user": q_events_top_per_user,
     "events_distinct": q_events_distinct,
     "events_approx_users": q_events_approx_users,
+    "events_cms_counts": q_events_cms_counts,
     "lineitem_maxline": q_lineitem_maxline,
     "simhash_near_dup": q_simhash_near_dup,
     "embedding_near_dup": q_embedding_near_dup,
@@ -3103,6 +3127,10 @@ FROM events GROUP BY event_type ORDER BY event_type
     # (functions/sketches.py hll_oracle_sql — shared literals)
     "events_approx_users": _hll_oracle_sql(
         "events", "user_id", "event_type", "approx_users"),
+    # generated: recomputes the engine's exact integer CMS sketch
+    # (functions/sketches.py cms_oracle_sql — shared salts/width)
+    "events_cms_counts": _cms_oracle_sql(
+        "events", "user_id", CMS_QUERY_KEYS, out_col="approx_count"),
     "lineitem_maxline": """
 WITH q AS (
   SELECT l_orderkey, l_partkey, l_suppkey,
