@@ -397,3 +397,66 @@ def test_top_n_per_key_ties_and_partitions(ray_session):
                                           got["rank"].to_pylist(),
                                           got["event_id"].to_pylist())}
         assert m == want
+
+
+def test_lag_moving_stringagg_kernels_vs_pandas(ray_session):
+    import numpy as np
+    import pyarrow as pa
+
+    from vfs_index_ray.functions.windows import (
+        _lag_diff_kernel, _moving_sum_kernel, _string_agg_kernel)
+    rng = np.random.default_rng(np.random.Philox(key=[7, 0]))
+    n = 5000
+    t = pa.table({
+        "event_id": pa.array(np.arange(n), pa.int64()),
+        "user_id": pa.array(rng.integers(0, 40, n), pa.int64()),
+        "ts": pa.array(rng.integers(0, 10**9, n), pa.timestamp("us")),
+        "value": pa.array(rng.normal(0, 5, n)),
+        "event_type": pa.array([f"t{r}" for r in rng.integers(0, 5, n)]),
+    })
+    df = t.to_pandas()
+    df["us"] = df["ts"].astype("int64")
+    df = df.sort_values(["user_id", "us", "event_id"])
+    df["gap_us"] = (df.groupby("user_id")["us"].diff()
+                    .fillna(-1).astype(np.int64))
+    got = _lag_diff_kernel(t, "user_id", "ts", "event_id").to_pandas()
+    assert (got.set_index("event_id")["gap_us"].sort_index()
+            == df.set_index("event_id")["gap_us"].sort_index()).all()
+    df["v"] = np.floor(df["value"].to_numpy() * 10000 + 0.5).astype(np.int64)
+    df["ms"] = df.groupby("user_id")["v"].transform(
+        lambda s: s.rolling(3, min_periods=1).sum()).astype(np.int64)
+    got = _moving_sum_kernel(t, "user_id", "ts", "event_id",
+                             "value", 3).to_pandas()
+    assert (got.set_index("event_id")["moving_x1e4"].sort_index()
+            == df.set_index("event_id")["ms"].sort_index()).all()
+    got = _string_agg_kernel(t, "user_id", "ts", "event_id",
+                             "event_type", ",").to_pandas()
+    want = df.groupby("user_id")["event_type"].agg(",".join)
+    assert (got.set_index("user_id")["seq"].sort_index()
+            == want.sort_index()).all()
+    assert (got.set_index("user_id")["n_events"].sort_index()
+            == df.groupby("user_id").size().sort_index()).all()
+
+
+def test_lag_gaps_distributed_matches_kernel(ray_session):
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+    import ray.data
+
+    from vfs_index_ray.functions.windows import (_lag_diff_kernel,
+                                                 lag_gaps)
+    src = "/root/testdata/sf0.001/events.parquet"
+    cols = ["event_id", "user_id", "ts"]
+    ds = ray.data.read_parquet(src, columns=cols)
+    got = pa.concat_tables(
+        [b for b in lag_gaps(ds).iter_batches(batch_format="pyarrow")]
+        or [pa.table({"event_id": [], "user_id": [], "gap_us": []})])
+    got = got.take(pc.sort_indices(got, sort_keys=[("event_id",
+                                                    "ascending")]))
+    want = _lag_diff_kernel(pq.read_table(src, columns=cols),
+                            "user_id", "ts", "event_id")
+    want = want.take(pc.sort_indices(want, sort_keys=[
+        ("event_id", "ascending")]))
+    assert got.select(["event_id", "gap_us"]).equals(
+        want.select(["event_id", "gap_us"]))

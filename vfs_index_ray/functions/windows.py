@@ -676,3 +676,173 @@ def top_n_per_key(events_ds, *, key_col: str = "user_id",
     return _keyed_partition_op(events_ds, add_part, "kpart", per_part,
                                shuffle=shuffle,
                                spill_dir=spill_dir)
+
+
+def _run_bounds(keys: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Run starts + lengths of a SORTED key array (boundary diffs —
+    never np.unique on a sorted array; see CLAUDE.md)."""
+    n = keys.shape[0]
+    first = np.empty(n, bool)
+    first[0] = True
+    np.not_equal(keys[1:], keys[:-1], out=first[1:])
+    starts = np.flatnonzero(first)
+    return starts, np.diff(np.append(starts, n))
+
+
+def _lag_diff_kernel(t: pa.Table, key_col: str, ts_col: str,
+                     id_col: str) -> pa.Table:
+    """Per-key previous-event gap (the SQL ``ts - lag(ts) OVER
+    (PARTITION BY key ORDER BY ts, id)``) in one vectorized pass:
+    sort, shift the int64-microsecond timestamps by one, diff, and
+    stamp -1 on each run's first row (the lag-is-NULL sentinel the
+    oracle reproduces with COALESCE)."""
+    idx = pc.sort_indices(t, sort_keys=[
+        (key_col, "ascending"), (ts_col, "ascending"),
+        (id_col, "ascending")])
+    t = t.take(idx)
+    n = t.num_rows
+    if n == 0:
+        return pa.table({
+            id_col: pa.array([], pa.int64()),
+            key_col: pa.array([], pa.int64()),
+            "gap_us": pa.array([], pa.int64())})
+    us = t[ts_col].cast(pa.int64()).to_numpy(zero_copy_only=False)
+    gap = np.empty(n, np.int64)
+    gap[0] = -1
+    np.subtract(us[1:], us[:-1], out=gap[1:])
+    keys = t[key_col].to_numpy(zero_copy_only=False)
+    starts, _ = _run_bounds(keys)
+    gap[starts] = -1
+    return pa.table({
+        id_col: t[id_col],
+        key_col: t[key_col],
+        "gap_us": pa.array(gap, pa.int64())})
+
+
+def lag_gaps(events_ds, *, key_col: str = "user_id",
+             ts_col: str = "ts", id_col: str = "event_id",
+             num_partitions: int = 32, shuffle: str = "auto",
+             spill_dir: str | None = None):
+    """Per-key inter-event gap (lag/lead window family): gap_us = ts -
+    previous ts of the same key in (ts, id) order, -1 for each key's
+    first event.  Same one-hash-partition shuffle shape as
+    ``sessionize`` — scales as a single keyed exchange plus one
+    vectorized diff pass per partition."""
+    def add_part(t: pa.Table) -> pa.Table:
+        kid = t[key_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        return t.append_column(
+            "kpart", pa.array(kid % num_partitions, pa.int64()))
+
+    def per_part(g: pa.Table) -> pa.Table:
+        return _lag_diff_kernel(g, key_col, ts_col, id_col)
+
+    return _keyed_partition_op(events_ds, add_part, "kpart", per_part,
+                               shuffle=shuffle, spill_dir=spill_dir)
+
+
+def _moving_sum_kernel(t: pa.Table, key_col: str, ts_col: str,
+                       id_col: str, val_col: str,
+                       frame: int) -> pa.Table:
+    """Per-key moving sum over a row frame (``ROWS BETWEEN frame-1
+    PRECEDING AND CURRENT ROW``): global cumsum of the per-row
+    fixed-point values, each row subtracts the cumsum just before its
+    frame start — frame start is clamped to the key's run start, so
+    one vectorized pass covers every key in the partition."""
+    idx = pc.sort_indices(t, sort_keys=[
+        (key_col, "ascending"), (ts_col, "ascending"),
+        (id_col, "ascending")])
+    t = t.take(idx)
+    n = t.num_rows
+    if n == 0:
+        return pa.table({
+            id_col: pa.array([], pa.int64()),
+            key_col: pa.array([], pa.int64()),
+            "moving_x1e4": pa.array([], pa.int64())})
+    v = np.floor(t[val_col].to_numpy(zero_copy_only=False)
+                 * 10000.0 + 0.5).astype(np.int64)
+    cs = np.cumsum(v)
+    keys = t[key_col].to_numpy(zero_copy_only=False)
+    starts, run_lens = _run_bounds(keys)
+    pos = np.arange(n, dtype=np.int64) - np.repeat(starts, run_lens)
+    j = np.arange(n, dtype=np.int64) - np.minimum(pos, frame - 1)
+    base = np.where(j > 0, cs[j - 1], 0)
+    return pa.table({
+        id_col: t[id_col],
+        key_col: t[key_col],
+        "moving_x1e4": pa.array(cs - base, pa.int64())})
+
+
+def moving_sum(events_ds, *, key_col: str = "user_id",
+               ts_col: str = "ts", id_col: str = "event_id",
+               val_col: str = "value", frame: int = 3,
+               num_partitions: int = 32, shuffle: str = "auto",
+               spill_dir: str | None = None):
+    """Per-key moving-window sum (the SQL ``SUM(v) OVER (PARTITION BY
+    key ORDER BY ts, id ROWS BETWEEN frame-1 PRECEDING AND CURRENT
+    ROW)``); values quantize to integer x1e4 per row so the frame sums
+    are exact."""
+    def add_part(t: pa.Table) -> pa.Table:
+        kid = t[key_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        return t.append_column(
+            "kpart", pa.array(kid % num_partitions, pa.int64()))
+
+    def per_part(g: pa.Table) -> pa.Table:
+        return _moving_sum_kernel(g, key_col, ts_col, id_col, val_col,
+                                  frame)
+
+    return _keyed_partition_op(events_ds, add_part, "kpart", per_part,
+                               shuffle=shuffle, spill_dir=spill_dir)
+
+
+def _string_agg_kernel(t: pa.Table, key_col: str, ts_col: str,
+                       id_col: str, str_col: str,
+                       sep: str) -> pa.Table:
+    """Per-key ordered string aggregation (the SQL ``string_agg(s, sep
+    ORDER BY ts, id)``): sort, find key runs, wrap the string column
+    in ONE ListArray (offsets = run starts) and join each list with
+    ``pc.binary_join`` — no per-key Python loop."""
+    idx = pc.sort_indices(t, sort_keys=[
+        (key_col, "ascending"), (ts_col, "ascending"),
+        (id_col, "ascending")])
+    t = t.take(idx)
+    n = t.num_rows
+    if n == 0:
+        return pa.table({
+            key_col: pa.array([], pa.int64()),
+            "seq": pa.array([], pa.string()),
+            "n_events": pa.array([], pa.int64())})
+    keys = t[key_col].to_numpy(zero_copy_only=False)
+    starts, run_lens = _run_bounds(keys)
+    offsets = pa.array(np.append(starts, n).astype(np.int32))
+    values = t[str_col].combine_chunks()
+    if isinstance(values, pa.ChunkedArray):  # some versions return CA
+        values = (values.chunk(0) if values.num_chunks
+                  else pa.array([], values.type))
+    lists = pa.ListArray.from_arrays(offsets, values)
+    seq = pc.binary_join(lists, sep)
+    return pa.table({
+        key_col: t[key_col].take(pa.array(starts)),
+        "seq": seq,
+        "n_events": pa.array(run_lens.astype(np.int64), pa.int64())})
+
+
+def string_agg_per_key(events_ds, *, key_col: str = "user_id",
+                       ts_col: str = "ts", id_col: str = "event_id",
+                       str_col: str = "event_type", sep: str = ",",
+                       num_partitions: int = 32, shuffle: str = "auto",
+                       spill_dir: str | None = None):
+    """Per-key ordered concatenation (sequence assembly — the
+    event-sequence-mining / doc-reassembly shape): one hash partition
+    by key, one ListArray + ``binary_join`` kernel per partition;
+    output is one row per key."""
+    def add_part(t: pa.Table) -> pa.Table:
+        kid = t[key_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        return t.append_column(
+            "kpart", pa.array(kid % num_partitions, pa.int64()))
+
+    def per_part(g: pa.Table) -> pa.Table:
+        return _string_agg_kernel(g, key_col, ts_col, id_col, str_col,
+                                  sep)
+
+    return _keyed_partition_op(events_ds, add_part, "kpart", per_part,
+                               shuffle=shuffle, spill_dir=spill_dir)

@@ -2049,6 +2049,70 @@ def q_shuffle_shards(sf_dir: str) -> pa.Table:
         shutil.rmtree(out, ignore_errors=True)
 
 
+def q_events_gaps(sf_dir: str) -> pa.Table:
+    """Per-user inter-event gap (the lag()/lead() window family):
+    gap_us = ts - lag(ts) OVER (PARTITION BY user ORDER BY ts, id),
+    -1 sentinel for each user's first event (the oracle COALESCEs its
+    NULL lag to -1).  One hash partition by user + one vectorized
+    shift-and-diff kernel per partition (functions/windows.py
+    lag_gaps)."""
+    import ray.data
+
+    from ..functions.windows import lag_gaps
+    _tune_context()
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["event_id", "ts", "user_id"])
+    tbl = _collect(lag_gaps(ds))
+    tbl = tbl.take(pc.sort_indices(tbl, sort_keys=[
+        ("event_id", "ascending")]))
+    return tbl.select(["event_id", "user_id", "gap_us"]).cast(
+        pa.schema([("event_id", pa.int64()), ("user_id", pa.int64()),
+                   ("gap_us", pa.int64())]))
+
+
+def q_events_moving(sf_dir: str) -> pa.Table:
+    """Per-user moving-window sum (SQL ROWS BETWEEN 2 PRECEDING AND
+    CURRENT ROW frame): cumsum-difference kernel with the frame start
+    clamped to each user's run start (functions/windows.py
+    moving_sum); per-row x1e4 quantization keeps the frame sums
+    integer-exact."""
+    import ray.data
+
+    from ..functions.windows import moving_sum
+    _tune_context()
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["event_id", "ts", "user_id", "value"])
+    tbl = _collect(moving_sum(ds, frame=3))
+    tbl = tbl.take(pc.sort_indices(tbl, sort_keys=[
+        ("event_id", "ascending")]))
+    return tbl.select(["event_id", "user_id", "moving_x1e4"]).cast(
+        pa.schema([("event_id", pa.int64()), ("user_id", pa.int64()),
+                   ("moving_x1e4", pa.int64())]))
+
+
+def q_user_event_seq(sf_dir: str) -> pa.Table:
+    """Per-user ordered event-type sequence (SQL string_agg(type, ','
+    ORDER BY ts, id) — the sequence-assembly shape behind session
+    mining and doc reassembly): one hash partition by user, one
+    ListArray + binary_join kernel per partition (functions/windows.py
+    string_agg_per_key) — no per-key Python loop anywhere."""
+    import ray.data
+
+    from ..functions.windows import string_agg_per_key
+    _tune_context()
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["event_id", "ts", "user_id", "event_type"])
+    tbl = _collect(string_agg_per_key(ds))
+    tbl = tbl.take(pc.sort_indices(tbl, sort_keys=[
+        ("user_id", "ascending")]))
+    return tbl.select(["user_id", "seq", "n_events"]).cast(
+        pa.schema([("user_id", pa.int64()), ("seq", pa.string()),
+                   ("n_events", pa.int64())]))
+
+
 # ---------------------------------------------------------------------------
 # registry + oracle SQL
 # ---------------------------------------------------------------------------
@@ -2083,6 +2147,9 @@ QUERIES = {
     "ann_filtered": q_ann_filtered,
     "events_running": q_events_running,
     "events_top_per_user": q_events_top_per_user,
+    "events_gaps": q_events_gaps,
+    "events_moving": q_events_moving,
+    "user_event_seq": q_user_event_seq,
     "events_distinct": q_events_distinct,
     "events_approx_users": q_events_approx_users,
     "events_cms_counts": q_events_cms_counts,
@@ -3167,6 +3234,28 @@ SELECT event_id, user_id,
          OVER (PARTITION BY user_id
                ORDER BY ts, event_id)::BIGINT AS running_x1e4
 FROM events ORDER BY event_id
+""",
+    "events_gaps": """
+SELECT event_id, user_id,
+       COALESCE(date_diff('microsecond',
+                          lag(ts) OVER (PARTITION BY user_id
+                                        ORDER BY ts, event_id),
+                          ts), -1)::BIGINT AS gap_us
+FROM events ORDER BY event_id
+""",
+    "events_moving": """
+SELECT event_id, user_id,
+       SUM(CAST(floor(value * 10000 + 0.5) AS BIGINT))
+         OVER (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)::BIGINT
+         AS moving_x1e4
+FROM events ORDER BY event_id
+""",
+    "user_event_seq": """
+SELECT user_id,
+       string_agg(event_type, ',' ORDER BY ts, event_id) AS seq,
+       count(*)::BIGINT AS n_events
+FROM events GROUP BY user_id ORDER BY user_id
 """,
     "customers_no_urgent": """
 SELECT c_custkey, c_name, c_mktsegment FROM customer
