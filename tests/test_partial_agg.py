@@ -170,3 +170,46 @@ def test_distinct_aggregate_matches_duckdb(ray_session):
         SELECT k, count(DISTINCT u)::BIGINT AS n_distinct
         FROM t GROUP BY k ORDER BY k""").arrow()
     assert got.cast(want.schema).equals(want)
+
+
+def test_rollup_aggregate_vs_pandas(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from vfs_index_ray.functions.boilerplate import rollup_aggregate
+    rng = np.random.default_rng(np.random.Philox(key=[11, 0]))
+    n = 4000
+    t = pa.table({
+        "a": pa.array([f"g{r}" for r in rng.integers(0, 4, n)]),
+        "b": pa.array(rng.integers(0, 6, n), pa.int64()),
+        "v": pa.array(rng.integers(-50, 50, n), pa.int64()),
+    })
+    got = rollup_aggregate(
+        ray.data.from_arrow(t), ["a", "b"],
+        [("v", "count"), ("v", "sum"), ("v", "min"), ("v", "max")],
+        sentinels={"a": "ALL", "b": -1}).to_pandas()
+    df = t.to_pandas()
+    import pandas as pd
+    lvls = []
+    fine = df.groupby(["a", "b"])["v"].agg(
+        ["count", "sum", "min", "max"]).reset_index()
+    lvls.append(fine)
+    mid = df.groupby(["a"])["v"].agg(
+        ["count", "sum", "min", "max"]).reset_index()
+    mid["b"] = -1
+    lvls.append(mid)
+    top = pd.DataFrame([{
+        "a": "ALL", "b": -1, "count": len(df), "sum": df["v"].sum(),
+        "min": df["v"].min(), "max": df["v"].max()}])
+    lvls.append(top)
+    want = pd.concat(lvls, ignore_index=True).rename(columns={
+        "count": "v_count", "sum": "v_sum", "min": "v_min",
+        "max": "v_max"})[got.columns.tolist()]
+    got = got.sort_values(["a", "b"]).reset_index(drop=True)
+    want = want.sort_values(["a", "b"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+    # empty input
+    assert rollup_aggregate(
+        ray.data.from_arrow(t.slice(0, 0)), ["a", "b"],
+        [("v", "sum")]) is None

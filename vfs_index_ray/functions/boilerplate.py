@@ -250,6 +250,63 @@ def distinct_aggregate(ds, keys: list[str], distinct_col: str,
         sp.cleanup()
 
 
+def rollup_aggregate(ds, keys: list[str], aggs: list[tuple[str, str]],
+                     *, prepare=None,
+                     sentinels: dict | None = None) -> pa.Table | None:
+    """``GROUP BY ROLLUP(keys)`` for sum-mergeable aggregates: ONE
+    streaming pass of per-batch partials at the FINEST grouping level
+    (``partial_aggregate`` — each batch ships one row per distinct key
+    tuple it saw), then every coarser level re-aggregates the finest
+    RESULT table, which is output-space-sized, not input-sized — the
+    input is never read twice and nothing keyed shuffles.  Dropped key
+    columns are filled with caller ``sentinels`` (default: '' for
+    strings, -1 for ints) so the output schema is identical across
+    levels; the SQL oracle reproduces them with COALESCE over ROLLUP's
+    NULLs.  ``aggs`` fns must be in count/sum/min/max.  Returns one
+    table with all len(keys)+1 levels concatenated, or None on empty
+    input."""
+    for _, f in aggs:
+        if f not in _MERGE_FN:
+            raise ValueError(f"non-mergeable aggregate fn: {f!r}")
+    finest = partial_aggregate(ds, keys, aggs, prepare=prepare)
+    if finest is None:
+        return None
+    pnames = [f"{c}_{f}" for c, f in aggs]
+    merge = [(p, _MERGE_FN[f]) for p, (_, f) in zip(pnames, aggs)]
+
+    def _sentinel(k: str):
+        if sentinels and k in sentinels:
+            return sentinels[k]
+        return -1 if pa.types.is_integer(finest.schema.field(k).type) \
+            else ""
+
+    levels = [finest]
+    for i in range(len(keys) - 1, -1, -1):
+        kept = keys[:i]
+        if kept:
+            g = _group_counts(finest, kept, merge)
+            cols = {k: g[k] for k in kept}
+            for p, (_, f) in zip(pnames, aggs):
+                cols[p] = g[f"{p}_{_MERGE_FN[f]}"]
+            nrow = g.num_rows
+        else:  # grand total: no group keys
+            import pyarrow.compute as _pc
+            cols = {}
+            for p, (_, f) in zip(pnames, aggs):
+                fn = {"sum": _pc.sum, "count": _pc.sum,
+                      "min": _pc.min, "max": _pc.max}[_MERGE_FN[f]]
+                cols[p] = pa.array([fn(finest[p]).as_py()],
+                                   finest.schema.field(p).type)
+            nrow = 1
+        for k in keys[i:]:
+            cols[k] = pa.array(
+                [_sentinel(k)] * nrow, finest.schema.field(k).type)
+        levels.append(pa.table(
+            {k: cols[k] for k in list(keys) + pnames}))
+    return pa.concat_tables(
+        [lv.select(list(keys) + pnames) for lv in levels])
+
+
 def _unit_frequencies(ds, *, distinct_docs: bool, min_count: int,
                       out_col: str, unit: str, text_col: str,
                       num_parts: int | None,

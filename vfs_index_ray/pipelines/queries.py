@@ -2113,6 +2113,45 @@ def q_user_event_seq(sf_dir: str) -> pa.Table:
                    ("n_events", pa.int64())]))
 
 
+def q_events_rollup(sf_dir: str) -> pa.Table:
+    """GROUP BY ROLLUP(event_type, hour) — all three grouping levels
+    (type×hour, per-type totals, grand total) from ONE streaming pass:
+    per-batch partials at the finest level, coarser levels re-aggregate
+    the tiny finest table (functions/boilerplate.py rollup_aggregate).
+    Sentinels 'ALL'/-1 stand in for ROLLUP's NULLs so the schema is
+    level-invariant; the oracle COALESCEs to the same values.  Per-row
+    x1e4 quantization makes every level's sums integer-exact."""
+    import ray.data
+
+    from ..functions.boilerplate import rollup_aggregate
+    _tune_context()
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["ts", "event_type", "value"])
+
+    def prepare(t: pa.Table) -> pa.Table:
+        us = t["ts"].cast(pa.int64())
+        w = pc.multiply(pc.floor(pc.divide(us, 3_600_000_000)),
+                        3_600_000_000).cast(pa.int64())
+        v = np.floor(t["value"].to_numpy(zero_copy_only=False)
+                     * 10000.0 + 0.5).astype(np.int64)
+        return pa.table({"event_type": t["event_type"],
+                         "window_us": w,
+                         "v": pa.array(v, pa.int64())})
+
+    t = rollup_aggregate(ds, ["event_type", "window_us"],
+                         [("v", "count"), ("v", "sum")],
+                         prepare=prepare,
+                         sentinels={"event_type": "ALL",
+                                    "window_us": -1})
+    t = pa.table({"event_type": t["event_type"],
+                  "window_us": t["window_us"],
+                  "n": t["v_count"].cast(pa.int64()),
+                  "sum_x1e4": t["v_sum"].cast(pa.int64())})
+    return t.take(pc.sort_indices(t, sort_keys=[
+        ("event_type", "ascending"), ("window_us", "ascending")]))
+
+
 # ---------------------------------------------------------------------------
 # registry + oracle SQL
 # ---------------------------------------------------------------------------
@@ -2150,6 +2189,7 @@ QUERIES = {
     "events_gaps": q_events_gaps,
     "events_moving": q_events_moving,
     "user_event_seq": q_user_event_seq,
+    "events_rollup": q_events_rollup,
     "events_distinct": q_events_distinct,
     "events_approx_users": q_events_approx_users,
     "events_cms_counts": q_events_cms_counts,
@@ -3256,6 +3296,19 @@ SELECT user_id,
        string_agg(event_type, ',' ORDER BY ts, event_id) AS seq,
        count(*)::BIGINT AS n_events
 FROM events GROUP BY user_id ORDER BY user_id
+""",
+    "events_rollup": """
+WITH q AS (
+  SELECT event_type,
+         epoch_us(date_trunc('hour', ts))::BIGINT AS window_us,
+         CAST(floor(value * 10000 + 0.5) AS BIGINT) AS v
+  FROM events
+)
+SELECT COALESCE(event_type, 'ALL') AS event_type,
+       COALESCE(window_us, -1)::BIGINT AS window_us,
+       count(v)::BIGINT AS n, sum(v)::BIGINT AS sum_x1e4
+FROM q GROUP BY ROLLUP(event_type, window_us)
+ORDER BY 1, 2
 """,
     "customers_no_urgent": """
 SELECT c_custkey, c_name, c_mktsegment FROM customer
