@@ -362,3 +362,22 @@ def test_detect_hot_keys_derived_dataset_single_pass(ray_session):
     assert detect_hot_keys(derived, "k", threshold_frac=0.05) == [7]
     assert detect_hot_keys(derived, "k", threshold_frac=0.05,
                            sample_frac=0.5) == [7]
+
+
+def test_tpch_q18_vs_duckdb(ray_session):
+    import duckdb
+
+    from vfs_index_ray.pipelines.queries import ORACLE_SQL, q_tpch_q18
+    sf = "/root/testdata/sf0.001"
+    got = q_tpch_q18(sf).to_pandas()
+    con = duckdb.connect()
+    for t in ["customer", "orders", "lineitem"]:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM "
+                    f"read_parquet('{sf}/{t}.parquet')")
+    want = con.execute(ORACLE_SQL["tpch_q18"]).df()
+    assert len(got) == len(want) > 0
+    cols = sorted(got.columns)
+    g = got[cols].sort_values(cols).reset_index(drop=True)
+    w = want[cols].sort_values(cols).reset_index(drop=True)
+    import pandas as pd
+    pd.testing.assert_frame_equal(g, w, check_dtype=False)

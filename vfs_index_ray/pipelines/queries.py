@@ -2152,6 +2152,93 @@ def q_events_rollup(sf_dir: str) -> pa.Table:
         ("event_type", "ascending"), ("window_us", "ascending")]))
 
 
+def q_tpch_q18(sf_dir: str) -> pa.Table:
+    """TPC-H Q18-shape large-volume customers: the HAVING-on-a-
+    high-cardinality-aggregate plan. hash_aggregate sums quantity per
+    orderkey (per-batch combiner -> key-hash disk spill -> per-part
+    merge — orderkey cardinality is input-sized, so no driver merge),
+    the HAVING filter runs inside each merge part and only qualifying
+    keys ever leave; that set is broadcast once (ray.put) and orders
+    stream through an is_in + index_in attach.  The top-100 by
+    totalprice is taken BEFORE the customer lookup, so the name join
+    reads at most 100 customers via a pushed-down point filter."""
+    import ray
+    import ray.data
+    import pyarrow.parquet as pqq
+
+    from ..functions.boilerplate import hash_aggregate
+    _tune_context()
+    line = ray.data.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_orderkey", "l_quantity"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        q = np.floor(t["l_quantity"].to_numpy(zero_copy_only=False)
+                     * 100.0 + 0.5).astype(np.int64)
+        return pa.table({"l_orderkey": t["l_orderkey"],
+                         "qty": pa.array(q, pa.int64())})
+
+    agg = hash_aggregate(line, ["l_orderkey"], [("qty", "sum")],
+                         prepare=prep)
+    schema = pa.schema([
+        ("c_custkey", pa.int64()), ("c_name", pa.string()),
+        ("o_orderkey", pa.int64()), ("o_orderdate", pa.timestamp("us")),
+        ("totalprice_x100", pa.int64()), ("sum_qty_x100", pa.int64())])
+    if agg is None:
+        return schema.empty_table()
+
+    def having(t: pa.Table) -> pa.Table:
+        return t.filter(pc.greater(t["qty_sum"], 15000))
+
+    qual = _collect(agg.map_batches(having, batch_format="pyarrow",
+                                    zero_copy_batch=True))
+    if qual.num_rows == 0:
+        return schema.empty_table()
+    qual_keys = qual["l_orderkey"].combine_chunks()
+    qual_sums = qual["qty_sum"].combine_chunks()
+    keys_ref = ray.put(qual_keys)
+    sums_ref = ray.put(qual_sums)
+
+    orders = ray.data.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_orderkey", "o_custkey", "o_orderdate",
+                 "o_totalprice"])
+
+    def attach(t: pa.Table) -> pa.Table:
+        idx = pc.index_in(t["o_orderkey"], value_set=ray.get(keys_ref))
+        m = pc.is_valid(idx)
+        t = t.filter(m)
+        idx = idx.filter(m)
+        tp = np.floor(t["o_totalprice"].to_numpy(zero_copy_only=False)
+                      * 100.0 + 0.5).astype(np.int64)
+        return pa.table({
+            "o_orderkey": t["o_orderkey"],
+            "o_custkey": t["o_custkey"],
+            "o_orderdate": t["o_orderdate"],
+            "totalprice_x100": pa.array(tp, pa.int64()),
+            "sum_qty_x100": ray.get(sums_ref).take(idx)})
+
+    top = _collect(orders.map_batches(attach, batch_format="pyarrow",
+                                      zero_copy_batch=True))
+    top = top.take(pc.sort_indices(top, sort_keys=[
+        ("totalprice_x100", "descending"), ("o_orderdate", "ascending"),
+        ("o_orderkey", "ascending")])[:100])
+    cust = pqq.read_table(
+        os.path.join(sf_dir, "customer.parquet"),
+        columns=["c_custkey", "c_name"],
+        filters=[("c_custkey", "in",
+                  sorted(set(top["o_custkey"].to_pylist())))])
+    cidx = pc.index_in(top["o_custkey"],
+                       value_set=cust["c_custkey"].combine_chunks())
+    return pa.table({
+        "c_custkey": top["o_custkey"],
+        "c_name": cust["c_name"].combine_chunks().take(cidx),
+        "o_orderkey": top["o_orderkey"],
+        "o_orderdate": top["o_orderdate"],
+        "totalprice_x100": top["totalprice_x100"],
+        "sum_qty_x100": top["sum_qty_x100"]}).cast(schema)
+
+
 # ---------------------------------------------------------------------------
 # registry + oracle SQL
 # ---------------------------------------------------------------------------
@@ -2190,6 +2277,7 @@ QUERIES = {
     "events_moving": q_events_moving,
     "user_event_seq": q_user_event_seq,
     "events_rollup": q_events_rollup,
+    "tpch_q18": q_tpch_q18,
     "events_distinct": q_events_distinct,
     "events_approx_users": q_events_approx_users,
     "events_cms_counts": q_events_cms_counts,
@@ -3296,6 +3384,22 @@ SELECT user_id,
        string_agg(event_type, ',' ORDER BY ts, event_id) AS seq,
        count(*)::BIGINT AS n_events
 FROM events GROUP BY user_id ORDER BY user_id
+""",
+    "tpch_q18": """
+WITH q AS (
+  SELECT l_orderkey,
+         sum(CAST(floor(l_quantity * 100 + 0.5) AS BIGINT))
+           AS sum_qty_x100
+  FROM lineitem GROUP BY l_orderkey
+  HAVING sum_qty_x100 > 15000
+)
+SELECT c_custkey, c_name, o.o_orderkey, o.o_orderdate,
+       CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)
+         AS totalprice_x100,
+       q.sum_qty_x100::BIGINT AS sum_qty_x100
+FROM q JOIN orders o ON o.o_orderkey = q.l_orderkey
+       JOIN customer ON c_custkey = o.o_custkey
+ORDER BY totalprice_x100 DESC, o.o_orderdate, o.o_orderkey LIMIT 100
 """,
     "events_rollup": """
 WITH q AS (
