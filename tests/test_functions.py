@@ -615,3 +615,17 @@ def test_media_checksum_stages_match_numpy(ray_session):
         want = int(((did * 31 + i * 7) % 65536 - 32768).sum())
         assert (r["sample_rate"], r["n_frames"], r["sample_sum"]) == \
             (16000, n, want)
+
+
+def test_top_bigrams_no_cross_doc_pairs(ray_session):
+    import pyarrow as pa
+    import ray.data
+
+    from vfs_index_ray.functions.textstats import top_bigrams
+    t = pa.table({"text": pa.array([
+        "alpha beta gamma", "beta gamma", "gamma alpha beta", ""])})
+    got = top_bigrams(ray.data.from_arrow(t), k=10).to_pandas()
+    want = {"beta gamma": 2, "alpha beta": 2, "gamma alpha": 1}
+    assert dict(zip(got["bigram"], got["n"])) == want
+    # 'gamma' (doc0 end) + 'beta' (doc1 start) must NOT pair up
+    assert "gamma beta" not in set(got["bigram"])

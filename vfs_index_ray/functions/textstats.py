@@ -271,6 +271,44 @@ def top_terms(ds, k: int = 20, text_col: str = "text"):
     })
 
 
+def top_bigrams(ds, k: int = 20, text_col: str = "text"):
+    """Exact corpus-wide top-k frequent BIGRAMS (collocation head —
+    the n-gram LM / phrase-mining counting shape): tokens flatten once
+    per batch, adjacent pairs join where both tokens share a parent
+    row (no cross-document bigrams), then the same partial-counts →
+    tiny-merge → driver top-k plan as ``top_terms``.  Each batch ships
+    at most its DISTINCT bigrams.  Ties: count desc, bigram asc."""
+    from .boilerplate import partial_aggregate
+
+    def prepare(t: pa.Table) -> pa.Table:
+        flat, parent, _ = word_tokens_flat(t[text_col])
+        if len(flat) < 2:
+            return pa.table({"bigram": pa.array([], pa.string()),
+                             "n": pa.array([], pa.int64())})
+        valid = pa.array(parent[:-1] == parent[1:])
+        left = flat.slice(0, len(flat) - 1).filter(valid)
+        right = flat.slice(1).filter(valid)
+        bg = pc.binary_join_element_wise(left, right, " ")
+        vc = pc.value_counts(bg)
+        return pa.table({
+            "bigram": vc.field("values"),
+            "n": vc.field("counts").cast(pa.int64()),
+        })
+
+    tbl = partial_aggregate(ds, ["bigram"], [("n", "sum")],
+                            prepare=prepare)
+    if tbl is None:
+        return pa.table({"bigram": pa.array([], pa.string()),
+                         "n": pa.array([], pa.int64())})
+    bgs = np.asarray(tbl["bigram"].to_pylist())
+    ns = tbl["n_sum"].to_numpy(zero_copy_only=False).astype(np.int64)
+    order = np.lexsort((bgs, -ns))[:k]
+    return pa.table({
+        "bigram": pa.array(bgs[order].tolist(), pa.string()),
+        "n": pa.array(ns[order], pa.int64()),
+    })
+
+
 class MisraGries:
     """Space-saving heavy-hitters sketch (the streaming top-k analog of
     the exact groupby — ICDE'19 top-k frequent terms on streams is this

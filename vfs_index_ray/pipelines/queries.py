@@ -733,6 +733,16 @@ def q_top_terms(sf_dir: str) -> pa.Table:
     return top_terms(_docs_ds(sf_dir, columns=["text"]), k=20)
 
 
+def q_top_bigrams(sf_dir: str) -> pa.Table:
+    """Exact corpus-wide top-20 frequent bigrams (collocation head):
+    adjacent-token pairs within each document, counted via per-batch
+    distinct-bigram partials + one tiny merge (functions/textstats.py
+    top_bigrams) — the n-gram-LM counting shape, never a token-level
+    shuffle."""
+    from ..functions.textstats import top_bigrams
+    return top_bigrams(_docs_ds(sf_dir, columns=["text"]), k=20)
+
+
 JACCARD_PAIRS = [(0, 1), (2, 3), (100, 101)]
 
 
@@ -2278,6 +2288,7 @@ QUERIES = {
     "user_event_seq": q_user_event_seq,
     "events_rollup": q_events_rollup,
     "tpch_q18": q_tpch_q18,
+    "top_bigrams": q_top_bigrams,
     "events_distinct": q_events_distinct,
     "events_approx_users": q_events_approx_users,
     "events_cms_counts": q_events_cms_counts,
@@ -2864,6 +2875,14 @@ SELECT vec_id, label::BIGINT AS pred_label,
 FROM sims
 QUALIFY row_number() OVER (PARTITION BY vec_id
                            ORDER BY sim DESC, label) = 1
+""",
+    "top_bigrams": f"""
+WITH d AS (SELECT {TOKS} AS toks FROM documents),
+ w AS (SELECT unnest(generate_series(1, len(toks) - 1)) AS i, toks
+       FROM d),
+ b AS (SELECT toks[i] || ' ' || toks[i + 1] AS bigram FROM w)
+SELECT bigram, count(*)::BIGINT AS n FROM b
+GROUP BY bigram ORDER BY n DESC, bigram LIMIT 20
 """,
     "top_terms": f"""
 WITH tok AS (SELECT unnest({TOKS}) AS token FROM documents)
