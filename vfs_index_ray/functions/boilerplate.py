@@ -477,3 +477,84 @@ def remove_boilerplate(ds, *, min_docs: int | None = None,
         })
 
     return ds.map_batches(scrub, batch_format="pyarrow")
+
+
+def grouping_sets_aggregate(ds, keys: list[str],
+                            aggs: list[tuple[str, str]],
+                            sets: list[list[str]], *, prepare=None,
+                            sentinels: dict | None = None
+                            ) -> pa.Table | None:
+    """``GROUP BY GROUPING SETS(...)`` for sum-mergeable aggregates:
+    ONE streaming pass of per-batch partials at the FINEST level
+    (``partial_aggregate``), then every requested grouping set
+    re-aggregates the finest RESULT table — output-space-sized, never
+    the input, so adding sets costs nothing at the shuffle layer.
+    Each set must be a subset of ``keys``; dropped key columns are
+    filled with ``sentinels`` (default '' / -1) so every level shares
+    one schema, and the SQL oracle reproduces them by COALESCE-ing
+    GROUPING SETS' NULLs.  Returns the concatenated levels in ``sets``
+    order, or None on empty input."""
+    for _, f in aggs:
+        if f not in _MERGE_FN:
+            raise ValueError(f"non-mergeable aggregate fn: {f!r}")
+    finest = partial_aggregate(ds, keys, aggs, prepare=prepare)
+    if finest is None:
+        return None
+    import pyarrow.compute as _pc
+    pnames = [f"{c}_{f}" for c, f in aggs]
+    merge = [(p, _MERGE_FN[f]) for p, (_, f) in zip(pnames, aggs)]
+
+    def _sentinel(k: str):
+        if sentinels and k in sentinels:
+            return sentinels[k]
+        return -1 if pa.types.is_integer(finest.schema.field(k).type) \
+            else ""
+
+    levels = []
+    for kept in sets:
+        kept = list(kept)
+        if set(kept) - set(keys):
+            raise ValueError(f"grouping set {kept!r} not a subset of "
+                             f"keys {keys!r}")
+        if kept == list(keys):
+            cols = {k: finest[k] for k in kept}
+            for p in pnames:
+                cols[p] = finest[p]
+            nrow = finest.num_rows
+        elif kept:
+            g = _group_counts(finest, kept, merge)
+            cols = {k: g[k] for k in kept}
+            for p, (_, f) in zip(pnames, aggs):
+                cols[p] = g[f"{p}_{_MERGE_FN[f]}"]
+            nrow = g.num_rows
+        else:  # grand total
+            cols = {}
+            for p, (_, f) in zip(pnames, aggs):
+                fn = {"sum": _pc.sum, "min": _pc.min,
+                      "max": _pc.max}[_MERGE_FN[f]]
+                cols[p] = pa.array([fn(finest[p]).as_py()],
+                                   finest.schema.field(p).type)
+            nrow = 1
+        for k in keys:
+            if k not in kept:
+                cols[k] = pa.array([_sentinel(k)] * nrow,
+                                   finest.schema.field(k).type)
+        levels.append(pa.table(
+            {k: cols[k] for k in list(keys) + pnames}))
+    return pa.concat_tables(levels)
+
+
+def cube_aggregate(ds, keys: list[str], aggs: list[tuple[str, str]],
+                   *, prepare=None,
+                   sentinels: dict | None = None) -> pa.Table | None:
+    """``GROUP BY CUBE(keys)``: all 2^len(keys) grouping sets from ONE
+    input pass (``grouping_sets_aggregate``) — the margins are
+    re-aggregations of the finest partial table.  Subset order is
+    deterministic: by descending size, then combination order."""
+    from itertools import combinations
+    sets = []
+    for r in range(len(keys), -1, -1):
+        for c in combinations(keys, r):
+            sets.append(list(c))
+    return grouping_sets_aggregate(ds, keys, aggs, sets,
+                                   prepare=prepare, sentinels=sentinels)

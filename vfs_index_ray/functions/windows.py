@@ -846,3 +846,66 @@ def string_agg_per_key(events_ds, *, key_col: str = "user_id",
 
     return _keyed_partition_op(events_ds, add_part, "kpart", per_part,
                                shuffle=shuffle, spill_dir=spill_dir)
+
+
+def _rank_kernel(t: pa.Table, key_col: str, val_col: str,
+                 id_col: str) -> pa.Table:
+    """Per-key rank / dense_rank / percent_rank by (val desc, id asc):
+    one sort + two boundary-diff passes per partition, no per-key
+    loop.  ``id_col`` is unique, so the full sort key has no ties and
+    rank == SQL ``rank() OVER (... ORDER BY val DESC, id)``;
+    dense_rank compresses equal-``val`` runs within a key;
+    percent_rank is ``(rank-1)/(n-1)`` computed in fp64 — the same
+    division of the same exact small integers the SQL engine does, so
+    the quantized output is bit-stable across engines."""
+    idx = pc.sort_indices(t, sort_keys=[
+        (key_col, "ascending"), (val_col, "descending"),
+        (id_col, "ascending")])
+    t = t.take(idx)
+    m = t.num_rows
+    if m == 0:
+        for name in ("rnk", "drnk", "pct_rank_x1e6"):
+            t = t.append_column(name, pa.array([], pa.int64()))
+        return t
+    keys = t[key_col].to_numpy(zero_copy_only=False)
+    first = np.empty(m, bool)
+    first[0] = True
+    np.not_equal(keys[1:], keys[:-1], out=first[1:])
+    starts = np.flatnonzero(first)
+    run_lens = np.diff(np.append(starts, m))
+    rank = np.arange(m, dtype=np.int64) - np.repeat(starts, run_lens) + 1
+    vals = t[val_col].to_numpy(zero_copy_only=False)
+    vfirst = np.empty(m, bool)
+    vfirst[0] = True
+    np.not_equal(vals[1:], vals[:-1], out=vfirst[1:])
+    vfirst |= first
+    cum = np.cumsum(vfirst.astype(np.int64))
+    dense = cum - np.repeat(cum[starts], run_lens) + 1
+    n = np.repeat(run_lens, run_lens).astype(np.float64)
+    pr = np.where(n > 1.0, (rank - 1).astype(np.float64)
+                  / np.maximum(n - 1.0, 1.0), 0.0)
+    pct = np.floor(pr * 1e6 + 0.5).astype(np.int64)
+    return (t.append_column("rnk", pa.array(rank, pa.int64()))
+             .append_column("drnk", pa.array(dense, pa.int64()))
+             .append_column("pct_rank_x1e6", pa.array(pct, pa.int64())))
+
+
+def rank_per_key(events_ds, *, key_col: str = "user_id",
+                 val_col: str = "value", id_col: str = "event_id",
+                 num_partitions: int = 32, shuffle: str = "auto",
+                 spill_dir: str | None = None):
+    """SQL ``rank() / dense_rank() / percent_rank() OVER (PARTITION BY
+    key ORDER BY val DESC, id)`` for every input row: one uniform hash
+    partition by key, one vectorized sort + run-rank kernel per
+    partition.  Output is input-sized (one row per event) — consume it
+    streaming, the ranks never gather on the driver."""
+    def add_part(t: pa.Table) -> pa.Table:
+        kid = t[key_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        return t.append_column(
+            "kpart", pa.array(kid % num_partitions, pa.int64()))
+
+    def per_part(g: pa.Table) -> pa.Table:
+        return _rank_kernel(g, key_col, val_col, id_col)
+
+    return _keyed_partition_op(events_ds, add_part, "kpart", per_part,
+                               shuffle=shuffle, spill_dir=spill_dir)

@@ -2249,6 +2249,235 @@ def q_tpch_q18(sf_dir: str) -> pa.Table:
         "sum_qty_x100": top["sum_qty_x100"]}).cast(schema)
 
 
+_EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+def q_events_pivot(sf_dir: str) -> pa.Table:
+    """Pivot: per-user counts of every event type as COLUMNS (the SQL
+    ``sum(CASE WHEN type=t THEN 1 END)`` conditional-aggregation
+    shape).  The indicator columns are materialized per batch, so the
+    whole pivot is one hash_aggregate over user_id — per-batch
+    combiner, key-hash disk spill, per-part merge; no per-type passes
+    and nothing row-wise."""
+    import ray.data
+
+    from ..functions.boilerplate import hash_aggregate
+    _tune_context()
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["user_id", "event_type", "value"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        cols = {"user_id": t["user_id"]}
+        et = t["event_type"]
+        for ty in _EVENT_TYPES:
+            cols[f"n_{ty}"] = pc.cast(pc.equal(et, ty), pa.int64())
+        v = np.floor(t["value"].to_numpy(zero_copy_only=False)
+                     * 10000.0 + 0.5).astype(np.int64)
+        cols["v"] = pa.array(v, pa.int64())
+        return pa.table(cols)
+
+    aggs = [(f"n_{ty}", "sum") for ty in _EVENT_TYPES] + \
+        [("v", "count"), ("v", "sum")]
+    out = hash_aggregate(ds, ["user_id"], aggs, prepare=prep)
+    names = (["user_id"] + [f"n_{ty}" for ty in _EVENT_TYPES]
+             + ["n_total", "value_x1e4"])
+    schema = pa.schema([(n, pa.int64()) for n in names])
+    if out is None:
+        return schema.empty_table()
+    t = _collect(out)
+    t = t.take(pc.sort_indices(t, sort_keys=[("user_id", "ascending")]))
+    return pa.table(dict(zip(names, [
+        t["user_id"]] + [t[f"n_{ty}_sum"] for ty in _EVENT_TYPES]
+        + [t["v_count"], t["v_sum"]]))).cast(schema)
+
+
+def q_events_cube(sf_dir: str) -> pa.Table:
+    """GROUP BY CUBE(event_type, hour) — all four grouping levels
+    (type x hour, per-type, per-hour, grand total) from ONE streaming
+    pass (functions/boilerplate.py cube_aggregate: margins re-aggregate
+    the finest partial table, which is output-sized).  Sentinels
+    'ALL'/-1 stand in for CUBE's NULLs; per-row x1e4 quantization makes
+    every level's sums integer-exact."""
+    import ray.data
+
+    from ..functions.boilerplate import cube_aggregate
+    _tune_context()
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["ts", "event_type", "value"])
+
+    def prepare(t: pa.Table) -> pa.Table:
+        us = t["ts"].cast(pa.int64())
+        w = pc.multiply(pc.floor(pc.divide(us, 3_600_000_000)),
+                        3_600_000_000).cast(pa.int64())
+        v = np.floor(t["value"].to_numpy(zero_copy_only=False)
+                     * 10000.0 + 0.5).astype(np.int64)
+        return pa.table({"event_type": t["event_type"],
+                         "window_us": w,
+                         "v": pa.array(v, pa.int64())})
+
+    t = cube_aggregate(ds, ["event_type", "window_us"],
+                       [("v", "count"), ("v", "sum")],
+                       prepare=prepare,
+                       sentinels={"event_type": "ALL",
+                                  "window_us": -1})
+    t = pa.table({"event_type": t["event_type"],
+                  "window_us": t["window_us"],
+                  "n": t["v_count"].cast(pa.int64()),
+                  "sum_x1e4": t["v_sum"].cast(pa.int64())})
+    return t.take(pc.sort_indices(t, sort_keys=[
+        ("event_type", "ascending"), ("window_us", "ascending")]))
+
+
+def q_events_histogram(sf_dir: str) -> pa.Table:
+    """Histogram (width_bucket shape): value bucketed to [0,49] by
+    floor(value/10) capped at 49, count + x1e4 sum per bucket — pure
+    per-batch partials (partial_aggregate), zero shuffle: 50 buckets
+    × blocks is all that ever moves."""
+    import ray.data
+
+    from ..functions.boilerplate import partial_aggregate
+    _tune_context()
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "events.parquet"), columns=["value"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        v = t["value"].to_numpy(zero_copy_only=False)
+        b = np.minimum(np.floor(v / 10.0), 49.0).astype(np.int64)
+        vx = np.floor(v * 10000.0 + 0.5).astype(np.int64)
+        return pa.table({"bucket": pa.array(b, pa.int64()),
+                         "v": pa.array(vx, pa.int64())})
+
+    t = partial_aggregate(ds, ["bucket"],
+                          [("v", "count"), ("v", "sum")], prepare=prep)
+    schema = pa.schema([("bucket", pa.int64()), ("n", pa.int64()),
+                        ("sum_x1e4", pa.int64())])
+    if t is None:
+        return schema.empty_table()
+    t = pa.table({"bucket": t["bucket"], "n": t["v_count"],
+                  "sum_x1e4": t["v_sum"]}).cast(schema)
+    return t.take(pc.sort_indices(t, sort_keys=[("bucket",
+                                                 "ascending")]))
+
+
+def q_user_mode(sf_dir: str) -> pa.Table:
+    """Mode per key (most frequent event_type per user, ties broken by
+    type asc): hash_aggregate counts (user, type) pairs — per-batch
+    combiner, pair-hash disk spill — then the group-top-1 runs as the
+    same keyed-partition kernel as events_top_per_user (sort +
+    run-rank, no per-key loop).  Both stages are key-partitioned, so
+    nothing user-sized ever sits on the driver."""
+    import ray.data
+
+    from ..functions.boilerplate import hash_aggregate
+    from ..functions.windows import top_n_per_key
+    _tune_context()
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["user_id", "event_type"])
+    agg = hash_aggregate(ds, ["user_id", "event_type"],
+                         [("event_type", "count")])
+    schema = pa.schema([("user_id", pa.int64()),
+                        ("mode_type", pa.string()),
+                        ("n", pa.int64())])
+    if agg is None:
+        return schema.empty_table()
+    mode = top_n_per_key(agg, key_col="user_id",
+                         val_col="event_type_count",
+                         id_col="event_type", n=1)
+    t = _collect(mode)
+    t = t.take(pc.sort_indices(t, sort_keys=[("user_id", "ascending")]))
+    return pa.table({"user_id": t["user_id"],
+                     "mode_type": t["event_type"],
+                     "n": t["event_type_count"]}).cast(schema)
+
+
+def q_funnel(sf_dir: str) -> pa.Table:
+    """Conversion funnel (view -> purchase): per-user min view-ts and
+    max purchase-ts via one hash_aggregate (conditional columns are
+    nulled per batch, Arrow min/max skip nulls across the merge), then
+    per-part converted/viewer/purchaser counts fold to ONE row — the
+    user dimension never leaves the partitioned stage."""
+    import ray.data
+
+    from ..functions.boilerplate import hash_aggregate
+    _tune_context()
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["user_id", "event_type", "ts"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        ts = t["ts"].cast(pa.int64())
+        null64 = pa.scalar(None, pa.int64())
+        return pa.table({
+            "user_id": t["user_id"],
+            "view_ts": pc.if_else(
+                pc.equal(t["event_type"], "view"), ts, null64),
+            "purch_ts": pc.if_else(
+                pc.equal(t["event_type"], "purchase"), ts, null64)})
+
+    agg = hash_aggregate(ds, ["user_id"],
+                         [("view_ts", "min"), ("purch_ts", "max")],
+                         prepare=prep)
+    schema = pa.schema([("n_users", pa.int64()),
+                        ("n_viewers", pa.int64()),
+                        ("n_purchasers", pa.int64()),
+                        ("n_converted", pa.int64())])
+    if agg is None:
+        return pa.table({n: pa.array([0], pa.int64())
+                         for n in schema.names}).cast(schema)
+
+    def counts(t: pa.Table) -> pa.Table:
+        v, p = t["view_ts_min"], t["purch_ts_max"]
+        conv = pc.fill_null(pc.less(v, p), False)
+        return pa.table({
+            "n_users": pa.array([t.num_rows], pa.int64()),
+            "n_viewers": pa.array(
+                [pc.sum(pc.cast(pc.is_valid(v), pa.int64())).as_py()
+                 or 0], pa.int64()),
+            "n_purchasers": pa.array(
+                [pc.sum(pc.cast(pc.is_valid(p), pa.int64())).as_py()
+                 or 0], pa.int64()),
+            "n_converted": pa.array(
+                [pc.sum(pc.cast(conv, pa.int64())).as_py() or 0],
+                pa.int64())})
+
+    t = _collect(agg.map_batches(counts, batch_format="pyarrow",
+                                 zero_copy_batch=True))
+    return pa.table({n: pa.array([pc.sum(t[n]).as_py() or 0],
+                                 pa.int64())
+                     for n in schema.names}).cast(schema)
+
+
+def q_events_rank(sf_dir: str) -> pa.Table:
+    """SQL window trio rank()/dense_rank()/percent_rank() OVER
+    (PARTITION BY user ORDER BY value DESC, event_id) for EVERY event:
+    keyed-partition sort + run-rank kernel (functions/windows.py
+    rank_per_key) — output is input-sized and stays partitioned until
+    the gate collects it.  percent_rank is the same exact-integer
+    division both engines perform, quantized x1e6."""
+    import ray.data
+
+    from ..functions.windows import rank_per_key
+    _tune_context()
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["event_id", "user_id", "value"])
+    out = rank_per_key(ds, key_col="user_id", val_col="value",
+                       id_col="event_id")
+    t = _collect(out)
+    vx = np.floor(t["value"].to_numpy(zero_copy_only=False)
+                  * 10000.0 + 0.5).astype(np.int64)
+    t = pa.table({"event_id": t["event_id"],
+                  "user_id": t["user_id"],
+                  "value_x1e4": pa.array(vx, pa.int64()),
+                  "rnk": t["rnk"], "drnk": t["drnk"],
+                  "pct_rank_x1e6": t["pct_rank_x1e6"]})
+    return t.take(pc.sort_indices(t, sort_keys=[
+        ("user_id", "ascending"), ("rnk", "ascending")]))
+
+
 # ---------------------------------------------------------------------------
 # registry + oracle SQL
 # ---------------------------------------------------------------------------
@@ -2349,6 +2578,12 @@ QUERIES = {
     "stratified_sample": q_stratified_sample,
     "budget_mix": q_budget_mix,
     "shuffle_shards": q_shuffle_shards,
+    "events_pivot": q_events_pivot,
+    "events_cube": q_events_cube,
+    "events_histogram": q_events_histogram,
+    "user_mode": q_user_mode,
+    "funnel": q_funnel,
+    "events_rank": q_events_rank,
 }
 
 _STOP_SQL = "['the','and','of','to','a','in','is','it']"
@@ -3690,4 +3925,82 @@ FROM p ORDER BY shard, pos
     # minhash LSH candidate stage / media pipelines: remaining rows-only
     # checks (approximate IVF + Philox-noise media are approximate or
     # non-SQL by nature).
+    "events_pivot": """
+SELECT user_id,
+  sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)::BIGINT
+    AS n_click,
+  sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)::BIGINT
+    AS n_error,
+  sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)::BIGINT
+    AS n_purchase,
+  sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END)::BIGINT
+    AS n_signup,
+  sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)::BIGINT
+    AS n_view,
+  count(*)::BIGINT AS n_total,
+  sum(CAST(floor(value * 10000 + 0.5) AS BIGINT))::BIGINT AS value_x1e4
+FROM events GROUP BY user_id ORDER BY user_id
+""",
+    "events_cube": """
+WITH q AS (
+  SELECT event_type,
+         epoch_us(date_trunc('hour', ts))::BIGINT AS window_us,
+         CAST(floor(value * 10000 + 0.5) AS BIGINT) AS v
+  FROM events
+)
+SELECT COALESCE(event_type, 'ALL') AS event_type,
+       COALESCE(window_us, -1)::BIGINT AS window_us,
+       count(v)::BIGINT AS n, sum(v)::BIGINT AS sum_x1e4
+FROM q GROUP BY CUBE(event_type, window_us)
+ORDER BY 1, 2
+""",
+    "events_histogram": """
+SELECT LEAST(CAST(floor(value / 10.0) AS BIGINT), 49) AS bucket,
+       count(*)::BIGINT AS n,
+       sum(CAST(floor(value * 10000 + 0.5) AS BIGINT))::BIGINT
+         AS sum_x1e4
+FROM events GROUP BY 1 ORDER BY 1
+""",
+    "user_mode": """
+WITH c AS (
+  SELECT user_id, event_type, count(*)::BIGINT AS n
+  FROM events GROUP BY 1, 2
+), r AS (
+  SELECT user_id, event_type, n,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY n DESC, event_type ASC) AS rn
+  FROM c
+)
+SELECT user_id, event_type AS mode_type, n
+FROM r WHERE rn = 1 ORDER BY user_id
+""",
+    "funnel": """
+WITH u AS (
+  SELECT user_id,
+         min(CASE WHEN event_type = 'view' THEN ts END) AS v,
+         max(CASE WHEN event_type = 'purchase' THEN ts END) AS p
+  FROM events GROUP BY user_id
+)
+SELECT count(*)::BIGINT AS n_users,
+       count(v)::BIGINT AS n_viewers,
+       count(p)::BIGINT AS n_purchasers,
+       sum(CASE WHEN v < p THEN 1 ELSE 0 END)::BIGINT AS n_converted
+FROM u
+""",
+    "events_rank": """
+WITH r AS (
+  SELECT event_id, user_id, value,
+         rank() OVER w AS rnk,
+         dense_rank() OVER (PARTITION BY user_id
+                            ORDER BY value DESC) AS drnk,
+         percent_rank() OVER w AS pr
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY value DESC, event_id ASC)
+)
+SELECT event_id, user_id,
+       CAST(floor(value * 10000 + 0.5) AS BIGINT) AS value_x1e4,
+       rnk::BIGINT AS rnk, drnk::BIGINT AS drnk,
+       CAST(floor(pr * 1000000 + 0.5) AS BIGINT) AS pct_rank_x1e6
+FROM r ORDER BY user_id, rnk
+""",
 }
