@@ -2478,6 +2478,362 @@ def q_events_rank(sf_dir: str) -> pa.Table:
         ("user_id", "ascending"), ("rnk", "ascending")]))
 
 
+def q_tpch_q10(sf_dir: str) -> pa.Table:
+    """TPC-H Q10-shape returned-item top customers: revenue per
+    orderkey (hash_aggregate over the R-flagged lineitems) joins the
+    date-windowed orders co-partitioned by orderkey with a per-task
+    partial custkey aggregate, then a SECOND hash_aggregate re-keys
+    those partials by custkey (a custkey spans many orderkey
+    partitions) with a local top-20 per merge part — the driver only
+    ever merges P twenty-row candidates.  Customer + nation names
+    attach at the end via point-filtered reads on the 20 winners."""
+    import ray
+    import ray.data
+    import pyarrow.parquet as pqq
+
+    from ..functions.boilerplate import _group_counts, hash_aggregate
+    from ..functions.joins import hash_join
+    _tune_context()
+    lo = pa.scalar(np.datetime64("1995-01-01", "us"), pa.timestamp("us"))
+    hi = pa.scalar(np.datetime64("1996-01-01", "us"), pa.timestamp("us"))
+
+    line = ray.data.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_orderkey", "l_extendedprice", "l_discount",
+                 "l_returnflag"])
+
+    def prep_line(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.equal(t["l_returnflag"], "R"))
+        ep = t["l_extendedprice"].to_numpy(zero_copy_only=False)
+        dc = t["l_discount"].to_numpy(zero_copy_only=False)
+        rev = np.floor(ep * (1.0 - dc) * 10000.0 + 0.5).astype(np.int64)
+        return pa.table({"l_orderkey": t["l_orderkey"],
+                         "rev": pa.array(rev, pa.int64())})
+
+    agg = hash_aggregate(line, ["l_orderkey"], [("rev", "sum")],
+                         prepare=prep_line)
+    schema = pa.schema([
+        ("c_custkey", pa.int64()), ("c_name", pa.string()),
+        ("revenue_x1e4", pa.int64()), ("acctbal_x100", pa.int64()),
+        ("n_name", pa.string())])
+    if agg is None:
+        return schema.empty_table()
+
+    orders = ray.data.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_orderkey", "o_custkey", "o_orderdate"])
+
+    def filt_orders(t: pa.Table) -> pa.Table:
+        m = pc.and_(pc.greater_equal(t["o_orderdate"], lo),
+                    pc.less(t["o_orderdate"], hi))
+        return t.filter(m).select(["o_orderkey", "o_custkey"])
+
+    def by_cust(j: pa.Table) -> pa.Table:
+        return _group_counts(j, ["o_custkey"], [("rev_sum", "sum")])
+
+    joined = hash_join(
+        agg,
+        orders.map_batches(filt_orders, batch_format="pyarrow",
+                           zero_copy_batch=True),
+        left_on="l_orderkey", right_on="o_orderkey", post=by_cust)
+    if joined is None:
+        return schema.empty_table()
+    cust_rev = hash_aggregate(joined, ["o_custkey"],
+                              [("rev_sum_sum", "sum")])
+    if cust_rev is None:
+        return schema.empty_table()
+
+    def local_top(t: pa.Table) -> pa.Table:
+        return t.take(pc.sort_indices(t, sort_keys=[
+            ("rev_sum_sum_sum", "descending"),
+            ("o_custkey", "ascending")])[:20])
+
+    top = _collect(cust_rev.map_batches(local_top,
+                                        batch_format="pyarrow",
+                                        zero_copy_batch=True))
+    top = top.take(pc.sort_indices(top, sort_keys=[
+        ("rev_sum_sum_sum", "descending"),
+        ("o_custkey", "ascending")])[:20])
+    cust = pqq.read_table(
+        os.path.join(sf_dir, "customer.parquet"),
+        columns=["c_custkey", "c_name", "c_acctbal", "c_nationkey"],
+        filters=[("c_custkey", "in",
+                  sorted(set(top["o_custkey"].to_pylist())))])
+    nation = pqq.read_table(os.path.join(sf_dir, "nation.parquet"),
+                            columns=["n_nationkey", "n_name"])
+    cidx = pc.index_in(top["o_custkey"],
+                       value_set=cust["c_custkey"].combine_chunks())
+    nkey = cust["c_nationkey"].combine_chunks().take(cidx)
+    nidx = pc.index_in(nkey,
+                       value_set=nation["n_nationkey"].combine_chunks())
+    ab = np.floor(cust["c_acctbal"].combine_chunks().take(cidx)
+                  .to_numpy(zero_copy_only=False) * 100.0
+                  + 0.5).astype(np.int64)
+    return pa.table({
+        "c_custkey": top["o_custkey"],
+        "c_name": cust["c_name"].combine_chunks().take(cidx),
+        "revenue_x1e4": top["rev_sum_sum_sum"],
+        "acctbal_x100": pa.array(ab, pa.int64()),
+        "n_name": nation["n_name"].combine_chunks().take(nidx),
+    }).cast(schema)
+
+
+def q_order_priority_late(sf_dir: str) -> pa.Table:
+    """TPC-H Q4-shape order-priority check (EXISTS rewritten as a
+    mergeable max): max(l_shipdate) per orderkey via hash_aggregate,
+    co-partitioned join with orders, and the 'shipped >60 days after
+    order' predicate + priority partial counts run INSIDE each join
+    task — only 5-row partials reach the driver."""
+    import ray.data
+
+    from ..functions.boilerplate import _group_counts, hash_aggregate
+    from ..functions.joins import hash_join
+    _tune_context()
+    line = ray.data.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_orderkey", "l_shipdate"])
+    maxship = hash_aggregate(line, ["l_orderkey"],
+                             [("l_shipdate", "max")])
+    schema = pa.schema([("o_orderpriority", pa.string()),
+                        ("n_late", pa.int64())])
+    if maxship is None:
+        return schema.empty_table()
+    orders = ray.data.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_orderkey", "o_orderdate", "o_orderpriority"])
+    sixty_us = 60 * 86_400_000_000
+
+    def late_counts(j: pa.Table) -> pa.Table:
+        ship = j["l_shipdate_max"].cast(pa.int64())
+        od = j["o_orderdate"].cast(pa.int64())
+        j = j.filter(pc.greater(ship, pc.add(od, sixty_us)))
+        return _group_counts(j, ["o_orderpriority"],
+                             [("l_orderkey", "count")])
+
+    out = hash_join(maxship, orders, left_on="l_orderkey",
+                    right_on="o_orderkey", post=late_counts)
+    if out is None:
+        return schema.empty_table()
+    t = _collect(out)
+    if t.num_rows == 0:
+        return schema.empty_table()
+    m = _group_counts(t, ["o_orderpriority"],
+                      [("l_orderkey_count", "sum")])
+    m = pa.table({"o_orderpriority": m["o_orderpriority"],
+                  "n_late": m["l_orderkey_count_sum"].cast(pa.int64())})
+    return m.take(pc.sort_indices(m, sort_keys=[
+        ("o_orderpriority", "ascending")])).cast(schema)
+
+
+def q_promo_revenue(sf_dir: str) -> pa.Table:
+    """TPC-H Q14-shape promo revenue ratio: the PROMO partkey set is
+    shipped ONCE (ray.put) and lineitems fold into per-batch
+    (is_promo -> sum, count) partials — zero shuffle; the ratio is the
+    same exact-integer division both engines perform, quantized x1e4.
+    At 100 TB the part dimension outgrowing the broadcast budget flips
+    this to the co-partitioned hash_join + the identical partial."""
+    import ray
+    import ray.data
+    import pyarrow.parquet as pqq
+
+    from ..functions.boilerplate import partial_aggregate
+    _tune_context()
+    part = pqq.read_table(os.path.join(sf_dir, "part.parquet"),
+                          columns=["p_partkey", "p_type"])
+    promo = part.filter(pc.equal(part["p_type"], "PROMO"))
+    promo_ref = ray.put(promo["p_partkey"].combine_chunks())
+    lo = pa.scalar(np.datetime64("1996-01-01", "us"), pa.timestamp("us"))
+    hi = pa.scalar(np.datetime64("1997-01-01", "us"), pa.timestamp("us"))
+
+    line = ray.data.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_partkey", "l_extendedprice", "l_discount",
+                 "l_shipdate"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        m = pc.and_(pc.greater_equal(t["l_shipdate"], lo),
+                    pc.less(t["l_shipdate"], hi))
+        t = t.filter(m)
+        ep = t["l_extendedprice"].to_numpy(zero_copy_only=False)
+        dc = t["l_discount"].to_numpy(zero_copy_only=False)
+        rev = np.floor(ep * (1.0 - dc) * 10000.0 + 0.5).astype(np.int64)
+        isp = pc.cast(pc.is_in(t["l_partkey"],
+                               value_set=ray.get(promo_ref)),
+                      pa.int64())
+        return pa.table({"is_promo": isp,
+                         "rev": pa.array(rev, pa.int64())})
+
+    t = partial_aggregate(line, ["is_promo"], [("rev", "sum")],
+                          prepare=prep)
+    schema = pa.schema([("promo_x1e4", pa.int64()),
+                        ("total_x1e4", pa.int64()),
+                        ("ratio_x1e4", pa.int64())])
+    if t is None:
+        return pa.table({n: pa.array([0], pa.int64())
+                         for n in schema.names}).cast(schema)
+    promo_sum = total = 0
+    for flag, s in zip(t["is_promo"].to_pylist(),
+                       t["rev_sum"].to_pylist()):
+        total += s
+        if flag == 1:
+            promo_sum += s
+    ratio = (100.0 * float(promo_sum)) / float(total) if total else 0.0
+    rx = int(np.floor(ratio * 10000.0 + 0.5))
+    return pa.table({"promo_x1e4": pa.array([promo_sum], pa.int64()),
+                     "total_x1e4": pa.array([total], pa.int64()),
+                     "ratio_x1e4": pa.array([rx], pa.int64())})
+
+
+def q_part_supplier_cnt(sf_dir: str) -> pa.Table:
+    """TPC-H Q16-shape supplier counts: NOT-IN anti-filter (the tiny
+    negative-balance supplier set broadcasts once), part attrs attach
+    by broadcast index_in, then count(DISTINCT suppkey) per
+    (brand, size) via the pair-hash distinct_aggregate spill — the
+    only exact-distinct shape that never ships raw rows twice."""
+    import ray
+    import ray.data
+    import pyarrow.parquet as pqq
+
+    from ..functions.boilerplate import distinct_aggregate
+    _tune_context()
+    sup = pqq.read_table(os.path.join(sf_dir, "supplier.parquet"),
+                         columns=["s_suppkey", "s_acctbal"])
+    bad = sup.filter(pc.less(sup["s_acctbal"], 0.0))
+    bad_ref = ray.put(bad["s_suppkey"].combine_chunks())
+    part = pqq.read_table(os.path.join(sf_dir, "part.parquet"),
+                          columns=["p_partkey", "p_brand", "p_size"])
+    part_ref = ray.put(part.combine_chunks())
+
+    line = ray.data.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_partkey", "l_suppkey"])
+
+    def attach(t: pa.Table) -> pa.Table:
+        keep = pc.invert(pc.is_in(t["l_suppkey"],
+                                  value_set=ray.get(bad_ref)))
+        t = t.filter(keep)
+        p = ray.get(part_ref)
+        idx = pc.index_in(t["l_partkey"], value_set=p["p_partkey"])
+        return pa.table({"p_brand": p["p_brand"].take(idx),
+                         "p_size": p["p_size"].take(idx),
+                         "l_suppkey": t["l_suppkey"]})
+
+    ds = line.map_batches(attach, batch_format="pyarrow",
+                          zero_copy_batch=True)
+    t = distinct_aggregate(ds, ["p_brand", "p_size"], "l_suppkey")
+    schema = pa.schema([("p_brand", pa.string()),
+                        ("p_size", pa.int32()),
+                        ("supplier_cnt", pa.int64())])
+    if t is None:
+        return schema.empty_table()
+    t = pa.table({"p_brand": t["p_brand"], "p_size": t["p_size"],
+                  "supplier_cnt": t["n_distinct"]}).cast(schema)
+    return t.take(pc.sort_indices(t, sort_keys=[
+        ("supplier_cnt", "descending"), ("p_brand", "ascending"),
+        ("p_size", "ascending")]))
+
+
+def q_corr_stats(sf_dir: str) -> pa.Table:
+    """Pearson correlation per group from ONE pass of integer moment
+    partials (n, Σq, Σd, Σq², Σd², Σqd on the x100 grid) — zero
+    shuffle, 3 groups × blocks is all that moves.  The closing
+    arithmetic (HUGEINT-exact differences -> fp64 -> one division) is
+    the identical expression tree the oracle SQL evaluates, so the
+    x1e6 quantization is bit-stable across engines."""
+    import math
+
+    import ray.data
+
+    from ..functions.boilerplate import partial_aggregate
+    _tune_context()
+    line = ray.data.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_returnflag", "l_quantity", "l_discount"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        q = np.floor(t["l_quantity"].to_numpy(zero_copy_only=False)
+                     * 100.0 + 0.5).astype(np.int64)
+        d = np.floor(t["l_discount"].to_numpy(zero_copy_only=False)
+                     * 100.0 + 0.5).astype(np.int64)
+        return pa.table({
+            "l_returnflag": t["l_returnflag"],
+            "q": pa.array(q, pa.int64()),
+            "d": pa.array(d, pa.int64()),
+            "qq": pa.array(q * q, pa.int64()),
+            "dd": pa.array(d * d, pa.int64()),
+            "qd": pa.array(q * d, pa.int64())})
+
+    t = partial_aggregate(
+        line, ["l_returnflag"],
+        [("q", "count"), ("q", "sum"), ("d", "sum"),
+         ("qq", "sum"), ("dd", "sum"), ("qd", "sum")], prepare=prep)
+    schema = pa.schema([("l_returnflag", pa.string()),
+                        ("n", pa.int64()), ("sum_q", pa.int64()),
+                        ("sum_d", pa.int64()),
+                        ("corr_x1e6", pa.int64())])
+    if t is None:
+        return schema.empty_table()
+    t = t.take(pc.sort_indices(t, sort_keys=[("l_returnflag",
+                                              "ascending")]))
+    corrs = []
+    for i in range(t.num_rows):
+        n = t["q_count"][i].as_py()
+        sq, sd = t["q_sum"][i].as_py(), t["d_sum"][i].as_py()
+        sqq, sdd = t["qq_sum"][i].as_py(), t["dd_sum"][i].as_py()
+        sqd = t["qd_sum"][i].as_py()
+        num = float(n * sqd - sq * sd)          # exact python ints
+        den = (math.sqrt(float(n * sqq - sq * sq))
+               * math.sqrt(float(n * sdd - sd * sd)))
+        c = num / den if den else 0.0
+        corrs.append(int(np.floor(c * 1e6 + 0.5)))
+    return pa.table({
+        "l_returnflag": t["l_returnflag"],
+        "n": t["q_count"].cast(pa.int64()),
+        "sum_q": t["q_sum"].cast(pa.int64()),
+        "sum_d": t["d_sum"].cast(pa.int64()),
+        "corr_x1e6": pa.array(corrs, pa.int64())}).cast(schema)
+
+
+def q_cheapest_supplier(sf_dir: str) -> pa.Table:
+    """TPC-H Q2-shape argmin-per-group join-back, without a join:
+    (price, suppkey) packs into ONE sortable int64 (price_x100 · 2²⁴ +
+    suppkey — suppkey < 2²⁴ holds through sf100), so min(enc) under
+    hash_aggregate IS arg_min with the (price asc, suppkey asc)
+    tie-break, mergeable across every partial.  The oracle decodes the
+    identical encoding."""
+    import ray.data
+
+    from ..functions.boilerplate import hash_aggregate
+    _tune_context()
+    line = ray.data.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_partkey", "l_suppkey", "l_extendedprice"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        cost = np.floor(t["l_extendedprice"].to_numpy(
+            zero_copy_only=False) * 100.0 + 0.5).astype(np.int64)
+        sk = t["l_suppkey"].to_numpy(zero_copy_only=False)
+        enc = cost * (1 << 24) + sk
+        return pa.table({"l_partkey": t["l_partkey"],
+                         "enc": pa.array(enc, pa.int64())})
+
+    agg = hash_aggregate(line, ["l_partkey"], [("enc", "min")],
+                         prepare=prep)
+    schema = pa.schema([("l_partkey", pa.int64()),
+                        ("best_suppkey", pa.int64()),
+                        ("min_price_x100", pa.int64())])
+    if agg is None:
+        return schema.empty_table()
+    t = _collect(agg)
+    enc = t["enc_min"].to_numpy(zero_copy_only=False)
+    out = pa.table({
+        "l_partkey": t["l_partkey"],
+        "best_suppkey": pa.array(enc % (1 << 24), pa.int64()),
+        "min_price_x100": pa.array(enc >> 24, pa.int64())})
+    return out.take(pc.sort_indices(out, sort_keys=[
+        ("l_partkey", "ascending")])).cast(schema)
+
+
 # ---------------------------------------------------------------------------
 # registry + oracle SQL
 # ---------------------------------------------------------------------------
@@ -2584,6 +2940,12 @@ QUERIES = {
     "user_mode": q_user_mode,
     "funnel": q_funnel,
     "events_rank": q_events_rank,
+    "tpch_q10": q_tpch_q10,
+    "order_priority_late": q_order_priority_late,
+    "promo_revenue": q_promo_revenue,
+    "part_supplier_cnt": q_part_supplier_cnt,
+    "corr_stats": q_corr_stats,
+    "cheapest_supplier": q_cheapest_supplier,
 }
 
 _STOP_SQL = "['the','and','of','to','a','in','is','it']"
@@ -4002,5 +4364,91 @@ SELECT event_id, user_id,
        rnk::BIGINT AS rnk, drnk::BIGINT AS drnk,
        CAST(floor(pr * 1000000 + 0.5) AS BIGINT) AS pct_rank_x1e6
 FROM r ORDER BY user_id, rnk
+""",
+    "tpch_q10": """
+WITH rev AS (
+  SELECT o_custkey, sum(r)::BIGINT AS revenue
+  FROM (SELECT l_orderkey,
+               CAST(floor(l_extendedprice * (1 - l_discount) * 10000
+                          + 0.5) AS BIGINT) AS r
+        FROM lineitem WHERE l_returnflag = 'R') l
+  JOIN orders ON l_orderkey = o_orderkey
+  WHERE o_orderdate >= TIMESTAMP '1995-01-01'
+    AND o_orderdate < TIMESTAMP '1996-01-01'
+  GROUP BY o_custkey
+)
+SELECT c_custkey, c_name, revenue AS revenue_x1e4,
+       CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) AS acctbal_x100,
+       n_name
+FROM rev JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+ORDER BY revenue_x1e4 DESC, c_custkey LIMIT 20
+""",
+    "order_priority_late": """
+WITH m AS (
+  SELECT l_orderkey, max(l_shipdate) AS ms FROM lineitem GROUP BY 1
+)
+SELECT o_orderpriority, count(*)::BIGINT AS n_late
+FROM orders JOIN m ON o_orderkey = l_orderkey
+WHERE ms > o_orderdate + INTERVAL 60 DAY
+GROUP BY 1 ORDER BY 1
+""",
+    "promo_revenue": """
+WITH l AS (
+  SELECT CAST(floor(l_extendedprice * (1 - l_discount) * 10000 + 0.5)
+              AS BIGINT) AS rev,
+         (p_type = 'PROMO') AS isp
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+    AND l_shipdate < TIMESTAMP '1997-01-01'
+), s AS (
+  SELECT sum(CASE WHEN isp THEN rev ELSE 0 END)::BIGINT AS promo,
+         sum(rev)::BIGINT AS total
+  FROM l
+)
+SELECT promo AS promo_x1e4, total AS total_x1e4,
+       CAST(floor((100.0 * promo::DOUBLE) / total::DOUBLE * 10000
+                  + 0.5) AS BIGINT) AS ratio_x1e4
+FROM s
+""",
+    "part_supplier_cnt": """
+SELECT p_brand, p_size,
+       count(DISTINCT l_suppkey)::BIGINT AS supplier_cnt
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE l_suppkey NOT IN (SELECT s_suppkey FROM supplier
+                        WHERE s_acctbal < 0)
+GROUP BY 1, 2
+ORDER BY supplier_cnt DESC, p_brand, p_size
+""",
+    "corr_stats": """
+WITH b AS (
+  SELECT l_returnflag,
+         CAST(floor(l_quantity * 100 + 0.5) AS BIGINT) AS q,
+         CAST(floor(l_discount * 100 + 0.5) AS BIGINT) AS d
+  FROM lineitem
+), m AS (
+  SELECT l_returnflag, count(*)::BIGINT AS n, sum(q)::BIGINT AS sq,
+         sum(d)::BIGINT AS sd, sum(q * q)::BIGINT AS sqq,
+         sum(d * d)::BIGINT AS sdd, sum(q * d)::BIGINT AS sqd
+  FROM b GROUP BY 1
+)
+SELECT l_returnflag, n, sq AS sum_q, sd AS sum_d,
+       CAST(floor(
+         ((n::HUGEINT * sqd - sq::HUGEINT * sd)::DOUBLE /
+          (sqrt((n::HUGEINT * sqq - sq::HUGEINT * sq)::DOUBLE) *
+           sqrt((n::HUGEINT * sdd - sd::HUGEINT * sd)::DOUBLE)))
+         * 1000000 + 0.5) AS BIGINT) AS corr_x1e6
+FROM m ORDER BY l_returnflag
+""",
+    "cheapest_supplier": """
+WITH e AS (
+  SELECT l_partkey,
+         min(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
+             * 16777216 + l_suppkey) AS enc
+  FROM lineitem GROUP BY 1
+)
+SELECT l_partkey, (enc % 16777216)::BIGINT AS best_suppkey,
+       (enc // 16777216)::BIGINT AS min_price_x100
+FROM e ORDER BY l_partkey
 """,
 }
