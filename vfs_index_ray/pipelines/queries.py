@@ -2834,6 +2834,200 @@ def q_cheapest_supplier(sf_dir: str) -> pa.Table:
         ("l_partkey", "ascending")])).cast(schema)
 
 
+def q_tpch_q13(sf_dir: str) -> pa.Table:
+    """TPC-H Q13-shape customer order-count distribution: orders fold
+    to per-custkey counts (hash_aggregate), customers LEFT OUTER join
+    those counts co-partitioned by custkey, and each join task emits a
+    tiny (c_count -> n) histogram partial — the driver merges P
+    histograms, never customer rows.  Zero-order customers survive via
+    the null-extended outer rows (fill 0)."""
+    import ray.data
+
+    from ..functions.boilerplate import _group_counts, hash_aggregate
+    from ..functions.joins import hash_join
+    _tune_context()
+    orders = ray.data.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_custkey", "o_orderkey"])
+    counts = hash_aggregate(orders, ["o_custkey"],
+                            [("o_orderkey", "count")])
+    cust = ray.data.read_parquet(
+        os.path.join(sf_dir, "customer.parquet"),
+        columns=["c_custkey"])
+    schema = pa.schema([("c_count", pa.int64()),
+                        ("custdist", pa.int64())])
+
+    def hist_partial(j: pa.Table) -> pa.Table:
+        cc = pc.fill_null(j["o_orderkey_count"], 0).cast(pa.int64())
+        return _group_counts(pa.table({"c_count": cc}),
+                             ["c_count"], [("c_count", "count")])
+
+    if counts is None:
+        # no orders at all: every customer has count 0
+        n = _collect(cust).num_rows
+        if n == 0:
+            return schema.empty_table()
+        return pa.table({"c_count": pa.array([0], pa.int64()),
+                         "custdist": pa.array([n], pa.int64())})
+    out = hash_join(cust, counts, left_on="c_custkey",
+                    right_on="o_custkey", how="left outer",
+                    post=hist_partial)
+    if out is None:
+        return schema.empty_table()
+    t = _collect(out)
+    m = _group_counts(t, ["c_count"], [("c_count_count", "sum")])
+    m = pa.table({"c_count": m["c_count"],
+                  "custdist": m["c_count_count_sum"].cast(pa.int64())})
+    return m.take(pc.sort_indices(m, sort_keys=[
+        ("custdist", "descending"),
+        ("c_count", "descending")])).cast(schema)
+
+
+def q_tpch_q17(sf_dir: str) -> pa.Table:
+    """TPC-H Q17-shape small-quantity revenue: per-partkey quantity
+    moments for ONE brand fold shuffle-free (partial_aggregate — the
+    brand subset is ~1/25 of part), broadcast once, and the second
+    lineitem pass keeps rows with 5·q·cnt < Σq — the integer-exact
+    rewrite of qty < 0.2·avg(qty) on the x100 grid, so no fp division
+    ever happens.  Total revenue folds as one-row per-batch partials;
+    avg-yearly is the same BIGINT floor division the oracle runs."""
+    import ray
+    import ray.data
+
+    from ..functions.boilerplate import partial_aggregate
+    _tune_context()
+    import pyarrow.parquet as pqq
+    part = pqq.read_table(os.path.join(sf_dir, "part.parquet"),
+                          columns=["p_partkey", "p_brand"])
+    pk = part.filter(pc.equal(part["p_brand"], "Brand#13"))
+    pk_ref = ray.put(pk["p_partkey"].combine_chunks())
+
+    line = ray.data.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_partkey", "l_quantity", "l_extendedprice"])
+
+    def prep_moments(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.is_in(t["l_partkey"],
+                              value_set=ray.get(pk_ref)))
+        q = np.floor(t["l_quantity"].to_numpy(zero_copy_only=False)
+                     * 100.0 + 0.5).astype(np.int64)
+        return pa.table({"l_partkey": t["l_partkey"],
+                         "q": pa.array(q, pa.int64())})
+
+    mom = partial_aggregate(line, ["l_partkey"],
+                            [("q", "sum"), ("q", "count")],
+                            prepare=prep_moments)
+    schema = pa.schema([("total_x1e4", pa.int64()),
+                        ("avg_yearly_x1e4", pa.int64())])
+    if mom is None:
+        return pa.table({"total_x1e4": pa.array([0], pa.int64()),
+                         "avg_yearly_x1e4":
+                         pa.array([0], pa.int64())}).cast(schema)
+    mom_ref = ray.put(mom.combine_chunks())
+
+    def prep_small(t: pa.Table) -> pa.Table:
+        m = ray.get(mom_ref)
+        idx = pc.index_in(t["l_partkey"], value_set=m["l_partkey"])
+        keep = pc.is_valid(idx)
+        t, idx = t.filter(keep), idx.filter(keep)
+        q = np.floor(t["l_quantity"].to_numpy(zero_copy_only=False)
+                     * 100.0 + 0.5).astype(np.int64)
+        sq = m["q_sum"].take(idx).to_numpy(zero_copy_only=False)
+        cnt = m["q_count"].take(idx).to_numpy(zero_copy_only=False)
+        sel = 5 * q * cnt < sq
+        ep = np.floor(
+            t["l_extendedprice"].to_numpy(zero_copy_only=False)[sel]
+            * 10000.0 + 0.5).astype(np.int64)
+        return pa.table({"one": pa.array([1], pa.int64()),
+                         "ep": pa.array([int(ep.sum())], pa.int64())})
+
+    tot = partial_aggregate(line, ["one"], [("ep", "sum")],
+                            prepare=prep_small)
+    total = int(tot["ep_sum"][0].as_py()) if tot is not None else 0
+    return pa.table({
+        "total_x1e4": pa.array([total], pa.int64()),
+        "avg_yearly_x1e4": pa.array([total // 7], pa.int64())})
+
+
+def q_tpch_q22(sf_dir: str) -> pa.Table:
+    """TPC-H Q22-shape dormant rich customers: the global
+    positive-balance average is two integers (Σbal, n) folded from
+    one-row batch partials; 'above average' is the exact integer
+    cross-multiplication bal·n > Σbal.  'Dormant' (no order since
+    2000-01-01) is the bloom-routed LEFT ANTI hash join — customers
+    provably absent from the recent-orders key set bypass the shuffle
+    entirely — and survivors fold to per-nation (count, Σbal)
+    partials."""
+    import ray.data
+
+    from ..functions.boilerplate import partial_aggregate
+    from ..functions.joins import hash_join
+    _tune_context()
+
+    def read_cust():
+        return ray.data.read_parquet(
+            os.path.join(sf_dir, "customer.parquet"),
+            columns=["c_custkey", "c_nationkey", "c_acctbal"])
+
+    def prep_stats(t: pa.Table) -> pa.Table:
+        bal = np.floor(t["c_acctbal"].to_numpy(zero_copy_only=False)
+                       * 100.0 + 0.5).astype(np.int64)
+        bal = bal[bal > 0]
+        return pa.table({"one": pa.array([1], pa.int64()),
+                         "sm": pa.array([int(bal.sum())], pa.int64()),
+                         "n": pa.array([len(bal)], pa.int64())})
+
+    st = partial_aggregate(read_cust(), ["one"],
+                           [("sm", "sum"), ("n", "sum")],
+                           prepare=prep_stats)
+    schema = pa.schema([("c_nationkey", pa.int64()),
+                        ("numcust", pa.int64()),
+                        ("totacctbal_x100", pa.int64())])
+    if st is None:
+        return schema.empty_table()
+    sm = int(st["sm_sum"][0].as_py())
+    n = int(st["n_sum"][0].as_py())
+
+    def rich(t: pa.Table) -> pa.Table:
+        bal = np.floor(t["c_acctbal"].to_numpy(zero_copy_only=False)
+                       * 100.0 + 0.5).astype(np.int64)
+        keep = bal * n > sm
+        return pa.table({
+            "c_custkey": t["c_custkey"].filter(pa.array(keep)),
+            "c_nationkey": t["c_nationkey"].filter(
+                pa.array(keep)).cast(pa.int64()),
+            "bal": pa.array(bal[keep], pa.int64())})
+
+    eligible = read_cust().map_batches(rich, batch_format="pyarrow",
+                                       zero_copy_batch=True)
+    cutoff = pa.scalar(np.datetime64("2000-01-01", "us"),
+                       pa.timestamp("us"))
+    orders = ray.data.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_custkey", "o_orderdate"])
+
+    def recent(t: pa.Table) -> pa.Table:
+        return t.filter(pc.greater_equal(
+            t["o_orderdate"], cutoff)).select(["o_custkey"])
+
+    out = hash_join(eligible,
+                    orders.map_batches(recent, batch_format="pyarrow",
+                                       zero_copy_batch=True),
+                    left_on="c_custkey", right_on="o_custkey",
+                    how="left anti", bloom_prefilter=True)
+    if out is None:
+        return schema.empty_table()
+    agg = partial_aggregate(out, ["c_nationkey"],
+                            [("bal", "count"), ("bal", "sum")])
+    if agg is None:
+        return schema.empty_table()
+    t = pa.table({"c_nationkey": agg["c_nationkey"],
+                  "numcust": agg["bal_count"].cast(pa.int64()),
+                  "totacctbal_x100": agg["bal_sum"].cast(pa.int64())})
+    return t.take(pc.sort_indices(t, sort_keys=[
+        ("c_nationkey", "ascending")])).cast(schema)
+
+
 # ---------------------------------------------------------------------------
 # registry + oracle SQL
 # ---------------------------------------------------------------------------
@@ -2946,6 +3140,9 @@ QUERIES = {
     "part_supplier_cnt": q_part_supplier_cnt,
     "corr_stats": q_corr_stats,
     "cheapest_supplier": q_cheapest_supplier,
+    "tpch_q13": q_tpch_q13,
+    "tpch_q17": q_tpch_q17,
+    "tpch_q22": q_tpch_q22,
 }
 
 _STOP_SQL = "['the','and','of','to','a','in','is','it']"
@@ -4450,5 +4647,51 @@ WITH e AS (
 SELECT l_partkey, (enc % 16777216)::BIGINT AS best_suppkey,
        (enc // 16777216)::BIGINT AS min_price_x100
 FROM e ORDER BY l_partkey
+""",
+    "tpch_q13": """
+WITH c AS (
+  SELECT c_custkey, count(o_orderkey)::BIGINT AS c_count
+  FROM customer LEFT OUTER JOIN orders ON c_custkey = o_custkey
+  GROUP BY 1
+)
+SELECT c_count, count(*)::BIGINT AS custdist
+FROM c GROUP BY 1 ORDER BY custdist DESC, c_count DESC
+""",
+    "tpch_q17": """
+WITH l AS (
+  SELECT l_partkey,
+         CAST(floor(l_quantity * 100 + 0.5) AS BIGINT) AS q,
+         CAST(floor(l_extendedprice * 10000 + 0.5) AS BIGINT) AS ep
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  WHERE p_brand = 'Brand#13'
+), a AS (
+  SELECT l_partkey, sum(q)::BIGINT AS sq, count(*)::BIGINT AS cnt
+  FROM l GROUP BY 1
+), s AS (
+  SELECT COALESCE(sum(ep), 0)::BIGINT AS total
+  FROM l JOIN a USING (l_partkey)
+  WHERE 5 * q * cnt < sq
+)
+SELECT total AS total_x1e4, (total // 7)::BIGINT AS avg_yearly_x1e4
+FROM s
+""",
+    "tpch_q22": """
+WITH b AS (
+  SELECT c_custkey, c_nationkey,
+         CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) AS bal
+  FROM customer
+), s AS (
+  SELECT sum(bal)::BIGINT AS sm, count(*)::BIGINT AS n
+  FROM b WHERE bal > 0
+)
+SELECT c_nationkey::BIGINT AS c_nationkey,
+       count(*)::BIGINT AS numcust,
+       sum(bal)::BIGINT AS totacctbal_x100
+FROM b, s
+WHERE bal * n > sm
+  AND NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey
+                    AND o_orderdate >= TIMESTAMP '2000-01-01')
+GROUP BY 1 ORDER BY 1
 """,
 }
