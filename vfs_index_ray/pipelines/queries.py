@@ -3028,6 +3028,111 @@ def q_tpch_q22(sf_dir: str) -> pa.Table:
         ("c_nationkey", "ascending")])).cast(schema)
 
 
+def q_tpch_q7(sf_dir: str) -> pa.Table:
+    """TPC-H Q7-shape volume shipping between two nations: supplier
+    (tiny, nation-filtered) broadcasts into the lineitem scan so only
+    the two nations' shipments survive the read; the two big joins
+    (orderkey, then custkey) run co-partitioned with per-task partial
+    aggregates INSIDE each join task, so each shuffle ships keyed
+    partials, never raw lineitems twice.  Nation names attach at the
+    end by broadcast lookup on the ≤ (2·2·years)-row result."""
+    import ray
+    import ray.data
+    import pyarrow.parquet as pqq
+
+    from ..functions.boilerplate import _group_counts
+    from ..functions.joins import hash_join
+    _tune_context()
+    n1, n2 = 6, 9
+    sup = pqq.read_table(os.path.join(sf_dir, "supplier.parquet"),
+                         columns=["s_suppkey", "s_nationkey"])
+    sup = sup.filter(pc.is_in(sup["s_nationkey"],
+                              value_set=pa.array([n1, n2], pa.int32())))
+    sup_ref = ray.put(sup.combine_chunks())
+    lo = pa.scalar(np.datetime64("1996-01-01", "us"), pa.timestamp("us"))
+    hi = pa.scalar(np.datetime64("1998-01-01", "us"), pa.timestamp("us"))
+
+    line = ray.data.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_orderkey", "l_suppkey", "l_extendedprice",
+                 "l_discount", "l_shipdate"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        m = pc.and_(pc.greater_equal(t["l_shipdate"], lo),
+                    pc.less(t["l_shipdate"], hi))
+        t = t.filter(m)
+        s = ray.get(sup_ref)
+        idx = pc.index_in(t["l_suppkey"], value_set=s["s_suppkey"])
+        keep = pc.is_valid(idx)
+        t, idx = t.filter(keep), idx.filter(keep)
+        ep = t["l_extendedprice"].to_numpy(zero_copy_only=False)
+        dc = t["l_discount"].to_numpy(zero_copy_only=False)
+        rev = np.floor(ep * (1.0 - dc) * 10000.0 + 0.5).astype(np.int64)
+        return pa.table({
+            "l_orderkey": t["l_orderkey"],
+            "supp_n": s["s_nationkey"].take(idx).cast(pa.int64()),
+            "l_year": pc.year(t["l_shipdate"]).cast(pa.int64()),
+            "rev": pa.array(rev, pa.int64())})
+
+    lmap = line.map_batches(prep, batch_format="pyarrow",
+                            zero_copy_batch=True)
+    orders = ray.data.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_orderkey", "o_custkey"])
+
+    def post1(j: pa.Table) -> pa.Table:
+        return _group_counts(j, ["o_custkey", "supp_n", "l_year"],
+                             [("rev", "sum")])
+
+    j1 = hash_join(lmap, orders, left_on="l_orderkey",
+                   right_on="o_orderkey", post=post1)
+    schema = pa.schema([("supp_nation", pa.string()),
+                        ("cust_nation", pa.string()),
+                        ("l_year", pa.int64()),
+                        ("revenue_x1e4", pa.int64())])
+    if j1 is None:
+        return schema.empty_table()
+    cust = ray.data.read_parquet(
+        os.path.join(sf_dir, "customer.parquet"),
+        columns=["c_custkey", "c_nationkey"])
+
+    def post2(j: pa.Table) -> pa.Table:
+        cn = j["c_nationkey"].cast(pa.int64())
+        sn = j["supp_n"]
+        keep = pc.or_(
+            pc.and_(pc.equal(sn, n1), pc.equal(cn, n2)),
+            pc.and_(pc.equal(sn, n2), pc.equal(cn, n1)))
+        j = pa.table({"supp_n": sn, "cust_n": cn,
+                      "l_year": j["l_year"],
+                      "rev_sum": j["rev_sum"]}).filter(keep)
+        return _group_counts(j, ["supp_n", "cust_n", "l_year"],
+                             [("rev_sum", "sum")])
+
+    j2 = hash_join(j1, cust, left_on="o_custkey",
+                   right_on="c_custkey", post=post2)
+    if j2 is None:
+        return schema.empty_table()
+    t = _collect(j2)
+    if t.num_rows == 0:
+        return schema.empty_table()
+    m = _group_counts(t, ["supp_n", "cust_n", "l_year"],
+                      [("rev_sum_sum", "sum")])
+    nation = pqq.read_table(os.path.join(sf_dir, "nation.parquet"),
+                            columns=["n_nationkey", "n_name"])
+    nk = nation["n_nationkey"].combine_chunks().cast(pa.int64())
+    names = nation["n_name"].combine_chunks()
+    out = pa.table({
+        "supp_nation": names.take(pc.index_in(m["supp_n"],
+                                              value_set=nk)),
+        "cust_nation": names.take(pc.index_in(m["cust_n"],
+                                              value_set=nk)),
+        "l_year": m["l_year"],
+        "revenue_x1e4": m["rev_sum_sum_sum"].cast(pa.int64())})
+    return out.take(pc.sort_indices(out, sort_keys=[
+        ("supp_nation", "ascending"), ("cust_nation", "ascending"),
+        ("l_year", "ascending")])).cast(schema)
+
+
 # ---------------------------------------------------------------------------
 # registry + oracle SQL
 # ---------------------------------------------------------------------------
@@ -3143,6 +3248,7 @@ QUERIES = {
     "tpch_q13": q_tpch_q13,
     "tpch_q17": q_tpch_q17,
     "tpch_q22": q_tpch_q22,
+    "tpch_q7": q_tpch_q7,
 }
 
 _STOP_SQL = "['the','and','of','to','a','in','is','it']"
@@ -4693,5 +4799,28 @@ WHERE bal * n > sm
                   WHERE o_custkey = c_custkey
                     AND o_orderdate >= TIMESTAMP '2000-01-01')
 GROUP BY 1 ORDER BY 1
+""",
+    "tpch_q7": """
+WITH l AS (
+  SELECT l_orderkey, s_nationkey AS supp_n,
+         EXTRACT(year FROM l_shipdate)::BIGINT AS l_year,
+         CAST(floor(l_extendedprice * (1 - l_discount) * 10000
+                    + 0.5) AS BIGINT) AS rev
+  FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+    AND l_shipdate < TIMESTAMP '1998-01-01'
+    AND s_nationkey IN (6, 9)
+), j AS (
+  SELECT supp_n, c_nationkey AS cust_n, l_year, rev
+  FROM l JOIN orders ON l_orderkey = o_orderkey
+         JOIN customer ON o_custkey = c_custkey
+  WHERE (supp_n = 6 AND c_nationkey = 9)
+     OR (supp_n = 9 AND c_nationkey = 6)
+)
+SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation, l_year,
+       sum(rev)::BIGINT AS revenue_x1e4
+FROM j JOIN nation n1 ON supp_n = n1.n_nationkey
+       JOIN nation n2 ON cust_n = n2.n_nationkey
+GROUP BY 1, 2, 3 ORDER BY 1, 2, 3
 """,
 }
