@@ -3133,6 +3133,36 @@ def q_tpch_q7(sf_dir: str) -> pa.Table:
         ("l_year", "ascending")])).cast(schema)
 
 
+def q_pagerank(sf_dir: str) -> pa.Table:
+    """Integer-exact PageRank over the user transition graph (edges =
+    consecutive users within each event_type's time-ordered stream):
+    one keyed exchange extracts edges, then 3 damped iterations of
+    broadcast-rank message passing with per-batch per-dst partial sums
+    (functions/graph.py pagerank — all-integer floor arithmetic, so
+    the distributed result is bit-identical to the oracle's serial
+    SQL transcription)."""
+    import ray.data
+
+    from ..functions.boilerplate import partial_aggregate
+    from ..functions.graph import pagerank, transition_edges
+    _tune_context()
+    events = ray.data.read_parquet(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["event_id", "ts", "user_id", "event_type"])
+    users = partial_aggregate(events, ["user_id"],
+                              [("user_id", "count")])
+    schema = pa.schema([("user_id", pa.int64()),
+                        ("rank_x1e12", pa.int64())])
+    if users is None:
+        return schema.empty_table()
+    edges = transition_edges(events)
+    pr = pagerank(edges, users["user_id"], iterations=3)
+    t = pa.table({"user_id": pr["node"],
+                  "rank_x1e12": pr["rank"]})
+    return t.take(pc.sort_indices(t, sort_keys=[
+        ("user_id", "ascending")])).cast(schema)
+
+
 # ---------------------------------------------------------------------------
 # registry + oracle SQL
 # ---------------------------------------------------------------------------
@@ -3249,6 +3279,7 @@ QUERIES = {
     "tpch_q17": q_tpch_q17,
     "tpch_q22": q_tpch_q22,
     "tpch_q7": q_tpch_q7,
+    "pagerank": q_pagerank,
 }
 
 _STOP_SQL = "['the','and','of','to','a','in','is','it']"
@@ -4822,5 +4853,42 @@ SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation, l_year,
 FROM j JOIN nation n1 ON supp_n = n1.n_nationkey
        JOIN nation n2 ON cust_n = n2.n_nationkey
 GROUP BY 1, 2, 3 ORDER BY 1, 2, 3
+""",
+    "pagerank": """
+WITH e0 AS (
+  SELECT event_type, user_id,
+         lead(user_id) OVER (PARTITION BY event_type
+                             ORDER BY ts, event_id) AS nxt
+  FROM events
+), e AS (
+  SELECT user_id AS src, nxt AS dst FROM e0
+  WHERE nxt IS NOT NULL AND nxt <> user_id
+), nodes AS (SELECT DISTINCT user_id AS node FROM events),
+nn AS (SELECT count(*)::BIGINT AS cnt FROM nodes),
+od AS (SELECT src, count(*)::BIGINT AS outdeg FROM e GROUP BY 1),
+r0 AS (SELECT node, (1000000000000 // cnt)::BIGINT AS r
+       FROM nodes CROSS JOIN nn),
+c1 AS (SELECT e.dst AS node, sum(r0.r // od.outdeg)::BIGINT AS s
+       FROM e JOIN r0 ON e.src = r0.node JOIN od ON od.src = e.src
+       GROUP BY 1),
+r1 AS (SELECT nodes.node,
+              ((15 * 1000000000000 // 100) // cnt
+               + (85 * COALESCE(c1.s, 0)) // 100)::BIGINT AS r
+       FROM nodes CROSS JOIN nn LEFT JOIN c1 ON nodes.node = c1.node),
+c2 AS (SELECT e.dst AS node, sum(r1.r // od.outdeg)::BIGINT AS s
+       FROM e JOIN r1 ON e.src = r1.node JOIN od ON od.src = e.src
+       GROUP BY 1),
+r2 AS (SELECT nodes.node,
+              ((15 * 1000000000000 // 100) // cnt
+               + (85 * COALESCE(c2.s, 0)) // 100)::BIGINT AS r
+       FROM nodes CROSS JOIN nn LEFT JOIN c2 ON nodes.node = c2.node),
+c3 AS (SELECT e.dst AS node, sum(r2.r // od.outdeg)::BIGINT AS s
+       FROM e JOIN r2 ON e.src = r2.node JOIN od ON od.src = e.src
+       GROUP BY 1),
+r3 AS (SELECT nodes.node,
+              ((15 * 1000000000000 // 100) // cnt
+               + (85 * COALESCE(c3.s, 0)) // 100)::BIGINT AS r
+       FROM nodes CROSS JOIN nn LEFT JOIN c3 ON nodes.node = c3.node)
+SELECT node AS user_id, r AS rank_x1e12 FROM r3 ORDER BY user_id
 """,
 }
