@@ -93,3 +93,34 @@ def test_transition_edges_distributed_matches_kernel(ray_session):
     key = lambda tt: sorted(zip(tt["src"].to_pylist(),
                                 tt["dst"].to_pylist()))
     assert key(got) == key(want)
+
+
+def test_bfs_hops_chain_and_unreachable(ray_session):
+    import ray.data
+
+    from vfs_index_ray.functions.graph import bfs_hops
+
+    # chain 0->1->2->3->4->5, island 10->11, seed {0, 10}
+    et = pa.table({
+        "src": pa.array([0, 1, 2, 3, 4, 10], pa.int64()),
+        "dst": pa.array([1, 2, 3, 4, 5, 11], pa.int64())})
+    ds = ray.data.from_arrow(et).repartition(3)
+    out = bfs_hops(ds, pa.array([0, 10], pa.int64()), max_hops=3)
+    got = dict(zip(out["node"].to_pylist(), out["hops"].to_pylist()))
+    assert got == {0: 0, 10: 0, 1: 1, 11: 1, 2: 2, 3: 3}
+    # nodes 4, 5 are beyond max_hops; absent from the result
+
+
+def test_bfs_hops_cycle_min_hop(ray_session):
+    import ray.data
+
+    from vfs_index_ray.functions.graph import bfs_hops
+
+    # cycle 1->2->3->1 plus shortcut 1->3: node 3 must get hop 1
+    et = pa.table({
+        "src": pa.array([1, 2, 3, 1], pa.int64()),
+        "dst": pa.array([2, 3, 1, 3], pa.int64())})
+    ds = ray.data.from_arrow(et)
+    out = bfs_hops(ds, pa.array([1], pa.int64()), max_hops=5)
+    got = dict(zip(out["node"].to_pylist(), out["hops"].to_pylist()))
+    assert got == {1: 0, 2: 1, 3: 1}

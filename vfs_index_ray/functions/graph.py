@@ -166,3 +166,65 @@ def pagerank(edges_ds, nodes: pa.Array | pa.ChunkedArray, *,
 
     return pa.table({"node": node_arr,
                      "rank": pa.array(ranks, pa.int64())})
+
+
+def bfs_hops(edges_ds, seeds: pa.Array | pa.ChunkedArray, *,
+             max_hops: int = 3) -> pa.Table:
+    """Multi-source BFS over a (src, dst) edge Dataset: minimum hop
+    count (0 = seed) for every node reachable within ``max_hops``.
+
+    Frontier expansion is one streamed pass over the edges per round:
+    each batch keeps edges whose src is in the broadcast frontier set
+    and emits its distinct dst values; the driver unions the
+    node-sized partials, subtracts visited, and broadcasts the next
+    frontier.  Edges materialize once.  Set membership is exact
+    (sorted-array searchsorted), so the result is deterministic and a
+    chained-CTE SQL transcription reproduces it row for row."""
+    import ray
+
+    seed_arr = pa.chunked_array([seeds]).combine_chunks() \
+        if isinstance(seeds, pa.Array) else seeds.combine_chunks()
+    frontier = np.unique(
+        seed_arr.cast(pa.int64()).to_numpy(zero_copy_only=False))
+    out_nodes = [frontier]
+    out_hops = [np.zeros(len(frontier), np.int64)]
+    visited = frontier
+    if len(frontier) == 0 or max_hops <= 0:
+        return pa.table({
+            "node": pa.array(np.concatenate(out_nodes), pa.int64()),
+            "hops": pa.array(np.concatenate(out_hops), pa.int64())})
+    edges = edges_ds.materialize()
+
+    for hop in range(1, max_hops + 1):
+        f_ref = ray.put(frontier)
+
+        def reach_partial(t: pa.Table, _f=f_ref) -> pa.Table:
+            f = ray.get(_f)
+            src = t["src"].to_numpy(zero_copy_only=False)
+            pos = np.searchsorted(f, src)
+            pos[pos == len(f)] = 0
+            hit = f[pos] == src
+            dst = np.unique(
+                t["dst"].to_numpy(zero_copy_only=False)[hit])
+            return pa.table({"dst": pa.array(dst, pa.int64())})
+
+        parts = [t for t in ray.get(
+            edges.map_batches(reach_partial, batch_format="pyarrow")
+            .to_arrow_refs()) if t.num_rows]
+        if not parts:
+            break
+        reached = np.unique(np.concatenate(
+            [t["dst"].to_numpy(zero_copy_only=False) for t in parts]))
+        fresh = reached[~np.isin(reached, visited, assume_unique=True)]
+        if len(fresh) == 0:
+            break
+        out_nodes.append(fresh)
+        out_hops.append(np.full(len(fresh), hop, np.int64))
+        visited = np.union1d(visited, fresh)
+        frontier = fresh
+
+    nodes = np.concatenate(out_nodes)
+    hops = np.concatenate(out_hops)
+    order = np.argsort(nodes, kind="stable")
+    return pa.table({"node": pa.array(nodes[order], pa.int64()),
+                     "hops": pa.array(hops[order], pa.int64())})

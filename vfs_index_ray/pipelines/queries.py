@@ -3163,6 +3163,37 @@ def q_pagerank(sf_dir: str) -> pa.Table:
         ("user_id", "ascending")])).cast(schema)
 
 
+def q_bfs_reach(sf_dir: str) -> pa.Table:
+    """Multi-source BFS over the user transition graph: minimum hops
+    (≤3) from the deterministic seed set user_id % 97 == 0.  Each
+    round is ONE streamed pass over the materialized edges with the
+    frontier broadcast as a sorted array — per-batch membership via
+    searchsorted, per-batch distinct dst partials, node-sized driver
+    merge (functions/graph.py bfs_hops)."""
+    import ray.data
+
+    from ..functions.boilerplate import partial_aggregate
+    from ..functions.graph import bfs_hops, transition_edges
+    _tune_context()
+    events = ray.data.read_parquet(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["event_id", "ts", "user_id", "event_type"])
+    users = partial_aggregate(events, ["user_id"],
+                              [("user_id", "count")])
+    schema = pa.schema([("user_id", pa.int64()),
+                        ("hops", pa.int64())])
+    if users is None:
+        return schema.empty_table()
+    uid = users["user_id"].combine_chunks().cast(pa.int64()) \
+        .to_numpy(zero_copy_only=False)
+    seeds = pa.array(uid[uid % 97 == 0], pa.int64())
+    edges = transition_edges(events)
+    t = bfs_hops(edges, seeds, max_hops=3)
+    t = pa.table({"user_id": t["node"], "hops": t["hops"]})
+    return t.take(pc.sort_indices(t, sort_keys=[
+        ("user_id", "ascending")])).cast(schema)
+
+
 # ---------------------------------------------------------------------------
 # registry + oracle SQL
 # ---------------------------------------------------------------------------
@@ -3280,6 +3311,7 @@ QUERIES = {
     "tpch_q22": q_tpch_q22,
     "tpch_q7": q_tpch_q7,
     "pagerank": q_pagerank,
+    "bfs_reach": q_bfs_reach,
 }
 
 _STOP_SQL = "['the','and','of','to','a','in','is','it']"
@@ -4890,5 +4922,36 @@ r3 AS (SELECT nodes.node,
                + (85 * COALESCE(c3.s, 0)) // 100)::BIGINT AS r
        FROM nodes CROSS JOIN nn LEFT JOIN c3 ON nodes.node = c3.node)
 SELECT node AS user_id, r AS rank_x1e12 FROM r3 ORDER BY user_id
+""",
+    "bfs_reach": """
+WITH e0 AS (
+  SELECT event_type, user_id,
+         lead(user_id) OVER (PARTITION BY event_type
+                             ORDER BY ts, event_id) AS nxt
+  FROM events
+), e AS (
+  SELECT user_id AS src, nxt AS dst FROM e0
+  WHERE nxt IS NOT NULL AND nxt <> user_id
+), s AS (
+  SELECT DISTINCT user_id AS node FROM events WHERE user_id % 97 = 0
+), h1 AS (
+  SELECT DISTINCT e.dst AS node FROM e JOIN s ON e.src = s.node
+  WHERE e.dst NOT IN (SELECT node FROM s)
+), h2 AS (
+  SELECT DISTINCT e.dst AS node FROM e JOIN h1 ON e.src = h1.node
+  WHERE e.dst NOT IN (SELECT node FROM s UNION ALL
+                      SELECT node FROM h1)
+), h3 AS (
+  SELECT DISTINCT e.dst AS node FROM e JOIN h2 ON e.src = h2.node
+  WHERE e.dst NOT IN (SELECT node FROM s UNION ALL
+                      SELECT node FROM h1 UNION ALL
+                      SELECT node FROM h2)
+)
+SELECT node AS user_id, hops FROM (
+  SELECT node, 0::BIGINT AS hops FROM s
+  UNION ALL SELECT node, 1::BIGINT FROM h1
+  UNION ALL SELECT node, 2::BIGINT FROM h2
+  UNION ALL SELECT node, 3::BIGINT FROM h3
+) ORDER BY user_id
 """,
 }
