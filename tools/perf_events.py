@@ -59,7 +59,7 @@ def main(argv=None) -> int:
     ap.add_argument("--cpus", type=int, default=32)
     ap.add_argument("--ops", nargs="*", default=[
         "sessionize", "latest", "asof", "window", "quantiles",
-        "running", "topn", "distinct", "hll"])
+        "running", "topn", "distinct", "hll", "graph"])
     ap.add_argument("--shuffle", default="disk", choices=["disk", "sort"])
     args = ap.parse_args(argv)
 
@@ -134,6 +134,25 @@ def main(argv=None) -> int:
         t0 = time.perf_counter()
         t = grouped_quantiles(ds(["event_type", "value"]))
         times["quantiles"] = round(time.perf_counter() - t0, 3)
+    if "graph" in args.ops:
+        import numpy as np
+        import pyarrow as pa
+
+        from vfs_index_ray.functions.graph import (bfs_hops, pagerank,
+                                                   transition_edges)
+        t0 = time.perf_counter()
+        edges = transition_edges(
+            ds(["event_id", "ts", "user_id", "event_type"]),
+            shuffle=args.shuffle).materialize()
+        times["graph_edges"] = round(time.perf_counter() - t0, 3)
+        nodes = pa.array(np.arange(100_000, dtype=np.int64))
+        t0 = time.perf_counter()
+        pr = pagerank(edges, nodes, iterations=3)
+        times["graph_pagerank3"] = round(time.perf_counter() - t0, 3)
+        seeds = pa.array(np.arange(0, 100_000, 97, dtype=np.int64))
+        t0 = time.perf_counter()
+        bh = bfs_hops(edges, seeds, max_hops=3)
+        times["graph_bfs3"] = round(time.perf_counter() - t0, 3)
 
     shutil.rmtree(sink, ignore_errors=True)
     print(json.dumps({"events": args.events, "cpus": args.cpus,
