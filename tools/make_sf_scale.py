@@ -28,8 +28,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 import pyarrow.parquet as pq
 
-COPY_ONLY = ["region", "nation", "customer", "supplier", "part",
-             "lineitem"]
+COPY_ONLY = ["region", "nation", "customer", "supplier", "part"]
 
 
 def _offset_for(ids: np.ndarray) -> int:
@@ -151,6 +150,29 @@ def scale_orders(src: str, out: str, mult: int) -> None:
     pq.write_table(pa.concat_tables(reps), out)
 
 
+def scale_lineitem(src: str, orders_src: str, out: str,
+                   mult: int) -> None:
+    """Tile lineitem with l_orderkey remapped by the SAME offset the
+    orders tiling uses (computed from orders' o_orderkey domain), so
+    every replica lineitem still joins its replica order.  Dim keys
+    (l_partkey / l_suppkey) and the customer side (o_custkey) stay
+    unchanged — the fixture reads as 'the same customers, parts and
+    suppliers transacting 10× more', keeping every dim join valid."""
+    ot = pq.read_table(orders_src, columns=["o_orderkey"])
+    koff = _offset_for(ot["o_orderkey"].to_numpy(zero_copy_only=False))
+    t = pq.read_table(src)
+    reps = [t]
+    for r in range(1, mult):
+        cols = {"l_orderkey": pa.array(
+            t["l_orderkey"].to_numpy(zero_copy_only=False) + r * koff,
+            pa.int64())}
+        for name in t.schema.names:
+            if name != "l_orderkey":
+                cols[name] = t[name]
+        reps.append(pa.table(cols).select(t.schema.names))
+    pq.write_table(pa.concat_tables(reps), out)
+
+
 def main(argv=None) -> int:
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("--src", default="/root/testdata/sf0.1")
@@ -170,7 +192,12 @@ def main(argv=None) -> int:
                  os.path.join(args.out, "events.parquet"), args.mult)
     scale_orders(os.path.join(args.src, "orders.parquet"),
                  os.path.join(args.out, "orders.parquet"), args.mult)
-    for name in ("documents", "embeddings", "events", "orders"):
+    scale_lineitem(os.path.join(args.src, "lineitem.parquet"),
+                   os.path.join(args.src, "orders.parquet"),
+                   os.path.join(args.out, "lineitem.parquet"),
+                   args.mult)
+    for name in ("documents", "embeddings", "events", "orders",
+                 "lineitem"):
         n = pq.read_metadata(os.path.join(args.out,
                                           f"{name}.parquet")).num_rows
         print(f"{name}: {n} rows")
