@@ -3194,6 +3194,20 @@ def q_bfs_reach(sf_dir: str) -> pa.Table:
         ("user_id", "ascending")])).cast(schema)
 
 
+def q_fuzzy_term(sf_dir: str) -> pa.Table:
+    """Typo-tolerant term lookup: top-10 vocabulary tokens by
+    character-trigram Jaccard against the misspelled query 'sparc'
+    (functions/fuzzy.py).  Shuffle-free: scores are intrinsic to each
+    token, so every batch emits a 10-row partial over its own distinct
+    tokens and the driver merges batches × 10 rows; integer
+    jacc = inter·10⁶ // union matches the SQL transcription bit for
+    bit."""
+    from ..functions.fuzzy import fuzzy_terms
+    _tune_context()
+    ds = _docs_ds(sf_dir, columns=["doc_id", "text"])
+    return fuzzy_terms(ds, "sparc", k=10)
+
+
 # ---------------------------------------------------------------------------
 # registry + oracle SQL
 # ---------------------------------------------------------------------------
@@ -3312,6 +3326,7 @@ QUERIES = {
     "tpch_q7": q_tpch_q7,
     "pagerank": q_pagerank,
     "bfs_reach": q_bfs_reach,
+    "fuzzy_term": q_fuzzy_term,
 }
 
 _STOP_SQL = "['the','and','of','to','a','in','is','it']"
@@ -4953,5 +4968,24 @@ SELECT node AS user_id, hops FROM (
   UNION ALL SELECT node, 2::BIGINT FROM h2
   UNION ALL SELECT node, 3::BIGINT FROM h3
 ) ORDER BY user_id
+""",
+    "fuzzy_term": f"""
+WITH v AS (
+  SELECT DISTINCT unnest({TOKS}) AS tok FROM documents
+), t AS (
+  SELECT tok,
+         list_distinct(list_transform(range(1, length(tok) - 1),
+                                      i -> substr(tok, CAST(i AS INT),
+                                                  3))) AS gs
+  FROM v WHERE length(tok) >= 3
+), s AS (
+  SELECT tok, len(list_intersect(gs, ['spa', 'par', 'arc'])) AS inter,
+         len(gs) AS ng
+  FROM t
+)
+SELECT tok AS token,
+       ((inter * 1000000) // (ng + 3 - inter))::BIGINT AS jacc_x1e6
+FROM s WHERE inter >= 1
+ORDER BY jacc_x1e6 DESC, token LIMIT 10
 """,
 }
