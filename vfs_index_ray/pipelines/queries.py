@@ -3208,6 +3208,20 @@ def q_fuzzy_term(sf_dir: str) -> pa.Table:
     return fuzzy_terms(ds, "sparc", k=10)
 
 
+def q_substring_search(sf_dir: str) -> pa.Table:
+    """Trigram-accelerated infix search (the Code-Search pattern the
+    trigram index exists for): the literal 'k join' crosses a token
+    boundary, so the word index can't serve it — its trigrams ('k j',
+    ' jo', 'joi', …) AND-intersect over the trigram index to a small
+    candidate set, then one vectorized substring verify on the fetched
+    candidates makes the result exact (search.py phrase_match,
+    trigram mode)."""
+    eng = get_trigram_engine(sf_dir)
+    docs = eng.phrase_match("k join")
+    return pa.table({"doc_id": pa.array(docs.astype(np.int64),
+                                        pa.int64())})
+
+
 # ---------------------------------------------------------------------------
 # registry + oracle SQL
 # ---------------------------------------------------------------------------
@@ -3327,6 +3341,7 @@ QUERIES = {
     "pagerank": q_pagerank,
     "bfs_reach": q_bfs_reach,
     "fuzzy_term": q_fuzzy_term,
+    "substring_search": q_substring_search,
 }
 
 _STOP_SQL = "['the','and','of','to','a','in','is','it']"
@@ -4987,5 +5002,9 @@ SELECT tok AS token,
        ((inter * 1000000) // (ng + 3 - inter))::BIGINT AS jacc_x1e6
 FROM s WHERE inter >= 1
 ORDER BY jacc_x1e6 DESC, token LIMIT 10
+""",
+    "substring_search": """
+SELECT doc_id FROM documents WHERE contains(text, 'k join')
+ORDER BY doc_id
 """,
 }
