@@ -3222,6 +3222,86 @@ def q_substring_search(sf_dir: str) -> pa.Table:
                                         pa.int64())})
 
 
+def q_autocomplete(sf_dir: str) -> pa.Table:
+    """Prefix autocomplete ranked by document frequency: the corpus
+    vocabulary df table (unit_doc_frequencies — partial distinct-doc
+    counts + hive disk-shuffle sum), prefix-filtered to 's', top-5 by
+    (df desc, token asc).  At 100 TB the prefix predicate pushes into
+    the per-part tasks (only survivors cross the wire already; the
+    prefix makes that set tiny)."""
+    from ..functions.boilerplate import unit_doc_frequencies
+    _tune_context()
+    ds = _docs_ds(sf_dir, columns=["doc_id", "text"])
+    t = unit_doc_frequencies(ds, unit="token")
+    u = t["unit"]
+    if isinstance(u, pa.ChunkedArray):
+        u = u.combine_chunks()
+    t = pa.table({"token": u, "df": t["df"].cast(pa.int64())})
+    t = t.filter(pc.starts_with(t["token"], "s"))
+    return t.take(pc.sort_indices(t, sort_keys=[
+        ("df", "descending"), ("token", "ascending")])[:5]).cast(
+        pa.schema([("token", pa.string()), ("df", pa.int64())]))
+
+
+def q_related_terms(sf_dir: str) -> pa.Table:
+    """Related-term suggestion for 'spark': per-token document
+    co-occurrence confidence pair_df·10⁶ // df in ONE streamed pass —
+    each batch computes distinct (token, doc) incidences, marks the
+    target's docs, and emits vocab-keyed (df, pair) partials; the
+    driver merges integer partials (a disk-shuffle merge at
+    100-TB vocab — same shape as token_df)."""
+    import ray
+    import ray.data
+
+    from ..functions.boilerplate import _group_counts
+    _tune_context()
+    target = "spark"
+    ds = _docs_ds(sf_dir, columns=["doc_id", "text"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        texts = b["text"]
+        if isinstance(texts, pa.ChunkedArray):
+            texts = texts.combine_chunks()
+        lists = pc.split_pattern(texts, pattern=" ")
+        pairs = pa.table({"tok": pc.list_flatten(lists),
+                          "p": pc.list_parent_indices(lists)})
+        pairs = _group_counts(pairs, ["tok", "p"], [])
+        in_tgt = pc.is_in(
+            pairs["p"],
+            value_set=pairs.filter(pc.equal(pairs["tok"],
+                                            target))["p"]
+            .combine_chunks())
+        pairs = pairs.append_column(
+            "hit", pc.cast(in_tgt, pa.int64()))
+        return _group_counts(pairs, ["tok"],
+                             [("p", "count"), ("hit", "sum")])
+
+    parts = [t for t in ray.get(
+        ds.map_batches(partial, batch_format="pyarrow",
+                       zero_copy_batch=True).to_arrow_refs())
+        if t.num_rows]
+    schema = pa.schema([("token", pa.string()), ("df", pa.int64()),
+                        ("pair", pa.int64()),
+                        ("conf_x1e6", pa.int64())])
+    if not parts:
+        return schema.empty_table()
+    m = _group_counts(pa.concat_tables(parts).combine_chunks(),
+                      ["tok"], [("p_count", "sum"), ("hit_sum", "sum")])
+    df = m["p_count_sum"].to_numpy(zero_copy_only=False)
+    pair = m["hit_sum_sum"].to_numpy(zero_copy_only=False)
+    t = pa.table({"token": m["tok"],
+                  "df": pa.array(df, pa.int64()),
+                  "pair": pa.array(pair, pa.int64()),
+                  "conf_x1e6": pa.array((pair * 1_000_000) // df,
+                                        pa.int64())})
+    keep = pc.and_(pc.greater_equal(t["pair"], 1),
+                   pc.not_equal(t["token"], target))
+    t = t.filter(keep)
+    return t.take(pc.sort_indices(t, sort_keys=[
+        ("conf_x1e6", "descending"), ("df", "descending"),
+        ("token", "ascending")])[:10]).cast(schema)
+
+
 # ---------------------------------------------------------------------------
 # registry + oracle SQL
 # ---------------------------------------------------------------------------
@@ -3342,6 +3422,8 @@ QUERIES = {
     "bfs_reach": q_bfs_reach,
     "fuzzy_term": q_fuzzy_term,
     "substring_search": q_substring_search,
+    "autocomplete": q_autocomplete,
+    "related_terms": q_related_terms,
 }
 
 _STOP_SQL = "['the','and','of','to','a','in','is','it']"
@@ -5006,5 +5088,31 @@ ORDER BY jacc_x1e6 DESC, token LIMIT 10
     "substring_search": """
 SELECT doc_id FROM documents WHERE contains(text, 'k join')
 ORDER BY doc_id
+""",
+    "autocomplete": """
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+), d AS (
+  SELECT tok, count(DISTINCT doc_id)::BIGINT AS df
+  FROM toks GROUP BY 1
+)
+SELECT tok AS token, df FROM d WHERE tok LIKE 's%'
+ORDER BY df DESC, token LIMIT 5
+""",
+    "related_terms": """
+WITH toks AS (
+  SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS tok
+  FROM documents
+), stats AS (
+  SELECT tok, count(*)::BIGINT AS df,
+         sum(CASE WHEN doc_id IN (SELECT doc_id FROM toks
+                                  WHERE tok = 'spark')
+             THEN 1 ELSE 0 END)::BIGINT AS pair
+  FROM toks GROUP BY 1
+)
+SELECT tok AS token, df, pair,
+       ((pair * 1000000) // df)::BIGINT AS conf_x1e6
+FROM stats WHERE pair >= 1 AND tok <> 'spark'
+ORDER BY conf_x1e6 DESC, df DESC, token LIMIT 10
 """,
 }
