@@ -80,3 +80,36 @@ def test_quantiles_null_values_excluded(ray_session):
     vals = [None, 1.0, None, 3.0]
     got = _run(_mk_ds(keys, vals), pcts=(50,))
     assert got == {("x", 50): 10_000}
+
+
+def test_grouped_quantiles_interpolated_exact(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from vfs_index_ray.functions.quantiles import grouped_quantiles
+
+    rng = np.random.default_rng(5)
+    n = 4001
+    keys = np.array(["a", "b", "c"])[rng.integers(0, 3, n)]
+    vals = rng.random(n) * 50.0
+    t = pa.table({"event_type": pa.array(keys),
+                  "value": pa.array(vals)})
+    ds = ray.data.from_arrow(t).repartition(6)
+    got = grouped_quantiles(ds, pcts=(50, 90, 99), interpolated=True)
+
+    # serial integer reference: lo*(100-frac) + hi*frac on the grid
+    vq = np.floor(vals * 10_000 + 0.5).astype(np.int64)
+    want = {}
+    for k in "abc":
+        s = np.sort(vq[keys == k])
+        for pct in (50, 90, 99):
+            idx, frac = divmod(pct * (len(s) - 1), 100)
+            hi = min(idx + 1, len(s) - 1)
+            want[(k, pct)] = int(s[idx]) * (100 - frac) \
+                + int(s[hi]) * frac
+    assert got.num_rows == 9
+    for i in range(9):
+        k = got["event_type"][i].as_py()
+        pct = got["pct"][i].as_py()
+        assert got["value_x1e6"][i].as_py() == want[(k, pct)]

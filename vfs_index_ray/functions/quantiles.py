@@ -37,13 +37,19 @@ from .boilerplate import _group_counts
 def grouped_quantiles(ds, *, key_col: str = "event_type",
                       val_col: str = "value",
                       pcts: tuple[int, ...] = (50, 90, 99),
-                      scale: int = 10_000) -> pa.Table:
-    """Per-key exact discrete quantiles of ``floor(val*scale + 0.5)``.
+                      scale: int = 10_000,
+                      interpolated: bool = False) -> pa.Table:
+    """Per-key exact quantiles of ``floor(val*scale + 0.5)``.
 
-    Returns a table ``(key_col, pct, value_x1e4)`` with one row per
-    (key, pct), ordered by (key, pct).  Null values are excluded (the
-    SQL aggregate convention).
-    """
+    ``interpolated=False``: discrete quantile (rank ceil(pct·n/100)),
+    output column ``value_x1e4``.  ``interpolated=True``: linear
+    interpolation at 0-based position pct·(n−1)/100 — the
+    percentile_cont convention — kept EXACT by staying in integers:
+    the fractional part has denominator 100, so the output is
+    ``lo·(100−frac) + hi·frac`` on a 100× finer grid (column
+    ``value_x1e6``).  Returns one row per (key, pct), ordered by
+    (key, pct).  Null values are excluded (the SQL aggregate
+    convention)."""
 
     def partial(batch: pa.Table) -> pa.Table:
         k = batch[key_col]
@@ -69,7 +75,8 @@ def grouped_quantiles(ds, *, key_col: str = "event_type",
     if not tbls:
         return pa.table({key_col: pa.array([], pa.string()),
                          "pct": pa.array([], pa.int64()),
-                         "value_x1e4": pa.array([], pa.int64())})
+                         ("value_x1e6" if interpolated
+                          else "value_x1e4"): pa.array([], pa.int64())})
     merged = _group_counts(
         pa.concat_tables(tbls).combine_chunks(), ["k", "v"],
         [("n", "sum")])
@@ -96,13 +103,23 @@ def grouped_quantiles(ds, *, key_col: str = "event_type",
         cum = np.cumsum(n[s:e])
         total = int(cum[-1])
         for pct in pcts:
-            rank = -(-(pct * total) // 100)      # exact ceil
-            i = int(np.searchsorted(cum, rank, side="left"))
+            if interpolated:
+                idx, frac = divmod(pct * (total - 1), 100)
+                lo = int(np.searchsorted(cum, idx, side="right"))
+                hi = int(np.searchsorted(
+                    cum, min(idx + 1, total - 1), side="right"))
+                val = (int(v[s + lo]) * (100 - frac)
+                       + int(v[s + hi]) * frac)
+            else:
+                rank = -(-(pct * total) // 100)      # exact ceil
+                i = int(np.searchsorted(cum, rank, side="left"))
+                val = int(v[s + i])
             out_k.append(keys[s])
             out_p.append(pct)
-            out_v.append(int(v[s + i]))
+            out_v.append(val)
     return pa.table({
         key_col: pa.array(out_k, pa.string()),
         "pct": pa.array(out_p, pa.int64()),
-        "value_x1e4": pa.array(out_v, pa.int64()),
+        ("value_x1e6" if interpolated else "value_x1e4"):
+            pa.array(out_v, pa.int64()),
     })

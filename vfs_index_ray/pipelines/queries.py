@@ -3302,6 +3302,27 @@ def q_related_terms(sf_dir: str) -> pa.Table:
         ("token", "ascending")])[:10]).cast(schema)
 
 
+def q_events_quantiles_cont(sf_dir: str) -> pa.Table:
+    """Interpolated (percentile_cont-convention) p50/p90/p99 per event
+    type, EXACT: positions pct·(n−1)/100 have a denominator-100
+    fraction, so the linear interpolation stays in integers on a 100×
+    finer grid (value_x1e6 = lo·(100−frac) + hi·frac on the x1e4
+    quantization).  Same shuffle-free (key, grid)-partials substrate
+    as the discrete variant."""
+    import ray.data
+
+    from ..functions.quantiles import grouped_quantiles
+    _tune_context()
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["event_type", "value"])
+    return grouped_quantiles(ds, key_col="event_type", val_col="value",
+                             pcts=(50, 90, 99),
+                             interpolated=True).cast(pa.schema([
+        ("event_type", pa.string()), ("pct", pa.int64()),
+        ("value_x1e6", pa.int64())]))
+
+
 # ---------------------------------------------------------------------------
 # registry + oracle SQL
 # ---------------------------------------------------------------------------
@@ -3424,6 +3445,7 @@ QUERIES = {
     "substring_search": q_substring_search,
     "autocomplete": q_autocomplete,
     "related_terms": q_related_terms,
+    "events_quantiles_cont": q_events_quantiles_cont,
 }
 
 _STOP_SQL = "['the','and','of','to','a','in','is','it']"
@@ -5114,5 +5136,33 @@ SELECT tok AS token, df, pair,
        ((pair * 1000000) // df)::BIGINT AS conf_x1e6
 FROM stats WHERE pair >= 1 AND tok <> 'spark'
 ORDER BY conf_x1e6 DESC, df DESC, token LIMIT 10
+""",
+    "events_quantiles_cont": """
+WITH q AS (
+  SELECT event_type,
+         CAST(floor(value * 10000 + 0.5) AS BIGINT) AS v
+  FROM events WHERE value IS NOT NULL
+), r AS (
+  SELECT event_type, v,
+         row_number() OVER (PARTITION BY event_type ORDER BY v) - 1
+           AS rn,
+         count(*) OVER (PARTITION BY event_type) AS n
+  FROM q
+), px AS (
+  SELECT event_type, n, unnest([50, 90, 99]) AS pct
+  FROM (SELECT DISTINCT event_type, n FROM r)
+), b AS (
+  SELECT event_type, pct, n,
+         (pct * (n - 1)) // 100 AS idx,
+         (pct * (n - 1)) % 100 AS frac
+  FROM px
+)
+SELECT b.event_type, b.pct::BIGINT AS pct,
+       (lo.v * (100 - b.frac) + hi.v * b.frac)::BIGINT AS value_x1e6
+FROM b
+JOIN r lo ON lo.event_type = b.event_type AND lo.rn = b.idx
+JOIN r hi ON hi.event_type = b.event_type
+         AND hi.rn = LEAST(b.idx + 1, b.n - 1)
+ORDER BY b.event_type, b.pct
 """,
 }
