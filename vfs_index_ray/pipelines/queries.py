@@ -3323,6 +3323,108 @@ def q_events_quantiles_cont(sf_dir: str) -> pa.Table:
         ("value_x1e6", pa.int64())]))
 
 
+def q_tpch_q6(sf_dir: str) -> pa.Table:
+    """TPC-H Q6-shape forecast revenue change: the canonical pure
+    streaming aggregate — column-pruned scan, vectorized triple
+    predicate, per-batch integer partial sums, one scalar to the
+    driver.  Zero shuffle at any scale (reference analog: full-scan
+    count/sum fold, vfs-index qparser aggregation path)."""
+    import ray.data
+
+    from ..functions.boilerplate import partial_aggregate
+    _tune_context()
+    lo = pa.scalar(np.datetime64("1996-01-01", "us"), pa.timestamp("us"))
+    hi = pa.scalar(np.datetime64("1997-01-01", "us"), pa.timestamp("us"))
+    line = ray.data.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_shipdate", "l_discount", "l_quantity",
+                 "l_extendedprice"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        dc = t["l_discount"].to_numpy(zero_copy_only=False)
+        # discount is stored as a float of a 2-decimal value: compare
+        # on the x100 integer grid so BETWEEN matches SQL exactly.
+        d100 = np.floor(dc * 100.0 + 0.5).astype(np.int64)
+        m = pc.and_(pc.greater_equal(t["l_shipdate"], lo),
+                    pc.less(t["l_shipdate"], hi))
+        m = pc.and_(m, pc.less(t["l_quantity"], 24.0))
+        m = pc.and_(m, pa.array((d100 >= 5) & (d100 <= 7)))
+        t2 = t.filter(m)
+        ep = t2["l_extendedprice"].to_numpy(zero_copy_only=False)
+        dc2 = t2["l_discount"].to_numpy(zero_copy_only=False)
+        rev = np.floor(ep * dc2 * 10000.0 + 0.5).astype(np.int64)
+        n = len(rev)
+        return pa.table({"g": pa.array(np.zeros(n, np.int64)),
+                         "rev": pa.array(rev, pa.int64())})
+
+    t = partial_aggregate(line, ["g"], [("rev", "sum"), ("rev", "count")],
+                          prepare=prep)
+    schema = pa.schema([("revenue_x1e4", pa.int64()),
+                        ("n_lines", pa.int64())])
+    if t is None or t.num_rows == 0:
+        return pa.table({"revenue_x1e4": pa.array([0], pa.int64()),
+                         "n_lines": pa.array([0], pa.int64())})
+    return pa.table({
+        "revenue_x1e4": pa.array([t["rev_sum"][0].as_py() or 0],
+                                 pa.int64()),
+        "n_lines": pa.array([t["rev_count"][0].as_py() or 0],
+                            pa.int64())}).cast(schema)
+
+
+def q_tpch_q15(sf_dir: str) -> pa.Table:
+    """TPC-H Q15-shape top supplier: quarter-filtered per-supplier
+    revenue via hash_aggregate (per-batch combiner -> key-hash spill ->
+    per-part merge; supplier cardinality ~10k/SF so only keyed partials
+    move), driver-side max over the small result, supplier names attach
+    by broadcast index_in.  Ties on max revenue all return (ordered by
+    suppkey), matching the SQL view semantics."""
+    import ray.data
+    import pyarrow.parquet as pqq
+
+    from ..functions.boilerplate import hash_aggregate
+    _tune_context()
+    lo = pa.scalar(np.datetime64("1996-01-01", "us"), pa.timestamp("us"))
+    hi = pa.scalar(np.datetime64("1996-04-01", "us"), pa.timestamp("us"))
+    line = ray.data.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_suppkey", "l_extendedprice", "l_discount",
+                 "l_shipdate"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        m = pc.and_(pc.greater_equal(t["l_shipdate"], lo),
+                    pc.less(t["l_shipdate"], hi))
+        t = t.filter(m)
+        ep = t["l_extendedprice"].to_numpy(zero_copy_only=False)
+        dc = t["l_discount"].to_numpy(zero_copy_only=False)
+        rev = np.floor(ep * (1.0 - dc) * 10000.0 + 0.5).astype(np.int64)
+        return pa.table({"l_suppkey": t["l_suppkey"],
+                         "rev": pa.array(rev, pa.int64())})
+
+    out = hash_aggregate(line, ["l_suppkey"], [("rev", "sum")],
+                         prepare=prep)
+    schema = pa.schema([("s_suppkey", pa.int64()),
+                        ("s_name", pa.string()),
+                        ("total_revenue_x1e4", pa.int64())])
+    if out is None:
+        return schema.empty_table()
+    t = _collect(out)
+    if t.num_rows == 0:
+        return schema.empty_table()
+    rev = t["rev_sum"].to_numpy(zero_copy_only=False)
+    best = rev.max()
+    t = t.filter(pa.array(rev == best))
+    sup = pqq.read_table(os.path.join(sf_dir, "supplier.parquet"),
+                         columns=["s_suppkey", "s_name"])
+    idx = pc.index_in(t["l_suppkey"],
+                      value_set=sup["s_suppkey"].combine_chunks())
+    out = pa.table({
+        "s_suppkey": t["l_suppkey"].cast(pa.int64()),
+        "s_name": sup["s_name"].combine_chunks().take(idx),
+        "total_revenue_x1e4": t["rev_sum"].cast(pa.int64())})
+    return out.take(pc.sort_indices(out, sort_keys=[
+        ("s_suppkey", "ascending")])).cast(schema)
+
+
 # ---------------------------------------------------------------------------
 # registry + oracle SQL
 # ---------------------------------------------------------------------------
@@ -3439,6 +3541,8 @@ QUERIES = {
     "tpch_q17": q_tpch_q17,
     "tpch_q22": q_tpch_q22,
     "tpch_q7": q_tpch_q7,
+    "tpch_q6": q_tpch_q6,
+    "tpch_q15": q_tpch_q15,
     "pagerank": q_pagerank,
     "bfs_reach": q_bfs_reach,
     "fuzzy_term": q_fuzzy_term,
@@ -5019,6 +5123,32 @@ SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation, l_year,
 FROM j JOIN nation n1 ON supp_n = n1.n_nationkey
        JOIN nation n2 ON cust_n = n2.n_nationkey
 GROUP BY 1, 2, 3 ORDER BY 1, 2, 3
+""",
+    "tpch_q6": """
+SELECT COALESCE(sum(CAST(floor(l_extendedprice * l_discount * 10000
+                               + 0.5) AS BIGINT)), 0)::BIGINT
+         AS revenue_x1e4,
+       count(*)::BIGINT AS n_lines
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l_shipdate < TIMESTAMP '1997-01-01'
+  AND CAST(floor(l_discount * 100 + 0.5) AS BIGINT) BETWEEN 5 AND 7
+  AND l_quantity < 24
+""",
+    "tpch_q15": """
+WITH r AS (
+  SELECT l_suppkey,
+         sum(CAST(floor(l_extendedprice * (1 - l_discount) * 10000
+                        + 0.5) AS BIGINT))::BIGINT AS total_revenue_x1e4
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+    AND l_shipdate < TIMESTAMP '1996-04-01'
+  GROUP BY 1
+)
+SELECT s_suppkey::BIGINT AS s_suppkey, s_name, total_revenue_x1e4
+FROM supplier JOIN r ON s_suppkey = l_suppkey
+WHERE total_revenue_x1e4 = (SELECT max(total_revenue_x1e4) FROM r)
+ORDER BY s_suppkey
 """,
     "pagerank": """
 WITH e0 AS (
