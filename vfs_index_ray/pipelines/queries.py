@@ -3425,6 +3425,277 @@ def q_tpch_q15(sf_dir: str) -> pa.Table:
         ("s_suppkey", "ascending")])).cast(schema)
 
 
+def q_tpch_q19(sf_dir: str) -> pa.Table:
+    """TPC-H Q19-shape disjunctive discounted revenue: the part
+    dimension's (brand, size) attributes ship ONCE via ray.put and
+    attach to each lineitem batch by index_in (no shuffle — the join
+    key is only needed to evaluate a predicate, so a broadcast attach
+    replaces the entire join); the three-arm OR evaluates as one
+    vectorized mask and only integer partials reach the driver.  At
+    100 TB a part dimension beyond the broadcast budget flips the
+    attach to the co-partitioned hash_join with the same mask as its
+    post kernel."""
+    import ray
+    import ray.data
+    import pyarrow.parquet as pqq
+
+    from ..functions.boilerplate import partial_aggregate
+    _tune_context()
+    part = pqq.read_table(os.path.join(sf_dir, "part.parquet"),
+                          columns=["p_partkey", "p_brand", "p_size"])
+    part_ref = ray.put(part.combine_chunks())
+    arms = [("Brand#12", 1, 5, 1.0, 11.0),
+            ("Brand#23", 1, 10, 10.0, 20.0),
+            ("Brand#3", 1, 15, 20.0, 30.0)]
+
+    line = ray.data.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_partkey", "l_quantity", "l_extendedprice",
+                 "l_discount"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        p = ray.get(part_ref)
+        idx = pc.index_in(t["l_partkey"], value_set=p["p_partkey"])
+        brand = p["p_brand"].take(idx)
+        size = p["p_size"].take(idx)
+        qty = t["l_quantity"]
+        mask = None
+        for b, slo, shi, qlo, qhi in arms:
+            arm = pc.and_(pc.equal(brand, b),
+                          pc.and_(pc.greater_equal(size, slo),
+                                  pc.less_equal(size, shi)))
+            arm = pc.and_(arm,
+                          pc.and_(pc.greater_equal(qty, qlo),
+                                  pc.less_equal(qty, qhi)))
+            mask = arm if mask is None else pc.or_(mask, arm)
+        t2 = t.filter(mask)
+        ep = t2["l_extendedprice"].to_numpy(zero_copy_only=False)
+        dc = t2["l_discount"].to_numpy(zero_copy_only=False)
+        rev = np.floor(ep * (1.0 - dc) * 10000.0 + 0.5).astype(np.int64)
+        return pa.table({"g": pa.array(np.zeros(len(rev), np.int64)),
+                         "rev": pa.array(rev, pa.int64())})
+
+    t = partial_aggregate(line, ["g"], [("rev", "sum"), ("rev", "count")],
+                          prepare=prep)
+    schema = pa.schema([("revenue_x1e4", pa.int64()),
+                        ("n_lines", pa.int64())])
+    if t is None or t.num_rows == 0:
+        return pa.table({"revenue_x1e4": pa.array([0], pa.int64()),
+                         "n_lines": pa.array([0], pa.int64())})
+    return pa.table({
+        "revenue_x1e4": pa.array([t["rev_sum"][0].as_py() or 0],
+                                 pa.int64()),
+        "n_lines": pa.array([t["rev_count"][0].as_py() or 0],
+                            pa.int64())}).cast(schema)
+
+
+def q_tpch_q8(sf_dir: str) -> pa.Table:
+    """TPC-H Q8-shape national market share: STANDARD-part keys and
+    the supplier->nation map broadcast into the lineitem scan (the two
+    dimension joins vanish into index_in attaches), then the two big
+    joins (orderkey, custkey) run co-partitioned with per-task partial
+    aggregates, exactly the Q7 substrate.  The share division happens
+    ONCE on the driver over per-(year, is-target-nation) integer
+    partials — floor((num * 1e6) / den), reproduced verbatim by the
+    oracle so the ratio is integer-exact."""
+    import ray
+    import ray.data
+    import pyarrow.parquet as pqq
+
+    from ..functions.boilerplate import _group_counts
+    from ..functions.joins import hash_join
+    _tune_context()
+    target_n = 7
+    asia = [2, 7, 12, 17, 22]
+    part = pqq.read_table(os.path.join(sf_dir, "part.parquet"),
+                          columns=["p_partkey", "p_type"])
+    pk = part.filter(pc.equal(part["p_type"], "STANDARD"))["p_partkey"]
+    pk_ref = ray.put(pk.combine_chunks())
+    sup = pqq.read_table(os.path.join(sf_dir, "supplier.parquet"),
+                         columns=["s_suppkey", "s_nationkey"])
+    sup_ref = ray.put(sup.combine_chunks())
+
+    line = ray.data.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_orderkey", "l_partkey", "l_suppkey",
+                 "l_extendedprice", "l_discount"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.is_in(t["l_partkey"],
+                              value_set=ray.get(pk_ref)))
+        s = ray.get(sup_ref)
+        idx = pc.index_in(t["l_suppkey"], value_set=s["s_suppkey"])
+        ep = t["l_extendedprice"].to_numpy(zero_copy_only=False)
+        dc = t["l_discount"].to_numpy(zero_copy_only=False)
+        rev = np.floor(ep * (1.0 - dc) * 10000.0 + 0.5).astype(np.int64)
+        return pa.table({
+            "l_orderkey": t["l_orderkey"],
+            "supp_n": s["s_nationkey"].take(idx).cast(pa.int64()),
+            "rev": pa.array(rev, pa.int64())})
+
+    lmap = line.map_batches(prep, batch_format="pyarrow",
+                            zero_copy_batch=True)
+    lo = pa.scalar(np.datetime64("1996-01-01", "us"), pa.timestamp("us"))
+    hi = pa.scalar(np.datetime64("1998-01-01", "us"), pa.timestamp("us"))
+    orders = ray.data.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_orderkey", "o_custkey", "o_orderdate"])
+
+    def oprep(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.and_(pc.greater_equal(t["o_orderdate"], lo),
+                             pc.less(t["o_orderdate"], hi)))
+        return pa.table({
+            "o_orderkey": t["o_orderkey"],
+            "o_custkey": t["o_custkey"],
+            "o_year": pc.year(t["o_orderdate"]).cast(pa.int64())})
+
+    omap = orders.map_batches(oprep, batch_format="pyarrow",
+                              zero_copy_batch=True)
+
+    def post1(j: pa.Table) -> pa.Table:
+        return _group_counts(j, ["o_custkey", "o_year", "supp_n"],
+                             [("rev", "sum")])
+
+    j1 = hash_join(lmap, omap, left_on="l_orderkey",
+                   right_on="o_orderkey", post=post1)
+    schema = pa.schema([("o_year", pa.int64()),
+                        ("nation_x1e4", pa.int64()),
+                        ("total_x1e4", pa.int64()),
+                        ("mkt_share_x1e6", pa.int64())])
+    if j1 is None:
+        return schema.empty_table()
+    cust = ray.data.read_parquet(
+        os.path.join(sf_dir, "customer.parquet"),
+        columns=["c_custkey", "c_nationkey"])
+    asia_arr = pa.array(asia, pa.int32())
+
+    def post2(j: pa.Table) -> pa.Table:
+        j = j.filter(pc.is_in(j["c_nationkey"], value_set=asia_arr))
+        flag = pc.cast(pc.equal(j["supp_n"], target_n), pa.int64())
+        j = pa.table({"o_year": j["o_year"], "is_t": flag,
+                      "rev_sum": j["rev_sum"]})
+        return _group_counts(j, ["o_year", "is_t"],
+                             [("rev_sum", "sum")])
+
+    j2 = hash_join(j1, cust, left_on="o_custkey",
+                   right_on="c_custkey", post=post2)
+    if j2 is None:
+        return schema.empty_table()
+    t = _collect(j2)
+    if t.num_rows == 0:
+        return schema.empty_table()
+    m = _group_counts(t, ["o_year", "is_t"], [("rev_sum_sum", "sum")])
+    acc: dict[int, list[int]] = {}
+    for y, f, s in zip(m["o_year"].to_pylist(), m["is_t"].to_pylist(),
+                       m["rev_sum_sum_sum"].to_pylist()):
+        a = acc.setdefault(int(y), [0, 0])
+        a[1] += int(s)
+        if f == 1:
+            a[0] += int(s)
+    years = sorted(acc)
+    return pa.table({
+        "o_year": pa.array(years, pa.int64()),
+        "nation_x1e4": pa.array([acc[y][0] for y in years], pa.int64()),
+        "total_x1e4": pa.array([acc[y][1] for y in years], pa.int64()),
+        "mkt_share_x1e6": pa.array(
+            [(acc[y][0] * 1_000_000) // acc[y][1] if acc[y][1] else 0
+             for y in years], pa.int64())}).cast(schema)
+
+
+def q_tpch_q9(sf_dir: str) -> pa.Table:
+    """TPC-H Q9-shape product-type profit by supplier nation and
+    order year (adapted: no partsupp table in this corpus, so unit
+    cost is p_retailprice).  Part cost map ('gear' parts) and the
+    supplier->nation map broadcast into the lineitem scan; the single
+    big join (orderkey, for the year) runs co-partitioned with
+    per-(nation, year) integer partials inside each join task —
+    profit_x1e4 = rev_x1e4 - retail_x1e4 * qty stays in int64 end to
+    end, so the distributed sum is bit-exact vs the oracle."""
+    import ray
+    import ray.data
+    import pyarrow.parquet as pqq
+
+    from ..functions.boilerplate import _group_counts
+    from ..functions.joins import hash_join
+    _tune_context()
+    part = pqq.read_table(os.path.join(sf_dir, "part.parquet"),
+                          columns=["p_partkey", "p_name",
+                                   "p_retailprice"])
+    part = part.filter(pc.match_substring(part["p_name"], "gear"))
+    cost = np.floor(part["p_retailprice"].to_numpy(zero_copy_only=False)
+                    * 10000.0 + 0.5).astype(np.int64)
+    pmap = pa.table({"p_partkey": part["p_partkey"],
+                     "cost_x1e4": pa.array(cost, pa.int64())})
+    pmap_ref = ray.put(pmap.combine_chunks())
+    sup = pqq.read_table(os.path.join(sf_dir, "supplier.parquet"),
+                         columns=["s_suppkey", "s_nationkey"])
+    sup_ref = ray.put(sup.combine_chunks())
+
+    line = ray.data.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_orderkey", "l_partkey", "l_suppkey", "l_quantity",
+                 "l_extendedprice", "l_discount"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        p = ray.get(pmap_ref)
+        idx = pc.index_in(t["l_partkey"], value_set=p["p_partkey"])
+        keep = pc.is_valid(idx)
+        t, idx = t.filter(keep), idx.filter(keep)
+        s = ray.get(sup_ref)
+        sidx = pc.index_in(t["l_suppkey"], value_set=s["s_suppkey"])
+        ep = t["l_extendedprice"].to_numpy(zero_copy_only=False)
+        dc = t["l_discount"].to_numpy(zero_copy_only=False)
+        qty = np.floor(t["l_quantity"].to_numpy(zero_copy_only=False)
+                       + 0.5).astype(np.int64)
+        rev = np.floor(ep * (1.0 - dc) * 10000.0 + 0.5).astype(np.int64)
+        c = p["cost_x1e4"].take(idx).to_numpy(zero_copy_only=False)
+        return pa.table({
+            "l_orderkey": t["l_orderkey"],
+            "supp_n": s["s_nationkey"].take(sidx).cast(pa.int64()),
+            "profit": pa.array(rev - c * qty, pa.int64())})
+
+    lmap = line.map_batches(prep, batch_format="pyarrow",
+                            zero_copy_batch=True)
+    orders = ray.data.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_orderkey", "o_orderdate"])
+
+    def oprep(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "o_orderkey": t["o_orderkey"],
+            "o_year": pc.year(t["o_orderdate"]).cast(pa.int64())})
+
+    omap = orders.map_batches(oprep, batch_format="pyarrow",
+                              zero_copy_batch=True)
+
+    def post(j: pa.Table) -> pa.Table:
+        return _group_counts(j, ["supp_n", "o_year"],
+                             [("profit", "sum")])
+
+    out = hash_join(lmap, omap, left_on="l_orderkey",
+                    right_on="o_orderkey", post=post)
+    schema = pa.schema([("nation", pa.string()),
+                        ("o_year", pa.int64()),
+                        ("sum_profit_x1e4", pa.int64())])
+    if out is None:
+        return schema.empty_table()
+    t = _collect(out)
+    if t.num_rows == 0:
+        return schema.empty_table()
+    m = _group_counts(t, ["supp_n", "o_year"], [("profit_sum", "sum")])
+    nation = pqq.read_table(os.path.join(sf_dir, "nation.parquet"),
+                            columns=["n_nationkey", "n_name"])
+    nk = nation["n_nationkey"].combine_chunks().cast(pa.int64())
+    out = pa.table({
+        "nation": nation["n_name"].combine_chunks().take(
+            pc.index_in(m["supp_n"], value_set=nk)),
+        "o_year": m["o_year"],
+        "sum_profit_x1e4": m["profit_sum_sum"].cast(pa.int64())})
+    return out.take(pc.sort_indices(out, sort_keys=[
+        ("nation", "ascending"),
+        ("o_year", "descending")])).cast(schema)
+
+
 # ---------------------------------------------------------------------------
 # registry + oracle SQL
 # ---------------------------------------------------------------------------
@@ -3543,6 +3814,9 @@ QUERIES = {
     "tpch_q7": q_tpch_q7,
     "tpch_q6": q_tpch_q6,
     "tpch_q15": q_tpch_q15,
+    "tpch_q19": q_tpch_q19,
+    "tpch_q8": q_tpch_q8,
+    "tpch_q9": q_tpch_q9,
     "pagerank": q_pagerank,
     "bfs_reach": q_bfs_reach,
     "fuzzy_term": q_fuzzy_term,
@@ -5149,6 +5423,65 @@ SELECT s_suppkey::BIGINT AS s_suppkey, s_name, total_revenue_x1e4
 FROM supplier JOIN r ON s_suppkey = l_suppkey
 WHERE total_revenue_x1e4 = (SELECT max(total_revenue_x1e4) FROM r)
 ORDER BY s_suppkey
+""",
+    "tpch_q19": """
+SELECT COALESCE(sum(CAST(floor(l_extendedprice * (1 - l_discount)
+                               * 10000 + 0.5) AS BIGINT)), 0)::BIGINT
+         AS revenue_x1e4,
+       count(*)::BIGINT AS n_lines
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5
+       AND l_quantity BETWEEN 1 AND 11)
+   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10
+       AND l_quantity BETWEEN 10 AND 20)
+   OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 15
+       AND l_quantity BETWEEN 20 AND 30)
+""",
+    "tpch_q8": """
+WITH l AS (
+  SELECT l_orderkey, s_nationkey AS supp_n,
+         CAST(floor(l_extendedprice * (1 - l_discount) * 10000
+                    + 0.5) AS BIGINT) AS rev
+  FROM lineitem
+    JOIN part ON l_partkey = p_partkey AND p_type = 'STANDARD'
+    JOIN supplier ON l_suppkey = s_suppkey
+), j AS (
+  SELECT EXTRACT(year FROM o_orderdate)::BIGINT AS o_year,
+         (supp_n = 7) AS is_t, rev
+  FROM l JOIN orders ON l_orderkey = o_orderkey
+         JOIN customer ON o_custkey = c_custkey
+  WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+    AND o_orderdate < TIMESTAMP '1998-01-01'
+    AND c_nationkey IN (2, 7, 12, 17, 22)
+), y AS (
+  SELECT o_year,
+         sum(CASE WHEN is_t THEN rev ELSE 0 END)::BIGINT AS num,
+         sum(rev)::BIGINT AS den
+  FROM j GROUP BY 1
+)
+SELECT o_year, num AS nation_x1e4, den AS total_x1e4,
+       CASE WHEN den = 0 THEN 0
+            ELSE ((num::HUGEINT * 1000000) // den)::BIGINT
+       END AS mkt_share_x1e6
+FROM y ORDER BY o_year
+""",
+    "tpch_q9": """
+WITH l AS (
+  SELECT s_nationkey AS supp_n,
+         EXTRACT(year FROM o_orderdate)::BIGINT AS o_year,
+         (CAST(floor(l_extendedprice * (1 - l_discount) * 10000
+                     + 0.5) AS BIGINT)
+          - CAST(floor(p_retailprice * 10000 + 0.5) AS BIGINT)
+            * CAST(floor(l_quantity + 0.5) AS BIGINT)) AS profit
+  FROM lineitem
+    JOIN part ON l_partkey = p_partkey AND p_name LIKE '%gear%'
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN orders ON l_orderkey = o_orderkey
+)
+SELECT n_name AS nation, o_year,
+       sum(profit)::BIGINT AS sum_profit_x1e4
+FROM l JOIN nation ON supp_n = n_nationkey
+GROUP BY 1, 2 ORDER BY nation, o_year DESC
 """,
     "pagerank": """
 WITH e0 AS (
