@@ -3696,6 +3696,104 @@ def q_tpch_q9(sf_dir: str) -> pa.Table:
         ("o_year", "descending")])).cast(schema)
 
 
+def q_tpch_q21(sf_dir: str) -> pa.Table:
+    """TPC-H Q21-shape waiting-supplier count (adapted: this corpus
+    has no commit/receipt dates, so 'kept the order waiting' = the
+    order's sole latest-shipping supplier on a multi-supplier 'F'
+    order — same EXISTS + NOT-EXISTS correlated structure).  One
+    co-partitioned join (lineitem x F-orders on orderkey) puts every
+    order's lines in one partition; a vectorized kernel computes
+    per-order max shipdate, distinct-supplier count, and the
+    distinct-suppliers-at-max via boundary diffs + reduceat (never a
+    per-order Python loop), emitting keyed partials only.  Reference
+    analog: correlated semi/anti probes (vfs-index qparser EXISTS
+    path)."""
+    import ray
+    import ray.data
+    import pyarrow.parquet as pqq
+
+    from ..functions.boilerplate import _group_counts
+    from ..functions.joins import hash_join
+    _tune_context()
+    line = ray.data.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_orderkey", "l_suppkey", "l_shipdate"])
+
+    def lprep(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "l_orderkey": t["l_orderkey"],
+            "l_suppkey": t["l_suppkey"],
+            "ship": t["l_shipdate"].cast(pa.int64())})
+
+    lmap = line.map_batches(lprep, batch_format="pyarrow",
+                            zero_copy_batch=True)
+    orders = ray.data.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_orderkey", "o_orderstatus"])
+
+    def oprep(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.equal(t["o_orderstatus"], "F"))
+        return t.select(["o_orderkey"])
+
+    omap = orders.map_batches(oprep, batch_format="pyarrow",
+                              zero_copy_batch=True)
+
+    def post(j: pa.Table) -> pa.Table:
+        empty = pa.table({"sk": pa.array([], pa.int64()),
+                          "n": pa.array([], pa.int64())})
+        if j.num_rows == 0:
+            return empty
+        ok = j["l_orderkey"].to_numpy(zero_copy_only=False)
+        sk = j["l_suppkey"].to_numpy(zero_copy_only=False)
+        sd = j["ship"].to_numpy(zero_copy_only=False)
+        srt = np.lexsort((sk, ok))
+        ok, sk, sd = ok[srt], sk[srt], sd[srt]
+        new_ord = np.r_[True, ok[1:] != ok[:-1]]
+        starts = np.flatnonzero(new_ord)
+        counts = np.diff(np.r_[starts, len(ok)])
+        oidx = np.repeat(np.arange(len(starts)), counts)
+        grpmax = np.maximum.reduceat(sd, starts)
+        new_pair = np.r_[True, (ok[1:] != ok[:-1]) |
+                               (sk[1:] != sk[:-1])]
+        pstart = np.flatnonzero(new_pair)
+        ns = np.add.reduceat(new_pair.astype(np.int64), starts)
+        atmax = sd == grpmax[oidx]
+        hasmax = np.maximum.reduceat(
+            atmax.astype(np.int8), pstart).astype(bool)
+        porder = oidx[pstart]
+        nm = np.bincount(porder, weights=hasmax,
+                         minlength=len(starts)).astype(np.int64)
+        sole = hasmax & (nm[porder] == 1) & (ns[porder] >= 2)
+        emit = sk[pstart[sole]]
+        if len(emit) == 0:
+            return empty
+        return _group_counts(
+            pa.table({"sk": pa.array(emit.astype(np.int64), pa.int64()),
+                      "n": pa.array(np.ones(len(emit), np.int64))}),
+            ["sk"], [("n", "sum")]).rename_columns(["sk", "n"])
+
+    out = hash_join(lmap, omap, left_on="l_orderkey",
+                    right_on="o_orderkey", how="inner", post=post)
+    schema = pa.schema([("s_name", pa.string()),
+                        ("numwait", pa.int64())])
+    if out is None:
+        return schema.empty_table()
+    t = _collect(out)
+    if t.num_rows == 0:
+        return schema.empty_table()
+    m = _group_counts(t, ["sk"], [("n", "sum")])
+    sup = pqq.read_table(os.path.join(sf_dir, "supplier.parquet"),
+                         columns=["s_suppkey", "s_name"])
+    idx = pc.index_in(m["sk"],
+                      value_set=sup["s_suppkey"].combine_chunks())
+    out = pa.table({
+        "s_name": sup["s_name"].combine_chunks().take(idx),
+        "numwait": m["n_sum"].cast(pa.int64())})
+    return out.take(pc.sort_indices(out, sort_keys=[
+        ("numwait", "descending"),
+        ("s_name", "ascending")])[:10]).cast(schema)
+
+
 # ---------------------------------------------------------------------------
 # registry + oracle SQL
 # ---------------------------------------------------------------------------
@@ -3817,6 +3915,7 @@ QUERIES = {
     "tpch_q19": q_tpch_q19,
     "tpch_q8": q_tpch_q8,
     "tpch_q9": q_tpch_q9,
+    "tpch_q21": q_tpch_q21,
     "pagerank": q_pagerank,
     "bfs_reach": q_bfs_reach,
     "fuzzy_term": q_fuzzy_term,
@@ -5482,6 +5581,27 @@ SELECT n_name AS nation, o_year,
        sum(profit)::BIGINT AS sum_profit_x1e4
 FROM l JOIN nation ON supp_n = n_nationkey
 GROUP BY 1, 2 ORDER BY nation, o_year DESC
+""",
+    "tpch_q21": """
+WITH f AS (
+  SELECT l_orderkey, l_suppkey, l_shipdate
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  WHERE o_orderstatus = 'F'
+), m AS (
+  SELECT l_orderkey, max(l_shipdate) AS ms,
+         count(DISTINCT l_suppkey) AS ns
+  FROM f GROUP BY 1
+), w AS (
+  SELECT f.l_orderkey, min(f.l_suppkey) AS sk,
+         count(DISTINCT f.l_suppkey) AS nl
+  FROM f JOIN m ON f.l_orderkey = m.l_orderkey
+                AND f.l_shipdate = m.ms
+  WHERE m.ns >= 2 GROUP BY 1
+)
+SELECT s_name, count(*)::BIGINT AS numwait
+FROM w JOIN supplier ON w.sk = s_suppkey
+WHERE nl = 1
+GROUP BY 1 ORDER BY numwait DESC, s_name LIMIT 10
 """,
     "pagerank": """
 WITH e0 AS (
