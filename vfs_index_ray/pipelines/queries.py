@@ -3794,6 +3794,210 @@ def q_tpch_q21(sf_dir: str) -> pa.Table:
         ("s_name", "ascending")])[:10]).cast(schema)
 
 
+def q_tpch_q12(sf_dir: str) -> pa.Table:
+    """TPC-H Q12-shape late-shipment priority counts (adapted: this
+    corpus has no l_shipmode/commitdate, so the mode axis is
+    l_linestatus and 'late' = shipped more than 60 days after the
+    order date).  One co-partitioned hash join on orderkey with the
+    conditional counts folded INSIDE each join task — only (status,
+    high, low) partials leave the shuffle; the driver merges a
+    handful of rows.  Reference analog: qparser conditional-count
+    aggregation over an AND probe."""
+    import ray.data
+
+    from ..functions.boilerplate import _group_counts
+    from ..functions.joins import hash_join
+    _tune_context()
+    line = ray.data.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_orderkey", "l_linestatus", "l_shipdate"])
+    orders = ray.data.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_orderkey", "o_orderdate", "o_orderpriority"])
+    late_us = 60 * 86_400 * 1_000_000  # 60 days in microseconds
+
+    def lprep(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "l_orderkey": t["l_orderkey"],
+            "l_linestatus": t["l_linestatus"],
+            "ship": t["l_shipdate"].cast(pa.int64())})
+
+    def oprep(t: pa.Table) -> pa.Table:
+        hi = pc.is_in(t["o_orderpriority"],
+                      value_set=pa.array(["1-URGENT", "2-HIGH"]))
+        return pa.table({
+            "o_orderkey": t["o_orderkey"],
+            "odate": t["o_orderdate"].cast(pa.int64()),
+            "is_high": pc.cast(hi, pa.int64())})
+
+    def post(j: pa.Table) -> pa.Table:
+        empty = pa.table({"l_linestatus": pa.array([], pa.string()),
+                          "high": pa.array([], pa.int64()),
+                          "low": pa.array([], pa.int64())})
+        if j.num_rows == 0:
+            return empty
+        late = pc.greater(pc.subtract(j["ship"], j["odate"]),
+                          pa.scalar(late_us, pa.int64()))
+        j = j.filter(late)
+        if j.num_rows == 0:
+            return empty
+        g = _group_counts(
+            pa.table({"l_linestatus": j["l_linestatus"],
+                      "high": j["is_high"],
+                      "low": pc.subtract(pa.scalar(1, pa.int64()),
+                                         j["is_high"])}),
+            ["l_linestatus"], [("high", "sum"), ("low", "sum")])
+        return g.rename_columns(["l_linestatus", "high", "low"])
+
+    out = hash_join(
+        line.map_batches(lprep, batch_format="pyarrow",
+                         zero_copy_batch=True),
+        orders.map_batches(oprep, batch_format="pyarrow",
+                           zero_copy_batch=True),
+        left_on="l_orderkey", right_on="o_orderkey", how="inner",
+        post=post)
+    schema = pa.schema([("l_linestatus", pa.string()),
+                        ("high_line_count", pa.int64()),
+                        ("low_line_count", pa.int64())])
+    if out is None:
+        return schema.empty_table()
+    t = _collect(out)
+    if t.num_rows == 0:
+        return schema.empty_table()
+    m = _group_counts(t, ["l_linestatus"],
+                      [("high", "sum"), ("low", "sum")])
+    t = pa.table({"l_linestatus": m["l_linestatus"],
+                  "high_line_count": m["high_sum"],
+                  "low_line_count": m["low_sum"]}).cast(schema)
+    return t.take(pc.sort_indices(t, sort_keys=[
+        ("l_linestatus", "ascending")]))
+
+
+def q_tpch_q11(sf_dir: str) -> pa.Table:
+    """TPC-H Q11-shape important parts (adapted: no partsupp table, so
+    'value' = revenue shipped per part by one nation's suppliers, and
+    the HAVING threshold is 'more than 2x the mean per-part value' —
+    scale-free where Q11's fixed fraction goes vacuous as part
+    cardinality grows).  The nation's supplier key set broadcasts
+    once (at 100 TB the supplier dim is still ~1e-3 of lineitem;
+    past the broadcast budget this flips to hash_join); revenue
+    folds per batch into per-part integer partials — zero shuffle —
+    and the threshold is the exact integer comparison
+    value*n_parts > 2*total both engines run.  Reference analog:
+    count-by-key traversal + threshold scan."""
+    import ray
+    import ray.data
+    import pyarrow.parquet as pqq
+
+    from ..functions.boilerplate import partial_aggregate
+    _tune_context()
+    sup = pqq.read_table(os.path.join(sf_dir, "supplier.parquet"),
+                         columns=["s_suppkey", "s_nationkey"])
+    keep = sup.filter(pc.equal(sup["s_nationkey"], 9))
+    keep_ref = ray.put(keep["s_suppkey"].combine_chunks())
+
+    line = ray.data.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_partkey", "l_suppkey", "l_extendedprice",
+                 "l_discount"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.is_in(t["l_suppkey"],
+                              value_set=ray.get(keep_ref)))
+        ep = t["l_extendedprice"].to_numpy(zero_copy_only=False)
+        dc = t["l_discount"].to_numpy(zero_copy_only=False)
+        rev = np.floor(ep * (1.0 - dc) * 10000.0 + 0.5).astype(np.int64)
+        return pa.table({"p_partkey": t["l_partkey"].cast(pa.int64()),
+                         "rev": pa.array(rev, pa.int64())})
+
+    t = partial_aggregate(line, ["p_partkey"], [("rev", "sum")],
+                          prepare=prep)
+    schema = pa.schema([("p_partkey", pa.int64()),
+                        ("value_x1e4", pa.int64())])
+    if t is None:
+        return schema.empty_table()
+    vals = t["rev_sum"].to_numpy(zero_copy_only=False)
+    total = int(vals.sum())
+    mask = vals * len(vals) > 2 * total
+    t = pa.table({"p_partkey": t["p_partkey"],
+                  "value_x1e4": t["rev_sum"]}).filter(
+        pa.array(mask)).cast(schema)
+    return t.take(pc.sort_indices(t, sort_keys=[
+        ("value_x1e4", "descending"), ("p_partkey", "ascending")]))
+
+
+def q_tpch_q20(sf_dir: str) -> pa.Table:
+    """TPC-H Q20-shape excess suppliers (adapted: no partsupp/availqty,
+    so the nested EXISTS becomes 'suppliers who shipped more than half
+    of their all-time small-part quantity since 1999' — the same
+    part-family semi-join feeding a per-supplier grouped threshold).
+    The family partkey set broadcasts once; quantities fold into
+    per-supplier (recent, total) integer partials per batch — zero
+    shuffle; names attach by broadcast index_in at the end.
+    Reference analog: nested semi-join probe (qparser EXISTS path)."""
+    import ray
+    import ray.data
+    import pyarrow.parquet as pqq
+
+    from ..functions.boilerplate import partial_aggregate
+    _tune_context()
+    part = pqq.read_table(os.path.join(sf_dir, "part.parquet"),
+                          columns=["p_partkey", "p_name"])
+    fam = part.filter(pc.starts_with(part["p_name"], "small "))
+    fam_ref = ray.put(fam["p_partkey"].combine_chunks())
+    cut = pa.scalar(np.datetime64("1999-01-01", "us"),
+                    pa.timestamp("us"))
+
+    line = ray.data.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_partkey", "l_suppkey", "l_quantity",
+                 "l_shipdate"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.is_in(t["l_partkey"],
+                              value_set=ray.get(fam_ref)))
+        q = np.floor(t["l_quantity"].to_numpy(zero_copy_only=False)
+                     * 100.0 + 0.5).astype(np.int64)
+        recent = pc.greater_equal(t["l_shipdate"], cut).to_numpy(
+            zero_copy_only=False)
+        return pa.table({
+            "sk": t["l_suppkey"].cast(pa.int64()),
+            "recent": pa.array(np.where(recent, q, 0), pa.int64()),
+            "total": pa.array(q, pa.int64())})
+
+    t = partial_aggregate(line, ["sk"],
+                          [("recent", "sum"), ("total", "sum")],
+                          prepare=prep)
+    schema = pa.schema([("s_name", pa.string()),
+                        ("nation", pa.string()),
+                        ("recent_x100", pa.int64()),
+                        ("total_x100", pa.int64())])
+    if t is None:
+        return schema.empty_table()
+    rec = t["recent_sum"].to_numpy(zero_copy_only=False)
+    tot = t["total_sum"].to_numpy(zero_copy_only=False)
+    t = t.filter(pa.array(rec * 2 > tot))
+    if t.num_rows == 0:
+        return schema.empty_table()
+    sup = pqq.read_table(os.path.join(sf_dir, "supplier.parquet"),
+                         columns=["s_suppkey", "s_name",
+                                  "s_nationkey"])
+    nat = pqq.read_table(os.path.join(sf_dir, "nation.parquet"),
+                         columns=["n_nationkey", "n_name"])
+    sidx = pc.index_in(t["sk"],
+                       value_set=sup["s_suppkey"].combine_chunks())
+    snat = sup["s_nationkey"].combine_chunks().take(sidx)
+    nidx = pc.index_in(snat,
+                       value_set=nat["n_nationkey"].combine_chunks())
+    out = pa.table({
+        "s_name": sup["s_name"].combine_chunks().take(sidx),
+        "nation": nat["n_name"].combine_chunks().take(nidx),
+        "recent_x100": t["recent_sum"],
+        "total_x100": t["total_sum"]}).cast(schema)
+    return out.take(pc.sort_indices(out, sort_keys=[
+        ("s_name", "ascending")]))
+
+
 # ---------------------------------------------------------------------------
 # registry + oracle SQL
 # ---------------------------------------------------------------------------
@@ -3916,6 +4120,9 @@ QUERIES = {
     "tpch_q8": q_tpch_q8,
     "tpch_q9": q_tpch_q9,
     "tpch_q21": q_tpch_q21,
+    "tpch_q12": q_tpch_q12,
+    "tpch_q11": q_tpch_q11,
+    "tpch_q20": q_tpch_q20,
     "pagerank": q_pagerank,
     "bfs_reach": q_bfs_reach,
     "fuzzy_term": q_fuzzy_term,
@@ -5602,6 +5809,47 @@ SELECT s_name, count(*)::BIGINT AS numwait
 FROM w JOIN supplier ON w.sk = s_suppkey
 WHERE nl = 1
 GROUP BY 1 ORDER BY numwait DESC, s_name LIMIT 10
+""",
+    "tpch_q12": """
+SELECT l_linestatus,
+       sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                THEN 1 ELSE 0 END)::BIGINT AS high_line_count,
+       sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                THEN 0 ELSE 1 END)::BIGINT AS low_line_count
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE l_shipdate > o_orderdate + INTERVAL 60 DAY
+GROUP BY 1 ORDER BY 1
+""",
+    "tpch_q11": """
+WITH v AS (
+  SELECT l_partkey::BIGINT AS p_partkey,
+         sum(CAST(floor(l_extendedprice * (1 - l_discount) * 10000
+                        + 0.5) AS BIGINT))::BIGINT AS value_x1e4
+  FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+  WHERE s_nationkey = 9 GROUP BY 1
+)
+SELECT p_partkey, value_x1e4 FROM v
+WHERE value_x1e4 * (SELECT count(*) FROM v)
+      > 2 * (SELECT sum(value_x1e4) FROM v)
+ORDER BY value_x1e4 DESC, p_partkey
+""",
+    "tpch_q20": """
+WITH fam AS (
+  SELECT p_partkey FROM part WHERE p_name LIKE 'small %'
+), q AS (
+  SELECT l_suppkey,
+         sum(CASE WHEN l_shipdate >= TIMESTAMP '1999-01-01'
+                  THEN CAST(floor(l_quantity * 100 + 0.5) AS BIGINT)
+                  ELSE 0 END)::BIGINT AS recent_x100,
+         sum(CAST(floor(l_quantity * 100 + 0.5)
+                  AS BIGINT))::BIGINT AS total_x100
+  FROM lineitem JOIN fam ON l_partkey = p_partkey GROUP BY 1
+)
+SELECT s_name, n_name AS nation, recent_x100, total_x100
+FROM q JOIN supplier ON l_suppkey = s_suppkey
+       JOIN nation ON s_nationkey = n_nationkey
+WHERE recent_x100 * 2 > total_x100
+ORDER BY s_name
 """,
     "pagerank": """
 WITH e0 AS (
