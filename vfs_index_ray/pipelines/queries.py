@@ -3998,6 +3998,60 @@ def q_tpch_q20(sf_dir: str) -> pa.Table:
         ("s_name", "ascending")]))
 
 
+def q_hybrid_search(sf_dir: str) -> pa.Table:
+    """Hybrid retrieval: BM25 top-20 lexical candidates reranked by
+    embedding cosine to the top-1 hit (query-by-document
+    pseudo-relevance rerank — the standard two-stage lexical→vector
+    serving pattern).  Stage 1 is the inverted index (maxscore BM25);
+    stage 2 touches ONLY the k candidate embeddings via a
+    row-group-pruned point read — the corpus-sized embedding table
+    never moves (at serving scale this is QueryService's resident
+    ann_batch path).  Rank = (cosine desc, doc_id asc), scores on the
+    shared x1e4 grid.  Reference analog: A7 tf scoring feeding M8
+    projection (vfs-index has no vector stage; this is the extension
+    surface)."""
+    import pyarrow.parquet as pqq
+    eng = get_engine(sf_dir)
+    docs, scores = eng.bm25(BM25_QUERY, 20)
+    docs = docs.astype(np.int64)
+    schema = pa.schema([("doc_id", pa.int64()),
+                        ("bm25_x1e4", pa.int64()),
+                        ("sim_x1e4", pa.int64()),
+                        ("rank", pa.int64())])
+    if len(docs) == 0:
+        return schema.empty_table()
+    emb = pqq.read_table(
+        os.path.join(sf_dir, "embeddings.parquet"),
+        filters=[("vec_id", "in", docs.tolist())],
+        columns=["vec_id", "embedding"], use_threads=False)
+    vid = emb["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+    mat = np.asarray(emb["embedding"].to_pylist(), np.float64)
+    pos = {int(v): i for i, v in enumerate(vid)}
+    # not every document carries an embedding (sf0.1: 2k of 5k);
+    # rerank the candidates that do, anchored on the best BM25 hit
+    # among them — mirrored exactly by the oracle's inner join.
+    have = np.array([int(d) in pos for d in docs], bool)
+    docs, scores = docs[have], scores[have]
+    if len(docs) < 2:
+        return schema.empty_table()
+    anchor = mat[pos[int(docs[0])]]
+    cand = docs[1:]
+    cidx = np.array([pos[int(d)] for d in cand], np.int64)
+    cmat = mat[cidx]
+    sims = (cmat @ anchor) / (np.linalg.norm(cmat, axis=1)
+                              * np.linalg.norm(anchor))
+    order = np.lexsort((cand, -sims))[:10]
+    return pa.table({
+        "doc_id": pa.array(cand[order], pa.int64()),
+        "bm25_x1e4": pa.array(np.floor(
+            scores[1:][order] * 10000.0 + 0.5).astype(np.int64),
+            pa.int64()),
+        "sim_x1e4": pa.array(np.floor(
+            sims[order] * 10000.0 + 0.5).astype(np.int64), pa.int64()),
+        "rank": pa.array(np.arange(1, len(order) + 1), pa.int64()),
+    }).cast(schema)
+
+
 # ---------------------------------------------------------------------------
 # registry + oracle SQL
 # ---------------------------------------------------------------------------
@@ -4123,6 +4177,7 @@ QUERIES = {
     "tpch_q12": q_tpch_q12,
     "tpch_q11": q_tpch_q11,
     "tpch_q20": q_tpch_q20,
+    "hybrid_search": q_hybrid_search,
     "pagerank": q_pagerank,
     "bfs_reach": q_bfs_reach,
     "fuzzy_term": q_fuzzy_term,
@@ -5850,6 +5905,50 @@ FROM q JOIN supplier ON l_suppkey = s_suppkey
        JOIN nation ON s_nationkey = n_nationkey
 WHERE recent_x100 * 2 > total_x100
 ORDER BY s_name
+""",
+    # two-stage hybrid retrieval: BM25 top-20 (the bm25_topk CTE with
+    # LIMIT 20) reranked by embedding cosine to the rank-1 hit
+    "hybrid_search": f"""
+WITH tok AS (
+  SELECT doc_id, unnest({TOKS}) AS tok FROM documents
+), tf AS (
+  SELECT doc_id, tok, count(*)::DOUBLE AS tf FROM tok
+  WHERE tok IN ('spark','join','window') GROUP BY doc_id, tok
+), dl AS (
+  SELECT doc_id, count(*)::DOUBLE AS dl FROM tok GROUP BY doc_id
+), stats AS (
+  SELECT (SELECT count(*) FROM documents)::DOUBLE AS n,
+         (SELECT count(*) FROM tok)::DOUBLE /
+         (SELECT count(*) FROM documents)::DOUBLE AS avgdl
+), df AS (
+  SELECT tok, count(*)::DOUBLE AS df FROM tf GROUP BY tok
+), scores AS (
+  SELECT tf.doc_id,
+         sum(ln(1 + (stats.n - df.df + 0.5)/(df.df + 0.5)) *
+             (tf.tf*2.2/(tf.tf + 1.2*(1 - 0.75 + 0.75*dl.dl/stats.avgdl))))
+           AS score
+  FROM tf JOIN df USING(tok) JOIN dl USING(doc_id) CROSS JOIN stats
+  GROUP BY tf.doc_id
+), cand AS (
+  SELECT doc_id, score,
+         row_number() OVER (ORDER BY score DESC, doc_id) AS rn
+  FROM scores ORDER BY score DESC, doc_id LIMIT 20
+), withe AS (
+  SELECT c.rn, c.doc_id, c.score, e.embedding
+  FROM cand c JOIN embeddings e ON e.vec_id = c.doc_id
+), anchor AS (
+  SELECT embedding AS ae, rn AS arn FROM withe ORDER BY rn LIMIT 1
+), sims AS (
+  SELECT w.doc_id, w.score,
+         list_cosine_similarity(w.embedding,
+                                (SELECT ae FROM anchor)) AS sim
+  FROM withe w WHERE w.rn > (SELECT arn FROM anchor)
+)
+SELECT doc_id,
+       CAST(floor(score*10000 + 0.5) AS BIGINT) AS bm25_x1e4,
+       CAST(floor(sim*10000 + 0.5) AS BIGINT) AS sim_x1e4,
+       row_number() OVER (ORDER BY sim DESC, doc_id)::BIGINT AS rank
+FROM sims QUALIFY rank <= 10 ORDER BY rank
 """,
     "pagerank": """
 WITH e0 AS (
