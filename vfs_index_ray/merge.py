@@ -16,8 +16,10 @@ assert count(merged) = count(a) + count(b) − overlap
 
 Assumption (documented): inputs are doc-disjoint, or a doc shared between
 inputs has identical content (the reference has the same property through
-its (fileID, offset) record identity). True doc replacement needs
-doc-level tombstones — out of scope, as in the reference.
+its (fileID, offset) record identity). True doc replacement = tombstone
+the old doc (``SearchEngine.delete_docs``) in its source index, absorb the
+new content as a fresh wave/index, then ``purge_tombstones`` at leisure —
+the reference itself has no delete story.
 """
 
 from __future__ import annotations
@@ -241,6 +243,114 @@ def merge_indexes(src_dirs: list[str], out_dir: str,
     return merged_stats
 
 
+def purge_tombstones(src_dir: str, out_dir: str) -> dict:
+    """Physically rewrite an index WITHOUT its tombstoned docs (the
+    compaction half of the delete story — see SearchEngine.delete_docs
+    for the query-time half). Per hash partition, one Ray task decodes
+    the segment, masks the deleted docs, and re-encodes — identical in
+    shape to the build's encode phase and to merge_indexes, no global
+    shuffle; positional sidecar files get the same row filter. df,
+    n_docs, total_tokens and avgdl all come out exactly as a fresh
+    build of the surviving corpus would produce them (deterministic
+    segment content → byte-identical segments, pinned by test), so
+    after a purge the pruned BM25 paths are valid again and the purged
+    index carries no tombstones.
+
+    Resumable: each partition commits a ``purge/part=N.json`` sidecar
+    recording the deleted doc ids it actually dropped (needed to fix
+    n_docs on the driver); re-runs skip committed partitions and re-read
+    their sidecars, and every write is tmp+rename idempotent."""
+    import json
+
+    from .build import _atomic_write_json
+    from .search import load_tombstones
+
+    st = read_stats(src_dir)
+    tomb = load_tombstones(src_dir)
+    num_parts = int(st["num_parts"])
+    out = IndexBuilder(out_dir, mode=st["mode"], num_parts=num_parts,
+                       bucket_shift=st["bucket_shift"],
+                       compression=st.get("compression", "lz4"),
+                       positions=bool(st.get("positions", False)))
+    writer = SegmentWriter(out.segments_dir, out.bucket_shift,
+                           block_size=st.get("block_size"),
+                           compression=out.compression)
+    purge_dir = os.path.join(out_dir, "purge")
+    os.makedirs(purge_dir, exist_ok=True)
+    has_pos = os.path.isdir(os.path.join(src_dir, "positions"))
+    if has_pos:
+        os.makedirs(os.path.join(out_dir, "positions"), exist_ok=True)
+
+    def purge_batch(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        parts_o, dropped_o = [], []
+        tomb_pa = pa.array(tomb, pa.uint64())
+        for p in batch["p"].to_pylist():
+            p = int(p)
+            f = os.path.join(src_dir, "segments", f"part={p:05d}.parquet")
+            t, d, tf, dl = decode_segment_table(
+                pq.read_table(f, use_threads=False))
+            if len(tomb) and len(d):
+                pos = np.minimum(np.searchsorted(tomb, d), len(tomb) - 1)
+                dead = tomb[pos] == d
+            else:
+                dead = np.zeros(len(d), bool)
+            live = ~dead
+            writer.encode_part(p, pa.table({
+                "term_id": pa.array(t[live], pa.uint64()),
+                "doc_id": pa.array(d[live], pa.uint64()),
+                "tf": pa.array(tf[live].astype(np.uint32), pa.uint32()),
+                "dl": pa.array(dl[live].astype(np.uint32), pa.uint32()),
+            }))
+            if has_pos:
+                pf = os.path.join(src_dir, "positions",
+                                  f"part={p:05d}.parquet")
+                if os.path.exists(pf):
+                    pt = pq.read_table(pf, use_threads=False)
+                    if len(tomb):
+                        pt = pt.filter(pc.invert(pc.is_in(
+                            pt["doc_id"], value_set=tomb_pa)))
+                    po = os.path.join(out_dir, "positions",
+                                      f"part={p:05d}.parquet")
+                    pq.write_table(pt, po + ".tmp")
+                    os.replace(po + ".tmp", po)
+            dd = np.unique(d[dead]).tolist()
+            _atomic_write_json(
+                os.path.join(purge_dir, f"part={p:05d}.json"),
+                {"part": p, "deleted_docs": dd})
+            parts_o.append(p)
+            dropped_o.append(len(dd))
+        return pa.table({"part": pa.array(parts_o, pa.int32()),
+                         "n_docs_dropped": pa.array(dropped_o,
+                                                    pa.int64())})
+
+    def _done() -> set[int]:
+        done = set()
+        for name in os.listdir(purge_dir):
+            if name.startswith("part=") and name.endswith(".json"):
+                done.add(int(name[len("part="):-len(".json")]))
+        return done
+
+    todo = [p for p in range(num_parts) if p not in _done()]
+    if todo:
+        parts_ds = ray.data.from_items([{"p": p} for p in todo],
+                                       override_num_blocks=len(todo))
+        parts_ds.map_batches(purge_batch, batch_format="pyarrow",
+                             batch_size=1).materialize()
+    deleted: set[int] = set()
+    for p in sorted(_done()):
+        with open(os.path.join(purge_dir, f"part={p:05d}.json")) as fh:
+            deleted.update(json.load(fh)["deleted_docs"])
+    n_docs = int(st["n_docs"]) - len(deleted)
+    _atomic_write_json(os.path.join(out.waves_dir, "wave=0000.json"),
+                       {"wave": 0, "files": [f"purge:{src_dir}"],
+                        "n_docs": n_docs})
+    stats = out.finalize()
+    stats["purged_docs"] = len(deleted)
+    stats["tombstones_requested"] = int(len(tomb))
+    return stats
+
+
 # --- federated scoring workers (run as Ray tasks, one per source) --------
 
 def _fed_source_dfs(src_dir: str, q: str, engine=None) -> dict[int, int]:
@@ -270,7 +380,10 @@ def _fed_score_source(src_dir: str, tids: list[int], gdf: dict[int, int],
     e = engine if engine is not None else SearchEngine(src_dir,
                                                        io_threads=False)
     loaded = e.load_terms(list(tids))
-    ps = [(t, loaded[t].decode()) for t in tids]
+    if len(e.tombstones):  # per-source deletes filter here too
+        ps = [(t, e._live_postings(loaded[t])) for t in tids]
+    else:
+        ps = [(t, loaded[t].decode()) for t in tids]
     ps = [(t, p) for t, p in ps if len(p.docs)]
     empty = (np.empty(0, np.uint64), np.empty(0, np.float64))
     if not ps:

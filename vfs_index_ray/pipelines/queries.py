@@ -4052,6 +4052,70 @@ def q_hybrid_search(sf_dir: str) -> pa.Table:
     }).cast(schema)
 
 
+def _tomb_engine(sf_dir: str):
+    """Word-mode index in a DEDICATED cache dir (never the shared
+    get_engine index — tombstones mutate it) with docs ``doc_id % 7
+    == 3`` deleted. delete_docs is idempotent, so repeated calls
+    converge."""
+    from .. import __version__
+    from ..build import IndexBuilder
+    src = _doc_file(sf_dir)
+    name = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    idx = os.path.join("/tmp", "vfsray_cache",
+                       f"{name}-{_corpus_key(sf_dir, src)}"
+                       f"-v{__version__}-tombq")
+    if not os.path.exists(os.path.join(idx, "stats.json")):
+        IndexBuilder(idx, mode="word", num_parts=8,
+                     id_col="doc_id").build([src])
+    eng = SearchEngine(idx, corpus_files=[src], id_col="doc_id")
+    import pyarrow.parquet as pqq
+    # actual ids from the corpus (doc_id spaces can be sparse — sf1's
+    # tiled fixture is), one pruned single-column read
+    ids = pqq.read_table(src, columns=["doc_id"], use_threads=False
+                         )["doc_id"].to_numpy(zero_copy_only=False
+                                              ).astype(np.uint64)
+    eng.delete_docs(ids[ids % 7 == 3])
+    return eng, idx
+
+
+def q_delete_search(sf_dir: str) -> pa.Table:
+    """Tombstoned BM25 (SearchEngine.delete_docs): docs with
+    ``doc_id % 7 == 3`` are deleted; survivors keep their exact
+    pre-delete fp64 scores (stale-statistics scoring, Lucene
+    semantics) — so the oracle is the full-corpus BM25 score set with
+    the deleted docs filtered OUT after scoring.  Extension surface:
+    the reference has no delete story."""
+    eng, _ = _tomb_engine(sf_dir)
+    docs, scores = eng.bm25(BM25_QUERY, 10)
+    return pa.table({
+        "doc_id": pa.array(docs.astype(np.int64), pa.int64()),
+        "score_x1e4": pa.array(
+            np.floor(scores * 10000.0 + 0.5).astype(np.int64),
+            pa.int64())})
+
+
+def q_purge_search(sf_dir: str) -> pa.Table:
+    """Post-purge BM25 (merge.purge_tombstones): the physically
+    rewritten index scores with LIVE statistics (df, N, avgdl of the
+    surviving corpus), byte-identical to a fresh build — so the
+    oracle recomputes BM25 over ``documents WHERE doc_id % 7 <> 3``
+    from scratch.  Together with delete_search this pins both halves
+    of the delete story against SQL."""
+    eng, idx = _tomb_engine(sf_dir)
+    purged = idx + "-purged"
+    if not os.path.exists(os.path.join(purged, "stats.json")):
+        from ..merge import purge_tombstones
+        purge_tombstones(idx, purged)
+    peng = SearchEngine(purged, corpus_files=[_doc_file(sf_dir)],
+                        id_col="doc_id")
+    docs, scores = peng.bm25(BM25_QUERY, 10)
+    return pa.table({
+        "doc_id": pa.array(docs.astype(np.int64), pa.int64()),
+        "score_x1e4": pa.array(
+            np.floor(scores * 10000.0 + 0.5).astype(np.int64),
+            pa.int64())})
+
+
 # ---------------------------------------------------------------------------
 # registry + oracle SQL
 # ---------------------------------------------------------------------------
@@ -4178,6 +4242,8 @@ QUERIES = {
     "tpch_q11": q_tpch_q11,
     "tpch_q20": q_tpch_q20,
     "hybrid_search": q_hybrid_search,
+    "delete_search": q_delete_search,
+    "purge_search": q_purge_search,
     "pagerank": q_pagerank,
     "bfs_reach": q_bfs_reach,
     "fuzzy_term": q_fuzzy_term,
@@ -5949,6 +6015,63 @@ SELECT doc_id,
        CAST(floor(sim*10000 + 0.5) AS BIGINT) AS sim_x1e4,
        row_number() OVER (ORDER BY sim DESC, doc_id)::BIGINT AS rank
 FROM sims QUALIFY rank <= 10 ORDER BY rank
+""",
+    # tombstoned BM25: full-corpus statistics AND scores (stale-stats
+    # semantics), deleted docs filtered AFTER scoring
+    "delete_search": f"""
+WITH tok AS (
+  SELECT doc_id, unnest({TOKS}) AS tok FROM documents
+), tf AS (
+  SELECT doc_id, tok, count(*)::DOUBLE AS tf FROM tok
+  WHERE tok IN ('spark','join','window') GROUP BY doc_id, tok
+), dl AS (
+  SELECT doc_id, count(*)::DOUBLE AS dl FROM tok GROUP BY doc_id
+), stats AS (
+  SELECT (SELECT count(*) FROM documents)::DOUBLE AS n,
+         (SELECT count(*) FROM tok)::DOUBLE /
+         (SELECT count(*) FROM documents)::DOUBLE AS avgdl
+), df AS (
+  SELECT tok, count(*)::DOUBLE AS df FROM tf GROUP BY tok
+), scores AS (
+  SELECT tf.doc_id,
+         sum(ln(1 + (stats.n - df.df + 0.5)/(df.df + 0.5)) *
+             (tf.tf*2.2/(tf.tf + 1.2*(1 - 0.75 + 0.75*dl.dl/stats.avgdl))))
+           AS score
+  FROM tf JOIN df USING(tok) JOIN dl USING(doc_id) CROSS JOIN stats
+  GROUP BY tf.doc_id
+)
+SELECT doc_id, CAST(floor(score*10000 + 0.5) AS BIGINT) AS score_x1e4
+FROM scores WHERE doc_id % 7 <> 3
+ORDER BY score DESC, doc_id LIMIT 10
+""",
+    # post-purge BM25: statistics recomputed over the SURVIVING corpus
+    # only — the purged index is byte-identical to a fresh build
+    "purge_search": f"""
+WITH live AS (
+  SELECT doc_id, text FROM documents WHERE doc_id % 7 <> 3
+), tok AS (
+  SELECT doc_id, unnest({TOKS}) AS tok FROM live
+), tf AS (
+  SELECT doc_id, tok, count(*)::DOUBLE AS tf FROM tok
+  WHERE tok IN ('spark','join','window') GROUP BY doc_id, tok
+), dl AS (
+  SELECT doc_id, count(*)::DOUBLE AS dl FROM tok GROUP BY doc_id
+), stats AS (
+  SELECT (SELECT count(*) FROM live)::DOUBLE AS n,
+         (SELECT count(*) FROM tok)::DOUBLE /
+         (SELECT count(*) FROM live)::DOUBLE AS avgdl
+), df AS (
+  SELECT tok, count(*)::DOUBLE AS df FROM tf GROUP BY tok
+), scores AS (
+  SELECT tf.doc_id,
+         sum(ln(1 + (stats.n - df.df + 0.5)/(df.df + 0.5)) *
+             (tf.tf*2.2/(tf.tf + 1.2*(1 - 0.75 + 0.75*dl.dl/stats.avgdl))))
+           AS score
+  FROM tf JOIN df USING(tok) JOIN dl USING(doc_id) CROSS JOIN stats
+  GROUP BY tf.doc_id
+)
+SELECT doc_id, CAST(floor(score*10000 + 0.5) AS BIGINT) AS score_x1e4
+FROM scores ORDER BY score DESC, doc_id LIMIT 10
 """,
     "pagerank": """
 WITH e0 AS (

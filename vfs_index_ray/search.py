@@ -56,6 +56,27 @@ from .codec import decode_block, decode_chunk
 from .tokenizer import tokenize_query
 
 
+def load_tombstones(index_dir: str) -> np.ndarray:
+    """Union of all committed tombstone files (sorted-unique uint64 doc
+    ids). Each file is a one-column parquet under ``tombstones/``,
+    content-addressed and published tmp+rename — files are immutable
+    and mergeable, so concurrent deleters and readers never conflict
+    (same protocol as segment sidecars). Missing dir = no deletes."""
+    d = os.path.join(index_dir, "tombstones")
+    arrs = []
+    if os.path.isdir(d):
+        for name in sorted(os.listdir(d)):
+            if name.endswith(".parquet"):
+                arrs.append(pq.read_table(
+                    os.path.join(d, name), use_threads=False
+                )["doc_id"].to_numpy(zero_copy_only=False
+                                     ).astype(np.uint64))
+    arrs = [a for a in arrs if len(a)]
+    if not arrs:
+        return np.empty(0, np.uint64)
+    return np.unique(np.concatenate(arrs))
+
+
 def sorted_union(arrays: list[np.ndarray]) -> np.ndarray:
     """Deduped ascending union of uint64 arrays (np.unique semantics).
     Radix sort (kind='stable' on ints) + boundary diff — 2-4x
@@ -237,6 +258,11 @@ class SearchEngine:
         self.last_fetch_stats: dict = {}
         self._blooms: dict[int, bytes | None] = {}  # per-part term bloom
         self.last_load_stats: dict = {}
+        # doc-level tombstones (delete_docs): result-set APIs filter
+        # against this sorted set; merge.purge_tombstones rewrites the
+        # segments without the deleted docs and drops the set
+        self.tombstones = load_tombstones(index_dir)
+        self._tomb_filtered: dict[int, Postings] = {}
 
     # ------------------------------------------------------------------
     def _segment_file(self, part: int) -> str:
@@ -310,6 +336,79 @@ class SearchEngine:
         return {tid: self._cache[tid] for tid in term_ids}
 
     # ------------------------------------------------------------------
+    # doc-level deletes (tombstones). The reference has no delete story
+    # (merge assumes doc-disjoint sources, merged_index_file.go:272-456);
+    # a 100 TB corpus needs takedowns, so this is extension surface.
+    # Semantics (Lucene's deleted-docs model): result-set APIs — match/
+    # count, bm25, nears, phrase_match[,_positional], proximity_match,
+    # term_range_docs, fetch_rows — never return a deleted doc, effective
+    # immediately and on every engine opened afterwards. Corpus
+    # STATISTICS stay stale until merge.purge_tombstones physically
+    # rewrites the segments: df/select/cooccur_distance/stats.json still
+    # count deleted docs, and BM25 scores survivors with the stored
+    # (df, avgdl, N) — identical scores to pre-delete, minus the dead
+    # docs. With tombstones present bm25 forces the exact path: the
+    # pruned paths bootstrap thresholds from champion docs that may be
+    # deleted, which could over-prune live results.
+    def delete_docs(self, doc_ids) -> int:
+        """Tombstone the given doc ids. Commit is tmp + rename of a
+        content-addressed parquet under ``tombstones/`` — idempotent
+        (same set → same file), crash-safe, and mergeable (readers union
+        all files; concurrent deleters never conflict). Returns how many
+        ids were newly deleted."""
+        import hashlib
+        ids = np.unique(np.asarray(doc_ids, np.uint64))
+        if len(ids) == 0:
+            return 0
+        if len(self.tombstones):
+            pos = np.minimum(np.searchsorted(self.tombstones, ids),
+                             len(self.tombstones) - 1)
+            new = ids[self.tombstones[pos] != ids]
+        else:
+            new = ids
+        if len(new) == 0:
+            return 0
+        d = os.path.join(self.index_dir, "tombstones")
+        os.makedirs(d, exist_ok=True)
+        tag = hashlib.sha1(ids.tobytes()).hexdigest()[:12]
+        final = os.path.join(d, f"del-{tag}.parquet")
+        if not os.path.exists(final):
+            tmp = os.path.join(d, f".tmp.del-{tag}.parquet")
+            pq.write_table(pa.table({"doc_id": pa.array(ids, pa.uint64())}),
+                           tmp)
+            os.replace(tmp, final)
+        self.tombstones = np.union1d(self.tombstones, new)
+        self._tomb_filtered.clear()
+        return int(len(new))
+
+    def _live(self, docs: np.ndarray) -> np.ndarray:
+        """Drop tombstoned ids from a doc array (any order)."""
+        tomb = self.tombstones
+        if not len(tomb) or not len(docs):
+            return docs
+        pos = np.minimum(np.searchsorted(tomb, docs), len(tomb) - 1)
+        return docs[tomb[pos] != docs]
+
+    def _live_postings(self, p: Postings) -> Postings:
+        """Per-term postings with tombstoned docs masked out; ``df``
+        deliberately stays the STORED value (stale-statistics scoring —
+        survivors score identically to pre-delete). Cached per term,
+        invalidated by delete_docs."""
+        got = self._tomb_filtered.get(p.term_id)
+        if got is not None:
+            return got
+        p = p.decode()
+        tomb = self.tombstones
+        pos = np.minimum(np.searchsorted(tomb, p.docs),
+                         max(len(tomb) - 1, 0))
+        keep = tomb[pos] != p.docs if len(tomb) else \
+            np.ones(len(p.docs), bool)
+        q = Postings(p.term_id, p.df, [], docs=p.docs[keep],
+                     tfs=p.tfs[keep], dls=p.dls[keep])
+        self._tomb_filtered[p.term_id] = q
+        return q
+
+    # ------------------------------------------------------------------
     def query_term_ids(self, q: str) -> list[int]:
         return [tid for _, tid in tokenize_query(q, self.mode)]
 
@@ -345,7 +444,7 @@ class SearchEngine:
             if len(big):
                 ok &= big[pos] == out
             out = out[ok]
-        return out
+        return self._live(out)
 
     def count(self, q: str) -> int:
         return int(len(self.match(q)))
@@ -381,6 +480,11 @@ class SearchEngine:
         tids = [t for t in tids if loaded[t].df > 0]
         if not tids:
             return np.empty(0, np.uint64), np.empty(0, np.float64)
+        if len(self.tombstones):
+            # deletes are visible immediately: score live-filtered
+            # postings on the exact path (see delete_docs semantics)
+            loaded = {t: self._live_postings(loaded[t]) for t in tids}
+            method = "exact"
         if method == "auto":
             # measured (BASELINE.md block-size sweep): MaxScore wins on
             # multi-term queries with big lists (term-level pruning, no
@@ -1032,8 +1136,8 @@ class SearchEngine:
         if not parts:
             return np.empty(0, np.uint64)
         if len(parts) == 1:
-            return parts[0]
-        return sorted_union(parts)
+            return self._live(parts[0])
+        return self._live(sorted_union(parts))
 
     def select_keys(self, **kw) -> pa.Table:
         """Ordered key-space scan with a vectorized user condition
@@ -1104,6 +1208,8 @@ class SearchEngine:
         if not tids:
             return np.empty(0, np.uint64), np.empty(0, np.float64)
         total_df = float(sum(loaded[t].df for t in tids))
+        if len(self.tombstones):
+            loaded = {t: self._live_postings(loaded[t]) for t in tids}
         ps = [loaded[t].decode() for t in tids]
         docs_all = ps[0].docs if len(ps) == 1 else \
             sorted_union([p.docs for p in ps])
@@ -1337,7 +1443,7 @@ class SearchEngine:
         if self.corpus_files is None:
             raise ValueError("SearchEngine built without corpus_files")
 
-        want = np.unique(np.asarray(doc_ids, np.uint64))
+        want = self._live(np.unique(np.asarray(doc_ids, np.uint64)))
         files = (self.corpus_files if isinstance(self.corpus_files, list)
                  else [self.corpus_files])
         schema = pq.read_schema(files[0])
