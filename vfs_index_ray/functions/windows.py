@@ -909,3 +909,133 @@ def rank_per_key(events_ds, *, key_col: str = "user_id",
 
     return _keyed_partition_op(events_ds, add_part, "kpart", per_part,
                                shuffle=shuffle, spill_dir=spill_dir)
+
+
+def _retention_kernel(t: pa.Table, user_col: str, day_col: str
+                      ) -> pa.Table:
+    """One user-partition → partial (cohort_day, day_offset, n_users)
+    counts.  Vectorized: lexsort by (user, day), boundary-diff dedupe
+    of (user, day) pairs, cohort = first day of each user run (the
+    partition holds ALL of a user's rows, so the per-partition min IS
+    the global min), then a small Arrow hash-agg over the surviving
+    pairs.  Output is bounded by cohorts × offsets — tiny."""
+    n = t.num_rows
+    empty = pa.table({"cohort_day": pa.array([], pa.int64()),
+                      "day_offset": pa.array([], pa.int64()),
+                      "n_users": pa.array([], pa.int64())})
+    if n == 0:
+        return empty
+    u = t[user_col].to_numpy(zero_copy_only=False).astype(np.int64)
+    d = t[day_col].to_numpy(zero_copy_only=False).astype(np.int64)
+    order = np.lexsort((d, u))
+    u, d = u[order], d[order]
+    # distinct (user, day): boundary diffs on the sorted pairs
+    first = np.empty(n, bool)
+    first[0] = True
+    first[1:] = (u[1:] != u[:-1]) | (d[1:] != d[:-1])
+    u, d = u[first], d[first]
+    m = len(u)
+    ufirst = np.empty(m, bool)
+    ufirst[0] = True
+    ufirst[1:] = u[1:] != u[:-1]
+    starts = np.flatnonzero(ufirst)
+    run_lens = np.diff(np.append(starts, m))
+    cohort = np.repeat(d[starts], run_lens)
+    pairs = pa.table({"cohort_day": pa.array(cohort, pa.int64()),
+                      "day_offset": pa.array(d - cohort, pa.int64())})
+    agg = pairs.group_by(["cohort_day", "day_offset"]).aggregate(
+        [("cohort_day", "count")])
+    return pa.table({
+        "cohort_day": agg["cohort_day"],
+        "day_offset": agg["day_offset"],
+        "n_users": agg["cohort_day_count"].cast(pa.int64())})
+
+
+def retention_cohorts(events_ds, *, user_col: str = "user_id",
+                      ts_col: str = "ts", num_partitions: int = 32,
+                      shuffle: str = "auto",
+                      spill_dir: str | None = None) -> pa.Table:
+    """Cohort retention: cohort = each user's first active day, then
+    for every (cohort_day, day_offset) the count of distinct users
+    active ``offset`` days after their cohort day — the standard
+    product-analytics retention triangle.
+
+    Scale shape: ONE uniform hash-partition by user (every user's rows
+    co-locate, so cohort assignment needs no second pass or join),
+    per-partition vectorized dedupe + run kernel, partial counts merge
+    on the driver (output is cohorts × offsets, independent of input
+    size).  Reference analog: countGroupByKey over a derived key
+    (vfs-index has no windowed analytics; this extends A2 counting to
+    the cohort key)."""
+    def add_part(t: pa.Table) -> pa.Table:
+        ts = t[ts_col].to_numpy(zero_copy_only=False)
+        day = ts.astype("datetime64[us]").astype(np.int64) // 86_400_000_000
+        uid = t[user_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({
+            user_col: t[user_col],
+            "day": pa.array(day, pa.int64()),
+            "kpart": pa.array(uid % num_partitions, pa.int64())})
+
+    def per_part(g: pa.Table) -> pa.Table:
+        return _retention_kernel(g, user_col, "day")
+
+    out = _keyed_partition_op(events_ds, add_part, "kpart", per_part,
+                              shuffle=shuffle, spill_dir=spill_dir)
+    import ray
+    tbls = [t for t in ray.get(out.to_arrow_refs()) if t.num_rows]
+    if not tbls:
+        return _retention_kernel(pa.table(
+            {user_col: pa.array([], pa.int64()),
+             "day": pa.array([], pa.int64())}), user_col, "day")
+    merged = pa.concat_tables(tbls).combine_chunks()
+    agg = merged.group_by(["cohort_day", "day_offset"]).aggregate(
+        [("n_users", "sum")])
+    t = pa.table({"cohort_day": agg["cohort_day"],
+                  "day_offset": agg["day_offset"],
+                  "n_users": agg["n_users_sum"].cast(pa.int64())})
+    import pyarrow.compute as _pc
+    return t.take(_pc.sort_indices(t, sort_keys=[
+        ("cohort_day", "ascending"), ("day_offset", "ascending")]))
+
+
+def hourly_anomalies(events_ds, *, type_col: str = "event_type",
+                     ts_col: str = "ts", sigmas: int = 2) -> pa.Table:
+    """Integer-exact volume-anomaly detection: hourly event counts per
+    type (shuffle-free tumbling partials), flag hours whose count
+    exceeds the type's mean by ``sigmas`` population standard
+    deviations.  The flag is computed WITHOUT floats — for count n over
+    H observed hours with sum S and sum-of-squares SS,
+
+        n > mean + k*sigma  ⇔  n*H - S > 0  and
+                               (n*H - S)^2 > k^2 * (H*SS - S^2)
+
+    evaluated in arbitrary-precision Python ints on the tiny hourly
+    table (DuckDB reproduces it in HUGEINT), so engine and oracle agree
+    bit-for-bit with no epsilon.  Scale shape: the only pass over the
+    input is the per-batch partial hash-agg; the stats pass runs on
+    types × hours rows."""
+    tbl = tumbling_aggregate(events_ds, window_minutes=60,
+                             type_col=type_col, ts_col=ts_col)
+    types = tbl[type_col].to_pylist()
+    hours = [w // 3_600_000_000 for w in tbl["window_us"].to_pylist()]
+    ns = tbl["n"].to_pylist()
+    stats: dict[str, list[int]] = {}
+    for ty, n in zip(types, ns):
+        s = stats.setdefault(ty, [0, 0, 0])
+        s[0] += 1
+        s[1] += n
+        s[2] += n * n
+    k2 = sigmas * sigmas
+    anom = []
+    for ty, n in zip(types, ns):
+        h, s, ss = stats[ty]
+        lhs = n * h - s
+        anom.append(1 if (lhs > 0 and lhs * lhs > k2 * (h * ss - s * s))
+                    else 0)
+    t = pa.table({type_col: pa.array(types, pa.string()),
+                  "hour_id": pa.array(hours, pa.int64()),
+                  "n": pa.array(ns, pa.int64()),
+                  "anom": pa.array(anom, pa.int64())})
+    import pyarrow.compute as _pc
+    return t.take(_pc.sort_indices(t, sort_keys=[
+        (type_col, "ascending"), ("hour_id", "ascending")]))

@@ -4116,11 +4116,98 @@ def q_purge_search(sf_dir: str) -> pa.Table:
             pa.int64())})
 
 
+MLT_SEED_DOC = 7
+
+
+def q_more_like_this(sf_dir: str) -> pa.Table:
+    """More-like-this: rank the corpus by idf-weighted overlap with a
+    seed document's distinct tokens, entirely through the inverted
+    index (SearchEngine.weighted_or — postings union + int64 impact
+    accumulation), never a corpus scan.  Weights are integer
+    ``1_000_000 // df`` so engine and SQL agree bit-for-bit; ties
+    (score desc, doc_id asc).  Reference analog: the A7 scoring union
+    with caller impacts (search_cond.go), the classic Lucene MLT
+    shape."""
+    import re
+    eng = get_engine(sf_dir)
+    seed = eng.fetch_rows(np.array([MLT_SEED_DOC], np.uint64),
+                          columns=["doc_id", "text"])
+    text = seed["text"][0].as_py() or ""
+    toks = sorted({t for t in re.split(r"[^a-z0-9]+", text.lower()) if t})
+    dfs = eng.df(" ".join(toks))
+    weights = {t: 1_000_000 // d for t, d in dfs.items() if d > 0}
+    docs, scores = eng.weighted_or(weights, k=10,
+                                   exclude={MLT_SEED_DOC})
+    return pa.table({
+        "doc_id": pa.array(docs.astype(np.int64), pa.int64()),
+        "score": pa.array(scores.astype(np.int64), pa.int64())})
+
+
+def q_search_facets(sf_dir: str) -> pa.Table:
+    """Faceted search: index-AND match → row-group-pruned metadata
+    fetch → facet counts by (lang, source).  The aggregation runs on
+    the MATCHED set only (already index-pruned), and its output space
+    is langs × sources — tiny regardless of corpus size."""
+    eng = get_engine(sf_dir)
+    docs = eng.match(MATCH_QUERY)
+    rows = eng.fetch_rows(docs, columns=["doc_id", "lang", "source"])
+    agg = rows.group_by(["lang", "source"]).aggregate([("doc_id", "count")])
+    t = pa.table({"lang": agg["lang"], "source": agg["source"],
+                  "n": agg["doc_id_count"].cast(pa.int64())})
+    return t.take(pc.sort_indices(t, sort_keys=[
+        ("lang", "ascending"), ("source", "ascending")]))
+
+
+def q_index_stats(sf_dir: str) -> pa.Table:
+    """Index integrity as an oracle query: corpus-wide distinct terms,
+    total postings and total token occurrences from segment METADATA
+    columns (SearchEngine.index_stats) — DuckDB recomputes all four
+    numbers from raw text, so a single dropped posting anywhere in the
+    build/merge path fails the gate."""
+    eng = get_engine(sf_dir)
+    s = eng.index_stats()
+    return pa.table({k: pa.array([s[k]], pa.int64())
+                     for k in ("n_docs", "n_terms", "n_postings",
+                               "total_tokens")})
+
+
+def q_events_retention(sf_dir: str) -> pa.Table:
+    """Cohort retention triangle over events (functions/windows.py
+    retention_cohorts): one user-hash partition pass, per-partition
+    vectorized (user, day) dedupe + cohort/offset partials, tiny
+    merge."""
+    import ray.data
+    from ..functions.windows import retention_cohorts
+    _tune_context()
+    ds = ray.data.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                               columns=["user_id", "ts"])
+    return retention_cohorts(ds)
+
+
+def q_events_anomaly(sf_dir: str) -> pa.Table:
+    """Integer-exact hourly volume anomalies per event type
+    (functions/windows.py hourly_anomalies): 2-sigma outlier hours
+    flagged via the cross-multiplied variance inequality in Python
+    ints / HUGEINT — engine and oracle share the closed form, no
+    epsilon."""
+    import ray.data
+    from ..functions.windows import hourly_anomalies
+    _tune_context()
+    ds = ray.data.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                               columns=["event_type", "ts", "value"])
+    return hourly_anomalies(ds, sigmas=2)
+
+
 # ---------------------------------------------------------------------------
 # registry + oracle SQL
 # ---------------------------------------------------------------------------
 
 QUERIES = {
+    "more_like_this": q_more_like_this,
+    "search_facets": q_search_facets,
+    "index_stats": q_index_stats,
+    "events_retention": q_events_retention,
+    "events_anomaly": q_events_anomaly,
     "bm25_topk": q_bm25_topk,
     "term_match": q_term_match,
     "count_match": q_count_match,
@@ -4256,6 +4343,63 @@ QUERIES = {
 _STOP_SQL = "['the','and','of','to','a','in','is','it']"
 
 ORACLE_SQL = {
+    "more_like_this": f"""
+WITH seed AS (
+  SELECT DISTINCT unnest({TOKS}) AS tok FROM documents WHERE doc_id = 7
+), tok AS (
+  SELECT DISTINCT doc_id, unnest({TOKS}) AS tok FROM documents
+), df AS (
+  SELECT tok, count(*)::BIGINT AS df FROM tok GROUP BY tok
+), w AS (
+  SELECT s.tok, 1000000 // d.df AS wt FROM seed s JOIN df d USING (tok)
+)
+SELECT t.doc_id, sum(w.wt)::BIGINT AS score
+FROM tok t JOIN w USING (tok) WHERE t.doc_id <> 7
+GROUP BY t.doc_id ORDER BY score DESC, t.doc_id ASC LIMIT 10
+""",
+    "search_facets": f"""
+SELECT lang, source, count(*)::BIGINT AS n FROM documents
+WHERE list_contains({TOKS}, 'spark') AND list_contains({TOKS}, 'window')
+GROUP BY lang, source ORDER BY lang, source
+""",
+    "index_stats": f"""
+WITH tok AS (SELECT doc_id, unnest({TOKS}) AS tok FROM documents)
+SELECT (SELECT count(*) FROM documents)::BIGINT AS n_docs,
+       count(DISTINCT tok)::BIGINT AS n_terms,
+       (SELECT count(*) FROM (SELECT DISTINCT doc_id, tok FROM tok)
+        )::BIGINT AS n_postings,
+       count(*)::BIGINT AS total_tokens
+FROM tok
+""",
+    "events_retention": """
+WITH d AS (
+  SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS day FROM events
+), c AS (
+  SELECT user_id, min(day) AS cohort FROM d GROUP BY user_id
+)
+SELECT c.cohort::BIGINT AS cohort_day,
+       (d.day - c.cohort)::BIGINT AS day_offset,
+       count(*)::BIGINT AS n_users
+FROM d JOIN c USING (user_id)
+GROUP BY 1, 2 ORDER BY 1, 2
+""",
+    "events_anomaly": """
+WITH h AS (
+  SELECT event_type, epoch_us(ts) // 3600000000 AS hour_id,
+         count(*)::BIGINT AS n
+  FROM events GROUP BY 1, 2
+), s AS (
+  SELECT event_type, count(*)::HUGEINT AS hh,
+         sum(n)::HUGEINT AS ss, sum(n::HUGEINT * n)::HUGEINT AS sq
+  FROM h GROUP BY event_type
+)
+SELECT h.event_type, h.hour_id::BIGINT AS hour_id, h.n,
+       (CASE WHEN (h.n * s.hh - s.ss) > 0
+             AND (h.n * s.hh - s.ss) * (h.n * s.hh - s.ss)
+                 > 4 * (s.hh * s.sq - s.ss * s.ss)
+             THEN 1 ELSE 0 END)::BIGINT AS anom
+FROM h JOIN s USING (event_type) ORDER BY 1, 2
+""",
     # extract(wrap(text)) == text byte-for-byte: the engine wraps each
     # document in the full page template and re-extracts; the oracle is
     # the untouched column, so a hash match proves the inversion.

@@ -523,6 +523,78 @@ class SearchEngine:
         out["terms"] = {tok: loaded[tid].df for tok, tid in pairs}
         return out
 
+    def weighted_or(self, weights: dict[str, int], k: int = 10,
+                    exclude=None):
+        """Integer-weighted disjunctive top-k — the more-like-this
+        scoring core: each doc scores the SUM of the weights of the
+        query tokens it contains (distinct-token semantics: a token
+        counts once per doc regardless of tf).  Weights are int64 so
+        accumulation order is irrelevant and the result is bit-exact
+        vs a SQL transcription — no fp ordering contract needed.
+        ``exclude`` drops seed doc ids from the result; tombstoned
+        docs are filtered like every other query path.  Reference
+        analog: the A7 tf-scoring union, with caller-supplied integer
+        impacts instead of BM25 (search_cond.go query union shape).
+        Returns (doc_ids asc-by-rank, scores) with (score desc,
+        doc_id asc) ties."""
+        pairs = tokenize_query(" ".join(sorted(weights)), self.mode)
+        tok2tid = {tok: tid for tok, tid in pairs}
+        items = sorted({(tok2tid[t], int(w))
+                        for t, w in weights.items() if t in tok2tid})
+        loaded = self.load_terms([tid for tid, _ in items])
+        ps = [(loaded[tid].decode(), w) for tid, w in items
+              if loaded[tid].df > 0]
+        if not ps:
+            return np.empty(0, np.uint64), np.empty(0, np.int64)
+        docs_all = sorted_union([p.docs for p, _ in ps])
+        scores = np.zeros(len(docs_all), np.int64)
+        for p, w in ps:
+            pos = np.searchsorted(docs_all, p.docs)
+            scores[pos] += w
+        drop = np.asarray(sorted(exclude), np.uint64) \
+            if exclude else np.empty(0, np.uint64)
+        if len(self.tombstones):
+            drop = np.union1d(drop, self.tombstones.astype(np.uint64))
+        if len(drop) and len(docs_all):
+            pos = np.minimum(np.searchsorted(drop, docs_all),
+                             len(drop) - 1)
+            keep = drop[pos] != docs_all
+            docs_all, scores = docs_all[keep], scores[keep]
+        return self._topk(docs_all, scores, k)
+
+    def index_stats(self) -> dict:
+        """Corpus-level statistics from segment METADATA columns alone
+        (no postings decode): distinct indexed terms (term-hash
+        partitioning keeps every term's chunk rows in exactly one
+        part, so per-part distinct counts sum), total postings (sum of
+        per-chunk dfs = distinct (term, doc) pairs), plus the build's
+        audited n_docs / total_tokens from stats.json.  Reads only the
+        (term_id, df) columns — cost scales with vocabulary size, not
+        corpus size.  Reports STORED statistics: deletes are
+        stale-stats by design (see delete_docs) until a physical
+        purge rewrites the segments.  Reference analog: the countBy
+        metadata the Go engine keeps per index file (A2/A3), lifted to
+        whole-corpus totals."""
+        n_terms = 0
+        n_postings = 0
+        for part in range(self.num_parts):
+            path = os.path.join(self.index_dir, "segments",
+                                f"part={part:05d}.parquet")
+            if not os.path.exists(path):
+                continue
+            t = pq.read_table(path, columns=["term_id", "df"],
+                              use_threads=False)
+            tid = t["term_id"].to_numpy(zero_copy_only=False)
+            if len(tid):
+                # segment rows are lexsorted by term_id (commit
+                # invariant): boundary diff, never np.unique
+                n_terms += int(1 + np.count_nonzero(tid[1:] != tid[:-1]))
+            n_postings += int(t["df"].to_numpy(
+                zero_copy_only=False).astype(np.int64).sum())
+        return {"n_docs": self.ndocs, "n_terms": n_terms,
+                "n_postings": n_postings,
+                "total_tokens": int(self.stats["total_tokens"])}
+
     def _bm25_exact(self, tids, loaded, k):
         # accumulate term-by-term in ascending term_id order: each doc's
         # score is built by the same sequential fp64 additions as the
