@@ -381,3 +381,69 @@ def test_tpch_q18_vs_duckdb(ray_session):
     w = want[cols].sort_values(cols).reset_index(drop=True)
     import pandas as pd
     pd.testing.assert_frame_equal(g, w, check_dtype=False)
+
+
+def test_hash_join_full_outer_matches_duckdb(ray_session):
+    import ray
+    import ray.data
+
+    from vfs_index_ray.functions.joins import hash_join
+
+    lt = _left_table()  # keys 0..299 (+ some null below)
+    lt = pa.concat_tables([lt, pa.table({
+        "k": pa.array([None, None], pa.int64()),
+        "v": pa.array([1, 2], pa.int64())})])
+    # right keys 0..249 matched, 400..419 right-only, one null key
+    rt = pa.table({
+        "k2": pa.array(list(range(250)) + list(range(400, 420))
+                       + [None], pa.int64()),
+        "w": pa.array([i * 10 for i in range(270)] + [7], pa.int64()),
+    })
+    out = hash_join(ray.data.from_arrow(lt), ray.data.from_arrow(rt),
+                    left_on="k", right_on="k2", how="full outer",
+                    num_parts=5)
+    got = _sorted(pa.concat_tables(ray.get(out.to_arrow_refs()))
+                  .combine_chunks())
+    con = duckdb.connect()
+    con.register("l", lt)
+    con.register("r", rt)
+    # Acero coalesces the key column in full outer joins
+    want = _sorted(con.execute(
+        "SELECT COALESCE(l.k, r.k2) AS k, l.v, r.w FROM l "
+        "FULL OUTER JOIN r ON l.k = r.k2").arrow())
+    assert got.equals(want.cast(got.schema))
+
+
+def test_full_outer_guards(ray_session):
+    import ray.data
+
+    from vfs_index_ray.functions.joins import broadcast_join, hash_join
+
+    lt, rt = _left_table(64), _right_table()
+    with pytest.raises(ValueError):
+        broadcast_join(ray.data.from_arrow(lt), rt, left_on="k",
+                       right_on="k2", how="full outer")
+    with pytest.raises(ValueError):
+        hash_join(ray.data.from_arrow(lt), ray.data.from_arrow(rt),
+                  left_on="k", right_on="k2", how="full outer",
+                  salt=4, salt_keys=[1])
+    with pytest.raises(ValueError):
+        hash_join(ray.data.from_arrow(lt), ray.data.from_arrow(rt),
+                  left_on="k", right_on="k2", how="full outer",
+                  bloom_prefilter=True)
+
+
+def test_full_outer_empty_left(ray_session):
+    import ray
+    import ray.data
+
+    from vfs_index_ray.functions.joins import hash_join
+
+    lt = _left_table(8).slice(0, 0)
+    rt = _right_table()
+    out = hash_join(ray.data.from_arrow(lt), ray.data.from_arrow(rt),
+                    left_on="k", right_on="k2", how="full outer",
+                    num_parts=4)
+    got = pa.concat_tables(ray.get(out.to_arrow_refs()))
+    assert got.num_rows == rt.num_rows
+    assert got["v"].null_count == rt.num_rows

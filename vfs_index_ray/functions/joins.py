@@ -136,9 +136,15 @@ def broadcast_join(left_ds, right: pa.Table, *, left_on, right_on=None,
                    right_suffix="_r"):
     """Join a Dataset against a SMALL in-memory Arrow table: the table
     ships once via ``ray.put``; each probe batch runs one Acero hash
-    join. Returns a Dataset (streaming — no materialization)."""
+    join. Returns a Dataset (streaming — no materialization).
+    "full outer" is rejected: a per-batch probe would re-emit the
+    right side's unmatched rows once per batch (use hash_join)."""
     import ray
 
+    if how == "full outer":
+        raise ValueError("broadcast_join cannot run a full outer join"
+                         " (right-unmatched rows would duplicate per"
+                         " probe batch); use hash_join")
     right_on = right_on or left_on
     right = right.combine_chunks()
     ref = ray.put(right)
@@ -256,6 +262,7 @@ def bloom_filter_keys(ds, bloom: dict, on, *, invert: bool = False):
 def co_partition_apply(left_ds, right_ds, *, left_on, right_on=None,
                        kernel=None, num_parts: int | None = None,
                        skip_missing_right: bool = False,
+                       include_missing_left: bool = False,
                        salt: int = 1, salt_keys=None,
                        spill_dir: str | None = None,
                        part_target_bytes: int = PART_TARGET_BYTES):
@@ -270,6 +277,11 @@ def co_partition_apply(left_ds, right_ds, *, left_on, right_on=None,
     two-sided generalization of the build.py postings-shuffle pattern;
     ``hash_join`` instantiates it with an Acero join kernel, and
     corpus-rewrite ops (functions/linededup.py) with a rebuild kernel.
+    ``include_missing_left=True`` (the full-outer case) additionally
+    runs the kernel on right partitions the left side never touched,
+    passing an empty LEFT table — incompatible with ``salt`` > 1
+    (hot right rows replicate across subparts and their unmatched
+    null-extended copies would duplicate).
 
     ``spill_dir`` is any spec ``spillfs.open_spill`` accepts (None,
     local path, ``s3://…``/``file://…`` URI, or ``(pyarrow_fs, path)``)
@@ -304,6 +316,10 @@ def co_partition_apply(left_ds, right_ds, *, left_on, right_on=None,
         raise ValueError("salt must be >= 1")
     if salt > 1 and len(lcols) > 1:
         raise ValueError("salting supports single-column keys only")
+    if salt > 1 and include_missing_left:
+        raise ValueError("salt > 1 replicates hot right rows across "
+                         "subparts — incompatible with "
+                         "include_missing_left (full outer)")
     if num_parts is None:
         # size-aware: ceil(bytes / part_target_bytes) with a CPU floor,
         # so per-task peak memory stays bounded as inputs grow
@@ -370,25 +386,39 @@ def co_partition_apply(left_ds, right_ds, *, left_on, right_on=None,
 
         lparts = sp.list_parts("_jp", "L")
         rparts = sp.list_parts("_jp", "R")
-        if not lparts:
+        if not lparts and not (include_missing_left and rparts):
             return None  # empty probe side: empty result either way
 
         # right partitions the probe side misses entirely need the
-        # right schema for the empty-table stand-in (unless skipped)
+        # right schema for the empty-table stand-in (unless skipped);
+        # symmetrically for left partitions under include_missing_left
         rschema = sp.schema_of(rparts)
         if rschema is None and not skip_missing_right:
             try:
                 rschema = right_ds.schema().base_schema
             except Exception:
                 rschema = pa.schema([])
+        lschema = None
+        if include_missing_left:
+            lschema = sp.schema_of(lparts)
+            if lschema is None:
+                try:
+                    lschema = left_ds.schema().base_schema
+                except Exception:
+                    lschema = pa.schema([])
 
         fs = sp.fs  # picklable; tasks read from any spill backend
 
         @ray.remote(num_cpus=1)
-        def one_part(lp: str, rp: str | None,
+        def one_part(lp: str | None, rp: str | None,
+                     lsch: pa.Schema | None,
                      rsch: pa.Schema | None) -> pa.Table:
             import pyarrow.parquet as pq
-            lt = pq.read_table(lp, filesystem=fs, use_threads=False)
+            if lp is None:
+                lt = lsch.empty_table()
+            else:
+                lt = pq.read_table(lp, filesystem=fs,
+                                   use_threads=False)
             if rp is None:
                 rt = rsch.empty_table()
             else:
@@ -401,7 +431,12 @@ def co_partition_apply(left_ds, right_ds, *, left_on, right_on=None,
             rp = rparts.get(pid)
             if rp is None and skip_missing_right:
                 continue
-            refs.append(one_part.remote(lp, rp, rschema))
+            refs.append(one_part.remote(lp, rp, lschema, rschema))
+        if include_missing_left:
+            for pid, rp in sorted(rparts.items()):
+                if pid not in lparts:
+                    refs.append(one_part.remote(None, rp,
+                                                lschema, rschema))
         if not refs:
             return None
         ray.wait(refs, num_returns=len(refs))  # done before cleanup
@@ -425,7 +460,11 @@ def hash_join(left_ds, right_ds, *, left_on, right_on=None,
     join key).  ``left_on``/``right_on`` are a column name or a list
     of names (multi-column equi-keys co-partition on a combined hash;
     ANSI semantics — any null key column matches nothing).  ``how``
-    is "inner", "left outer", "left semi" or "left anti".  ``salt`` >
+    is "inner", "left outer", "left semi", "left anti" or
+    "full outer" (right partitions the left never touched run the
+    kernel against an empty left table, so right-unmatched rows
+    null-extend exactly once; full outer rejects salting and the
+    bloom prefilter).  ``salt`` >
     1 with ``salt_keys`` (the known hot probe keys, single-column
     keys only) mitigates skew (see ``co_partition_apply``); a salted
     ``post`` that aggregates by the join key sees partial groups per
@@ -445,12 +484,13 @@ def hash_join(left_ds, right_ds, *, left_on, right_on=None,
     column — worth it when the probe side is much larger than its
     matching (or for anti: non-matching) subset."""
     right_on2 = right_on or left_on
-    if how not in ("inner", "left outer", "left semi", "left anti"):
+    if how not in ("inner", "left outer", "left semi", "left anti",
+                   "full outer"):
         raise ValueError(f"unsupported join type: {how!r}")
     if bloom_prefilter:
-        if how == "left outer":
+        if how in ("left outer", "full outer"):
             raise ValueError(
-                "bloom_prefilter does not apply to left outer joins")
+                "bloom_prefilter does not apply to outer joins")
         bloom = build_key_bloom(right_ds, right_on2,
                                 m_bits=bloom_m_bits)
         if how == "left anti":
@@ -484,6 +524,8 @@ def hash_join(left_ds, right_ds, *, left_on, right_on=None,
                               num_parts=num_parts,
                               skip_missing_right=(
                                   how in ("inner", "left semi")),
+                              include_missing_left=(
+                                  how == "full outer"),
                               salt=salt, salt_keys=salt_keys,
                               spill_dir=spill_dir,
                               part_target_bytes=part_target_bytes)
@@ -558,7 +600,7 @@ def join_auto(left_ds, right_ds, *, left_on, right_on=None,
         sz = None
     if sz is None:
         sz = broadcast_bytes + 1  # unknown: take the scalable path
-    if sz <= broadcast_bytes and post is None:
+    if sz <= broadcast_bytes and post is None and how != "full outer":
         import ray
         import ray.data
         cap = (broadcast_decoded_bytes if broadcast_decoded_bytes

@@ -4198,11 +4198,73 @@ def q_events_anomaly(sf_dir: str) -> pa.Table:
     return hourly_anomalies(ds, sigmas=2)
 
 
+def q_orders_customer_full(sf_dir: str) -> pa.Table:
+    """FULL OUTER equi-join with genuinely-disjoint sides: per-customer
+    1995 order counts (hash_aggregate — per-batch partials, hive key
+    shuffle) FULL OUTER the high-balance customer subset.  Customers
+    with 1995 orders but low balance null-extend on the right;
+    high-balance customers with no 1995 orders null-extend on the
+    left — co_partition_apply's ``include_missing_left`` runs right
+    partitions the probe never touched against an empty left table,
+    so each unmatched right row surfaces exactly once.  Acero
+    coalesces the equi-key into one column."""
+    import ray.data
+
+    from ..functions.boilerplate import hash_aggregate
+    from ..functions.joins import hash_join
+    _tune_context()
+    schema = pa.schema([("custkey", pa.int64()),
+                        ("order_cnt", pa.int64()),
+                        ("acctbal_x1e4", pa.int64())])
+
+    orders = ray.data.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_custkey", "o_orderdate"])
+
+    def prep_o(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.equal(pc.year(t["o_orderdate"]), 1995))
+        return pa.table({"o_custkey": t["o_custkey"]})
+
+    counts = hash_aggregate(orders, ["o_custkey"],
+                            [("o_custkey", "count")], prepare=prep_o)
+
+    cust = ray.data.read_parquet(
+        os.path.join(sf_dir, "customer.parquet"),
+        columns=["c_custkey", "c_acctbal"])
+
+    def prep_c(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.greater(t["c_acctbal"], 5000.0))
+        bal = np.floor(t["c_acctbal"].to_numpy(zero_copy_only=False)
+                       * 10000.0 + 0.5).astype(np.int64)
+        return pa.table({"c_custkey": t["c_custkey"].cast(pa.int64()),
+                         "acctbal_x1e4": pa.array(bal, pa.int64())})
+
+    cust_f = cust.map_batches(prep_c, batch_format="pyarrow",
+                              zero_copy_batch=True)
+    if counts is None:  # no 1995 orders at all: right side only
+        t = _collect(cust_f)
+        res = pa.table({
+            "custkey": t["c_custkey"],
+            "order_cnt": pa.nulls(t.num_rows, pa.int64()),
+            "acctbal_x1e4": t["acctbal_x1e4"]})
+        return res.take(pc.sort_indices(
+            res, sort_keys=[("custkey", "ascending")])).cast(schema)
+    out = hash_join(counts, cust_f, left_on="o_custkey",
+                    right_on="c_custkey", how="full outer")
+    t = _collect(out)
+    res = pa.table({"custkey": t["o_custkey"].cast(pa.int64()),
+                    "order_cnt": t["o_custkey_count"].cast(pa.int64()),
+                    "acctbal_x1e4": t["acctbal_x1e4"]})
+    return res.take(pc.sort_indices(
+        res, sort_keys=[("custkey", "ascending")])).cast(schema)
+
+
 # ---------------------------------------------------------------------------
 # registry + oracle SQL
 # ---------------------------------------------------------------------------
 
 QUERIES = {
+    "orders_customer_full": q_orders_customer_full,
     "more_like_this": q_more_like_this,
     "search_facets": q_search_facets,
     "index_stats": q_index_stats,
@@ -5899,6 +5961,20 @@ WITH e AS (
 SELECT l_partkey, (enc % 16777216)::BIGINT AS best_suppkey,
        (enc // 16777216)::BIGINT AS min_price_x100
 FROM e ORDER BY l_partkey
+""",
+    "orders_customer_full": """
+WITH o AS (
+  SELECT o_custkey, count(*)::BIGINT AS order_cnt
+  FROM orders WHERE year(o_orderdate) = 1995 GROUP BY 1
+), c AS (
+  SELECT c_custkey,
+         CAST(floor(c_acctbal * 10000 + 0.5) AS BIGINT) AS acctbal_x1e4
+  FROM customer WHERE c_acctbal > 5000
+)
+SELECT COALESCE(o.o_custkey, c.c_custkey) AS custkey,
+       order_cnt, acctbal_x1e4
+FROM o FULL OUTER JOIN c ON o.o_custkey = c.c_custkey
+ORDER BY custkey
 """,
     "tpch_q13": """
 WITH c AS (
