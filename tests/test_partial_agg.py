@@ -213,3 +213,63 @@ def test_rollup_aggregate_vs_pandas(ray_session):
     assert rollup_aggregate(
         ray.data.from_arrow(t.slice(0, 0)), ["a", "b"],
         [("v", "sum")]) is None
+
+
+def test_hopping_aggregate_matches_bruteforce(ray_session):
+    from vfs_index_ray.functions.windows import hopping_aggregate
+    rng = np.random.default_rng(23)
+    n = 400
+    ts = (rng.integers(0, 10 * 3600, n) * 1_000_000).astype(np.int64)
+    typ = np.array(["a", "b"])[rng.integers(0, 2, n)]
+    val = rng.random(n)
+    t = pa.table({
+        "event_type": pa.array(typ),
+        "ts": pa.array(ts.astype("datetime64[us]")),
+        "value": pa.array(val, pa.float64()),
+    })
+    out = hopping_aggregate(_ds(t), window_minutes=120,
+                            hop_minutes=30)
+    got = {(k, w): (c, s) for k, w, c, s in zip(
+        out["event_type"].to_pylist(), out["window_us"].to_pylist(),
+        out["n"].to_pylist(), out["sum_x1e4"].to_pylist())}
+    hop = 1_800_000_000
+    exp = {}
+    for k, tus, v in zip(typ, ts, val):
+        fx = int(np.floor(v * 10000 + 0.5))
+        for kk in range(4):
+            w = (tus // hop - kk) * hop
+            c, s = exp.get((k, w), (0, 0))
+            exp[(k, w)] = (c + 1, s + fx)
+    assert got == exp
+    # every event is in exactly window/hop windows
+    assert sum(c for c, _ in got.values()) == 4 * n
+
+
+def test_hopping_equals_tumbling_when_hop_is_window(ray_session):
+    from vfs_index_ray.functions.windows import (hopping_aggregate,
+                                                 tumbling_aggregate)
+    rng = np.random.default_rng(29)
+    n = 300
+    ts = (rng.integers(0, 5 * 3600, n) * 1_000_000).astype(np.int64)
+    t = pa.table({
+        "event_type": pa.array(["x"] * n),
+        "ts": pa.array(ts.astype("datetime64[us]")),
+        "value": pa.array(rng.random(n), pa.float64()),
+    })
+    hop = hopping_aggregate(_ds(t), window_minutes=60,
+                            hop_minutes=60)
+    tum = tumbling_aggregate(_ds(t), window_minutes=60)
+    gh = dict(zip(hop["window_us"].to_pylist(), hop["n"].to_pylist()))
+    gt = dict(zip(tum["window_us"].to_pylist(), tum["n"].to_pylist()))
+    assert gh == gt
+
+
+def test_hopping_rejects_non_divisor_hop(ray_session):
+    import pytest
+
+    from vfs_index_ray.functions.windows import hopping_aggregate
+    t = pa.table({"event_type": pa.array(["x"]),
+                  "ts": pa.array(np.array([0], "datetime64[us]")),
+                  "value": pa.array([1.0], pa.float64())})
+    with pytest.raises(ValueError):
+        hopping_aggregate(_ds(t), window_minutes=100, hop_minutes=33)

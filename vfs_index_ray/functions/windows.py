@@ -243,6 +243,65 @@ def tumbling_aggregate(events_ds, *, window_minutes: int = 60,
                      "sum_value": m["s_sum"].cast(pa.float64())})
 
 
+def hopping_aggregate(events_ds, *, window_minutes: int = 120,
+                      hop_minutes: int = 30,
+                      type_col: str = "event_type", ts_col: str = "ts",
+                      val_col: str = "value") -> pa.Table:
+    """Hopping (sliding) window count + sum per (type, window_start):
+    windows of ``window_minutes`` advance every ``hop_minutes``
+    (``window % hop == 0``), so each event lands in exactly
+    ``window/hop`` overlapping windows.  Same shuffle-free shape as
+    ``tumbling_aggregate``: the window/hop replication happens INSIDE
+    the per-batch partial (concat of shifted copies → one Arrow hash
+    agg), so a batch still ships one row per (type, window) it saw —
+    never ``window/hop × input`` rows.  Values fold on the x1e4
+    fixed-point grid (``floor(v*1e4+0.5)``) so the sum is
+    integer-exact and DuckDB-comparable."""
+    import ray
+
+    from .boilerplate import _group_counts
+
+    if window_minutes % hop_minutes != 0:
+        raise ValueError("window_minutes must be a multiple of "
+                         "hop_minutes")
+    hop_us = hop_minutes * 60_000_000
+    nwin = window_minutes // hop_minutes
+
+    def partial(t: pa.Table) -> pa.Table:
+        us = t[ts_col].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        v = np.floor(t[val_col].to_numpy(zero_copy_only=False)
+                     * 10000.0 + 0.5).astype(np.int64)
+        base = (us // hop_us) * hop_us
+        reps = [pa.table({"event_type": t[type_col],
+                          "window_us": pa.array(base - k * hop_us,
+                                                pa.int64()),
+                          "v": pa.array(v, pa.int64())})
+                for k in range(nwin)]
+        g = _group_counts(pa.concat_tables(reps),
+                          ["event_type", "window_us"],
+                          [("v", "sum"), ("v", "count")])
+        return pa.table({"event_type": g["event_type"],
+                         "window_us": g["window_us"],
+                         "s": g["v_sum"].cast(pa.int64()),
+                         "n": g["v_count"].cast(pa.int64())})
+
+    out = events_ds.map_batches(partial, batch_format="pyarrow")
+    empty = pa.table({"event_type": pa.array([], pa.string()),
+                      "window_us": pa.array([], pa.int64()),
+                      "n": pa.array([], pa.int64()),
+                      "sum_x1e4": pa.array([], pa.int64())})
+    tbls = [t for t in ray.get(out.to_arrow_refs()) if t.num_rows]
+    if not tbls:
+        return empty
+    m = _group_counts(pa.concat_tables(tbls).combine_chunks(),
+                      ["event_type", "window_us"],
+                      [("s", "sum"), ("n", "sum")])
+    return pa.table({"event_type": m["event_type"],
+                     "window_us": m["window_us"],
+                     "n": m["n_sum"].cast(pa.int64()),
+                     "sum_x1e4": m["s_sum"].cast(pa.int64())})
+
+
 class JsonExtractInt:
     """Vectorized flat-JSON integer field extraction from a string
     column (the decoder-registry analog at column granularity: the

@@ -1008,6 +1008,30 @@ def q_events_hourly(sf_dir: str) -> pa.Table:
     })
 
 
+def q_events_hopping(sf_dir: str) -> pa.Table:
+    """Hopping (sliding) windows: 120-min windows advancing every
+    30 min — each event lands in exactly 4 overlapping windows.  The
+    replication happens inside the per-batch partial (shifted copies
+    → one Arrow hash agg), so batches still ship one row per
+    (type, window) seen; values fold integer-exactly on the x1e4
+    grid."""
+    import ray.data
+
+    from ..functions.windows import hopping_aggregate
+
+    ds = ray.data.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                               columns=["event_type", "ts", "value"])
+    tbl = hopping_aggregate(ds, window_minutes=120, hop_minutes=30)
+    out = pa.table({
+        "event_type": tbl["event_type"].cast(pa.string()),
+        "window_start": tbl["window_us"].cast(pa.timestamp("us")),
+        "n": tbl["n"],
+        "sum_x1e4": tbl["sum_x1e4"],
+    })
+    return out.take(pc.sort_indices(out, sort_keys=[
+        ("event_type", "ascending"), ("window_start", "ascending")]))
+
+
 def q_events_sessions(sf_dir: str) -> pa.Table:
     """Gap-based session windows (30 min) per user (§2.10)."""
     import ray.data
@@ -4265,6 +4289,7 @@ def q_orders_customer_full(sf_dir: str) -> pa.Table:
 
 QUERIES = {
     "orders_customer_full": q_orders_customer_full,
+    "events_hopping": q_events_hopping,
     "more_like_this": q_more_like_this,
     "search_facets": q_search_facets,
     "index_stats": q_index_stats,
@@ -4920,6 +4945,20 @@ FROM c
 SELECT user_id, event_id, ts FROM events
 QUALIFY row_number() OVER (PARTITION BY user_id
                            ORDER BY ts DESC, event_id DESC) = 1
+""",
+    "events_hopping": """
+WITH e AS (
+  SELECT event_type, epoch_us(ts) AS us,
+         CAST(floor(value * 10000 + 0.5) AS BIGINT) AS v
+  FROM events
+), w AS (
+  SELECT event_type,
+         (us // 1800000000 - k) * 1800000000 AS window_us, v
+  FROM e, (SELECT unnest(range(0, 4)) AS k)
+)
+SELECT event_type, make_timestamp(window_us) AS window_start,
+       count(*)::BIGINT AS n, sum(v)::BIGINT AS sum_x1e4
+FROM w GROUP BY 1, 2 ORDER BY 1, 2
 """,
     "events_hourly": """
 SELECT event_type, date_trunc('hour', ts) AS window_start,
