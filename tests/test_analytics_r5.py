@@ -126,3 +126,23 @@ def test_grouping_sets_rejects_non_subset(ray_session):
     with pytest.raises(ValueError):
         grouping_sets_aggregate(ds, ["a"], [("v", "sum")],
                                 sets=[["a"], ["bogus"]])
+
+
+@pytest.mark.parametrize("k,users,n", [(4, 37, 4000), (5, 3, 7),
+                                       (3, 2, 2)])
+def test_ntile_matches_duckdb(k, users, n):
+    from vfs_index_ray.functions.windows import _rank_kernel
+
+    t = _rand_events(n=n, users=users)
+    out = _rank_kernel(t, "user_id", "value", "event_id", ntile=k)
+    con = duckdb.connect()
+    con.register("e", t)
+    exp = con.execute(f"""
+        SELECT event_id, ntile({k}) OVER (PARTITION BY user_id
+            ORDER BY value DESC, event_id)::BIGINT AS nt
+        FROM e ORDER BY event_id""").arrow()
+    got = dict(zip(out["event_id"].to_pylist(),
+                   out["ntile"].to_pylist()))
+    want = dict(zip(exp["event_id"].to_pylist(),
+                    exp["nt"].to_pylist()))
+    assert got == want

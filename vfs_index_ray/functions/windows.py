@@ -908,7 +908,7 @@ def string_agg_per_key(events_ds, *, key_col: str = "user_id",
 
 
 def _rank_kernel(t: pa.Table, key_col: str, val_col: str,
-                 id_col: str) -> pa.Table:
+                 id_col: str, ntile: int | None = None) -> pa.Table:
     """Per-key rank / dense_rank / percent_rank by (val desc, id asc):
     one sort + two boundary-diff passes per partition, no per-key
     loop.  ``id_col`` is unique, so the full sort key has no ties and
@@ -916,14 +916,20 @@ def _rank_kernel(t: pa.Table, key_col: str, val_col: str,
     dense_rank compresses equal-``val`` runs within a key;
     percent_rank is ``(rank-1)/(n-1)`` computed in fp64 — the same
     division of the same exact small integers the SQL engine does, so
-    the quantized output is bit-stable across engines."""
+    the quantized output is bit-stable across engines.  ``ntile=k``
+    appends SQL ``NTILE(k)``: with n rows per key, the first ``n%k``
+    buckets get ``n//k + 1`` rows, the rest ``n//k`` — computed from
+    the already-materialized (rank, run_len) arrays, no extra sort."""
     idx = pc.sort_indices(t, sort_keys=[
         (key_col, "ascending"), (val_col, "descending"),
         (id_col, "ascending")])
     t = t.take(idx)
     m = t.num_rows
     if m == 0:
-        for name in ("rnk", "drnk", "pct_rank_x1e6"):
+        names = ["rnk", "drnk", "pct_rank_x1e6"]
+        if ntile is not None:
+            names.append("ntile")
+        for name in names:
             t = t.append_column(name, pa.array([], pa.int64()))
         return t
     keys = t[key_col].to_numpy(zero_copy_only=False)
@@ -944,27 +950,39 @@ def _rank_kernel(t: pa.Table, key_col: str, val_col: str,
     pr = np.where(n > 1.0, (rank - 1).astype(np.float64)
                   / np.maximum(n - 1.0, 1.0), 0.0)
     pct = np.floor(pr * 1e6 + 0.5).astype(np.int64)
-    return (t.append_column("rnk", pa.array(rank, pa.int64()))
-             .append_column("drnk", pa.array(dense, pa.int64()))
-             .append_column("pct_rank_x1e6", pa.array(pct, pa.int64())))
+    t = (t.append_column("rnk", pa.array(rank, pa.int64()))
+          .append_column("drnk", pa.array(dense, pa.int64()))
+          .append_column("pct_rank_x1e6", pa.array(pct, pa.int64())))
+    if ntile is not None:
+        nn = np.repeat(run_lens, run_lens)  # rows in this key
+        i = rank - 1
+        q, r = nn // ntile, nn % ntile
+        big = r * (q + 1)  # rows covered by the size-(q+1) buckets
+        nt = np.where(i < big, i // np.maximum(q + 1, 1),
+                      r + (i - big) // np.maximum(q, 1)) + 1
+        t = t.append_column("ntile", pa.array(nt.astype(np.int64),
+                                              pa.int64()))
+    return t
 
 
 def rank_per_key(events_ds, *, key_col: str = "user_id",
                  val_col: str = "value", id_col: str = "event_id",
+                 ntile: int | None = None,
                  num_partitions: int = 32, shuffle: str = "auto",
                  spill_dir: str | None = None):
     """SQL ``rank() / dense_rank() / percent_rank() OVER (PARTITION BY
-    key ORDER BY val DESC, id)`` for every input row: one uniform hash
-    partition by key, one vectorized sort + run-rank kernel per
-    partition.  Output is input-sized (one row per event) — consume it
-    streaming, the ranks never gather on the driver."""
+    key ORDER BY val DESC, id)`` for every input row (plus
+    ``NTILE(ntile)`` when requested): one uniform hash partition by
+    key, one vectorized sort + run-rank kernel per partition.  Output
+    is input-sized (one row per event) — consume it streaming, the
+    ranks never gather on the driver."""
     def add_part(t: pa.Table) -> pa.Table:
         kid = t[key_col].to_numpy(zero_copy_only=False).astype(np.int64)
         return t.append_column(
             "kpart", pa.array(kid % num_partitions, pa.int64()))
 
     def per_part(g: pa.Table) -> pa.Table:
-        return _rank_kernel(g, key_col, val_col, id_col)
+        return _rank_kernel(g, key_col, val_col, id_col, ntile)
 
     return _keyed_partition_op(events_ds, add_part, "kpart", per_part,
                                shuffle=shuffle, spill_dir=spill_dir)

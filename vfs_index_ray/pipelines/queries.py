@@ -2502,6 +2502,28 @@ def q_events_rank(sf_dir: str) -> pa.Table:
         ("user_id", "ascending"), ("rnk", "ascending")]))
 
 
+def q_events_ntile(sf_dir: str) -> pa.Table:
+    """SQL NTILE(4) OVER (PARTITION BY user ORDER BY value DESC,
+    event_id) for every event: the rank kernel already materializes
+    (rank, run_len) per row, so the quartile assignment is two integer
+    divisions — no extra sort, no per-key loop."""
+    import ray.data
+
+    from ..functions.windows import rank_per_key
+    _tune_context()
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["event_id", "user_id", "value"])
+    out = rank_per_key(ds, key_col="user_id", val_col="value",
+                       id_col="event_id", ntile=4)
+    t = _collect(out)
+    t = pa.table({"event_id": t["event_id"],
+                  "user_id": t["user_id"],
+                  "rnk": t["rnk"], "ntile": t["ntile"]})
+    return t.take(pc.sort_indices(t, sort_keys=[
+        ("user_id", "ascending"), ("rnk", "ascending")]))
+
+
 def q_tpch_q10(sf_dir: str) -> pa.Table:
     """TPC-H Q10-shape returned-item top customers: revenue per
     orderkey (hash_aggregate over the R-flagged lineitems) joins the
@@ -4290,6 +4312,7 @@ def q_orders_customer_full(sf_dir: str) -> pa.Table:
 QUERIES = {
     "orders_customer_full": q_orders_customer_full,
     "events_hopping": q_events_hopping,
+    "events_ntile": q_events_ntile,
     "more_like_this": q_more_like_this,
     "search_facets": q_search_facets,
     "index_stats": q_index_stats,
@@ -4945,6 +4968,14 @@ FROM c
 SELECT user_id, event_id, ts FROM events
 QUALIFY row_number() OVER (PARTITION BY user_id
                            ORDER BY ts DESC, event_id DESC) = 1
+""",
+    "events_ntile": """
+SELECT event_id, user_id,
+       rank() OVER w::BIGINT AS rnk,
+       ntile(4) OVER w::BIGINT AS ntile
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY value DESC, event_id)
+ORDER BY user_id, rnk
 """,
     "events_hopping": """
 WITH e AS (
