@@ -4244,6 +4244,65 @@ def q_events_anomaly(sf_dir: str) -> pa.Table:
     return hourly_anomalies(ds, sigmas=2)
 
 
+def q_table_profile(sf_dir: str) -> pa.Table:
+    """Data-quality profile of the documents table in ONE streaming
+    pass: per-column row/null counts, min/max, and exact distinct
+    counts for the low-cardinality enum-ish columns — each batch ships
+    one tiny partial row per column (functions/profile.py), the driver
+    folds partials; the corpus never gathers anywhere."""
+    import ray.data
+
+    from ..functions.profile import table_profile
+    _tune_context()
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["doc_id", "n_chars", "lang", "source"])
+    out = table_profile(ds, num_cols=["doc_id", "n_chars"],
+                        str_cols=["lang", "source"],
+                        distinct_cols=["lang", "source"])
+    return out.take(pc.sort_indices(out, sort_keys=[
+        ("col", "ascending")]))
+
+
+def q_regex_scan(sf_dir: str) -> pa.Table:
+    """Corpus grep: count non-overlapping RE2 matches of a PII-style
+    pattern (3+ digit runs) per language — one vectorized
+    ``pc.count_substring_regex`` pass per batch folded into per-lang
+    partials (output space = languages, tiny), never a row-level loop
+    or a shuffle.  pyarrow and DuckDB both embed RE2, so match counts
+    are dialect-identical."""
+    import ray.data
+
+    from ..functions.boilerplate import partial_aggregate
+    _tune_context()
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["text", "lang"])
+    pat = r"[0-9]{3,}"
+
+    def prep(t: pa.Table) -> pa.Table:
+        cnt = pc.count_substring_regex(t["text"], pattern=pat)
+        cnt = cnt.cast(pa.int64())
+        hit = pc.cast(pc.greater(cnt, 0), pa.int64())
+        return pa.table({"lang": t["lang"], "m": cnt, "hit": hit})
+
+    out = partial_aggregate(ds, ["lang"],
+                            [("hit", "count"), ("hit", "sum"),
+                             ("m", "sum")], prepare=prep)
+    schema = pa.schema([("lang", pa.string()),
+                        ("docs", pa.int64()),
+                        ("docs_matched", pa.int64()),
+                        ("total_matches", pa.int64())])
+    if out is None:
+        return schema.empty_table()
+    res = pa.table({"lang": out["lang"],
+                    "docs": out["hit_count"].cast(pa.int64()),
+                    "docs_matched": out["hit_sum"].cast(pa.int64()),
+                    "total_matches": out["m_sum"].cast(pa.int64())})
+    return res.take(pc.sort_indices(
+        res, sort_keys=[("lang", "ascending")])).cast(schema)
+
+
 def q_orders_customer_full(sf_dir: str) -> pa.Table:
     """FULL OUTER equi-join with genuinely-disjoint sides: per-customer
     1995 order counts (hash_aggregate — per-batch partials, hive key
@@ -4311,6 +4370,8 @@ def q_orders_customer_full(sf_dir: str) -> pa.Table:
 
 QUERIES = {
     "orders_customer_full": q_orders_customer_full,
+    "regex_scan": q_regex_scan,
+    "table_profile": q_table_profile,
     "events_hopping": q_events_hopping,
     "events_ntile": q_events_ntile,
     "more_like_this": q_more_like_this,
@@ -6031,6 +6092,45 @@ WITH e AS (
 SELECT l_partkey, (enc % 16777216)::BIGINT AS best_suppkey,
        (enc // 16777216)::BIGINT AS min_price_x100
 FROM e ORDER BY l_partkey
+""",
+    "table_profile": """
+WITH p AS (
+  SELECT 'doc_id' AS col, count(*)::BIGINT AS n_rows,
+         coalesce(sum(CASE WHEN doc_id IS NULL THEN 1 ELSE 0 END),
+                  0)::BIGINT AS n_nulls,
+         NULL::BIGINT AS n_distinct,
+         CAST(min(doc_id) AS VARCHAR) AS min_val,
+         CAST(max(doc_id) AS VARCHAR) AS max_val
+  FROM documents
+  UNION ALL
+  SELECT 'n_chars', count(*)::BIGINT,
+         coalesce(sum(CASE WHEN n_chars IS NULL THEN 1 ELSE 0 END),
+                  0)::BIGINT,
+         NULL::BIGINT, CAST(min(n_chars) AS VARCHAR),
+         CAST(max(n_chars) AS VARCHAR)
+  FROM documents
+  UNION ALL
+  SELECT 'lang', count(*)::BIGINT,
+         coalesce(sum(CASE WHEN lang IS NULL THEN 1 ELSE 0 END),
+                  0)::BIGINT,
+         count(DISTINCT lang)::BIGINT, min(lang), max(lang)
+  FROM documents
+  UNION ALL
+  SELECT 'source', count(*)::BIGINT,
+         coalesce(sum(CASE WHEN source IS NULL THEN 1 ELSE 0 END),
+                  0)::BIGINT,
+         count(DISTINCT source)::BIGINT, min(source), max(source)
+  FROM documents
+)
+SELECT * FROM p ORDER BY col
+""",
+    "regex_scan": """
+SELECT lang, count(*)::BIGINT AS docs,
+       sum(CASE WHEN len(regexp_extract_all(text, '[0-9]{3,}')) > 0
+                THEN 1 ELSE 0 END)::BIGINT AS docs_matched,
+       sum(len(regexp_extract_all(text, '[0-9]{3,}')))::BIGINT
+         AS total_matches
+FROM documents GROUP BY lang ORDER BY lang
 """,
     "orders_customer_full": """
 WITH o AS (
