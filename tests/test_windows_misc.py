@@ -460,3 +460,39 @@ def test_lag_gaps_distributed_matches_kernel(ray_session):
         ("event_id", "ascending")]))
     assert got.select(["event_id", "gap_us"]).equals(
         want.select(["event_id", "gap_us"]))
+
+
+def test_weighted_sample_bounds_and_determinism(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import ray
+    import ray.data
+
+    from vfs_index_ray.functions.sampling import weighted_sample
+
+    n = 2000
+    rng = np.random.default_rng(31)
+    t = pa.table({
+        "doc_id": pa.array(np.arange(n, dtype=np.int64)),
+        "w": pa.array(rng.integers(0, 2000, n).astype(np.int64)),
+    })
+
+    def ids_of(ds):
+        got = pa.concat_tables(ray.get(
+            weighted_sample(ds, id_col="doc_id", weight_col="w",
+                            scale=1000).to_arrow_refs()))
+        return sorted(got["doc_id"].to_pylist())
+
+    a = ids_of(ray.data.from_arrow(t))
+    b = ids_of(ray.data.from_arrow(t).repartition(13))
+    assert a == b  # partitioning-independent
+    w = dict(zip(t["doc_id"].to_pylist(), t["w"].to_pylist()))
+    kept = set(a)
+    # weight >= scale => always kept; weight 0 => never kept
+    for d, ww in w.items():
+        if ww >= 1000:
+            assert d in kept
+        if ww == 0:
+            assert d not in kept
+    # roughly half the mass retained for uniform weights in [0,2000)
+    assert 0.5 < len(a) / n < 0.8

@@ -173,3 +173,27 @@ def stratified_sample(ds, *, group_col: str, k: int,
         id_col: pa.array(ids[final], pa.int64()),
         "prio": pa.array(prio[final], pa.int64()),
     })
+
+
+def weighted_sample(ds, *, id_col: str = "doc_id",
+                    weight_col: str = "n_chars",
+                    scale: int = 1000):
+    """Deterministic WEIGHTED Bernoulli sample: row i is kept with
+    probability ``min(1, weight_i / scale)`` — the length-weighted
+    (or quality-weighted) corpus downsample a curation pipeline runs
+    to bias retention toward long/high-value documents.  The coin is
+    ``mix32(id) % 10000 < min(10000, weight*10000 // scale)``: pure
+    integer arithmetic on the x1e4 grid, stable under any
+    partitioning, and reproducible in plain SQL (HUGEINT mix + xor,
+    same hash as ``train_split``).  Streaming filter — returns a
+    Dataset, nothing materializes."""
+    def keep(t: pa.Table) -> pa.Table:
+        ids = t[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        w = t[weight_col].to_numpy(zero_copy_only=False).astype(
+            np.int64)
+        thr = np.minimum(10000, w * 10000 // scale)
+        coin = mix32(ids) % 10000
+        return t.filter(pa.array(coin < thr))
+
+    return ds.map_batches(keep, batch_format="pyarrow",
+                          zero_copy_batch=True)

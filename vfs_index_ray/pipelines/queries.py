@@ -791,6 +791,24 @@ def q_train_split(sf_dir: str) -> pa.Table:
     return tbl.take(order).select(["doc_id", "split"])
 
 
+def q_weighted_sample(sf_dir: str) -> pa.Table:
+    """Length-weighted Bernoulli downsample: keep probability
+    min(1, n_chars/1000), decided by a pure integer hash coin
+    (mix32(doc_id) % 10000 on the x1e4 grid) — deterministic, stable
+    under any partitioning, streaming filter end to end."""
+    from ..functions.sampling import weighted_sample
+
+    ds = _docs_ds(sf_dir, columns=["doc_id", "n_chars"])
+    out = weighted_sample(ds, id_col="doc_id",
+                          weight_col="n_chars", scale=1000)
+    t = _collect(out)
+    order = np.argsort(t["doc_id"].to_numpy(zero_copy_only=False),
+                       kind="stable")
+    return pa.table({
+        "doc_id": t["doc_id"].cast(pa.int64()),
+        "n_chars": t["n_chars"].cast(pa.int64())}).take(order)
+
+
 def q_source_stats(sf_dir: str) -> pa.Table:
     """Per-source (per-domain) corpus quality rollup: doc counts + mean
     doc length + mean token count — the curation dashboard staple."""
@@ -4372,6 +4390,7 @@ QUERIES = {
     "orders_customer_full": q_orders_customer_full,
     "regex_scan": q_regex_scan,
     "table_profile": q_table_profile,
+    "weighted_sample": q_weighted_sample,
     "events_hopping": q_events_hopping,
     "events_ntile": q_events_ntile,
     "more_like_this": q_more_like_this,
@@ -5260,6 +5279,20 @@ SELECT doc_a, doc_b,
 FROM sims WHERE sim >= 0.4 ORDER BY doc_a, doc_b
 """,
     # the engine's train_split_buckets hash, in HUGEINT/xor SQL
+    "weighted_sample": """
+WITH h1 AS (
+  SELECT doc_id, n_chars,
+    CAST((CAST(doc_id AS HUGEINT) * 2654435761) % 4294967296 AS BIGINT)
+      AS v FROM documents
+), h2 AS (
+  SELECT doc_id, n_chars,
+    CAST((CAST(xor(v, v >> 16) AS HUGEINT) * 2246822519) % 4294967296
+         AS BIGINT) AS v FROM h1
+)
+SELECT doc_id, n_chars FROM h2
+WHERE xor(v, v >> 13) % 10000 < least(10000, n_chars * 10000 // 1000)
+ORDER BY doc_id
+""",
     "train_split": """
 WITH h1 AS (
   SELECT doc_id,
