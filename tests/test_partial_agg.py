@@ -273,3 +273,26 @@ def test_hopping_rejects_non_divisor_hop(ray_session):
                   "value": pa.array([1.0], pa.float64())})
     with pytest.raises(ValueError):
         hopping_aggregate(_ds(t), window_minutes=100, hop_minutes=33)
+
+
+def test_resample_fills_gaps(ray_session):
+    from vfs_index_ray.functions.windows import resample_aggregate
+    # type "a": events at minute 0 and minute 45 -> buckets 15 and 30
+    # must appear with zeros; type "b": single event, no fill
+    ts = np.array([0, 45 * 60_000_000, 7 * 60_000_000],
+                  dtype=np.int64)
+    t = pa.table({
+        "event_type": pa.array(["a", "a", "b"]),
+        "ts": pa.array(ts.astype("datetime64[us]")),
+        "value": pa.array([1.0, 2.0, 3.0], pa.float64()),
+    })
+    out = resample_aggregate(_ds(t), freq_minutes=15)
+    rows = {(r["event_type"], r["window_us"]): (r["n"], r["sum_x1e4"])
+            for r in out.to_pylist()}
+    q = 15 * 60_000_000
+    assert rows[("a", 0)] == (1, 10000)
+    assert rows[("a", q)] == (0, 0)
+    assert rows[("a", 2 * q)] == (0, 0)
+    assert rows[("a", 3 * q)] == (1, 20000)
+    assert rows[("b", 0)] == (1, 30000)
+    assert len(rows) == 5

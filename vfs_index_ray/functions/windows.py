@@ -302,6 +302,45 @@ def hopping_aggregate(events_ds, *, window_minutes: int = 120,
                      "sum_x1e4": m["s_sum"].cast(pa.int64())})
 
 
+def resample_aggregate(events_ds, *, freq_minutes: int = 15,
+                       type_col: str = "event_type",
+                       ts_col: str = "ts",
+                       val_col: str = "value") -> pa.Table:
+    """Time-series resample with GAP FILLING: count + x1e4-exact sum
+    per (type, ``freq_minutes`` bucket), then every missing bucket
+    between each type's first and last observation is emitted with
+    zeros — the regular-grid densification a downstream
+    anomaly/forecast stage needs.  Aggregation is the shuffle-free
+    hopping/tumbling partial shape; the fill happens on the merged
+    grid (types × buckets, tiny) via one ``np.arange`` per type."""
+    agg = hopping_aggregate(events_ds, window_minutes=freq_minutes,
+                            hop_minutes=freq_minutes,
+                            type_col=type_col, ts_col=ts_col,
+                            val_col=val_col)
+    if agg.num_rows == 0:
+        return agg
+    step = freq_minutes * 60_000_000
+    types = agg["event_type"].to_numpy(zero_copy_only=False)
+    ws = agg["window_us"].to_numpy(zero_copy_only=False)
+    have = {(t, int(w)): i for i, (t, w) in enumerate(zip(types, ws))}
+    n = agg["n"].to_numpy(zero_copy_only=False)
+    s = agg["sum_x1e4"].to_numpy(zero_copy_only=False)
+    out_t, out_w, out_n, out_s = [], [], [], []
+    for t in sorted(set(types.tolist())):
+        m = types == t
+        grid = np.arange(ws[m].min(), ws[m].max() + 1, step)
+        for w in grid.tolist():
+            i = have.get((t, w))
+            out_t.append(t)
+            out_w.append(w)
+            out_n.append(0 if i is None else int(n[i]))
+            out_s.append(0 if i is None else int(s[i]))
+    return pa.table({"event_type": pa.array(out_t, pa.string()),
+                     "window_us": pa.array(out_w, pa.int64()),
+                     "n": pa.array(out_n, pa.int64()),
+                     "sum_x1e4": pa.array(out_s, pa.int64())})
+
+
 class JsonExtractInt:
     """Vectorized flat-JSON integer field extraction from a string
     column (the decoder-registry analog at column granularity: the

@@ -1050,6 +1050,26 @@ def q_events_hopping(sf_dir: str) -> pa.Table:
         ("event_type", "ascending"), ("window_start", "ascending")]))
 
 
+def q_events_resample(sf_dir: str) -> pa.Table:
+    """Gap-filled 15-min resample per event type: shuffle-free window
+    partials, then zero rows for every missing bucket between each
+    type's first and last observation (grid fill on the tiny merged
+    result, one np.arange per type)."""
+    import ray.data
+
+    from ..functions.windows import resample_aggregate
+
+    ds = ray.data.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                               columns=["event_type", "ts", "value"])
+    tbl = resample_aggregate(ds, freq_minutes=15)
+    return pa.table({
+        "event_type": tbl["event_type"],
+        "window_start": tbl["window_us"].cast(pa.timestamp("us")),
+        "n": tbl["n"],
+        "sum_x1e4": tbl["sum_x1e4"],
+    })
+
+
 def q_events_sessions(sf_dir: str) -> pa.Table:
     """Gap-based session windows (30 min) per user (§2.10)."""
     import ray.data
@@ -4393,6 +4413,7 @@ QUERIES = {
     "weighted_sample": q_weighted_sample,
     "events_hopping": q_events_hopping,
     "events_ntile": q_events_ntile,
+    "events_resample": q_events_resample,
     "more_like_this": q_more_like_this,
     "search_facets": q_search_facets,
     "index_stats": q_index_stats,
@@ -5056,6 +5077,26 @@ SELECT event_id, user_id,
 FROM events
 WINDOW w AS (PARTITION BY user_id ORDER BY value DESC, event_id)
 ORDER BY user_id, rnk
+""",
+    "events_resample": """
+WITH a AS (
+  SELECT event_type,
+         (epoch_us(ts) // 900000000) * 900000000 AS w,
+         CAST(floor(value * 10000 + 0.5) AS BIGINT) AS v
+  FROM events
+), g AS (
+  SELECT event_type, w, count(*)::BIGINT AS n, sum(v)::BIGINT AS s
+  FROM a GROUP BY 1, 2
+), r AS (
+  SELECT event_type, min(w) AS mn, max(w) AS mx FROM g GROUP BY 1
+), grid AS (
+  SELECT event_type, unnest(range(mn, mx + 1, 900000000)) AS w FROM r
+)
+SELECT grid.event_type, make_timestamp(grid.w) AS window_start,
+       coalesce(n, 0)::BIGINT AS n, coalesce(s, 0)::BIGINT AS sum_x1e4
+FROM grid LEFT JOIN g ON grid.event_type = g.event_type
+                     AND grid.w = g.w
+ORDER BY 1, 2
 """,
     "events_hopping": """
 WITH e AS (
