@@ -3327,6 +3327,35 @@ def q_autocomplete(sf_dir: str) -> pa.Table:
         pa.schema([("token", pa.string()), ("df", pa.int64())]))
 
 
+def q_wildcard_search(sf_dir: str) -> pa.Table:
+    """Wildcard term expansion 's*e' (prefix AND suffix) over the
+    corpus vocabulary: the same df table autocomplete uses
+    (unit_doc_frequencies — per-batch distinct (token, doc) incidences
+    + hive disk-shuffle sum), filtered by starts_with ∧ ends_with ∧
+    the LIKE length rule (len ≥ |prefix|+|suffix|), top-10 by
+    (df desc, token).  At 100 TB both predicates push into the
+    per-part vocab tasks — only the tiny expansion crosses the
+    wire."""
+    from ..functions.boilerplate import unit_doc_frequencies
+    _tune_context()
+    prefix, suffix = "t", "e"
+    ds = _docs_ds(sf_dir, columns=["doc_id", "text"])
+    t = unit_doc_frequencies(ds, unit="token")
+    u = t["unit"]
+    if isinstance(u, pa.ChunkedArray):
+        u = u.combine_chunks()
+    t = pa.table({"token": u, "df": t["df"].cast(pa.int64())})
+    keep = pc.and_(
+        pc.and_(pc.starts_with(t["token"], prefix),
+                pc.ends_with(t["token"], suffix)),
+        pc.greater_equal(pc.utf8_length(t["token"]),
+                         len(prefix) + len(suffix)))
+    t = t.filter(keep)
+    return t.take(pc.sort_indices(t, sort_keys=[
+        ("df", "descending"), ("token", "ascending")])[:10]).cast(
+        pa.schema([("token", pa.string()), ("df", pa.int64())]))
+
+
 def q_related_terms(sf_dir: str) -> pa.Table:
     """Related-term suggestion for 'spark': per-token document
     co-occurrence confidence pair_df·10⁶ // df in ONE streamed pass —
@@ -4411,6 +4440,7 @@ QUERIES = {
     "regex_scan": q_regex_scan,
     "table_profile": q_table_profile,
     "weighted_sample": q_weighted_sample,
+    "wildcard_search": q_wildcard_search,
     "events_hopping": q_events_hopping,
     "events_ntile": q_events_ntile,
     "events_resample": q_events_resample,
@@ -6627,6 +6657,16 @@ ORDER BY jacc_x1e6 DESC, token LIMIT 10
     "substring_search": """
 SELECT doc_id FROM documents WHERE contains(text, 'k join')
 ORDER BY doc_id
+""",
+    "wildcard_search": """
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+), d AS (
+  SELECT tok, count(DISTINCT doc_id)::BIGINT AS df
+  FROM toks GROUP BY 1
+)
+SELECT tok AS token, df FROM d WHERE tok LIKE 't%e'
+ORDER BY df DESC, token LIMIT 10
 """,
     "autocomplete": """
 WITH toks AS (
