@@ -4311,6 +4311,43 @@ def q_events_anomaly(sf_dir: str) -> pa.Table:
     return hourly_anomalies(ds, sigmas=2)
 
 
+def q_skyline_orders(sf_dir: str) -> pa.Table:
+    """Pareto skyline of urgent orders maximizing (totalprice,
+    orderdate): per-batch local frontier prune (sort + boundary-diff
+    kernel, never all-pairs), driver merges the staircase-sized
+    frontiers with the same kernel.  Prices compare on the x1e4 grid;
+    exact (price, date) duplicates all survive, matching the SQL
+    dominance definition."""
+    import ray.data
+
+    from ..functions.skyline import skyline
+    _tune_context()
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_orderkey", "o_totalprice", "o_orderdate",
+                 "o_orderpriority"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.equal(t["o_orderpriority"], "1-URGENT"))
+        px = np.floor(t["o_totalprice"].to_numpy(zero_copy_only=False)
+                      * 10000.0 + 0.5).astype(np.int64)
+        return pa.table({
+            "o_orderkey": t["o_orderkey"].cast(pa.int64()),
+            "totalprice_x1e4": pa.array(px, pa.int64()),
+            "dus": t["o_orderdate"].cast(pa.int64())})
+
+    out = skyline(ds.map_batches(prep, batch_format="pyarrow",
+                                 zero_copy_batch=True),
+                  x_col="totalprice_x1e4", y_col="dus")
+    res = pa.table({"o_orderkey": out["o_orderkey"],
+                    "totalprice_x1e4": out["totalprice_x1e4"],
+                    "o_orderdate": out["dus"].cast(pa.timestamp("us"))})
+    return res.take(pc.sort_indices(res, sort_keys=[
+        ("totalprice_x1e4", "descending"),
+        ("o_orderdate", "ascending"),
+        ("o_orderkey", "ascending")]))
+
+
 def q_table_profile(sf_dir: str) -> pa.Table:
     """Data-quality profile of the documents table in ONE streaming
     pass: per-column row/null counts, min/max, and exact distinct
@@ -4441,6 +4478,7 @@ QUERIES = {
     "table_profile": q_table_profile,
     "weighted_sample": q_weighted_sample,
     "wildcard_search": q_wildcard_search,
+    "skyline_orders": q_skyline_orders,
     "events_hopping": q_events_hopping,
     "events_ntile": q_events_ntile,
     "events_resample": q_events_resample,
@@ -6196,6 +6234,28 @@ WITH e AS (
 SELECT l_partkey, (enc % 16777216)::BIGINT AS best_suppkey,
        (enc // 16777216)::BIGINT AS min_price_x100
 FROM e ORDER BY l_partkey
+""",
+    "skyline_orders": """
+WITH t AS (
+  SELECT o_orderkey,
+         CAST(floor(o_totalprice * 10000 + 0.5) AS BIGINT) AS px,
+         epoch_us(o_orderdate) AS dus
+  FROM orders WHERE o_orderpriority = '1-URGENT'
+), g AS (
+  SELECT px, dus FROM t GROUP BY 1, 2
+), s AS (
+  SELECT px, dus FROM (
+    SELECT px, dus,
+           max(dus) OVER (ORDER BY px DESC, dus DESC
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pm,
+           max(dus) OVER (PARTITION BY px) AS gm
+    FROM g)
+  WHERE dus = gm AND (pm IS NULL OR dus > pm)
+)
+SELECT a.o_orderkey, a.px AS totalprice_x1e4,
+       make_timestamp(a.dus) AS o_orderdate
+FROM t a JOIN s ON a.px = s.px AND a.dus = s.dus
+ORDER BY totalprice_x1e4 DESC, o_orderdate, o_orderkey
 """,
     "table_profile": """
 WITH p AS (
