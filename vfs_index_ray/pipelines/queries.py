@@ -4348,6 +4348,29 @@ def q_skyline_orders(sf_dir: str) -> pa.Table:
         ("o_orderkey", "ascending")]))
 
 
+def q_edit_near_dup(sf_dir: str) -> pa.Table:
+    """Exact-verify near-dup pairs by Levenshtein distance: the
+    blocking key (lang + 32-char prefix + byte-length//64 bucket) is
+    DETERMINISTIC, so the oracle reproduces the exact candidate set
+    with a self-join — no LSH-recall caveat.  Blocks hash-partition
+    through the keyed disk spill; the byte-DP (vectorized rows,
+    prefix-min deletion chain) matches DuckDB's byte-based
+    levenshtein()."""
+    from ..functions.editdist import edit_near_dup
+    _tune_context()
+    ds = _docs_ds(sf_dir, columns=["doc_id", "text", "lang"])
+    out = edit_near_dup(ds, id_col="doc_id", text_col="text",
+                        group_cols=["lang"], prefix_len=32,
+                        len_bucket=64, max_dist=10)
+    schema = pa.schema([("id_a", pa.int64()), ("id_b", pa.int64()),
+                        ("dist", pa.int64())])
+    t = _collect(out)
+    if t.num_rows == 0:  # all-empty blocks may carry no schema
+        return schema.empty_table()
+    return t.take(pc.sort_indices(t, sort_keys=[
+        ("id_a", "ascending"), ("id_b", "ascending")])).cast(schema)
+
+
 def q_table_profile(sf_dir: str) -> pa.Table:
     """Data-quality profile of the documents table in ONE streaming
     pass: per-column row/null counts, min/max, and exact distinct
@@ -4479,6 +4502,7 @@ QUERIES = {
     "weighted_sample": q_weighted_sample,
     "wildcard_search": q_wildcard_search,
     "skyline_orders": q_skyline_orders,
+    "edit_near_dup": q_edit_near_dup,
     "events_hopping": q_events_hopping,
     "events_ntile": q_events_ntile,
     "events_resample": q_events_resample,
@@ -6256,6 +6280,20 @@ SELECT a.o_orderkey, a.px AS totalprice_x1e4,
        make_timestamp(a.dus) AS o_orderdate
 FROM t a JOIN s ON a.px = s.px AND a.dus = s.dus
 ORDER BY totalprice_x1e4 DESC, o_orderdate, o_orderkey
+""",
+    "edit_near_dup": """
+WITH b AS (
+  SELECT doc_id, lang, substr(text, 1, 32) AS p,
+         strlen(text) // 64 AS lb, text
+  FROM documents
+)
+SELECT a.doc_id AS id_a, c.doc_id AS id_b,
+       levenshtein(a.text, c.text)::BIGINT AS dist
+FROM b a JOIN b c
+  ON a.lang = c.lang AND a.p = c.p AND a.lb = c.lb
+ AND a.doc_id < c.doc_id
+WHERE levenshtein(a.text, c.text) <= 10
+ORDER BY id_a, id_b
 """,
     "table_profile": """
 WITH p AS (
