@@ -59,7 +59,8 @@ def main(argv=None) -> int:
     ap.add_argument("--cpus", type=int, default=32)
     ap.add_argument("--ops", nargs="*", default=[
         "sessionize", "latest", "asof", "window", "quantiles",
-        "running", "topn", "distinct", "hll", "graph"])
+        "running", "topn", "distinct", "hll", "graph",
+        "hopping", "resample", "ntile", "skyline"])
     ap.add_argument("--shuffle", default="disk", choices=["disk", "sort"])
     args = ap.parse_args(argv)
 
@@ -129,6 +130,41 @@ def main(argv=None) -> int:
         t = approx_distinct(ds(["event_type", "user_id"]),
                             key_col="user_id", group_col="event_type")
         times["hll"] = round(time.perf_counter() - t0, 3)
+    if "hopping" in args.ops:
+        t0 = time.perf_counter()
+        t = W.hopping_aggregate(ds(["event_type", "ts", "value"]),
+                                window_minutes=120, hop_minutes=30)
+        times["hopping"] = round(time.perf_counter() - t0, 3)
+    if "resample" in args.ops:
+        t0 = time.perf_counter()
+        t = W.resample_aggregate(ds(["event_type", "ts", "value"]),
+                                 freq_minutes=15)
+        times["resample"] = round(time.perf_counter() - t0, 3)
+    if "ntile" in args.ops:
+        t0 = time.perf_counter()
+        run("ntile", W.rank_per_key(
+            ds(["event_id", "user_id", "value"]), ntile=4,
+            shuffle=args.shuffle))
+    if "skyline" in args.ops:
+        import numpy as np
+        import pyarrow as pa
+
+        from vfs_index_ray.functions.skyline import skyline
+
+        def prep(t):
+            import pyarrow.compute as pc
+            px = np.floor(t["value"].to_numpy(zero_copy_only=False)
+                          * 10000.0 + 0.5).astype(np.int64)
+            return pa.table({
+                "event_id": t["event_id"],
+                "vx": pa.array(px, pa.int64()),
+                "tus": t["ts"].cast(pa.int64())})
+
+        t0 = time.perf_counter()
+        t = skyline(ds(["event_id", "ts", "value"]).map_batches(
+            prep, batch_format="pyarrow", zero_copy_batch=True),
+            x_col="vx", y_col="tus")
+        times["skyline"] = round(time.perf_counter() - t0, 3)
     if "quantiles" in args.ops:
         from vfs_index_ray.functions.quantiles import grouped_quantiles
         t0 = time.perf_counter()

@@ -28,7 +28,8 @@ def main(argv=None) -> int:
     ap.add_argument("--cpus", type=int, default=32)
     ap.add_argument("--ops", nargs="*", default=[
         "token_df", "boilerplate", "keywords", "repetition",
-        "lm_score", "shuffle_shards", "dup_spans", "span_rewrite"])
+        "lm_score", "shuffle_shards", "dup_spans", "span_rewrite",
+        "regex_scan", "profile", "edit_near_dup"])
     args = ap.parse_args(argv)
 
     import ray
@@ -129,6 +130,59 @@ def main(argv=None) -> int:
             pages_ds().map_batches(add_id, batch_format="pyarrow"),
             sink, num_shards=64, seed=3)
         times["shuffle_shards"] = round(time.perf_counter() - t0, 3)
+
+    if "regex_scan" in args.ops:
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        from vfs_index_ray.functions.boilerplate import \
+            partial_aggregate
+
+        def prep(t: pa.Table) -> pa.Table:
+            cnt = pc.count_substring_regex(
+                t["text"], pattern=r"[0-9]{3,}").cast(pa.int64())
+            return pa.table({
+                "m": cnt,
+                "hit": pc.cast(pc.greater(cnt, 0), pa.int64())})
+
+        t0 = time.perf_counter()
+        t = partial_aggregate(pages_ds(), ["hit"],
+                              [("m", "sum"), ("m", "count")],
+                              prepare=prep)
+        times["regex_scan"] = round(time.perf_counter() - t0, 3)
+
+    if "profile" in args.ops:
+        from vfs_index_ray.functions.profile import table_profile
+        t0 = time.perf_counter()
+        t = table_profile(pages_ds(), num_cols=[],
+                          str_cols=["url", "text"])
+        times["profile"] = round(time.perf_counter() - t0, 3)
+
+    if "edit_near_dup" in args.ops:
+        import pyarrow as pa
+
+        from vfs_index_ray.functions.editdist import edit_near_dup
+        import numpy as np
+
+        def add_id(t: pa.Table) -> pa.Table:
+            from vfs_index_ray.hashing import fnv1a64_tokens
+            u = t["url"]
+            if isinstance(u, pa.ChunkedArray):
+                u = u.combine_chunks()
+            ids = fnv1a64_tokens(u).astype(np.int64)
+            return t.append_column("doc_id",
+                                   pa.array(ids, pa.int64()))
+
+        t0 = time.perf_counter()
+        out = edit_near_dup(
+            pages_ds().map_batches(add_id, batch_format="pyarrow"),
+            id_col="doc_id", text_col="text", prefix_len=32,
+            len_bucket=64, max_dist=10)
+        import ray as _ray
+        pairs = sum(t.num_rows for t in
+                    _ray.get(out.to_arrow_refs()))
+        times["edit_near_dup"] = round(time.perf_counter() - t0, 3)
+        extra["edit_pairs"] = pairs
 
     shutil.rmtree(sink, ignore_errors=True)
     print(json.dumps({"docs": args.docs, "cpus": args.cpus,
