@@ -1050,6 +1050,37 @@ def q_events_hopping(sf_dir: str) -> pa.Table:
         ("event_type", "ascending"), ("window_start", "ascending")]))
 
 
+def q_events_agg_store(sf_dir: str) -> pa.Table:
+    """Incremental windowed-aggregate STORE (aggstore.py): absorb the
+    event file into a fresh store (tmp+rename partial, sidecar-last
+    commit — the index build's wave protocol applied to aggregates),
+    absorb it AGAIN to prove exactly-once (the second absorb must be
+    a no-op), then answer from committed partials only.  x1e4-exact
+    sums; byte-identical regardless of absorb order/granularity
+    (tests/test_aggstore.py)."""
+    import tempfile
+
+    from ..aggstore import AggStore
+    _tune_context()
+    root = tempfile.mkdtemp(prefix="aggstore_")
+    try:
+        store = AggStore(root, window_minutes=60)
+        src = os.path.join(sf_dir, "events.parquet")
+        store.absorb([src])
+        st = store.absorb([src])  # exactly-once: committed => no-op
+        assert st["absorbed"] == 0 and st["skipped"] == 1
+        t = store.query()
+    finally:
+        import shutil
+        shutil.rmtree(root, ignore_errors=True)
+    return pa.table({
+        "event_type": t["event_type"],
+        "window_start": t["window_us"].cast(pa.timestamp("us")),
+        "n": t["n"],
+        "sum_x1e4": t["sum_x1e4"],
+    })
+
+
 def q_events_resample(sf_dir: str) -> pa.Table:
     """Gap-filled 15-min resample per event type: shuffle-free window
     partials, then zero rows for every missing bucket between each
@@ -4506,6 +4537,7 @@ QUERIES = {
     "events_hopping": q_events_hopping,
     "events_ntile": q_events_ntile,
     "events_resample": q_events_resample,
+    "events_agg_store": q_events_agg_store,
     "more_like_this": q_more_like_this,
     "search_facets": q_search_facets,
     "index_stats": q_index_stats,
@@ -5169,6 +5201,15 @@ SELECT event_id, user_id,
 FROM events
 WINDOW w AS (PARTITION BY user_id ORDER BY value DESC, event_id)
 ORDER BY user_id, rnk
+""",
+    "events_agg_store": """
+SELECT event_type,
+       make_timestamp((epoch_us(ts) // 3600000000) * 3600000000)
+         AS window_start,
+       count(*)::BIGINT AS n,
+       sum(CAST(floor(value * 10000 + 0.5) AS BIGINT))::BIGINT
+         AS sum_x1e4
+FROM events GROUP BY 1, 2 ORDER BY 1, 2
 """,
     "events_resample": """
 WITH a AS (
