@@ -124,6 +124,52 @@ def q_bm25_topk(sf_dir: str) -> pa.Table:
     })
 
 
+def q_boosted_bm25(sf_dir: str) -> pa.Table:
+    """BM25 with a static per-document PRIOR (trusted-domain boost
+    +0.5 for sources src0-src4), answered with a PROVABLY-complete
+    bounded re-rank: retrieve bm25 top-K, add priors, and stop once
+    the 10th boosted score strictly exceeds (K-th bm25 score + max
+    boost) — any unretrieved doc scores below that bound — else
+    double K (terminates at candidate exhaustion).  The prior lookup
+    reads only the K candidate rows (at corpus scale this is the
+    fetch_rows row-group-pruned semi-join).  fp64 parity: one
+    deterministic add on top of the engine/oracle-identical BM25
+    sum."""
+    import pyarrow.parquet as pqq
+
+    eng = get_engine(sf_dir)
+    boost, bmax, k = 0.5, 0.5, 10
+    trusted = {"src0", "src1", "src2", "src3", "src4"}
+    K = 40
+    while True:
+        ids, scores = eng.bm25(BM25_QUERY, K)
+        exhausted = len(ids) < K
+        t = pqq.read_table(
+            os.path.join(sf_dir, "documents.parquet"),
+            columns=["doc_id", "source"],
+            filters=[("doc_id", "in",
+                      [int(i) for i in ids])])
+        pri = dict(zip(t["doc_id"].to_pylist(),
+                       t["source"].to_pylist()))
+        prior = np.array([boost if pri.get(int(i)) in trusted
+                          else 0.0 for i in ids])
+        boosted = scores + prior
+        order = np.lexsort((ids.astype(np.int64), -boosted))[:k]
+        if exhausted:
+            break
+        if len(order) == k and boosted[order[-1]] > scores[-1] + bmax:
+            break
+        K *= 2
+    out_ids = ids.astype(np.int64)[order]
+    out_sc = np.floor(boosted[order] * 10000.0 + 0.5).astype(np.int64)
+    return pa.table({
+        "rank": pa.array(np.arange(1, len(order) + 1, dtype=np.int64),
+                         pa.int64()),
+        "doc_id": pa.array(out_ids, pa.int64()),
+        "score_x1e4": pa.array(out_sc, pa.int64()),
+    })
+
+
 def q_term_match(sf_dir: str) -> pa.Table:
     """J3: AND intersection of two terms' postings."""
     eng = get_engine(sf_dir)
@@ -4544,6 +4590,7 @@ QUERIES = {
     "events_retention": q_events_retention,
     "events_anomaly": q_events_anomaly,
     "bm25_topk": q_bm25_topk,
+    "boosted_bm25": q_boosted_bm25,
     "term_match": q_term_match,
     "count_match": q_count_match,
     "term_df": q_term_df,
@@ -4740,6 +4787,38 @@ FROM h JOIN s USING (event_type) ORDER BY 1, 2
     # the untouched column, so a hash match proves the inversion.
     "extract_text": """
 SELECT doc_id, text FROM documents ORDER BY doc_id
+""",
+    "boosted_bm25": f"""
+WITH tok AS (
+  SELECT doc_id, unnest({TOKS}) AS tok FROM documents
+), tf AS (
+  SELECT doc_id, tok, count(*)::DOUBLE AS tf FROM tok
+  WHERE tok IN ('spark','join','window') GROUP BY doc_id, tok
+), dl AS (
+  SELECT doc_id, count(*)::DOUBLE AS dl FROM tok GROUP BY doc_id
+), stats AS (
+  SELECT (SELECT count(*) FROM documents)::DOUBLE AS n,
+         (SELECT count(*) FROM tok)::DOUBLE /
+         (SELECT count(*) FROM documents)::DOUBLE AS avgdl
+), df AS (
+  SELECT tok, count(*)::DOUBLE AS df FROM tf GROUP BY tok
+), scores AS (
+  SELECT tf.doc_id,
+         sum(ln(1 + (stats.n - df.df + 0.5)/(df.df + 0.5)) *
+             (tf.tf*2.2/(tf.tf + 1.2*(1 - 0.75 + 0.75*dl.dl/stats.avgdl))))
+           AS score
+  FROM tf JOIN df USING(tok) JOIN dl USING(doc_id) CROSS JOIN stats
+  GROUP BY tf.doc_id
+), b AS (
+  SELECT s.doc_id,
+         s.score + CASE WHEN d.source IN
+           ('src0','src1','src2','src3','src4')
+           THEN 0.5 ELSE 0 END AS score
+  FROM scores s JOIN documents d USING (doc_id)
+)
+SELECT row_number() OVER (ORDER BY score DESC, doc_id)::BIGINT AS rank,
+       doc_id, CAST(floor(score*10000 + 0.5) AS BIGINT) AS score_x1e4
+FROM b ORDER BY score DESC, doc_id LIMIT 10
 """,
     "bm25_topk": f"""
 WITH tok AS (
