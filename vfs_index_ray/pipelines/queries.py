@@ -2894,6 +2894,49 @@ def q_part_supplier_cnt(sf_dir: str) -> pa.Table:
         ("p_size", "ascending")]))
 
 
+def q_events_variance(sf_dir: str) -> pa.Table:
+    """Per-type population variance from ONE pass of integer moment
+    partials (n, Σv, Σv² on the x1e4 grid) — no shuffle, groups ×
+    blocks is all that moves.  The closing arithmetic
+    (n·Σv² − (Σv)²) // n² runs in arbitrary-precision Python ints on
+    the tiny merged groups (n·Σv² overflows int64 past ~1e6 rows) and
+    HUGEINT in the oracle — the same floor division, bit-stable."""
+    import ray.data
+
+    from ..functions.boilerplate import partial_aggregate
+    _tune_context()
+    ds = ray.data.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                               columns=["event_type", "value"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        v = np.floor(t["value"].to_numpy(zero_copy_only=False)
+                     * 10000.0 + 0.5).astype(np.int64)
+        return pa.table({"event_type": t["event_type"],
+                         "v": pa.array(v, pa.int64()),
+                         "vv": pa.array(v * v, pa.int64())})
+
+    out = partial_aggregate(ds, ["event_type"],
+                            [("v", "count"), ("v", "sum"),
+                             ("vv", "sum")], prepare=prep)
+    schema = pa.schema([("event_type", pa.string()),
+                        ("n", pa.int64()),
+                        ("mean_x1e4", pa.int64()),
+                        ("var_x1e8", pa.int64())])
+    if out is None:
+        return schema.empty_table()
+    rows = []
+    for e, n, s, ss in zip(out["event_type"].to_pylist(),
+                           out["v_count"].to_pylist(),
+                           out["v_sum"].to_pylist(),
+                           out["vv_sum"].to_pylist()):
+        n, s, ss = int(n), int(s), int(ss)
+        rows.append({"event_type": e, "n": n,
+                     "mean_x1e4": s // n,
+                     "var_x1e8": (n * ss - s * s) // (n * n)})
+    rows.sort(key=lambda r: r["event_type"])
+    return pa.Table.from_pylist(rows, schema=schema)
+
+
 def q_corr_stats(sf_dir: str) -> pa.Table:
     """Pearson correlation per group from ONE pass of integer moment
     partials (n, Σq, Σd, Σq², Σd², Σqd on the x100 grid) — zero
@@ -4584,6 +4627,7 @@ QUERIES = {
     "events_ntile": q_events_ntile,
     "events_resample": q_events_resample,
     "events_agg_store": q_events_agg_store,
+    "events_variance": q_events_variance,
     "more_like_this": q_more_like_this,
     "search_facets": q_search_facets,
     "index_stats": q_index_stats,
@@ -5280,6 +5324,20 @@ SELECT event_id, user_id,
 FROM events
 WINDOW w AS (PARTITION BY user_id ORDER BY value DESC, event_id)
 ORDER BY user_id, rnk
+""",
+    "events_variance": """
+WITH e AS (
+  SELECT event_type,
+         CAST(floor(value * 10000 + 0.5) AS BIGINT) AS v
+  FROM events
+), g AS (
+  SELECT event_type, count(*)::HUGEINT AS n,
+         sum(v::HUGEINT) AS s, sum((v::HUGEINT) * v) AS ss
+  FROM e GROUP BY 1
+)
+SELECT event_type, n::BIGINT AS n, (s // n)::BIGINT AS mean_x1e4,
+       ((n * ss - s * s) // (n * n))::BIGINT AS var_x1e8
+FROM g ORDER BY event_type
 """,
     "events_agg_store": """
 SELECT event_type,
