@@ -666,6 +666,70 @@ def q_gopher_quality(sf_dir: str, concurrency=None) -> pa.Table:
          "bullet_ratio_x1e4"])
 
 
+def q_embedding_centroid(sf_dir: str) -> pa.Table:
+    """Grouped VECTOR aggregation: per-label element-wise embedding
+    sums on the x1e4 grid (one np.add.at scatter per batch — exact
+    integer sums, order-independent), merged as tiny per-label
+    partials.  Output ships the first 4 dims + an all-dims checksum;
+    the oracle recomputes both with DuckDB list lambdas.  Floats
+    promote to float64 BEFORE quantization on both sides."""
+    import ray.data
+
+    from ..functions.boilerplate import _group_counts
+    _tune_context()
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "embeddings.parquet"),
+        columns=["embedding", "label"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        arr = t["embedding"]
+        if isinstance(arr, pa.ChunkedArray):
+            arr = arr.combine_chunks()
+        off = arr.offsets.to_numpy(zero_copy_only=False)
+        n = len(arr)
+        d = int(off[1] - off[0]) if n else 0
+        assert n == 0 or (np.diff(off) == d).all(), "ragged vectors"
+        flat = arr.values.to_numpy(zero_copy_only=False)
+        fx = np.floor(flat.astype(np.float64) * 10000.0
+                      + 0.5).astype(np.int64).reshape(n, d)
+        labs = t["label"].to_numpy(zero_copy_only=False).astype(
+            np.int64)
+        ulab, codes = np.unique(labs, return_inverse=True)
+        acc = np.zeros((len(ulab), d), np.int64)
+        np.add.at(acc, codes, fx)
+        cnt = np.bincount(codes, minlength=len(ulab))
+        return pa.table({
+            "label": pa.array(ulab, pa.int64()),
+            "n": pa.array(cnt.astype(np.int64), pa.int64()),
+            "d0": pa.array(acc[:, 0], pa.int64()),
+            "d1": pa.array(acc[:, 1], pa.int64()),
+            "d2": pa.array(acc[:, 2], pa.int64()),
+            "d3": pa.array(acc[:, 3], pa.int64()),
+            "ck": pa.array(acc.sum(axis=1), pa.int64())})
+
+    out = ds.map_batches(partial, batch_format="pyarrow")
+    t = _collect(out)
+    schema = pa.schema([
+        ("label", pa.int64()), ("n", pa.int64()),
+        ("dim0_sum_x1e4", pa.int64()), ("dim1_sum_x1e4", pa.int64()),
+        ("dim2_sum_x1e4", pa.int64()), ("dim3_sum_x1e4", pa.int64()),
+        ("checksum_x1e4", pa.int64())])
+    if t.num_rows == 0:
+        return schema.empty_table()
+    m = _group_counts(t, ["label"],
+                      [("n", "sum"), ("d0", "sum"), ("d1", "sum"),
+                       ("d2", "sum"), ("d3", "sum"), ("ck", "sum")])
+    res = pa.table({"label": m["label"],
+                    "n": m["n_sum"].cast(pa.int64()),
+                    "dim0_sum_x1e4": m["d0_sum"].cast(pa.int64()),
+                    "dim1_sum_x1e4": m["d1_sum"].cast(pa.int64()),
+                    "dim2_sum_x1e4": m["d2_sum"].cast(pa.int64()),
+                    "dim3_sum_x1e4": m["d3_sum"].cast(pa.int64()),
+                    "checksum_x1e4": m["ck_sum"].cast(pa.int64())})
+    return res.take(pc.sort_indices(res, sort_keys=[
+        ("label", "ascending")])).cast(schema)
+
+
 def q_quantize_embeddings(sf_dir: str, concurrency=None) -> pa.Table:
     import ray.data
 
@@ -4628,6 +4692,7 @@ QUERIES = {
     "events_resample": q_events_resample,
     "events_agg_store": q_events_agg_store,
     "events_variance": q_events_variance,
+    "embedding_centroid": q_embedding_centroid,
     "more_like_this": q_more_like_this,
     "search_facets": q_search_facets,
     "index_stats": q_index_stats,
@@ -5324,6 +5389,22 @@ SELECT event_id, user_id,
 FROM events
 WINDOW w AS (PARTITION BY user_id ORDER BY value DESC, event_id)
 ORDER BY user_id, rnk
+""",
+    "embedding_centroid": """
+WITH e AS (
+  SELECT label::BIGINT AS label,
+         list_transform(embedding,
+           x -> CAST(floor(CAST(x AS DOUBLE) * 10000 + 0.5)
+                     AS BIGINT)) AS q
+  FROM embeddings
+)
+SELECT label, count(*)::BIGINT AS n,
+       sum(q[1])::BIGINT AS dim0_sum_x1e4,
+       sum(q[2])::BIGINT AS dim1_sum_x1e4,
+       sum(q[3])::BIGINT AS dim2_sum_x1e4,
+       sum(q[4])::BIGINT AS dim3_sum_x1e4,
+       sum(list_aggregate(q, 'sum'))::BIGINT AS checksum_x1e4
+FROM e GROUP BY 1 ORDER BY 1
 """,
     "events_variance": """
 WITH e AS (
