@@ -98,3 +98,64 @@ def test_crash_partial_without_sidecar_recomputed(ray_session,
     assert _as_dict(s.query()) == _brute(paths)
     side = json.load(open(os.path.join(s.pdir, f"{key}.json")))
     assert side["rows"] == 3000
+
+
+def test_compact_preserves_answer_and_skips_reabsorb(ray_session,
+                                                     tmp_path):
+    from vfs_index_ray.aggstore import AggStore
+
+    paths = _event_files(str(tmp_path))
+    s = AggStore(str(tmp_path / "s"))
+    s.absorb(paths[:3])
+    before = _as_dict(s.query())
+    st = s.compact()
+    assert st["compacted"] == 3
+    assert _as_dict(s.query()) == before == _brute(paths[:3])
+    # absorbed files stay exactly-once after their sidecars are gone
+    st = s.absorb(paths)
+    assert st == {"absorbed": 1, "skipped": 3, "rows": 3000}
+    assert _as_dict(s.query()) == _brute(paths)
+    # second compact folds gen + the new partial; answer unchanged
+    st2 = s.compact()
+    assert st2["compacted"] == 2
+    assert _as_dict(s.query()) == _brute(paths)
+    # compacting a single live partial is a no-op
+    assert s.compact() == {"compacted": 0, "generation": None}
+
+
+def test_compact_crash_windows(ray_session, tmp_path):
+    import os
+
+    from vfs_index_ray.aggstore import AggStore
+
+    paths = _event_files(str(tmp_path))
+    s = AggStore(str(tmp_path / "s"))
+    s.absorb(paths)
+    want = _brute(paths)
+
+    # crash AFTER the generation sidecar, BEFORE source deletion:
+    # simulate by re-creating the replaced partials post-compact
+    import shutil
+    backup = str(tmp_path / "bk")
+    shutil.copytree(s.pdir, backup)
+    st = s.compact()
+    gen = st["generation"]
+    for f in os.listdir(backup):  # resurrect the replaced partials
+        dst = os.path.join(s.pdir, f)
+        if not os.path.exists(dst):
+            shutil.copy(os.path.join(backup, f), dst)
+    # double-stored on disk but never double-counted
+    assert _as_dict(s.query()) == want
+    assert s.absorb(paths) == {"absorbed": 0, "skipped": 4, "rows": 0}
+    # next compact garbage-collects the leftovers and stays correct
+    s.compact()
+    assert _as_dict(s.query()) == want
+    live = [f for f in os.listdir(s.pdir) if f.endswith(".json")]
+    assert len(live) == 1
+
+    # crash BEFORE the sidecar: a bare generation parquet is invisible
+    s2 = AggStore(str(tmp_path / "s2"))
+    s2.absorb(paths[:2])
+    with open(os.path.join(s2.pdir, "cdeadbeef.parquet"), "wb") as fh:
+        fh.write(b"torn")
+    assert _as_dict(s2.query()) == _brute(paths[:2])

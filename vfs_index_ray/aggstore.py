@@ -88,12 +88,29 @@ class AggStore:
                     out[f[:-5]] = json.load(fh)
         return out
 
+    def _live_keys(self, sides: dict[str, dict]) -> list[str]:
+        """Partials that still count: committed and not replaced by a
+        committed compaction."""
+        replaced = set()
+        for s in sides.values():
+            replaced.update(s.get("replaces", ()))
+        return [k for k in sides if k not in replaced]
+
+    def _absorbed_keys(self, sides: dict[str, dict]) -> set[str]:
+        """File keys that must not be re-absorbed: directly committed
+        ones plus every file key a compaction absorbed (transitively,
+        via source_keys)."""
+        keys = set(sides)
+        for s in sides.values():
+            keys.update(s.get("source_keys", ()))
+        return keys
+
     def absorb(self, files: list[str]) -> dict:
         """Compute + commit partials for files not yet committed.
         One Ray task per new file; tmp+rename, sidecar last."""
         import ray
 
-        done = self.committed()
+        done = self._absorbed_keys(self.committed())
         todo = [(f, _file_key(f)) for f in files]
         todo = [(f, k) for f, k in todo if k not in done]
         type_col, ts_col, val_col = self.cols
@@ -121,6 +138,85 @@ class AggStore:
         return {"absorbed": len(todo), "skipped": len(files) - len(todo),
                 "rows": int(sum(rows))}
 
+    def compact(self) -> dict:
+        """Fold all live partials into ONE committed generation
+        partial (the budgeted-merge analog for the aggregate store) —
+        crash-safe in the same sidecar-last style:
+
+        1. gc partials a committed compaction already replaced
+           (leftovers of a crash mid-delete — query ignores them
+           either way);
+        2. write the merged generation partial (tmp+rename), then its
+           sidecar listing ``replaces`` (the live partial keys it
+           subsumes) and ``source_keys`` (every FILE key absorbed,
+           transitively — so re-absorbing those files stays a no-op
+           after their sidecars are gone);
+        3. delete the replaced partials' sidecars + files.
+
+        A crash between (2) and (3) double-stores rows on disk but
+        never double-COUNTS: ``query``/``absorb`` consult
+        ``replaces``/``source_keys`` first.  Idempotent: the
+        generation key is a content hash of the keys it replaces."""
+        import hashlib
+
+        from .functions.boilerplate import _group_counts
+
+        sides = self.committed()
+        replaced = set()
+        for s in sides.values():
+            replaced.update(s.get("replaces", ()))
+        for k in list(sides):
+            if k in replaced:  # gc leftovers from a crashed compact
+                for p in (self._sidecar(k), self._partial(k)):
+                    if os.path.exists(p):
+                        os.remove(p)
+                sides.pop(k)
+        live = sorted(sides)
+        if len(live) <= 1:
+            return {"compacted": 0, "generation": None}
+        src_keys: set[str] = set()
+        sources: set[str] = set()
+        for k in live:
+            s = sides[k]
+            if "source_keys" in s:
+                src_keys.update(s["source_keys"])
+                sources.update(s.get("sources", ()))
+            else:
+                src_keys.add(k)
+                sources.add(s["source"])
+        gen = "c" + hashlib.sha1(
+            ",".join(live).encode()).hexdigest()[:15]
+        parts = [pq.read_table(self._partial(k), use_threads=False)
+                 for k in live]
+        parts = [p for p in parts if p.num_rows]
+        if parts:
+            m = _group_counts(
+                pa.concat_tables(parts).combine_chunks(),
+                ["event_type", "window_us"],
+                [("n", "sum"), ("s", "sum")])
+            merged = pa.table({
+                "event_type": m["event_type"].cast(pa.string()),
+                "window_us": m["window_us"].cast(pa.int64()),
+                "n": m["n_sum"].cast(pa.int64()),
+                "s": m["s_sum"].cast(pa.int64())})
+        else:
+            merged = _SCHEMA.empty_table()
+        tmp = os.path.join(self.pdir, f".{gen}.parquet.tmp")
+        pq.write_table(merged, tmp)
+        os.replace(tmp, self._partial(gen))
+        side = {"kind": "compact", "replaces": live,
+                "source_keys": sorted(src_keys),
+                "sources": sorted(sources), "ts": time.time()}
+        stmp = os.path.join(self.pdir, f".{gen}.json.tmp")
+        with open(stmp, "w") as fh:
+            json.dump(side, fh)
+        os.replace(stmp, self._sidecar(gen))
+        for k in live:  # gc; crash here is benign (see docstring)
+            for p in (self._sidecar(k), self._partial(k)):
+                if os.path.exists(p):
+                    os.remove(p)
+        return {"compacted": len(live), "generation": gen}
+
     def query(self) -> pa.Table:
         """Merge committed partials → (event_type, window_us, n,
         sum_x1e4), sorted."""
@@ -129,7 +225,7 @@ class AggStore:
         from .functions.boilerplate import _group_counts
 
         parts = [pq.read_table(self._partial(k), use_threads=False)
-                 for k in self.committed()]
+                 for k in self._live_keys(self.committed())]
         empty = pa.table({"event_type": pa.array([], pa.string()),
                           "window_us": pa.array([], pa.int64()),
                           "n": pa.array([], pa.int64()),
