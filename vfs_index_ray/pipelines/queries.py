@@ -4675,6 +4675,55 @@ def q_orders_customer_full(sf_dir: str) -> pa.Table:
         res, sort_keys=[("custkey", "ascending")])).cast(schema)
 
 
+def q_type_overlap(sf_dir: str) -> pa.Table:
+    """Audience-overlap matrix: for every unordered pair of event
+    types, how many distinct users performed BOTH.  One group-keyed
+    hash partition (users disjoint per task) + a vectorized distinct →
+    pair-expansion → run-length-count kernel per partition
+    (functions/pairs.py cooccur_pairs); pair partials merge through
+    the partial/hash aggregation substrate, never a sort exchange."""
+    import ray.data
+
+    from ..functions.pairs import cooccur_pairs
+    _tune_context()
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["user_id", "event_type"])
+    tbl = _collect(cooccur_pairs(ds, group_col="user_id",
+                                 item_col="event_type"))
+    tbl = tbl.take(pc.sort_indices(tbl, sort_keys=[
+        ("item_a", "ascending"), ("item_b", "ascending")]))
+    return pa.table({
+        "type_a": tbl["item_a"], "type_b": tbl["item_b"],
+        "n_users": tbl["n_groups"]}).cast(pa.schema([
+            ("type_a", pa.string()), ("type_b", pa.string()),
+            ("n_users", pa.int64())]))
+
+
+def q_part_pairs(sf_dir: str) -> pa.Table:
+    """Market-basket pair mining: top-100 part pairs by the number of
+    orders whose lineitems contain both (ties part_a asc, part_b asc).
+    Same cooccur_pairs substrate keyed by orderkey; the top-k is
+    per-batch local partials (≤k rows each) + one driver merge — the
+    full pair table never reaches the driver (functions/pairs.py
+    top_pairs)."""
+    import ray.data
+
+    from ..functions.pairs import cooccur_pairs, top_pairs
+    _tune_context()
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_orderkey", "l_partkey"])
+    pairs = cooccur_pairs(ds, group_col="l_orderkey",
+                          item_col="l_partkey")
+    tbl = top_pairs(pairs, k=100, min_count=1)
+    return pa.table({
+        "part_a": tbl["item_a"], "part_b": tbl["item_b"],
+        "n_orders": tbl["n_groups"]}).cast(pa.schema([
+            ("part_a", pa.int64()), ("part_b", pa.int64()),
+            ("n_orders", pa.int64())]))
+
+
 # ---------------------------------------------------------------------------
 # registry + oracle SQL
 # ---------------------------------------------------------------------------
@@ -4687,6 +4736,8 @@ QUERIES = {
     "wildcard_search": q_wildcard_search,
     "skyline_orders": q_skyline_orders,
     "edit_near_dup": q_edit_near_dup,
+    "type_overlap": q_type_overlap,
+    "part_pairs": q_part_pairs,
     "events_hopping": q_events_hopping,
     "events_ntile": q_events_ntile,
     "events_resample": q_events_resample,
@@ -7050,6 +7101,28 @@ SELECT tok AS token, df, pair,
        ((pair * 1000000) // df)::BIGINT AS conf_x1e6
 FROM stats WHERE pair >= 1 AND tok <> 'spark'
 ORDER BY conf_x1e6 DESC, df DESC, token LIMIT 10
+""",
+    # audience overlap: distinct (user, type) pairs self-joined on
+    # user with a < b value order — the engine's value-ranked
+    # dictionary codes reproduce VARCHAR binary collation
+    "type_overlap": """
+WITH d AS (SELECT DISTINCT user_id, event_type FROM events)
+SELECT a.event_type AS type_a, b.event_type AS type_b,
+       count(*)::BIGINT AS n_users
+FROM d a JOIN d b
+  ON a.user_id = b.user_id AND a.event_type < b.event_type
+GROUP BY 1, 2 ORDER BY 1, 2
+""",
+    "part_pairs": """
+WITH d AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+p AS (
+  SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+         count(*)::BIGINT AS n_orders
+  FROM d a JOIN d b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2
+)
+SELECT * FROM p ORDER BY n_orders DESC, part_a, part_b LIMIT 100
 """,
     "events_quantiles_cont": """
 WITH q AS (
