@@ -4724,6 +4724,58 @@ def q_part_pairs(sf_dir: str) -> pa.Table:
             ("n_orders", pa.int64())]))
 
 
+def q_orders_diff(sf_dir: str) -> pa.Table:
+    """Snapshot diff (incremental-maintenance primitive): classify
+    every orderkey as added / removed / changed between the orders
+    table and a deterministically derived next version (mix32(key)%19:
+    0 → deleted, 7 → priority rewritten, 3 → an extra key+10M row).
+    Both snapshots co-partition by key hash through the disk-spill
+    substrate; the per-partition kernel is one vectorized index_in
+    probe + null-safe column compare (functions/diff.py
+    snapshot_diff)."""
+    import ray.data
+
+    from ..functions.diff import snapshot_diff
+    from ..hashing import mix32
+    _tune_context()
+    cols = ["o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+            "o_orderdate", "o_orderpriority"]
+    a = ray.data.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"), columns=cols)
+
+    def derive(t: pa.Table) -> pa.Table:
+        k = t["o_orderkey"].to_numpy(zero_copy_only=False).astype(
+            np.int64)
+        h = mix32(k) % 19
+        base = t.filter(pa.array(h != 0))
+        hb = h[h != 0]
+        pi = base.schema.get_field_index("o_orderpriority")
+        base = base.set_column(pi, "o_orderpriority", pc.if_else(
+            pa.array(hb == 7), pa.scalar("9-SYNTH"),
+            base["o_orderpriority"]))
+        add = t.filter(pa.array(h == 3))
+        ki = add.schema.get_field_index("o_orderkey")
+        add = add.set_column(ki, "o_orderkey", pc.add(
+            add["o_orderkey"], pa.scalar(10_000_000, pa.int64())))
+        api = add.schema.get_field_index("o_orderpriority")
+        add = add.set_column(api, "o_orderpriority", pa.array(
+            np.full(add.num_rows, "0-NEW")))
+        return pa.concat_tables([base, add]).combine_chunks()
+
+    b = a.map_batches(derive, batch_format="pyarrow",
+                      zero_copy_batch=True)
+    out = snapshot_diff(a, b, key="o_orderkey",
+                        compare_cols=[c for c in cols
+                                      if c != "o_orderkey"])
+    tbl = _collect(out)
+    tbl = tbl.take(pc.sort_indices(tbl, sort_keys=[
+        ("key", "ascending")]))
+    return pa.table({"o_orderkey": tbl["key"],
+                     "change": tbl["change"]}).cast(pa.schema([
+                         ("o_orderkey", pa.int64()),
+                         ("change", pa.string())]))
+
+
 # ---------------------------------------------------------------------------
 # registry + oracle SQL
 # ---------------------------------------------------------------------------
@@ -4738,6 +4790,7 @@ QUERIES = {
     "edit_near_dup": q_edit_near_dup,
     "type_overlap": q_type_overlap,
     "part_pairs": q_part_pairs,
+    "orders_diff": q_orders_diff,
     "events_hopping": q_events_hopping,
     "events_ntile": q_events_ntile,
     "events_resample": q_events_resample,
@@ -7101,6 +7154,46 @@ SELECT tok AS token, df, pair,
        ((pair * 1000000) // df)::BIGINT AS conf_x1e6
 FROM stats WHERE pair >= 1 AND tok <> 'spark'
 ORDER BY conf_x1e6 DESC, df DESC, token LIMIT 10
+""",
+    # snapshot diff: the oracle derives version B with the same mix32
+    # (HUGEINT arithmetic + xor) and classifies via a FULL OUTER JOIN
+    # with IS DISTINCT FROM column compares
+    "orders_diff": """
+WITH h1 AS (
+  SELECT *, CAST((CAST(o_orderkey AS HUGEINT) * 2654435761)
+                 % 4294967296 AS BIGINT) AS v
+  FROM orders
+), h2 AS (
+  SELECT * REPLACE (CAST((CAST(xor(v, v >> 16) AS HUGEINT)
+                          * 2246822519) % 4294967296 AS BIGINT) AS v)
+  FROM h1
+), hh AS (
+  SELECT *, xor(v, v >> 13) % 19 AS h FROM h2
+), b AS (
+  SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+         o_orderdate,
+         CASE WHEN h = 7 THEN '9-SYNTH'
+              ELSE o_orderpriority END AS o_orderpriority
+  FROM hh WHERE h <> 0
+  UNION ALL
+  SELECT o_orderkey + 10000000, o_custkey, o_orderstatus,
+         o_totalprice, o_orderdate, '0-NEW'
+  FROM hh WHERE h = 3
+), d AS (
+  SELECT coalesce(a.o_orderkey, b.o_orderkey) AS o_orderkey,
+         CASE WHEN b.o_orderkey IS NULL THEN 'removed'
+              WHEN a.o_orderkey IS NULL THEN 'added'
+              WHEN (a.o_custkey IS DISTINCT FROM b.o_custkey)
+                OR (a.o_orderstatus IS DISTINCT FROM b.o_orderstatus)
+                OR (a.o_totalprice IS DISTINCT FROM b.o_totalprice)
+                OR (a.o_orderdate IS DISTINCT FROM b.o_orderdate)
+                OR (a.o_orderpriority IS DISTINCT FROM
+                    b.o_orderpriority)
+              THEN 'changed' END AS change
+  FROM orders a FULL OUTER JOIN b ON a.o_orderkey = b.o_orderkey
+)
+SELECT o_orderkey, change FROM d WHERE change IS NOT NULL
+ORDER BY o_orderkey
 """,
     # audience overlap: distinct (user, type) pairs self-joined on
     # user with a < b value order — the engine's value-ranked
