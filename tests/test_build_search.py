@@ -220,3 +220,31 @@ def test_bm25_auto_method_identical(engine, oracle_index):
         da, sa = engine.bm25(q, 10, "auto")
         assert de.tolist() == da.tolist()
         assert se.tolist() == sa.tolist()
+
+
+def test_bm25_search_after_pages_tile_deep_topk(engine):
+    """Cursor pagination invariant: walking pages of k=7 via
+    search_after reproduces one deep top-k exactly (ranks, docs,
+    fp64 scores), for head-heavy and rare+head query shapes."""
+    for q in ["bababa babade", corpus.RARE_TERM + " bababa"]:
+        deep_d, deep_s = engine.bm25(q, 50)
+        got_d, got_s = [], []
+        cursor = None
+        while len(got_d) < len(deep_d):
+            d, s = engine.bm25(q, 7, search_after=cursor)
+            if len(d) == 0:
+                break
+            got_d.extend(d.tolist())
+            got_s.extend(s.tolist())
+            cursor = (float(s[-1]), int(d[-1]))
+        n = len(deep_d)  # last 7-row page can overshoot the deep k
+        assert got_d[:n] == deep_d.tolist(), q
+        assert got_s[:n] == deep_s.tolist(), q
+
+
+def test_bm25_search_after_empty_past_end(engine):
+    d, s = engine.bm25("bababa", 10)
+    d2, _ = engine.bm25("bababa", 10,
+                        search_after=(float(s[-1]), int(d[-1])))
+    # cursor strictly advances: nothing from page 1 reappears
+    assert set(d2.tolist()).isdisjoint(set(d.tolist()))

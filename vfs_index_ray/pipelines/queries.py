@@ -4724,6 +4724,30 @@ def q_part_pairs(sf_dir: str) -> pa.Table:
             ("n_orders", pa.int64())]))
 
 
+def q_bm25_page(sf_dir: str) -> pa.Table:
+    """Stateless deep pagination: page 2 (ranks 11-20) of the flagship
+    BM25 query via a ``search_after=(score, doc_id)`` cursor taken
+    from page 1's last hit — page depth costs O(1), never an offset
+    re-rank of prior pages (search.py bm25 search_after).  fp64
+    rank-identical to one deep top-20 (the oracle's row_number
+    window)."""
+    eng = get_engine(sf_dir)
+    ids1, sc1 = eng.bm25(BM25_QUERY, 10)
+    schema = pa.schema([("rank", pa.int64()), ("doc_id", pa.int64()),
+                        ("score_x1e4", pa.int64())])
+    if len(ids1) < 10:
+        return schema.empty_table()
+    cursor = (float(sc1[-1]), int(ids1[-1]))
+    ids2, sc2 = eng.bm25(BM25_QUERY, 10, search_after=cursor)
+    return pa.table({
+        "rank": pa.array(np.arange(11, 11 + len(ids2)), pa.int64()),
+        "doc_id": pa.array(ids2.astype(np.int64), pa.int64()),
+        "score_x1e4": pa.array(
+            np.floor(sc2 * 10000.0 + 0.5).astype(np.int64),
+            pa.int64()),
+    }, schema=schema)
+
+
 def q_orders_diff(sf_dir: str) -> pa.Table:
     """Snapshot diff (incremental-maintenance primitive): classify
     every orderkey as added / removed / changed between the orders
@@ -4791,6 +4815,7 @@ QUERIES = {
     "type_overlap": q_type_overlap,
     "part_pairs": q_part_pairs,
     "orders_diff": q_orders_diff,
+    "bm25_page": q_bm25_page,
     "events_hopping": q_events_hopping,
     "events_ntile": q_events_ntile,
     "events_resample": q_events_resample,
@@ -7154,6 +7179,40 @@ SELECT tok AS token, df, pair,
        ((pair * 1000000) // df)::BIGINT AS conf_x1e6
 FROM stats WHERE pair >= 1 AND tok <> 'spark'
 ORDER BY conf_x1e6 DESC, df DESC, token LIMIT 10
+""",
+    # deep pagination: the oracle ranks the full BM25 result with one
+    # row_number window and slices ranks 11-20 — cursor-equivalence
+    # holds because (score desc, doc_id asc) is a total order
+    "bm25_page": """
+WITH tok AS (
+  SELECT doc_id, unnest(list_filter(regexp_split_to_array(lower(text),
+    '[^a-z0-9]+'), x -> x <> '')) AS tok FROM documents
+), tf AS (
+  SELECT doc_id, tok, count(*)::DOUBLE AS tf FROM tok
+  WHERE tok IN ('spark','join','window') GROUP BY doc_id, tok
+), dl AS (
+  SELECT doc_id, count(*)::DOUBLE AS dl FROM tok GROUP BY doc_id
+), stats AS (
+  SELECT (SELECT count(*) FROM documents)::DOUBLE AS n,
+         (SELECT count(*) FROM tok)::DOUBLE /
+         (SELECT count(*) FROM documents)::DOUBLE AS avgdl
+), df AS (
+  SELECT tok, count(*)::DOUBLE AS df FROM tf GROUP BY tok
+), scores AS (
+  SELECT tf.doc_id,
+         sum(ln(1 + (stats.n - df.df + 0.5)/(df.df + 0.5)) *
+             (tf.tf*2.2/(tf.tf + 1.2*(1 - 0.75 + 0.75*dl.dl/stats.avgdl))))
+           AS score
+  FROM tf JOIN df USING(tok) JOIN dl USING(doc_id) CROSS JOIN stats
+  GROUP BY tf.doc_id
+), ranked AS (
+  SELECT doc_id, score,
+         row_number() OVER (ORDER BY score DESC, doc_id) AS rank
+  FROM scores
+)
+SELECT rank::BIGINT AS rank, doc_id,
+       CAST(floor(score*10000 + 0.5) AS BIGINT) AS score_x1e4
+FROM ranked WHERE rank BETWEEN 11 AND 20 ORDER BY rank
 """,
     # snapshot diff: the oracle derives version B with the same mix32
     # (HUGEINT arithmetic + xor) and classifies via a FULL OUTER JOIN

@@ -469,8 +469,22 @@ class SearchEngine:
         order = np.lexsort((docs, -scores))[:k]
         return docs[order], scores[order]
 
-    def bm25(self, q: str, k: int = 10, method: str = "exact"):
-        """Top-k BM25, OR semantics. Returns (doc_ids, scores)."""
+    def bm25(self, q: str, k: int = 10, method: str = "exact",
+             search_after: tuple[float, int] | None = None):
+        """Top-k BM25, OR semantics. Returns (doc_ids, scores).
+
+        ``search_after=(score, doc_id)`` is the stateless deep-
+        pagination cursor (the last hit of the previous page): only
+        results strictly AFTER it in ``(score desc, doc_id asc)``
+        order qualify, so page N+1 never re-ships or re-ranks pages
+        1..N and the cost of page depth is O(1) — unlike
+        offset-pagination, which re-materializes every prior page.
+        Cursor requests pin the exact scoring path: both pruned paths
+        (MaxScore/blockmax) keep only k candidates above their bound
+        θ, which is the wrong bound under a cursor (the θ-seeded
+        cursor variant — bootstrap θ from the cursor score — is the
+        disk-resident-list optimization; exact keeps pagination fp64
+        rank-identical to a single deep top-k)."""
         import time
         t0 = time.perf_counter()
         tids = sorted(set(self.query_term_ids(q)))  # ascending accumulation
@@ -485,6 +499,8 @@ class SearchEngine:
             # postings on the exact path (see delete_docs semantics)
             loaded = {t: self._live_postings(loaded[t]) for t in tids}
             method = "exact"
+        if search_after is not None:
+            method = "exact"  # see docstring: cursor pins exact
         if method == "auto":
             # measured (BASELINE.md block-size sweep): MaxScore wins on
             # multi-term queries with big lists (term-level pruning, no
@@ -497,7 +513,8 @@ class SearchEngine:
         elif method == "blockmax":
             out = self._bm25_blockmax(tids, loaded, k)
         else:
-            out = self._bm25_exact(tids, loaded, k)
+            out = self._bm25_exact(tids, loaded, k,
+                                   search_after=search_after)
         self.last_query_stats = {
             "query": q, "method": method, "k": k,
             "n_terms": len(tids),
@@ -595,7 +612,7 @@ class SearchEngine:
                 "n_postings": n_postings,
                 "total_tokens": int(self.stats["total_tokens"])}
 
-    def _bm25_exact(self, tids, loaded, k):
+    def _bm25_exact(self, tids, loaded, k, search_after=None):
         # accumulate term-by-term in ascending term_id order: each doc's
         # score is built by the same sequential fp64 additions as the
         # oracle (np.add.reduceat would sum pairwise — NOT order-exact)
@@ -611,6 +628,11 @@ class SearchEngine:
         for p in ps:  # ascending term_id
             pos = np.searchsorted(docs_all, p.docs)
             scores[pos] += p.scores
+        if search_after is not None:
+            cs = float(search_after[0])
+            cd = np.uint64(search_after[1])
+            keep = (scores < cs) | ((scores == cs) & (docs_all > cd))
+            docs_all, scores = docs_all[keep], scores[keep]
         return self._topk(docs_all, scores, k)
 
     # --- MaxScore candidate generation + exact rescore -----------------
