@@ -4724,6 +4724,50 @@ def q_part_pairs(sf_dir: str) -> pa.Table:
             ("n_orders", pa.int64())]))
 
 
+def q_knn_graph(sf_dir: str) -> pa.Table:
+    """Exact cosine 3-NN graph over the embedding corpus via the
+    block-tournament kNN join (functions/knn.py knn_join): P
+    object-store blocks → P(P+1)/2 bounded pair tasks emitting ≤k
+    candidates per vector per side, per-vector merge through the
+    keyed disk shuffle.  The oracle is the quadratic self-join with
+    list_cosine_similarity (exact-kNN ground truth)."""
+    import ray.data
+
+    from ..functions.knn import knn_join
+    _tune_context()
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "embeddings.parquet"),
+        columns=["vec_id", "embedding"])
+    tbl = _collect(knn_join(ds.repartition(4), k=3))
+    tbl = tbl.take(pc.sort_indices(tbl, sort_keys=[
+        ("vec_id", "ascending"), ("rank", "ascending")]))
+    return tbl.select(["vec_id", "nbr_id", "rank", "sim_x1e4"]).cast(
+        pa.schema([("vec_id", pa.int64()), ("nbr_id", pa.int64()),
+                   ("rank", pa.int64()), ("sim_x1e4", pa.int64())]))
+
+
+def q_semdedup(sf_dir: str) -> pa.Table:
+    """SemDeDup (Abbas et al. 2023): seeded-centroid cluster
+    assignment (c-th lowest vec_id — the IVF index's oracle-checked
+    convention) + within-cluster earlier-id neighbor drop at
+    cos ≥ 0.4 on the x1e4 grid (functions/knn.py semdedup).  Emits
+    EVERY row's (cluster, keep) so assignment and verdict both
+    hash-check."""
+    import ray.data
+
+    from ..functions.knn import semdedup
+    _tune_context()
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "embeddings.parquet"),
+        columns=["vec_id", "embedding"])
+    tbl = _collect(semdedup(ds, num_clusters=8, tau_x1e4=4000))
+    tbl = tbl.take(pc.sort_indices(tbl, sort_keys=[
+        ("vec_id", "ascending")]))
+    return tbl.select(["vec_id", "cluster", "keep"]).cast(pa.schema([
+        ("vec_id", pa.int64()), ("cluster", pa.int64()),
+        ("keep", pa.bool_())]))
+
+
 def q_bm25_page(sf_dir: str) -> pa.Table:
     """Stateless deep pagination: page 2 (ranks 11-20) of the flagship
     BM25 query via a ``search_after=(score, doc_id)`` cursor taken
@@ -4816,6 +4860,8 @@ QUERIES = {
     "part_pairs": q_part_pairs,
     "orders_diff": q_orders_diff,
     "bm25_page": q_bm25_page,
+    "knn_graph": q_knn_graph,
+    "semdedup": q_semdedup,
     "events_hopping": q_events_hopping,
     "events_ntile": q_events_ntile,
     "events_resample": q_events_resample,
@@ -5293,7 +5339,7 @@ WITH q AS (
   WHERE vec_id IN (0,1,2)
 ), sims AS (
   SELECT q.query_id, e.vec_id,
-         list_cosine_similarity(q.qe, e.embedding) AS sim
+         list_cosine_similarity(q.qe::DOUBLE[], e.embedding::DOUBLE[]) AS sim
   FROM q CROSS JOIN embeddings e WHERE e.vec_id <> q.query_id
 )
 SELECT query_id, vec_id,
@@ -5308,7 +5354,7 @@ WITH q AS (
   WHERE vec_id IN (0,1,2)
 ), sims AS (
   SELECT q.query_id, e.vec_id,
-         list_cosine_similarity(q.qe, e.embedding) AS sim
+         list_cosine_similarity(q.qe::DOUBLE[], e.embedding::DOUBLE[]) AS sim
   FROM q CROSS JOIN embeddings e
   WHERE e.vec_id <> q.query_id AND e.label = 1
 )
@@ -5330,7 +5376,7 @@ WITH cent AS (
   SELECT e.vec_id, e.embedding, c.c,
          row_number() OVER (
            PARTITION BY e.vec_id
-           ORDER BY list_cosine_similarity(c.ce, e.embedding) DESC, c.c
+           ORDER BY list_cosine_similarity(c.ce::DOUBLE[], e.embedding::DOUBLE[]) DESC, c.c
          ) AS rn
   FROM embeddings e CROSS JOIN cent c
 ), bucket AS (
@@ -5342,12 +5388,12 @@ WITH cent AS (
   SELECT q.query_id, c.c,
          row_number() OVER (
            PARTITION BY q.query_id
-           ORDER BY list_cosine_similarity(c.ce, q.qe) DESC, c.c
+           ORDER BY list_cosine_similarity(c.ce::DOUBLE[], q.qe::DOUBLE[]) DESC, c.c
          ) AS rn
   FROM q CROSS JOIN cent c
 ), sims AS (
   SELECT q.query_id, b.vec_id,
-         list_cosine_similarity(q.qe, b.embedding) AS sim
+         list_cosine_similarity(q.qe::DOUBLE[], b.embedding::DOUBLE[]) AS sim
   FROM q JOIN probe p ON p.query_id = q.query_id AND p.rn <= 4
          JOIN bucket b ON b.b = p.c
   WHERE b.vec_id <> q.query_id
@@ -5404,7 +5450,7 @@ WITH cent AS (
   SELECT e.vec_id, e.embedding, e.label, c.c,
          row_number() OVER (
            PARTITION BY e.vec_id
-           ORDER BY list_cosine_similarity(c.ce, e.embedding) DESC, c.c
+           ORDER BY list_cosine_similarity(c.ce::DOUBLE[], e.embedding::DOUBLE[]) DESC, c.c
          ) AS rn
   FROM embeddings e CROSS JOIN cent c
 ), bucket AS (
@@ -5416,7 +5462,7 @@ WITH cent AS (
   SELECT q.query_id, c.c,
          row_number() OVER (
            PARTITION BY q.query_id
-           ORDER BY list_cosine_similarity(c.ce, q.qe) DESC, c.c
+           ORDER BY list_cosine_similarity(c.ce::DOUBLE[], q.qe::DOUBLE[]) DESC, c.c
          ) AS rn
   FROM q CROSS JOIN cent c
 ), cnt AS (
@@ -5427,7 +5473,7 @@ WITH cent AS (
   GROUP BY q.query_id
 ), sims AS (
   SELECT q.query_id, b.vec_id,
-         list_cosine_similarity(q.qe, b.embedding) AS sim
+         list_cosine_similarity(q.qe::DOUBLE[], b.embedding::DOUBLE[]) AS sim
   FROM q JOIN cnt ON cnt.query_id = q.query_id
          JOIN probe p ON p.query_id = q.query_id
            AND p.rn <= CASE WHEN cnt.n4 >= 5 THEN 4 ELSE 8 END
@@ -5447,7 +5493,7 @@ WITH q AS (
   WHERE vec_id IN (0,1,2)
 ), sims AS (
   SELECT q.query_id, e.vec_id,
-         list_cosine_similarity(q.qe, e.embedding) AS sim
+         list_cosine_similarity(q.qe::DOUBLE[], e.embedding::DOUBLE[]) AS sim
   FROM q CROSS JOIN embeddings e WHERE e.vec_id <> q.query_id
 )
 SELECT query_id, vec_id,
@@ -5646,7 +5692,7 @@ WITH u AS (
   SELECT label, list(cv ORDER BY i) AS cent FROM c GROUP BY label
 ), sims AS (
   SELECT e.vec_id, cl.label,
-         list_cosine_similarity(e.embedding, cl.cent) AS sim
+         list_cosine_similarity(e.embedding::DOUBLE[], cl.cent::DOUBLE[]) AS sim
   FROM embeddings e CROSS JOIN cl
 )
 SELECT vec_id, label::BIGINT AS pred_label,
@@ -5792,7 +5838,7 @@ ORDER BY doc_id
     "embedding_near_dup": """
 WITH sims AS (
   SELECT a.vec_id AS doc_a, b.vec_id AS doc_b,
-         list_cosine_similarity(a.embedding, b.embedding) AS sim
+         list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) AS sim
   FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
 )
 SELECT doc_a, doc_b,
@@ -6986,8 +7032,9 @@ WITH tok AS (
   SELECT embedding AS ae, rn AS arn FROM withe ORDER BY rn LIMIT 1
 ), sims AS (
   SELECT w.doc_id, w.score,
-         list_cosine_similarity(w.embedding,
-                                (SELECT ae FROM anchor)) AS sim
+         list_cosine_similarity(w.embedding::DOUBLE[],
+                                (SELECT ae FROM anchor)::DOUBLE[])
+           AS sim
   FROM withe w WHERE w.rn > (SELECT arn FROM anchor)
 )
 SELECT doc_id,
@@ -7179,6 +7226,49 @@ SELECT tok AS token, df, pair,
        ((pair * 1000000) // df)::BIGINT AS conf_x1e6
 FROM stats WHERE pair >= 1 AND tok <> 'spark'
 ORDER BY conf_x1e6 DESC, df DESC, token LIMIT 10
+""",
+    # exact kNN graph: quadratic self-join ground truth (documented
+    # quadratic-oracle family — the ENGINE is block-bounded, the
+    # oracle is O(n²) by definition of exactness)
+    "knn_graph": """
+WITH sims AS (
+  SELECT a.vec_id AS vec_id, b.vec_id AS nbr_id,
+         list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) AS sim
+  FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
+)
+SELECT vec_id, nbr_id,
+       row_number() OVER (PARTITION BY vec_id
+                          ORDER BY sim DESC, nbr_id)::BIGINT AS rank,
+       CAST(floor(sim*10000 + 0.5) AS BIGINT) AS sim_x1e4
+FROM sims QUALIFY rank <= 3 ORDER BY vec_id, rank
+""",
+    # SemDeDup: same seeded-centroid assignment CTE as ann_ivf_topk,
+    # then an earlier-id same-cluster neighbor EXISTS at the x1e4
+    # threshold
+    "semdedup": """
+WITH cent AS (
+  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS c, embedding AS ce
+  FROM (SELECT * FROM embeddings ORDER BY vec_id LIMIT 8)
+), asg AS (
+  SELECT e.vec_id, e.embedding, c.c,
+         row_number() OVER (
+           PARTITION BY e.vec_id
+           ORDER BY list_cosine_similarity(c.ce::DOUBLE[], e.embedding::DOUBLE[]) DESC, c.c
+         ) AS rn
+  FROM embeddings e CROSS JOIN cent c
+), b AS (
+  SELECT vec_id, embedding, c FROM asg WHERE rn = 1
+), dup AS (
+  SELECT DISTINCT x.vec_id
+  FROM b x JOIN b y ON x.c = y.c AND y.vec_id < x.vec_id
+  WHERE CAST(floor(list_cosine_similarity(x.embedding::DOUBLE[],
+                                           y.embedding::DOUBLE[])
+                   * 10000 + 0.5) AS BIGINT) >= 4000
+)
+SELECT b.vec_id, b.c::BIGINT AS cluster,
+       (dup.vec_id IS NULL) AS keep
+FROM b LEFT JOIN dup ON dup.vec_id = b.vec_id
+ORDER BY b.vec_id
 """,
     # deep pagination: the oracle ranks the full BM25 result with one
     # row_number window and slices ranks 11-20 — cursor-equivalence
