@@ -4844,11 +4844,78 @@ def q_orders_diff(sf_dir: str) -> pa.Table:
                          ("change", pa.string())]))
 
 
+def q_orders_ranked(sf_dir: str) -> pa.Table:
+    """Global ORDER BY with exact ROW_NUMBER ordinals via the
+    sample-split range-partitioned sort (functions/sort.py): routing
+    prefix → hive range spill → per-part full-key sort → cumulative
+    offsets.  Prices rank on the x1e4 grid so engine and SQL agree on
+    ties; the output samples every 97th rank, which pins the global
+    partition offsets without shipping the whole sorted relation
+    through the gate."""
+    import ray.data
+
+    from ..functions.sort import order_by
+    _tune_context()
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_orderkey", "o_totalprice"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        px = np.floor(t["o_totalprice"].to_numpy(zero_copy_only=False)
+                      * 10000.0 + 0.5).astype(np.int64)
+        return pa.table({
+            "o_orderkey": t["o_orderkey"].cast(pa.int64()),
+            "price_x1e4": pa.array(px, pa.int64())})
+
+    out = order_by(ds.map_batches(prep, batch_format="pyarrow",
+                                  zero_copy_batch=True),
+                   [("price_x1e4", "desc"), ("o_orderkey", "asc")],
+                   row_number_col="rn")
+
+    def stride(t: pa.Table) -> pa.Table:
+        rn = t["rn"].to_numpy(zero_copy_only=False)
+        return t.filter(pa.array((rn - 1) % 97 == 0))
+
+    tbl = _collect(out.map_batches(stride, batch_format="pyarrow",
+                                   zero_copy_batch=True))
+    return tbl.select(["o_orderkey", "price_x1e4", "rn"]).sort_by("rn")
+
+
+def q_docs_ordered(sf_dir: str) -> pa.Table:
+    """Global sort on a STRING key (document text): the 8-byte
+    big-endian routing prefix is monotone w.r.t. UTF-8 bytewise order
+    (== DuckDB's binary collation), and rows the prefix cannot
+    distinguish co-partition by construction, so the per-part full-key
+    sort makes the order exact.  Every 97th global ordinal is
+    emitted."""
+    import ray.data
+
+    from ..functions.sort import order_by
+    _tune_context()
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["doc_id", "text"])
+    out = order_by(ds, [("text", "asc"), ("doc_id", "asc")],
+                   row_number_col="rn")
+
+    def stride(t: pa.Table) -> pa.Table:
+        rn = t["rn"].to_numpy(zero_copy_only=False)
+        t = t.filter(pa.array((rn - 1) % 97 == 0))
+        return t.select(["doc_id", "rn"])
+
+    tbl = _collect(out.map_batches(stride, batch_format="pyarrow",
+                                   zero_copy_batch=True))
+    return tbl.cast(pa.schema([("doc_id", pa.int64()),
+                               ("rn", pa.int64())])).sort_by("rn")
+
+
 # ---------------------------------------------------------------------------
 # registry + oracle SQL
 # ---------------------------------------------------------------------------
 
 QUERIES = {
+    "orders_ranked": q_orders_ranked,
+    "docs_ordered": q_docs_ordered,
     "orders_customer_full": q_orders_customer_full,
     "regex_scan": q_regex_scan,
     "table_profile": q_table_profile,
@@ -5009,6 +5076,25 @@ QUERIES = {
 _STOP_SQL = "['the','and','of','to','a','in','is','it']"
 
 ORACLE_SQL = {
+    "orders_ranked": """
+SELECT o_orderkey, price_x1e4, rn FROM (
+  SELECT o_orderkey,
+         CAST(floor(o_totalprice * 10000 + 0.5) AS BIGINT) AS price_x1e4,
+         row_number() OVER (
+           ORDER BY CAST(floor(o_totalprice * 10000 + 0.5) AS BIGINT) DESC,
+                    o_orderkey) AS rn
+  FROM orders)
+WHERE (rn - 1) % 97 = 0
+ORDER BY rn
+""",
+    "docs_ordered": """
+SELECT doc_id, rn FROM (
+  SELECT doc_id,
+         row_number() OVER (ORDER BY text, doc_id) AS rn
+  FROM documents)
+WHERE (rn - 1) % 97 = 0
+ORDER BY rn
+""",
     "more_like_this": f"""
 WITH seed AS (
   SELECT DISTINCT unnest({TOKS}) AS tok FROM documents WHERE doc_id = 7
