@@ -665,3 +665,83 @@ def repartition_index(src_dir: str, out_dir: str, new_num_parts: int) -> dict:
                        {"wave": 0, "files": [f"repartition:{src_dir}"],
                         "n_docs": int(st["n_docs"])})
     return out.finalize()
+
+
+def upsert_docs(index_dir: str, new_files: list[str], out_dir: str, *,
+                id_col: str = "doc_id", old_files: list[str] | None = None,
+                work_dir: str | None = None,
+                keep_work: bool = False, **builder_kw) -> dict:
+    """Re-crawl snapshot absorption: every doc id present in
+    ``new_files`` REPLACES its previous version in ``index_dir``;
+    unseen ids are plain inserts.  The result at ``out_dir`` is
+    statistically identical to a fresh build over the latest-snapshot
+    corpus (live df / n_docs / avgdl — not Lucene's stale-stats
+    delete), because the composition is the one the module docstring
+    prescribes:
+
+    1. tombstone the incoming ids in the old index (idempotent,
+       content-addressed commit — ``SearchEngine.delete_docs``),
+    2. ``purge_tombstones`` → a clean old-minus-replaced index,
+    3. build the new snapshot as its own index (same mode/num_parts/
+       bucket_shift/compression, read from the old index's stats),
+    4. ``merge_indexes`` of the now doc-disjoint pair.
+
+    Every step is independently resumable (sidecar/rename protocol);
+    re-running a crashed upsert converges.  Scale note: a purge
+    rewrites every partition once per call, so batch re-crawl waves
+    and upsert them together — per-document calls would be quadratic.
+
+    ``old_files`` (the previous snapshot's parquet, id column only is
+    read): with it, ``n_docs`` is exact even when a replaced doc had
+    ZERO tokens — such docs have no postings, so the purge cannot see
+    them and would leave them counted.  Without it, ``n_docs`` may
+    overcount by the number of tokenless replaced docs (df, tf and
+    total_tokens are exact either way).
+    Reference parity: vfs-index has no update story at all (its docs
+    are immutable (fileID, offset) records); this is the cluster
+    engine's equivalent of a segment-merging upsert (Lucene
+    updateDocument semantics, but with exact live statistics).
+    """
+    import shutil
+
+    from .search import SearchEngine
+
+    if os.path.exists(os.path.join(out_dir, "stats.json")):
+        return read_stats(out_dir)
+    st = read_stats(index_dir)
+    ids_t = [pq.read_table(f, columns=[id_col], use_threads=False)
+             for f in new_files]
+    ids = pa.concat_tables(ids_t)[id_col].to_numpy(
+        zero_copy_only=False).astype(np.uint64)
+    SearchEngine(index_dir).delete_docs(ids)
+
+    work = work_dir or (out_dir.rstrip("/") + "-work")
+    purged = os.path.join(work, "purged")
+    newidx = os.path.join(work, "new")
+    if not os.path.exists(os.path.join(purged, "stats.json")):
+        purge_tombstones(index_dir, purged)
+    if not os.path.exists(os.path.join(newidx, "stats.json")):
+        IndexBuilder(newidx, mode=st["mode"],
+                     num_parts=int(st["num_parts"]),
+                     bucket_shift=st["bucket_shift"],
+                     compression=st.get("compression", "lz4"),
+                     positions=bool(st.get("positions", False)),
+                     id_col=id_col, **builder_kw).build(new_files)
+    n_override = None
+    if old_files is not None:
+        old_t = [pq.read_table(f, columns=[id_col], use_threads=False)
+                 for f in old_files]
+        old_ids = np.unique(pa.concat_tables(old_t)[id_col].to_numpy(
+            zero_copy_only=False).astype(np.uint64))
+        uniq_new = np.unique(ids)
+        pos = np.searchsorted(old_ids, uniq_new)
+        pos = np.minimum(pos, max(len(old_ids) - 1, 0))
+        n_exist = int((old_ids[pos] == uniq_new).sum()) if len(old_ids) \
+            else 0
+        n_new_rows = sum(len(t) for t in ids_t)
+        n_override = int(st["n_docs"]) - n_exist + n_new_rows
+    merged = merge_indexes([purged, newidx], out_dir,
+                           n_docs_override=n_override)
+    if not keep_work:
+        shutil.rmtree(work, ignore_errors=True)
+    return merged

@@ -4844,6 +4844,51 @@ def q_orders_diff(sf_dir: str) -> pa.Table:
                          ("change", pa.string())]))
 
 
+def q_recrawl_upsert(sf_dir: str) -> pa.Table:
+    """Re-crawl upsert (merge.upsert_docs): docs with ``doc_id % 11 ==
+    5`` arrive as a new snapshot whose text is ``'refreshed revision '
+    || replace(text, 'spark', 'glint')`` — they lose the 'spark' token
+    entirely, so stale postings would be a visible wrong answer and
+    live statistics (df of 'spark' drops, shifting every score) pin
+    the delete→purge→build→merge composition against a BM25 oracle
+    computed over the latest-snapshot corpus."""
+    from .. import __version__
+    from ..build import IndexBuilder
+    from ..merge import upsert_docs
+    src = _doc_file(sf_dir)
+    name = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    root = os.path.join("/tmp", "vfsray_cache",
+                        f"{name}-{_corpus_key(sf_dir, src)}"
+                        f"-v{__version__}-upsq")
+    base = os.path.join(root, "base")
+    if not os.path.exists(os.path.join(base, "stats.json")):
+        IndexBuilder(base, mode="word", num_parts=8,
+                     id_col="doc_id").build([src])
+    v2 = os.path.join(root, "v2.parquet")
+    if not os.path.exists(v2):
+        import pyarrow.parquet as pq
+        t = pq.read_table(src, columns=["doc_id", "text"],
+                          use_threads=False)
+        t = t.filter(pa.array(
+            (t["doc_id"].to_numpy(zero_copy_only=False) % 11) == 5))
+        txt = pc.replace_substring(t["text"], "spark", "glint")
+        txt = pc.binary_join_element_wise(
+            pa.array(["refreshed revision"] * t.num_rows), txt, " ")
+        tmp = v2 + ".tmp"
+        pq.write_table(pa.table({"doc_id": t["doc_id"], "text": txt}),
+                       tmp)
+        os.replace(tmp, v2)
+    latest = os.path.join(root, "latest")
+    upsert_docs(base, [v2], latest, id_col="doc_id", old_files=[src])
+    eng = SearchEngine(latest, corpus_files=[src], id_col="doc_id")
+    docs, scores = eng.bm25(BM25_QUERY, 10)
+    return pa.table({
+        "doc_id": pa.array(docs.astype(np.int64), pa.int64()),
+        "score_x1e4": pa.array(
+            np.floor(scores * 10000.0 + 0.5).astype(np.int64),
+            pa.int64())})
+
+
 def q_orders_ranked(sf_dir: str) -> pa.Table:
     """Global ORDER BY with exact ROW_NUMBER ordinals via the
     sample-split range-partitioned sort (functions/sort.py): routing
@@ -4916,6 +4961,7 @@ def q_docs_ordered(sf_dir: str) -> pa.Table:
 QUERIES = {
     "orders_ranked": q_orders_ranked,
     "docs_ordered": q_docs_ordered,
+    "recrawl_upsert": q_recrawl_upsert,
     "orders_customer_full": q_orders_customer_full,
     "regex_scan": q_regex_scan,
     "table_profile": q_table_profile,
@@ -5094,6 +5140,40 @@ SELECT doc_id, rn FROM (
   FROM documents)
 WHERE (rn - 1) % 97 = 0
 ORDER BY rn
+""",
+    # BM25 over the LATEST-snapshot corpus: docs with doc_id%11=5 were
+    # re-crawled with new text (losing the 'spark' token), absorbed via
+    # delete->purge->build->merge; live stats == fresh build over docs2
+    "recrawl_upsert": f"""
+WITH docs2 AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 11 = 5
+              THEN 'refreshed revision ' || replace(text, 'spark', 'glint')
+              ELSE text END AS text
+  FROM documents
+), tok AS (
+  SELECT doc_id, unnest({TOKS}) AS tok FROM docs2
+), tf AS (
+  SELECT doc_id, tok, count(*)::DOUBLE AS tf FROM tok
+  WHERE tok IN ('spark','join','window') GROUP BY doc_id, tok
+), dl AS (
+  SELECT doc_id, count(*)::DOUBLE AS dl FROM tok GROUP BY doc_id
+), stats AS (
+  SELECT (SELECT count(*) FROM docs2)::DOUBLE AS n,
+         (SELECT count(*) FROM tok)::DOUBLE /
+         (SELECT count(*) FROM docs2)::DOUBLE AS avgdl
+), df AS (
+  SELECT tok, count(*)::DOUBLE AS df FROM tf GROUP BY tok
+), scores AS (
+  SELECT tf.doc_id,
+         sum(ln(1 + (stats.n - df.df + 0.5)/(df.df + 0.5)) *
+             (tf.tf*2.2/(tf.tf + 1.2*(1 - 0.75 + 0.75*dl.dl/stats.avgdl))))
+           AS score
+  FROM tf JOIN df USING(tok) JOIN dl USING(doc_id) CROSS JOIN stats
+  GROUP BY tf.doc_id
+)
+SELECT doc_id, CAST(floor(score*10000 + 0.5) AS BIGINT) AS score_x1e4
+FROM scores ORDER BY score DESC, doc_id LIMIT 10
 """,
     "more_like_this": f"""
 WITH seed AS (
