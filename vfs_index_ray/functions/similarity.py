@@ -174,6 +174,38 @@ class IVFIndex:
     buckets and a failed build can be re-run atomically.
     """
 
+    @staticmethod
+    def _assign_fn(cent_ref, vec_col: str, id_col: str, extra: list):
+        """The shared build/absorb assignment closure: normalize a
+        batch, argmax-cosine against the (broadcast) centroids, emit
+        the hive ``bucket`` column."""
+        import ray
+
+        def assign_bucket(t: pa.Table) -> pa.Table:
+            cm = ray.get(cent_ref)
+            mat = _embedding_matrix(t, vec_col)
+            if mat.shape[0] == 0:
+                cols = {id_col: pa.array([], pa.int64()),
+                        vec_col: pa.array([], pa.list_(pa.float64()))}
+                for c in extra:
+                    cols[c] = t[c]
+                cols["bucket"] = pa.array([], pa.int32())
+                return pa.table(cols)
+            mat = IVFIndex._normalize(mat)
+            b = np.argmax(mat @ cm.T, axis=1).astype(np.int32)
+            flat = mat.ravel()
+            offs = np.arange(0, (len(b) + 1) * mat.shape[1],
+                             mat.shape[1], dtype=np.int32)
+            vec = pa.ListArray.from_arrays(pa.array(offs, pa.int32()),
+                                           pa.array(flat, pa.float64()))
+            cols = {id_col: t[id_col].cast(pa.int64()), vec_col: vec}
+            for c in extra:
+                cols[c] = t[c]
+            cols["bucket"] = pa.array(b, pa.int32())
+            return pa.table(cols)
+
+        return assign_bucket
+
     def __init__(self, path: str, cache_bytes: int = 0):
         """``cache_bytes`` > 0 turns on a byte-capped LRU of DECODED
         buckets (ids + float64 matrix + keep_cols metadata) — the
@@ -196,6 +228,44 @@ class IVFIndex:
         # LRU — selections are tiny (int64 row indices)
         self._filter_cache: OrderedDict[tuple, np.ndarray] = OrderedDict()
         self._filter_cache_max = 256
+        self._waves = self._list_waves()
+
+    def _list_waves(self) -> list[str]:
+        """Committed absorb waves, name-sorted (deterministic read
+        order; results are order-independent anyway — top-k ties break
+        on vec_id).  Waves recorded in ``buckets/_compacted.json`` are
+        already folded into the base tree and are ignored (they exist
+        on disk only if a compact crashed between publish and wave
+        deletion — re-reading them would double-count rows).  A crash
+        in compact's publish gap leaves ``.old.buckets``; restore it."""
+        import json
+        base = os.path.join(self.path, "buckets")
+        old = os.path.join(self.path, ".old.buckets")
+        if not os.path.isdir(base) and os.path.isdir(old):
+            os.replace(old, base)  # interrupted compact publish
+        folded: set[str] = set()
+        man = os.path.join(base, "_compacted.json")
+        if os.path.exists(man):
+            with open(man) as f:
+                folded = set(json.load(f)["waves"])
+        d = os.path.join(self.path, "waves")
+        if not os.path.isdir(d):
+            return []
+        return [os.path.join(d, n) for n in sorted(os.listdir(d))
+                if n.startswith("wave=") and n not in folded]
+
+    def _bucket_dirs(self, c: int) -> list[str]:
+        """Every committed hive dir holding bucket ``c``'s rows: the
+        base build plus each absorb wave."""
+        out = []
+        base = os.path.join(self.path, "buckets", f"bucket={c}")
+        if os.path.isdir(base):
+            out.append(base)
+        for w in self._waves:
+            d = os.path.join(w, f"bucket={c}")
+            if os.path.isdir(d):
+                out.append(d)
+        return out
 
     def _bucket_resident(self, c: int):
         """(ids, mat, meta) for one bucket via the LRU, or None if the
@@ -207,11 +277,13 @@ class IVFIndex:
         if ent is not None:
             self._cache.move_to_end(c)
             return ent[0]
-        d = os.path.join(self.path, "buckets", f"bucket={c}")
-        if not os.path.isdir(d):
+        dirs = self._bucket_dirs(c)
+        if not dirs:
             payload, nbytes = None, 64
         else:
-            tbl = pq.read_table(d, use_threads=False)
+            tbl = pa.concat_tables(
+                [pq.read_table(d, use_threads=False) for d in dirs]
+            ).combine_chunks()
             ids = tbl["vec_id"].to_numpy(zero_copy_only=False
                                          ).astype(np.int64)
             if len(ids) == 0:
@@ -303,31 +375,8 @@ class IVFIndex:
                         if n > 1e-12:
                             cent[c] = v / n
         cent_ref = ray.put(cent)
-
-        extra = list(keep_cols or [])
-
-        def assign_bucket(t: pa.Table) -> pa.Table:
-            cm = ray.get(cent_ref)
-            mat = _embedding_matrix(t, vec_col)
-            if mat.shape[0] == 0:
-                cols = {id_col: pa.array([], pa.int64()),
-                        vec_col: pa.array([], pa.list_(pa.float64()))}
-                for c in extra:
-                    cols[c] = t[c]
-                cols["bucket"] = pa.array([], pa.int32())
-                return pa.table(cols)
-            mat = cls._normalize(mat)
-            b = np.argmax(mat @ cm.T, axis=1).astype(np.int32)
-            flat = mat.ravel()
-            offs = np.arange(0, (len(b) + 1) * mat.shape[1],
-                             mat.shape[1], dtype=np.int32)
-            vec = pa.ListArray.from_arrays(pa.array(offs, pa.int32()),
-                                           pa.array(flat, pa.float64()))
-            cols = {id_col: t[id_col].cast(pa.int64()), vec_col: vec}
-            for c in extra:
-                cols[c] = t[c]
-            cols["bucket"] = pa.array(b, pa.int32())
-            return pa.table(cols)
+        assign_bucket = cls._assign_fn(cent_ref, vec_col, id_col,
+                                       list(keep_cols or []))
 
         # hive-partitioned write: one dir per centroid, so a probe reads
         # only its buckets; tmp + rename = atomic publish
@@ -393,11 +442,13 @@ class IVFIndex:
             return (np.concatenate(ids_l).astype(np.int64),
                     np.concatenate(sims_l), scanned)
         for c in probe:
-            d = os.path.join(self.path, "buckets", f"bucket={c}")
-            if not os.path.isdir(d):  # empty centroid bucket
+            dirs = self._bucket_dirs(c)
+            if not dirs:  # empty centroid bucket
                 continue
-            tbl = pq.read_table(d, columns=["vec_id", "embedding"],
-                                filters=filters, use_threads=False)
+            tbl = pa.concat_tables(
+                [pq.read_table(d, columns=["vec_id", "embedding"],
+                               filters=filters, use_threads=False)
+                 for d in dirs]).combine_chunks()
             if tbl.num_rows == 0:
                 continue
             scanned += tbl.num_rows
@@ -483,6 +534,126 @@ class IVFIndex:
         sims = np.concatenate(sims_l)
         pick = np.lexsort((ids, -sims))[:k]
         return ids[pick], sims[pick]
+
+    def absorb(self, ds, *, vec_col: str = "embedding",
+               id_col: str = "vec_id",
+               keep_cols: list[str] | None = None,
+               tag: str | None = None) -> str:
+        """Incremental vector ingest (streaming re-crawl of the vector
+        side): assign new vectors to the EXISTING centroids and commit
+        them as an immutable wave (``waves/wave=<tag>/bucket=N/``);
+        probes read base + waves, so results are identical to a fresh
+        assignment pass over the union corpus with the same centroids
+        (assignment is stateless argmax-cosine — pinned by test).
+        Centroids never move on absorb; re-train + rebuild when drift
+        matters, ``compact()`` when wave count does.
+
+        ``tag`` defaults to an order-independent content hash of the
+        incoming ids, so re-absorbing the same snapshot is a no-op
+        (the wave publish is tmp+rename atomic; a crashed absorb
+        leaves only an invisible tmp dir that the retry replaces).
+        ``keep_cols`` must match the base build's for filtered
+        search."""
+        import shutil
+
+        import ray
+
+        extra = list(keep_cols or [])
+        if tag is None:
+            def id_mix(t: pa.Table) -> pa.Table:
+                ids = t[id_col].to_numpy(zero_copy_only=False) \
+                    .astype(np.uint64)
+                h = ids * np.uint64(0x9E3779B97F4A7C15)
+                h ^= h >> np.uint64(29)
+                h *= np.uint64(0xBF58476D1CE4E5B9)
+                h ^= h >> np.uint64(32)
+                acc = np.bitwise_xor.reduce(h) if len(h) else np.uint64(0)
+                return pa.table({"h": pa.array([int(acc)], pa.uint64()),
+                                 "n": pa.array([len(h)], pa.int64())})
+            parts = ray.get(ds.map_batches(
+                id_mix, batch_format="pyarrow").to_arrow_refs())
+            hh, nn = np.uint64(0), 0
+            for t in parts:
+                for v, n in zip(t["h"].to_pylist(), t["n"].to_pylist()):
+                    hh ^= np.uint64(v)
+                    nn += int(n)
+            tag = f"{nn}-{int(hh):016x}"
+        wave_dir = os.path.join(self.path, "waves", f"wave={tag}")
+        if os.path.isdir(wave_dir):
+            return wave_dir  # content-addressed: already absorbed
+        tmp = os.path.join(self.path, f".tmp.wave={tag}")
+        shutil.rmtree(tmp, ignore_errors=True)
+        os.makedirs(tmp, exist_ok=True)
+        cent_ref = ray.put(self.centroids)
+        (ds.map_batches(self._assign_fn(cent_ref, vec_col, id_col,
+                                        extra),
+                        batch_format="pyarrow")
+           .write_parquet(tmp, partition_cols=["bucket"]))
+        os.makedirs(os.path.join(self.path, "waves"), exist_ok=True)
+        os.replace(tmp, wave_dir)
+        self._waves = self._list_waves()
+        self._cache.clear()
+        self._cache_used = 0
+        self._filter_cache.clear()
+        return wave_dir
+
+    def compact(self) -> dict:
+        """Fold every absorb wave into the base buckets: one Ray task
+        per bucket reads base + waves, rewrites the bucket sorted by
+        vec_id (deterministic bytes regardless of wave history), and
+        the driver atomically republishes the bucket tree then drops
+        the waves.  Search results are identical before and after
+        (same rows, same centroids)."""
+        import shutil
+
+        import ray
+
+        waves = self._waves
+        if not waves:
+            return {"waves_folded": 0, "buckets": 0}
+        root = self.path
+        nc = len(self.centroids)
+        tmp = os.path.join(root, ".tmp.compact")
+        shutil.rmtree(tmp, ignore_errors=True)
+        os.makedirs(tmp, exist_ok=True)
+
+        @ray.remote(num_cpus=1)
+        def fold(c: int, dirs: list[str], out_root: str) -> int:
+            import pyarrow.parquet as pq
+            tbls = [pq.read_table(d, use_threads=False) for d in dirs]
+            t = pa.concat_tables(tbls).combine_chunks()
+            if t.num_rows == 0:
+                return 0
+            t = t.sort_by("vec_id")
+            od = os.path.join(out_root, f"bucket={c}")
+            os.makedirs(od, exist_ok=True)
+            pq.write_table(t, os.path.join(od, "data.parquet"))
+            return t.num_rows
+
+        jobs = []
+        for c in range(nc):
+            dirs = self._bucket_dirs(c)
+            if dirs:
+                jobs.append(fold.remote(c, dirs, tmp))
+        rows = sum(ray.get(jobs))
+        # manifest inside the new tree: if wave deletion below is
+        # interrupted, _list_waves still ignores the folded waves
+        import json
+        with open(os.path.join(tmp, "_compacted.json"), "w") as f:
+            json.dump({"waves": [os.path.basename(w) for w in waves]}, f)
+        final = os.path.join(root, "buckets")
+        old = os.path.join(root, ".old.buckets")
+        shutil.rmtree(old, ignore_errors=True)
+        os.replace(final, old)
+        os.replace(tmp, final)  # crash between replaces: init restores
+        shutil.rmtree(os.path.join(root, "waves"), ignore_errors=True)
+        shutil.rmtree(old, ignore_errors=True)
+        self._waves = []
+        self._cache.clear()
+        self._cache_used = 0
+        self._filter_cache.clear()
+        return {"waves_folded": len(waves), "buckets": len(jobs),
+                "rows": int(rows)}
 
 
 def centroid_classify(ds, *, vec_col: str = "embedding",

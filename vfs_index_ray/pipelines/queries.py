@@ -4844,6 +4844,67 @@ def q_orders_diff(sf_dir: str) -> pa.Table:
                          ("change", pa.string())]))
 
 
+def q_ann_ivf_absorb(sf_dir: str) -> pa.Table:
+    """Incremental vector ingest (IVFIndex.absorb): the base index is
+    built over ``vec_id % 5 != 0`` with seeded centroids (c-th lowest
+    base vec_id — closed-form), the remaining vectors absorb as an
+    immutable content-addressed wave, and the nprobe=4 search runs
+    over base + wave.  The SQL oracle reproduces the whole thing:
+    centroids from the base subset, assignment + probing over the
+    UNION — stale (base-only) buckets would drop every absorbed
+    neighbor and fail the hash."""
+    import pyarrow.parquet as pqq
+    import ray.data
+
+    from ..functions.similarity import IVFIndex
+    _tune_context()
+    src = os.path.join(sf_dir, "embeddings.parquet")
+    name = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    st0 = os.stat(src)
+    import hashlib
+    key = hashlib.sha1(f"{os.path.abspath(src)}|{st0.st_size}|"
+                       f"{int(st0.st_mtime)}".encode()).hexdigest()[:12]
+    path = os.path.join("/tmp", "vfsray_cache",
+                        f"ivfabs_{name}_{key}_c8s")
+    full = ray.data.read_parquet(src)
+
+    def part(keep_mod0: bool):
+        def f(t: pa.Table) -> pa.Table:
+            v = t["vec_id"].to_numpy(zero_copy_only=False)
+            m = (v % 5 == 0) if keep_mod0 else (v % 5 != 0)
+            return t.filter(pa.array(m))
+        return f
+
+    if not os.path.exists(os.path.join(path, "centroids.npy")):
+        IVFIndex.build(full.map_batches(part(False),
+                                        batch_format="pyarrow",
+                                        zero_copy_batch=True),
+                       path, num_centroids=8, seed_centroids=True)
+    ivf = IVFIndex(path)
+    # content-addressed: re-runs of an already-absorbed snapshot no-op
+    ivf.absorb(full.map_batches(part(True), batch_format="pyarrow",
+                                zero_copy_batch=True))
+    tbl = pqq.read_table(
+        src, filters=[("vec_id", "in", list(ANN_QUERY_IDS))])
+    by_id = dict(zip(tbl["vec_id"].to_pylist(),
+                     tbl["embedding"].to_pylist()))
+    out_q, out_v, out_r, out_s = [], [], [], []
+    for qid in ANN_QUERY_IDS:
+        vec = np.asarray(by_id[qid], np.float64)
+        vids, sims = ivf.search(vec, k=5, nprobe=4, exclude_id=qid)
+        for r, (v, s) in enumerate(zip(vids.tolist(), sims.tolist()), 1):
+            out_q.append(qid)
+            out_v.append(v)
+            out_r.append(r)
+            out_s.append(int(np.floor(s * 10000 + 0.5)))
+    return pa.table({
+        "query_id": pa.array(out_q, pa.int64()),
+        "vec_id": pa.array(out_v, pa.int64()),
+        "rank": pa.array(out_r, pa.int64()),
+        "sim_x1e4": pa.array(out_s, pa.int64()),
+    })
+
+
 def q_recrawl_upsert(sf_dir: str) -> pa.Table:
     """Re-crawl upsert (merge.upsert_docs): docs with ``doc_id % 11 ==
     5`` arrive as a new snapshot whose text is ``'refreshed revision '
@@ -4962,6 +5023,7 @@ QUERIES = {
     "orders_ranked": q_orders_ranked,
     "docs_ordered": q_docs_ordered,
     "recrawl_upsert": q_recrawl_upsert,
+    "ann_ivf_absorb": q_ann_ivf_absorb,
     "orders_customer_full": q_orders_customer_full,
     "regex_scan": q_regex_scan,
     "table_profile": q_table_profile,
@@ -5140,6 +5202,46 @@ SELECT doc_id, rn FROM (
   FROM documents)
 WHERE (rn - 1) % 97 = 0
 ORDER BY rn
+""",
+    # IVF absorb: centroids from the BASE subset (vec_id%5<>0), but
+    # assignment + probing over the UNION — exactly what base+wave
+    # bucket reads produce with stateless argmax-cosine assignment
+    "ann_ivf_absorb": """
+WITH cent AS (
+  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS c, embedding AS ce
+  FROM (SELECT * FROM embeddings WHERE vec_id % 5 <> 0
+        ORDER BY vec_id LIMIT 8)
+), asg AS (
+  SELECT e.vec_id, e.embedding, c.c,
+         row_number() OVER (
+           PARTITION BY e.vec_id
+           ORDER BY list_cosine_similarity(c.ce::DOUBLE[], e.embedding::DOUBLE[]) DESC, c.c
+         ) AS rn
+  FROM embeddings e CROSS JOIN cent c
+), bucket AS (
+  SELECT vec_id, embedding, c AS b FROM asg WHERE rn = 1
+), q AS (
+  SELECT vec_id AS query_id, embedding AS qe FROM embeddings
+  WHERE vec_id IN (0,1,2)
+), probe AS (
+  SELECT q.query_id, c.c,
+         row_number() OVER (
+           PARTITION BY q.query_id
+           ORDER BY list_cosine_similarity(c.ce::DOUBLE[], q.qe::DOUBLE[]) DESC, c.c
+         ) AS rn
+  FROM q CROSS JOIN cent c
+), sims AS (
+  SELECT q.query_id, b.vec_id,
+         list_cosine_similarity(q.qe::DOUBLE[], b.embedding::DOUBLE[]) AS sim
+  FROM q JOIN probe p ON p.query_id = q.query_id AND p.rn <= 4
+         JOIN bucket b ON b.b = p.c
+  WHERE b.vec_id <> q.query_id
+)
+SELECT query_id, vec_id,
+       row_number() OVER (PARTITION BY query_id
+                          ORDER BY sim DESC, vec_id)::BIGINT AS rank,
+       CAST(floor(sim*10000 + 0.5) AS BIGINT) AS sim_x1e4
+FROM sims QUALIFY rank <= 5 ORDER BY query_id, rank
 """,
     # BM25 over the LATEST-snapshot corpus: docs with doc_id%11=5 were
     # re-crawled with new text (losing the 'spark' token), absorbed via
