@@ -60,7 +60,7 @@ def main(argv=None) -> int:
     ap.add_argument("--ops", nargs="*", default=[
         "sessionize", "latest", "asof", "window", "quantiles",
         "running", "topn", "distinct", "hll", "graph",
-        "hopping", "resample", "ntile", "skyline"])
+        "hopping", "resample", "ntile", "skyline", "sort"])
     ap.add_argument("--shuffle", default="disk", choices=["disk", "sort"])
     args = ap.parse_args(argv)
 
@@ -170,6 +170,19 @@ def main(argv=None) -> int:
         t0 = time.perf_counter()
         t = grouped_quantiles(ds(["event_type", "value"]))
         times["quantiles"] = round(time.perf_counter() - t0, 3)
+    if "sort" in args.ops:
+        from vfs_index_ray.functions.sort import order_by
+        t0 = time.perf_counter()
+        run("sort", order_by(
+            ds(["event_id", "user_id", "value"]),
+            [("value", "desc"), ("event_id", "asc")],
+            row_number_col="rn"))
+        # string-key global sort (8-byte routing prefix path)
+        t0 = time.perf_counter()
+        run("sort_str", order_by(
+            ds(["event_id", "event_type", "value"]),
+            [("event_type", "asc"), ("value", "desc"),
+             ("event_id", "asc")], row_number_col="rn"))
     if "graph" in args.ops:
         import numpy as np
         import pyarrow as pa
