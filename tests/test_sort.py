@@ -102,6 +102,30 @@ def test_order_by_skewed_key(ray_session):
     assert got["j"].to_pylist() == exp["j"].to_pylist()
 
 
+def test_order_by_low_cardinality_leading_key_spreads(ray_session):
+    """5-distinct-value leading key: composite routing must spread the
+    data over more partitions than distinct leading values (the 100-TB
+    skew case), while staying exactly ordered."""
+    import ray.data
+    rng = np.random.default_rng(9)
+    n = 30000
+    langs = np.array(["de", "en", "fr", "ja", "pt"])
+    t = pa.table({
+        "lang": pa.array(langs[rng.integers(0, 5, size=n)]),
+        "score": pa.array(rng.permutation(n), pa.int64())})
+    keys = [("lang", "asc"), ("score", "desc")]
+    out = order_by(ray.data.from_arrow(t).repartition(8), keys,
+                   row_number_col="rn", num_parts=12)
+    import ray
+    refs = out.to_arrow_refs()
+    nonempty = sum(1 for b in ray.get(refs) if b.num_rows)
+    assert nonempty > 5, f"routing collapsed to {nonempty} partitions"
+    got = pa.concat_tables(ray.get(refs)).sort_by("rn")
+    exp = _expected(t, keys)
+    assert got["lang"].to_pylist() == exp["lang"].to_pylist()
+    assert got["score"].to_pylist() == exp["score"].to_pylist()
+
+
 def test_order_by_string_routing_prefix_edges(ray_session):
     """Strings sharing an 8-byte prefix but differing later MUST order
     correctly (they co-partition and the local sort uses full keys)."""

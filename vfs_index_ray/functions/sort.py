@@ -8,10 +8,14 @@ this module implements the Spark-RangePartitioner shape on the repo's
 own disk-shuffle substrate instead:
 
 1. **Sample pass** — every input block contributes up to
-   ``sample_per_block`` evenly-spaced values of the PRIMARY sort key,
-   mapped to an order-preserving ``uint64`` routing prefix
-   (:func:`_route_u64`).  The sample (a few KiB per block) is the only
-   thing the driver ever sees.
+   ``sample_per_block`` evenly-spaced routing values
+   (:func:`_routing_values`): the full 64-bit order-preserving map of
+   the primary key, paired for multi-key sorts with the second key's
+   map so a low-cardinality leading key cannot collapse the partition
+   count (pairs are compared EXACTLY — :func:`_pair_route` — because a
+   truncated single-word combination would not be order-monotone).
+   The sample (a few KiB per block) is the only thing the driver ever
+   sees.
 2. **Split points** — P-1 boundaries are drawn from the sorted sample
    quantiles.  P is size-based (``target_bytes`` per partition), so a
    100× input yields ~100× partitions at fixed per-task memory.
@@ -56,16 +60,19 @@ SORT_PART_TARGET_BYTES = 64 * 1024 * 1024
 
 
 def _route_u64(arr: pa.ChunkedArray | pa.Array, *,
-               descending: bool = False) -> np.ndarray:
+               descending: bool = False,
+               byte_offset: int = 0) -> np.ndarray:
     """Order-preserving uint64 routing prefix of an Arrow column.
 
     int/timestamp/date: sign-bit flip.  float32/64: IEEE-754
     total-order transform (negative → all bits flipped, else sign bit
     set) — NaNs route to the top like Arrow/DuckDB sort order.
-    string/binary: first 8 bytes, big-endian, zero-padded — monotone
-    w.r.t. bytewise (== UTF-8 codepoint == DuckDB binary-collation)
-    order.  Nulls always route to UINT64_MAX (nulls-last), applied
-    AFTER the descending inversion so they stay last either way.
+    string/binary: 8 bytes starting at ``byte_offset``, big-endian,
+    zero-padded — monotone w.r.t. bytewise (== UTF-8 codepoint ==
+    DuckDB binary-collation) order, and for two words (offsets 0 and
+    8) lexicographically monotone over the first 16 bytes.  Nulls
+    always route to UINT64_MAX (nulls-last), applied AFTER the
+    descending inversion so they stay last either way.
     """
     if isinstance(arr, pa.ChunkedArray):
         arr = arr.combine_chunks()
@@ -100,11 +107,13 @@ def _route_u64(arr: pa.ChunkedArray | pa.Array, *,
         lens = offs[1:] - starts
         pad = np.zeros((n, 8), np.uint8)
         for j in range(8):  # 8 vectorized passes, not a per-row loop
-            m = lens > j
+            m = lens > j + byte_offset
             if m.any():
-                pad[m, j] = data[starts[m] + j]
+                pad[m, j] = data[starts[m] + j + byte_offset]
         u = pad.view(">u8").astype(np.uint64).reshape(n)
     else:
+        if byte_offset:
+            raise ValueError("byte_offset applies to string keys only")
         raise TypeError(f"order_by: unsupported sort-key type {t}")
     if descending:
         u = ~u
@@ -121,6 +130,60 @@ def _route_u64(arr: pa.ChunkedArray | pa.Array, *,
         u = u.copy()
         u[null_mask] = np.uint64(0xFFFFFFFFFFFFFFFF)
     return u
+
+
+# a string routing word pair (byte offsets 0 and 8) is EXACT — equal
+# words imply equal strings — iff every value fits in 16 bytes; the
+# sample pass proves this with a full-data max-length reduction
+_STR_EXACT_BYTES = 16
+
+
+def _is_str_key(t: pa.Table, col: str) -> bool:
+    ty = t.schema.field(col).type
+    return (pa.types.is_string(ty) or pa.types.is_large_string(ty)
+            or pa.types.is_binary(ty) or pa.types.is_large_binary(ty))
+
+
+def _key_words(t: pa.Table, norm: list[tuple[str, str]],
+               nkeys: int) -> list[np.ndarray]:
+    """Routing word chain for the first ``nkeys`` sort keys: numeric/
+    temporal keys contribute their exact 64-bit map, string keys two
+    prefix words (bytes 0-8 and 8-16).  The chain compares
+    lexicographically and is monotone w.r.t. the full sort order
+    PROVIDED every non-final word is exact — which ``order_by``
+    guarantees by only setting nkeys=2 when key0 is numeric or its
+    global max byte length is ≤ 16 (a lossy non-final word could
+    reorder rows it cannot distinguish across a partition boundary;
+    a lossy FINAL word is always safe because its ties co-partition
+    by the routing rule)."""
+    words: list[np.ndarray] = []
+    for col, d in norm[:nkeys]:
+        desc = d == "descending"
+        words.append(_route_u64(t[col], descending=desc))
+        if _is_str_key(t, col):
+            words.append(_route_u64(t[col], descending=desc,
+                                    byte_offset=8))
+    return words
+
+
+def _route_words(words: list[np.ndarray],
+                 splits: list[np.ndarray]) -> np.ndarray:
+    """Vectorized multi-word searchsorted(side="right"): partition id
+    of each word-tuple against the lexicographically sorted split
+    tuples.  One stable lexsort of splits+data; splits sort before
+    equal data tuples (they come first in the concatenation), so every
+    data tuple equal to a split routes right — all exact routing ties
+    co-partition, the invariant local full-key sorting relies on."""
+    m = len(splits[0])
+    n = len(words[0])
+    if m == 0:
+        return np.zeros(n, np.int64)
+    cols = [np.concatenate([s, w]) for s, w in zip(splits, words)]
+    order = np.lexsort(tuple(reversed(cols)))
+    csum = np.cumsum(order < m)
+    pos = np.empty(m + n, np.int64)
+    pos[order] = np.arange(m + n)
+    return csum[pos[m:]].astype(np.int64)
 
 
 def _norm_keys(keys) -> list[tuple[str, str]]:
@@ -153,28 +216,51 @@ def _num_parts(ds, target_bytes: int) -> int:
     return max(by_size, by_cpu)
 
 
-def _sample_routing(ds, col: str, descending: bool,
-                    sample_per_block: int) -> np.ndarray:
-    """Collect per-block evenly-spaced routing values (driver sees
-    only ~sample_per_block uint64s per block)."""
+def _sample_routing(ds, norm: list[tuple[str, str]],
+                    sample_per_block: int):
+    """Collect per-block evenly-spaced routing word tuples (for up to
+    the first two sort keys) plus, when key0 is a string, the FULL
+    per-block max byte length (computed over every row, so the driver
+    can soundly prove the 16-byte prefix exact).  Returns
+    (word_columns lexsorted, key0_max_len)."""
+    import pyarrow.compute as pc
     import ray
+
+    nkeys = min(2, len(norm))
+    str0 = None  # resolved from the first non-empty batch's schema
 
     def one(batch: pa.Table) -> pa.Table:
         n = batch.num_rows
+        words = _key_words(batch, norm, nkeys)
         if n == 0:
-            return pa.table({"r": pa.array([], pa.uint64())})
+            cols = {f"w{i}": pa.array([], pa.uint64())
+                    for i in range(len(words))}
+            cols["ml"] = pa.array([], pa.int64())
+            return pa.table(cols)
         k = min(sample_per_block, n)
         idx = np.linspace(0, n - 1, k).astype(np.int64)
-        u = _route_u64(batch[col], descending=descending)[idx]
-        return pa.table({"r": pa.array(u, pa.uint64())})
+        cols = {f"w{i}": pa.array(w[idx], pa.uint64())
+                for i, w in enumerate(words)}
+        if _is_str_key(batch, norm[0][0]):
+            ml = pc.max(pc.binary_length(
+                batch[norm[0][0]].cast(pa.large_binary()))).as_py() or 0
+        else:
+            ml = -1  # sentinel: key0 is not a string
+        cols["ml"] = pa.array(np.full(k, int(ml), np.int64))
+        return pa.table(cols)
 
     sample = ds.map_batches(one, batch_format="pyarrow",
                             zero_copy_batch=True)
     tbls = [t for t in ray.get(sample.to_arrow_refs()) if t.num_rows]
     if not tbls:
-        return np.empty(0, np.uint64)
-    return np.sort(np.concatenate(
-        [np.asarray(t["r"].combine_chunks()) for t in tbls]))
+        return [], -1
+    nw = len(tbls[0].column_names) - 1
+    ws = [np.concatenate([np.asarray(t[f"w{i}"].combine_chunks())
+                          for t in tbls]) for i in range(nw)]
+    ml = max(int(np.asarray(t["ml"].combine_chunks()).max())
+             for t in tbls)
+    order = np.lexsort(tuple(reversed(ws)))
+    return [w[order] for w in ws], ml
 
 
 def order_by(ds, keys, *, row_number_col: str | None = None,
@@ -194,12 +280,10 @@ def order_by(ds, keys, *, row_number_col: str | None = None,
     from ..spillfs import open_spill
 
     norm = _norm_keys(keys)
-    col0, dir0 = norm[0]
-    desc0 = dir0 == "descending"
     pa_keys = [(c, d) for c, d in norm]
 
-    sample = _sample_routing(ds, col0, desc0, sample_per_block)
-    if sample.size == 0:  # empty input: schema-preserving no-op
+    ws, max_len0 = _sample_routing(ds, norm, sample_per_block)
+    if not ws or ws[0].size == 0:  # empty input: schema-preserving no-op
         if row_number_col:
             rn = row_number_col
 
@@ -210,16 +294,36 @@ def order_by(ds, keys, *, row_number_col: str | None = None,
                                   zero_copy_batch=True)
         return ds
 
+    # chain length: include key1's words only when key0's word(s) are
+    # EXACT (numeric/temporal, or a string whose PROVEN max byte
+    # length fits the 16-byte prefix) — a lossy non-final word would
+    # break the boundary monotonicity _key_words documents
+    key0_is_str = max_len0 >= 0
+    w0cnt = 2 if key0_is_str else 1
+    if len(norm) == 1:
+        nkeys_eff, nwords = 1, w0cnt
+    elif (not key0_is_str) or max_len0 <= _STR_EXACT_BYTES:
+        nkeys_eff, nwords = 2, len(ws)
+    else:
+        nkeys_eff, nwords = 1, w0cnt
+
     p = num_parts or _num_parts(ds, target_bytes)
     if p > 1:
-        q = np.linspace(0, sample.size - 1, p + 1)[1:-1].astype(np.int64)
-        splits = np.unique(sample[q])  # duplicate quantiles collapse
+        q = np.linspace(0, ws[0].size - 1, p + 1)[1:-1].astype(np.int64)
+        sw = [w[q] for w in ws[:nwords]]
+        # duplicate quantile TUPLES collapse (boundary-diff on the
+        # lex-sorted sample, never np.unique on unsorted data)
+        keep = np.zeros(len(sw[0]), bool)
+        keep[0] = True
+        for w in sw:
+            keep[1:] |= w[1:] != w[:-1]
+        sw = [w[keep] for w in sw]
     else:
-        splits = np.empty(0, np.uint64)
+        sw = [np.empty(0, np.uint64)] * nwords
 
     def add_part(t: pa.Table) -> pa.Table:
-        u = _route_u64(t[col0], descending=desc0)
-        part = np.searchsorted(splits, u, side="right").astype(np.int64)
+        words = _key_words(t, norm, nkeys_eff)[:nwords]
+        part = _route_words(words, sw)
         return t.append_column("__sort_part", pa.array(part, pa.int64()))
 
     sp = open_spill(spill_dir, prefix="gsort_")
