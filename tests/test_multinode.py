@@ -321,6 +321,21 @@ want = con.execute("SELECT l.k, l.v, r.w FROM l JOIN r ON l.k = r.k2").arrow()
 t = norm(pa.concat_tables(ray.get(jr.to_arrow_refs())))
 assert t.equals(norm(want).cast(t.schema))
 print("JOIN_MATCH 1")
+
+from vfs_index_ray.functions.sort import order_by
+st = pa.table({"k": pa.array(g.permutation(20000), pa.int64()),
+               "s": pa.array([f"row {i % 9}" for i in range(20000)])})
+so = order_by(ray.data.from_arrow(st).repartition(6),
+              [("s", "asc"), ("k", "desc")], row_number_col="rn",
+              num_parts=5, spill_dir=spill)
+got = pa.concat_tables(ray.get(so.to_arrow_refs())).sort_by("rn")
+idx = pc.sort_indices(st, sort_keys=[("s", "ascending"),
+                                     ("k", "descending")])
+exp = st.take(idx)
+assert got["s"].to_pylist() == exp["s"].to_pylist()
+assert got["k"].to_pylist() == exp["k"].to_pylist()
+assert got["rn"].to_pylist() == list(range(1, 20001))
+print("SORT_MATCH 1")
 ray.shutdown()
 cluster.shutdown()
 """
@@ -341,3 +356,4 @@ def test_two_node_nonlocal_spill_end_to_end(tmp_path):
     assert "BUILD_BM25_MATCH 1" in res.stdout
     assert "DEDUP_MATCH 1" in res.stdout
     assert "JOIN_MATCH 1" in res.stdout
+    assert "SORT_MATCH 1" in res.stdout

@@ -194,6 +194,33 @@ def test_sorted_write_manifest_and_resume(ray_session, tmp_path):
                for f in kept), "finished parts must not rewrite"
 
 
+def test_read_sorted_range_prunes_files(ray_session, tmp_path):
+    import ray.data
+    from vfs_index_ray.functions.sort import read_sorted_range
+    rng = np.random.default_rng(21)
+    n = 8000
+    t = pa.table({"k": pa.array(rng.permutation(n), pa.int64()),
+                  "v": pa.array(rng.integers(0, 100, n), pa.int64())})
+    out_dir = str(tmp_path / "srt")
+    sorted_write(ray.data.from_arrow(t).repartition(4),
+                 [("k", "asc")], out_dir, num_parts=8)
+    got = read_sorted_range(out_dir, 1000, 1499, key="k")
+    import ray
+    tbl = pa.concat_tables(ray.get(got.to_arrow_refs()))
+    assert sorted(tbl["k"].to_pylist()) == list(range(1000, 1500))
+    # pruning: only files whose [min,max] overlaps the range are read
+    import json
+    with open(out_dir + "/_manifest.json") as f:
+        man = json.load(f)
+    overlapping = sum(1 for e in man.values()
+                      if not (int(e["max"]) < 1000 or int(e["min"]) > 1499))
+    assert overlapping < len(man), "range should not touch every file"
+    # empty range is schema-preserving
+    empty = read_sorted_range(out_dir, -99, -50, key="k")
+    assert empty.count() == 0
+    assert set(empty.schema().names) == {"k", "v"}
+
+
 def test_order_by_empty_and_single_part(ray_session):
     import ray.data
     t = pa.table({"i": pa.array([], pa.int64())})

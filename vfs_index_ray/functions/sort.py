@@ -413,3 +413,41 @@ def sorted_write(ds, keys, out_dir: str, *,
         json.dump(done, f, indent=1, sort_keys=True)
     os.replace(tmp, man_path)
     return done
+
+
+def read_sorted_range(out_dir: str, lo, hi, *, key: str,
+                      columns: list[str] | None = None):
+    """Range scan over a ``sorted_write`` artifact WITHOUT touching
+    data outside the range: the manifest's per-file primary-key
+    min/max prunes whole files on the driver (the generic-relation
+    analog of the index's segment zonemaps), and a parquet row filter
+    pushed into the read trims the boundary files' row groups.
+    ``[lo, hi]`` is inclusive; ``lo``'s Python type parses the
+    manifest's stringified min/max, so int and str keys round-trip
+    exactly (the types ``sorted_write`` is used with).  Returns a Ray
+    Dataset of the matching rows; file-name order is the total order.
+    """
+    import json
+    import os
+
+    import pyarrow.dataset as pads
+    import ray.data
+
+    with open(os.path.join(out_dir, "_manifest.json")) as f:
+        man = json.load(f)
+    keep = []
+    for name in sorted(man):
+        e = man[name]
+        if e["rows"] == 0:
+            continue
+        fmin, fmax = type(lo)(e["min"]), type(lo)(e["max"])
+        if fmax < lo or fmin > hi:
+            continue
+        keep.append(os.path.join(out_dir, name))
+    expr = (pads.field(key) >= lo) & (pads.field(key) <= hi)
+    if not keep:  # schema-preserving empty read off any one file
+        any_f = os.path.join(out_dir, sorted(man)[0])
+        return ray.data.read_parquet(
+            any_f, columns=columns, filter=(pads.field(key) > lo)
+            & (pads.field(key) < lo))
+    return ray.data.read_parquet(keep, columns=columns, filter=expr)
