@@ -4905,6 +4905,51 @@ def q_ann_ivf_absorb(sf_dir: str) -> pa.Table:
     })
 
 
+def q_events_unpivot(sf_dir: str) -> pa.Table:
+    """Unpivot (melt): the per-user pivot's count columns back into
+    (user_id, name, value) rows via functions/reshape.py — a purely
+    per-batch reshape with no shuffle on top of the distributed
+    hash_aggregate.  Sampled to every 97th user to keep the gate
+    output bounded while still crossing the agg + melt path."""
+    import ray.data
+
+    from ..functions.boilerplate import hash_aggregate
+    from ..functions.reshape import unpivot
+    _tune_context()
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["user_id", "event_type"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        cols = {"user_id": t["user_id"]}
+        et = t["event_type"]
+        for ty in _EVENT_TYPES:
+            cols[f"n_{ty}"] = pc.cast(pc.equal(et, ty), pa.int64())
+        return pa.table(cols)
+
+    aggs = [(f"n_{ty}", "sum") for ty in _EVENT_TYPES]
+    out = hash_aggregate(ds, ["user_id"], aggs, prepare=prep)
+    names = [f"n_{ty}" for ty in _EVENT_TYPES]
+    schema = pa.schema([("user_id", pa.int64()),
+                        ("name", pa.string()), ("value", pa.int64())])
+    if out is None:
+        return schema.empty_table()
+
+    def trim(t: pa.Table) -> pa.Table:
+        u = t["user_id"].to_numpy(zero_copy_only=False)
+        t = t.filter(pa.array(u % 97 == 0))
+        return pa.table(dict(
+            [("user_id", t["user_id"])]
+            + [(n, t[f"{n}_sum"]) for n in names]))
+
+    melted = unpivot(out.map_batches(trim, batch_format="pyarrow",
+                                     zero_copy_batch=True),
+                     id_cols=["user_id"], value_cols=names)
+    t = _collect(melted).cast(schema)
+    return t.take(pc.sort_indices(t, sort_keys=[
+        ("user_id", "ascending"), ("name", "ascending")]))
+
+
 def q_recrawl_upsert(sf_dir: str) -> pa.Table:
     """Re-crawl upsert (merge.upsert_docs): docs with ``doc_id % 11 ==
     5`` arrive as a new snapshot whose text is ``'refreshed revision '
@@ -5024,6 +5069,7 @@ QUERIES = {
     "docs_ordered": q_docs_ordered,
     "recrawl_upsert": q_recrawl_upsert,
     "ann_ivf_absorb": q_ann_ivf_absorb,
+    "events_unpivot": q_events_unpivot,
     "orders_customer_full": q_orders_customer_full,
     "regex_scan": q_regex_scan,
     "table_profile": q_table_profile,
@@ -5202,6 +5248,25 @@ SELECT doc_id, rn FROM (
   FROM documents)
 WHERE (rn - 1) % 97 = 0
 ORDER BY rn
+""",
+    "events_unpivot": """
+WITH p AS (
+  SELECT user_id,
+         sum(CASE WHEN event_type='click'    THEN 1 ELSE 0 END)::BIGINT AS n_click,
+         sum(CASE WHEN event_type='error'    THEN 1 ELSE 0 END)::BIGINT AS n_error,
+         sum(CASE WHEN event_type='purchase' THEN 1 ELSE 0 END)::BIGINT AS n_purchase,
+         sum(CASE WHEN event_type='signup'   THEN 1 ELSE 0 END)::BIGINT AS n_signup,
+         sum(CASE WHEN event_type='view'     THEN 1 ELSE 0 END)::BIGINT AS n_view
+  FROM events GROUP BY user_id
+), m AS (
+  SELECT user_id, 'n_click' AS name, n_click AS value FROM p
+  UNION ALL SELECT user_id, 'n_error', n_error FROM p
+  UNION ALL SELECT user_id, 'n_purchase', n_purchase FROM p
+  UNION ALL SELECT user_id, 'n_signup', n_signup FROM p
+  UNION ALL SELECT user_id, 'n_view', n_view FROM p
+)
+SELECT user_id, name, value FROM m WHERE user_id % 97 = 0
+ORDER BY user_id, name
 """,
     # IVF absorb: centroids from the BASE subset (vec_id%5<>0), but
     # assignment + probing over the UNION — exactly what base+wave
