@@ -4905,6 +4905,34 @@ def q_ann_ivf_absorb(sf_dir: str) -> pa.Table:
     })
 
 
+def q_fielded_bm25(sf_dir: str) -> pa.Table:
+    """Multi-field weighted BM25 (search.fielded_bm25): body = the
+    text index, field 2 = a word-mode index over the ``source`` column
+    with its OWN statistics (df over sources, dl=1, avgdl=1); query
+    'spark join src3' so the source field actually discriminates.
+    score = BM25_text + 0.4·BM25_source, complete top-10 via the
+    threshold algorithm + point-probe rescoring."""
+    from .. import __version__
+    from ..search import fielded_bm25
+    body = get_engine(sf_dir)
+    name = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    src = _doc_file(sf_dir)
+    idx = os.path.join("/tmp", "vfsray_cache",
+                       f"{name}-{_corpus_key(sf_dir, src)}"
+                       f"-v{__version__}-srcfield")
+    if not os.path.exists(os.path.join(idx, "stats.json")):
+        IndexBuilder(idx, mode="word", num_parts=4, id_col="doc_id",
+                     text_col="source").build([src])
+    srcf = SearchEngine(idx)
+    docs, scores = fielded_bm25([(body, 1.0), (srcf, 0.4)],
+                                "spark join src3", k=10)
+    return pa.table({
+        "doc_id": pa.array(docs.astype(np.int64), pa.int64()),
+        "score_x1e4": pa.array(
+            np.floor(scores * 10000.0 + 0.5).astype(np.int64),
+            pa.int64())})
+
+
 def q_events_unpivot(sf_dir: str) -> pa.Table:
     """Unpivot (melt): the per-user pivot's count columns back into
     (user_id, name, value) rows via functions/reshape.py — a purely
@@ -5070,6 +5098,7 @@ QUERIES = {
     "recrawl_upsert": q_recrawl_upsert,
     "ann_ivf_absorb": q_ann_ivf_absorb,
     "events_unpivot": q_events_unpivot,
+    "fielded_bm25": q_fielded_bm25,
     "orders_customer_full": q_orders_customer_full,
     "regex_scan": q_regex_scan,
     "table_profile": q_table_profile,
@@ -5248,6 +5277,58 @@ SELECT doc_id, rn FROM (
   FROM documents)
 WHERE (rn - 1) % 97 = 0
 ORDER BY rn
+""",
+    # multi-field BM25: text field + source field, each with its OWN
+    # statistics; combined = body + 0.4*field in that exact fp64 order
+    "fielded_bm25": f"""
+WITH tok AS (
+  SELECT doc_id, unnest({TOKS}) AS tok FROM documents
+), tf AS (
+  SELECT doc_id, tok, count(*)::DOUBLE AS tf FROM tok
+  WHERE tok IN ('spark','join','src3') GROUP BY doc_id, tok
+), dl AS (
+  SELECT doc_id, count(*)::DOUBLE AS dl FROM tok GROUP BY doc_id
+), stats AS (
+  SELECT (SELECT count(*) FROM documents)::DOUBLE AS n,
+         (SELECT count(*) FROM tok)::DOUBLE /
+         (SELECT count(*) FROM documents)::DOUBLE AS avgdl
+), df AS (
+  SELECT tok, count(*)::DOUBLE AS df FROM tf GROUP BY tok
+), body AS (
+  SELECT tf.doc_id,
+         sum(ln(1 + (stats.n - df.df + 0.5)/(df.df + 0.5)) *
+             (tf.tf*2.2/(tf.tf + 1.2*(1 - 0.75 + 0.75*dl.dl/stats.avgdl))))
+           AS score
+  FROM tf JOIN df USING(tok) JOIN dl USING(doc_id) CROSS JOIN stats
+  GROUP BY tf.doc_id
+), stok AS (
+  SELECT doc_id, unnest(list_filter(regexp_split_to_array(
+    lower(source), '[^a-z0-9]+'), x -> x <> '')) AS tok FROM documents
+), stf AS (
+  SELECT doc_id, tok, count(*)::DOUBLE AS tf FROM stok
+  WHERE tok IN ('spark','join','src3') GROUP BY doc_id, tok
+), sdl AS (
+  SELECT doc_id, count(*)::DOUBLE AS dl FROM stok GROUP BY doc_id
+), sstats AS (
+  SELECT (SELECT count(*) FROM documents)::DOUBLE AS n,
+         (SELECT count(*) FROM stok)::DOUBLE /
+         (SELECT count(*) FROM documents)::DOUBLE AS avgdl
+), sdf AS (
+  SELECT tok, count(*)::DOUBLE AS df FROM stf GROUP BY tok
+), fld AS (
+  SELECT stf.doc_id,
+         sum(ln(1 + (sstats.n - sdf.df + 0.5)/(sdf.df + 0.5)) *
+             (stf.tf*2.2/(stf.tf + 1.2*(1 - 0.75 + 0.75*sdl.dl/sstats.avgdl))))
+           AS score
+  FROM stf JOIN sdf USING(tok) JOIN sdl USING(doc_id) CROSS JOIN sstats
+  GROUP BY stf.doc_id
+), comb AS (
+  SELECT COALESCE(b.doc_id, f.doc_id) AS doc_id,
+         COALESCE(b.score, 0) + 0.4 * COALESCE(f.score, 0) AS score
+  FROM body b FULL OUTER JOIN fld f ON b.doc_id = f.doc_id
+)
+SELECT doc_id, CAST(floor(score*10000 + 0.5) AS BIGINT) AS score_x1e4
+FROM comb ORDER BY score DESC, doc_id LIMIT 10
 """,
     "events_unpivot": """
 WITH p AS (

@@ -540,6 +540,39 @@ class SearchEngine:
         out["terms"] = {tok: loaded[tid].df for tok, tid in pairs}
         return out
 
+    def bm25_scores_for(self, q: str, doc_ids) -> tuple[np.ndarray,
+                                                        np.ndarray]:
+        """Exact BM25 scores of SPECIFIC documents — the random-access
+        scoring primitive rank fusion needs (fielded_bm25's threshold
+        algorithm).  Decodes only the skip blocks that can contain the
+        targets (the J2/J4 point-probe path, never the full lists) and
+        accumulates per term in ascending term_id order with the same
+        sequential fp64 additions as the full scorer, so a doc's score
+        here is bit-identical to its score in ``bm25``.  Tombstoned
+        docs score 0.  Returns (sorted-unique doc_ids, scores)."""
+        targets = np.unique(np.asarray(doc_ids, np.uint64))
+        scores = np.zeros(len(targets), np.float64)
+        if len(targets) == 0 or not self.ndocs:
+            return targets, scores
+        tids = sorted(set(self.query_term_ids(q)))
+        if not tids:
+            return targets, scores
+        loaded = self.load_terms(tids)
+        for t in tids:  # ascending term_id: oracle-parity accumulation
+            p = loaded[t]
+            if p.df == 0:
+                continue
+            tf, dl, hit = self._probe_blocks(p, targets)
+            if hit.any():
+                scores[hit] += self._term_score(
+                    tf[hit], np.maximum(dl[hit], 1), p.df)
+        if len(self.tombstones):
+            pos = np.minimum(np.searchsorted(self.tombstones, targets),
+                             len(self.tombstones) - 1)
+            dead = self.tombstones[pos] == targets
+            scores[dead] = 0.0
+        return targets, scores
+
     def weighted_or(self, weights: dict[str, int], k: int = 10,
                     exclude=None):
         """Integer-weighted disjunctive top-k — the more-like-this
@@ -1646,6 +1679,50 @@ class QueryActor:
             "doc_id": pa.array(doc_out, pa.uint64()),
             "score": pa.array(score_out, pa.float64()),
         })
+
+
+def fielded_bm25(fields: list[tuple["SearchEngine", float]], q: str,
+                 k: int = 10):
+    """Weighted multi-field BM25 (the Lucene multi-field boost query:
+    ``score(d) = Σ_f w_f · BM25_f(q, d)`` — each field its own index
+    with its own df/N/avgdl statistics).  Complete top-k via the
+    threshold algorithm: retrieve each field's top-K (doubling K),
+    exact-score the candidate UNION in every field with
+    ``bm25_scores_for`` point probes, and stop once the kth combined
+    score strictly exceeds ``Σ_f w_f · (f's Kth retrieved score)`` —
+    any document outside every retrieved list is bounded above by
+    that sum, so no unseen doc can displace the returned k (ties
+    included, because the stop is strict).  Terminates at candidate
+    exhaustion otherwise.  fp64 parity: combined scores accumulate
+    field-by-field in the given order starting from 0.0, matching a
+    SQL ``w1*s1 + w2*s2`` transcription exactly.
+
+    Reference parity: vfs-index indexes one column per index directory
+    (column.go); multi-field scoring is the extension-surface analog
+    of querying several of its column indexes at once."""
+    if not fields:
+        return np.empty(0, np.uint64), np.empty(0, np.float64)
+    K = max(64, 2 * k)
+    while True:
+        tops = [eng.bm25(q, K) for eng, _ in fields]
+        exhausted = all(len(ids) < K for ids, _ in tops)
+        floor = sum(w * (sc[K - 1] if len(sc) >= K else 0.0)
+                    for (ids, sc), (_, w) in zip(tops, fields))
+        cand = np.unique(np.concatenate(
+            [ids for ids, _ in tops]).astype(np.uint64))
+        if len(cand) == 0:
+            return np.empty(0, np.uint64), np.empty(0, np.float64)
+        comb = np.zeros(len(cand), np.float64)
+        for eng, w in fields:
+            _, s = eng.bm25_scores_for(q, cand)
+            comb += w * s
+        order = np.lexsort((cand.astype(np.int64), -comb))[:k]
+        if exhausted:
+            break
+        if len(order) == k and comb[order[-1]] > floor:
+            break
+        K *= 2
+    return cand[order], comb[order]
 
 
 def bm25_topk_ray(index_dir: str, q: str, k: int = 10):
