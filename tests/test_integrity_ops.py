@@ -1,0 +1,91 @@
+"""Round-5 fifth-session additions: per-group OLS moments, the
+order-independent table checksum, and deterministic exact-k sampling —
+each pinned against a brute-force recomputation of the same integer
+arithmetic (the DuckDB differential is the oracle gate's job)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_events_ols_matches_bruteforce(ray_session):
+    from vfs_index_ray.pipelines.queries import _sdiv, q_events_ols
+
+    got = q_events_ols(SF).to_pylist()
+    t = pq.read_table(f"{SF}/events.parquet",
+                      columns=["event_type", "ts", "value"])
+    x = (t["ts"].cast(pa.int64()).to_numpy() // 60_000_000
+         - 28_401_120)
+    y = np.floor(t["value"].to_numpy() * 10000.0 + 0.5).astype(np.int64)
+    et = np.asarray(t["event_type"].to_pylist())
+    want = {}
+    for e in np.unique(et):
+        m = et == e
+        n = int(m.sum())
+        sx, sy = int(x[m].sum()), int(y[m].sum())
+        sxx = sum(int(v) * int(v) for v in x[m])
+        sxy = sum(int(a) * int(b) for a, b in zip(x[m], y[m]))
+        den = n * sxx - sx * sx
+        want[e] = (n, _sdiv((n * sxy - sx * sy) * 10**6, den),
+                   _sdiv(sy * sxx - sx * sxy, den))
+    assert len(got) == len(want)
+    for r in got:
+        n, s, i = want[r["event_type"]]
+        assert (r["n"], r["slope_x1e6"], r["icept_x1e4"]) == (n, s, i)
+    # sanity: integer slope tracks the float least-squares fit
+    for r in got:
+        m = et == r["event_type"]
+        fit = np.polyfit(x[m].astype(float), y[m].astype(float), 1)
+        assert abs(r["slope_x1e6"] / 1e6 - fit[0]) < 1e-3
+
+
+def test_table_checksum_detects_mutation_and_order(ray_session, tmp_path):
+    """The digest is invariant to row order but flips on a single-cent
+    mutation of one row — the property that makes it a copy check."""
+    import shutil
+
+    from vfs_index_ray.pipelines.queries import q_table_checksum
+
+    base = q_table_checksum(SF).to_pylist()
+    assert [r["tbl"] for r in base] == ["lineitem", "orders"]
+
+    work = tmp_path / "sf"
+    work.mkdir()
+    for f in ("lineitem", "orders"):
+        shutil.copy(f"{SF}/{f}.parquet", work / f"{f}.parquet")
+    # permuted orders -> identical digest
+    t = pq.read_table(f"{SF}/orders.parquet")
+    perm = t.take(pc.sort_indices(t, sort_keys=[("o_custkey",
+                                                 "ascending")]))
+    pq.write_table(perm, work / "orders.parquet")
+    same = q_table_checksum(str(work)).to_pylist()
+    assert same == base
+    # one cent on one row -> digest flips, count doesn't
+    price = t["o_totalprice"].to_numpy(zero_copy_only=False).copy()
+    price[0] += 0.01
+    mut = t.set_column(t.schema.get_field_index("o_totalprice"),
+                       "o_totalprice", pa.array(price))
+    pq.write_table(mut, work / "orders.parquet")
+    diff = q_table_checksum(str(work)).to_pylist()
+    assert diff[0] == base[0]                      # lineitem untouched
+    assert diff[1]["n"] == base[1]["n"]
+    assert diff[1]["hash_sum"] != base[1]["hash_sum"]
+
+
+def test_sample_exact_k_is_bottom_k(ray_session):
+    from vfs_index_ray.hashing import mix32
+    from vfs_index_ray.pipelines.queries import q_sample_exact_k
+
+    got = q_sample_exact_k(SF)
+    ids = pq.read_table(f"{SF}/documents.parquet",
+                        columns=["doc_id"])["doc_id"].to_numpy()
+    pri = mix32(ids)
+    order = np.lexsort((ids, pri))[:100]
+    assert got.num_rows == min(100, len(ids))
+    assert got["doc_id"].to_pylist() == list(ids[order])
+    assert got["priority"].to_pylist() == list(pri[order])

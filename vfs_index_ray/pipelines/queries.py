@@ -5088,6 +5088,160 @@ def q_docs_ordered(sf_dir: str) -> pa.Table:
                                ("rn", pa.int64())])).sort_by("rn")
 
 
+def _sdiv(a: int, b: int) -> int:
+    """Sign-safe scaled division shared with the oracle SQL: floor
+    division of |a| by b (b > 0), sign re-applied — identical to the
+    CASE WHEN a < 0 THEN -((-a) // b) ELSE a // b END HUGEINT
+    expression, so negative slopes/intercepts stay bit-stable."""
+    return -((-a) // b) if a < 0 else a // b
+
+
+def q_events_ols(sf_dir: str) -> pa.Table:
+    """Per-type simple linear regression (value vs time) from ONE pass
+    of integer moment partials (n, Σx, Σy, Σx², Σxy with x = minutes
+    since 2024-01-01, y on the x1e4 grid) — zero shuffle; the closing
+    normal-equation arithmetic (slope = (nΣxy−ΣxΣy)/(nΣx²−(Σx)²),
+    intercept = (ΣyΣx²−ΣxΣxy)/den) runs in arbitrary-precision Python
+    ints here and HUGEINT in the oracle.  Reference analog: vfs-index
+    only counts per key (query.go); this is the regression companion
+    for trend extraction over event streams at 100-TB scale."""
+    import ray.data
+
+    from ..functions.boilerplate import partial_aggregate
+    _tune_context()
+    ds = ray.data.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                               columns=["event_type", "ts", "value"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        x = (t["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+             // 60_000_000) - 28_401_120
+        y = np.floor(t["value"].to_numpy(zero_copy_only=False)
+                     * 10000.0 + 0.5).astype(np.int64)
+        return pa.table({"event_type": t["event_type"],
+                         "x": pa.array(x, pa.int64()),
+                         "y": pa.array(y, pa.int64()),
+                         "xx": pa.array(x * x, pa.int64()),
+                         "xy": pa.array(x * y, pa.int64())})
+
+    out = partial_aggregate(ds, ["event_type"],
+                            [("x", "count"), ("x", "sum"), ("y", "sum"),
+                             ("xx", "sum"), ("xy", "sum")], prepare=prep)
+    schema = pa.schema([("event_type", pa.string()), ("n", pa.int64()),
+                        ("slope_x1e6", pa.int64()),
+                        ("icept_x1e4", pa.int64())])
+    if out is None:
+        return schema.empty_table()
+    rows = []
+    for e, n, sx, sy, sxx, sxy in zip(
+            out["event_type"].to_pylist(), out["x_count"].to_pylist(),
+            out["x_sum"].to_pylist(), out["y_sum"].to_pylist(),
+            out["xx_sum"].to_pylist(), out["xy_sum"].to_pylist()):
+        n, sx, sy, sxx, sxy = (int(n), int(sx), int(sy), int(sxx),
+                               int(sxy))
+        den = n * sxx - sx * sx
+        num = n * sxy - sx * sy
+        inum = sy * sxx - sx * sxy
+        rows.append({
+            "event_type": e, "n": n,
+            "slope_x1e6": _sdiv(num * 1_000_000, den) if den else 0,
+            "icept_x1e4": _sdiv(inum, den) if den else 0})
+    rows.sort(key=lambda r: r["event_type"])
+    return pa.Table.from_pylist(rows, schema=schema)
+
+
+def q_table_checksum(sf_dir: str) -> pa.Table:
+    """Order-independent table integrity checksum — the 100-TB
+    copy-verification primitive (did the migrated / re-partitioned /
+    re-crawled copy keep every row bit-intact?).  Each row folds its
+    identifying columns into one int64 key, mix32-hashes it, and the
+    COMMUTATIVE sum of hashes (mod 2^63) makes the digest independent
+    of partitioning, block order, and parallelism: per-batch (n, Σh)
+    partials are all that move, merged in Python ints.  Reference
+    analog: vfs-index trusts file sizes/mtimes (file.go); this is the
+    content-level check its merge protocol lacks."""
+    import ray.data
+
+    from ..hashing import mix32
+    _tune_context()
+
+    def fold_orders(t: pa.Table) -> pa.Table:
+        k = (t["o_orderkey"].to_numpy(zero_copy_only=False) * 1_000_003
+             + t["o_custkey"].to_numpy(zero_copy_only=False) * 10_007
+             + np.floor(t["o_totalprice"].to_numpy(zero_copy_only=False)
+                        * 100.0 + 0.5).astype(np.int64) * 31)
+        h = mix32(k)
+        return pa.table({"n": pa.array([len(h)], pa.int64()),
+                         "s": pa.array([int(h.sum())], pa.int64())})
+
+    def fold_line(t: pa.Table) -> pa.Table:
+        k = (t["l_orderkey"].to_numpy(zero_copy_only=False) * 1_000_003
+             + t["l_linenumber"].to_numpy(zero_copy_only=False)
+               .astype(np.int64) * 10_007
+             + np.floor(t["l_extendedprice"]
+                        .to_numpy(zero_copy_only=False)
+                        * 100.0 + 0.5).astype(np.int64) * 31)
+        h = mix32(k)
+        return pa.table({"n": pa.array([len(h)], pa.int64()),
+                         "s": pa.array([int(h.sum())], pa.int64())})
+
+    specs = [("lineitem", "lineitem.parquet",
+              ["l_orderkey", "l_linenumber", "l_extendedprice"],
+              fold_line),
+             ("orders", "orders.parquet",
+              ["o_orderkey", "o_custkey", "o_totalprice"], fold_orders)]
+    rows = []
+    for name, fname, cols, fold in specs:
+        ds = ray.data.read_parquet(os.path.join(sf_dir, fname),
+                                   columns=cols)
+        part = _collect(ds.map_batches(fold, batch_format="pyarrow",
+                                       zero_copy_batch=True))
+        n = sum(int(v) for v in part["n"].to_pylist())
+        s = sum(int(v) for v in part["s"].to_pylist())
+        rows.append({"tbl": name, "n": n,
+                     "hash_sum": s % (1 << 63)})
+    return pa.Table.from_pylist(rows, schema=pa.schema(
+        [("tbl", pa.string()), ("n", pa.int64()),
+         ("hash_sum", pa.int64())]))
+
+
+def q_sample_exact_k(sf_dir: str) -> pa.Table:
+    """Deterministic EXACT-k sample: the k rows with the smallest
+    (mix32(doc_id), doc_id) priority — unlike Bernoulli sampling
+    (``sample`` / ``weighted_sample``) the output size is exactly k
+    regardless of corpus size, yet still partitioning-independent and
+    stable under re-runs.  Distributed as per-batch top-k partials
+    (each batch ships at most k rows) + one driver merge — a trillion
+    rows move only tasks × k rows.  Reference analog: none (vfs-index
+    has no sampling); standard bottom-k sketch."""
+    import ray.data
+
+    from ..hashing import mix32
+    _tune_context()
+    k = 100
+    ds = ray.data.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                               columns=["doc_id", "source", "n_chars"])
+
+    def topk(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        pri = mix32(ids)
+        idx = np.lexsort((ids, pri))[:k]
+        return pa.table({"doc_id": pa.array(ids[idx], pa.int64()),
+                         "priority": pa.array(pri[idx], pa.int64()),
+                         "source": t["source"].take(pa.array(idx)),
+                         "n_chars": t["n_chars"].take(pa.array(idx))})
+
+    part = _collect(ds.map_batches(topk, batch_format="pyarrow",
+                                   zero_copy_batch=True))
+    if part.num_rows == 0:
+        return pa.schema([("doc_id", pa.int64()),
+                          ("priority", pa.int64()),
+                          ("source", pa.string()),
+                          ("n_chars", pa.int64())]).empty_table()
+    order = pc.sort_indices(part, sort_keys=[("priority", "ascending"),
+                                             ("doc_id", "ascending")])
+    return part.take(order.slice(0, k))
+
+
 # ---------------------------------------------------------------------------
 # registry + oracle SQL
 # ---------------------------------------------------------------------------
@@ -5254,6 +5408,9 @@ QUERIES = {
     "autocomplete": q_autocomplete,
     "related_terms": q_related_terms,
     "events_quantiles_cont": q_events_quantiles_cont,
+    "events_ols": q_events_ols,
+    "table_checksum": q_table_checksum,
+    "sample_exact_k": q_sample_exact_k,
 }
 
 _STOP_SQL = "['the','and','of','to','a','in','is','it']"
@@ -7807,5 +7964,81 @@ JOIN r lo ON lo.event_type = b.event_type AND lo.rn = b.idx
 JOIN r hi ON hi.event_type = b.event_type
          AND hi.rn = LEAST(b.idx + 1, b.n - 1)
 ORDER BY b.event_type, b.pct
+""",
+    "events_ols": """
+WITH e AS (
+  SELECT event_type,
+         (epoch_us(ts) // 60000000) - 28401120 AS x,
+         CAST(floor(value * 10000 + 0.5) AS BIGINT) AS y
+  FROM events
+), g AS (
+  SELECT event_type, count(*)::HUGEINT AS n,
+         sum(x::HUGEINT) AS sx, sum(y::HUGEINT) AS sy,
+         sum((x::HUGEINT) * x) AS sxx, sum((x::HUGEINT) * y) AS sxy
+  FROM e GROUP BY 1
+), c AS (
+  SELECT event_type, n,
+         n * sxy - sx * sy AS num,
+         n * sxx - sx * sx AS den,
+         sy * sxx - sx * sxy AS inum
+  FROM g
+)
+SELECT event_type, n::BIGINT AS n,
+  (CASE WHEN den = 0 THEN 0
+        WHEN num < 0 THEN -(((-num) * 1000000) // den)
+        ELSE (num * 1000000) // den END)::BIGINT AS slope_x1e6,
+  (CASE WHEN den = 0 THEN 0
+        WHEN inum < 0 THEN -((-inum) // den)
+        ELSE inum // den END)::BIGINT AS icept_x1e4
+FROM c ORDER BY event_type
+""",
+    "table_checksum": """
+WITH ok AS (
+  SELECT (CAST(o_orderkey AS BIGINT) * 1000003
+          + o_custkey * 10007
+          + CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) * 31) AS k
+  FROM orders
+), lk AS (
+  SELECT (CAST(l_orderkey AS BIGINT) * 1000003
+          + CAST(l_linenumber AS BIGINT) * 10007
+          + CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) * 31)
+         AS k
+  FROM lineitem
+), oh AS (
+  SELECT xor(v2, v2 >> 13) AS h FROM (
+    SELECT CAST((CAST(xor(v1, v1 >> 16) AS HUGEINT) * 2246822519)
+                % 4294967296 AS BIGINT) AS v2
+    FROM (SELECT CAST((CAST(k AS HUGEINT) * 2654435761)
+                      % 4294967296 AS BIGINT) AS v1 FROM ok))
+), lh AS (
+  SELECT xor(v2, v2 >> 13) AS h FROM (
+    SELECT CAST((CAST(xor(v1, v1 >> 16) AS HUGEINT) * 2246822519)
+                % 4294967296 AS BIGINT) AS v2
+    FROM (SELECT CAST((CAST(k AS HUGEINT) * 2654435761)
+                      % 4294967296 AS BIGINT) AS v1 FROM lk))
+)
+SELECT 'lineitem' AS tbl, count(*)::BIGINT AS n,
+       (sum(h::HUGEINT) % 9223372036854775808)::BIGINT AS hash_sum
+FROM lh
+UNION ALL
+SELECT 'orders' AS tbl, count(*)::BIGINT AS n,
+       (sum(h::HUGEINT) % 9223372036854775808)::BIGINT AS hash_sum
+FROM oh
+ORDER BY tbl
+""",
+    "sample_exact_k": """
+WITH h AS (
+  SELECT doc_id, source, n_chars, xor(v2, v2 >> 13) AS priority
+  FROM (
+    SELECT doc_id, source, n_chars,
+           CAST((CAST(xor(v1, v1 >> 16) AS HUGEINT) * 2246822519)
+                % 4294967296 AS BIGINT) AS v2
+    FROM (SELECT doc_id, source, n_chars,
+                 CAST((CAST(doc_id AS HUGEINT) * 2654435761)
+                      % 4294967296 AS BIGINT) AS v1
+          FROM documents))
+)
+SELECT doc_id, priority, source, n_chars FROM h
+ORDER BY priority, doc_id LIMIT 100
 """,
 }
