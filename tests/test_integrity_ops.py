@@ -89,3 +89,58 @@ def test_sample_exact_k_is_bottom_k(ray_session):
     assert got.num_rows == min(100, len(ids))
     assert got["doc_id"].to_pylist() == list(ids[order])
     assert got["priority"].to_pylist() == list(pri[order])
+
+
+def test_events_mad_matches_bruteforce(ray_session):
+    from vfs_index_ray.pipelines.queries import q_events_mad
+
+    got = q_events_mad(SF).to_pylist()
+    t = pq.read_table(f"{SF}/events.parquet",
+                      columns=["event_type", "value"])
+    v = np.floor(t["value"].to_numpy() * 10000.0 + 0.5).astype(np.int64)
+    et = np.asarray(t["event_type"].to_pylist())
+    for r in got:
+        g = np.sort(v[et == r["event_type"]])
+        n = len(g)
+        rk = (n * 50 + 99) // 100
+        med = int(g[rk - 1])
+        dv = np.sort(np.abs(g - med))
+        assert r["n"] == n
+        assert r["median_x1e4"] == med
+        assert r["mad_x1e4"] == int(dv[rk - 1])
+
+
+def test_mad_is_outlier_robust(ray_session):
+    """One planted 1e6 outlier leaves the MAD unchanged (the property
+    variance lacks)."""
+    import ray.data
+
+    from vfs_index_ray.functions.quantiles import grouped_mad
+
+    vals = np.concatenate([np.arange(1, 1002, dtype=np.float64)])
+    base = pa.table({"k": pa.array(["a"] * len(vals)),
+                     "v": pa.array(vals)})
+    spiked = pa.table({"k": pa.array(["a"] * (len(vals) + 1)),
+                       "v": pa.array(np.append(vals, 1e6))})
+    m0 = grouped_mad(ray.data.from_arrow(base), key_col="k",
+                     val_col="v").to_pylist()[0]
+    m1 = grouped_mad(ray.data.from_arrow(spiked), key_col="k",
+                     val_col="v").to_pylist()[0]
+    assert m0["mad_x1e4"] == 250 * 10000
+    assert m1["mad_x1e4"] == m0["mad_x1e4"]
+
+
+def test_embedding_gram_matches_numpy(ray_session):
+    from vfs_index_ray.pipelines.queries import q_embedding_gram
+
+    got = q_embedding_gram(SF)
+    t = pq.read_table(f"{SF}/embeddings.parquet", columns=["embedding"])
+    q = np.floor(np.asarray(t["embedding"].to_pylist(),
+                            dtype=np.float64) * 10000.0
+                 + 0.5).astype(np.int64)
+    g = q.T @ q
+    iu, ju = np.triu_indices(64)
+    assert got.num_rows == len(iu)
+    assert got["i"].to_pylist() == list(iu + 1)
+    assert got["j"].to_pylist() == list(ju + 1)
+    assert got["sum_x1e8"].to_pylist() == list(g[iu, ju])

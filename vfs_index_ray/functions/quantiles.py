@@ -34,6 +34,40 @@ import pyarrow as pa
 from .boilerplate import _group_counts
 
 
+def grouped_value_counts(ds, *, key_col: str, val_col: str,
+                         scale: int = 10_000) -> pa.Table | None:
+    """The shared substrate of every exact grid statistic (quantiles,
+    MAD): merged (k, v, n) counts of ``floor(val*scale + 0.5)`` per
+    key — per-batch Arrow hash-agg partials collected as object-store
+    Arrow refs (never per-row dicts; measured 121 s -> ~15 s at 10M
+    events), one driver-side merge.  Nulls excluded.  Returns None on
+    an empty input; the result is keys × grid-points sized, NOT input
+    sized."""
+    import ray
+
+    def partial(batch: pa.Table) -> pa.Table:
+        k = batch[key_col]
+        if isinstance(k, pa.ChunkedArray):
+            k = k.combine_chunks()
+        v = batch[val_col].to_numpy(zero_copy_only=False)
+        ok = ~np.isnan(v)
+        vq = np.floor(v[ok] * scale + 0.5).astype(np.int64)
+        t = pa.table({"k": k.filter(pa.array(ok)),
+                      "v": pa.array(vq, pa.int64())})
+        g = _group_counts(t, ["k", "v"], [("v", "count")])
+        return pa.table({"k": g["k"], "v": g["v"],
+                         "n": g["v_count"].cast(pa.int64())})
+
+    out = ds.map_batches(partial, batch_format="pyarrow")
+    tbls = [t for t in ray.get(out.to_arrow_refs()) if t.num_rows]
+    if not tbls:
+        return None
+    m = _group_counts(pa.concat_tables(tbls).combine_chunks(),
+                      ["k", "v"], [("n", "sum")])
+    return pa.table({"k": m["k"], "v": m["v"],
+                     "n": m["n_sum"].cast(pa.int64())})
+
+
 def grouped_quantiles(ds, *, key_col: str = "event_type",
                       val_col: str = "value",
                       pcts: tuple[int, ...] = (50, 90, 99),
@@ -50,36 +84,13 @@ def grouped_quantiles(ds, *, key_col: str = "event_type",
     ``value_x1e6``).  Returns one row per (key, pct), ordered by
     (key, pct).  Null values are excluded (the SQL aggregate
     convention)."""
-
-    def partial(batch: pa.Table) -> pa.Table:
-        k = batch[key_col]
-        if isinstance(k, pa.ChunkedArray):
-            k = k.combine_chunks()
-        v = batch[val_col].to_numpy(zero_copy_only=False)
-        ok = ~np.isnan(v)
-        vq = np.floor(v[ok] * scale + 0.5).astype(np.int64)
-        t = pa.table({"k": k.filter(pa.array(ok)),
-                      "v": pa.array(vq, pa.int64())})
-        g = _group_counts(t, ["k", "v"], [("v", "count")])
-        return pa.table({"k": g["k"], "v": g["v"],
-                         "n": g["v_count"].cast(pa.int64())})
-
-    import ray
-
-    out = ds.map_batches(partial, batch_format="pyarrow")
-    # collect the partials as Arrow blocks (object-store refs), never
-    # per-row Python dicts — with near-continuous values the partials
-    # are input-sized and a take_all() would pin the driver for minutes
-    # (measured: 121 s -> ~15 s at 10M events via this path)
-    tbls = [t for t in ray.get(out.to_arrow_refs()) if t.num_rows]
-    if not tbls:
+    merged = grouped_value_counts(ds, key_col=key_col, val_col=val_col,
+                                  scale=scale)
+    if merged is None:
         return pa.table({key_col: pa.array([], pa.string()),
                          "pct": pa.array([], pa.int64()),
                          ("value_x1e6" if interpolated
                           else "value_x1e4"): pa.array([], pa.int64())})
-    merged = _group_counts(
-        pa.concat_tables(tbls).combine_chunks(), ["k", "v"],
-        [("n", "sum")])
     import pyarrow.compute as pc
     # factorize keys without materializing per-row Python strings (the
     # merged table is keys x grid-points sized — can be millions)
@@ -92,7 +103,7 @@ def grouped_quantiles(ds, *, key_col: str = "event_type",
     kcode = rank[kcode]
     uniq = uniq[order_u]
     v = merged["v"].to_numpy(zero_copy_only=False).astype(np.int64)
-    n = merged["n_sum"].to_numpy(zero_copy_only=False).astype(np.int64)
+    n = merged["n"].to_numpy(zero_copy_only=False).astype(np.int64)
     order = np.lexsort((v, kcode))
     keys, v, n = uniq[kcode[order]], v[order], n[order]
     kc = kcode[order]
@@ -123,3 +134,51 @@ def grouped_quantiles(ds, *, key_col: str = "event_type",
         ("value_x1e6" if interpolated else "value_x1e4"):
             pa.array(out_v, pa.int64()),
     })
+
+
+def grouped_mad(ds, *, key_col: str = "event_type",
+                val_col: str = "value",
+                scale: int = 10_000) -> pa.Table:
+    """Per-key median absolute deviation — the robust dispersion
+    statistic (outlier-immune, unlike variance) — from the SAME single
+    pass as the quantiles: the merged (k, v, n) grid IS the full
+    quantized multiset, so the median comes from one cumsum and the
+    MAD from re-sorting |v − median| WITH ITS COUNTS — no second pass
+    over the data, no shuffle ever.  Discrete rank ceil(n/2) on both
+    steps (DuckDB-identical via ``(n*50 + 99) // 100``).  Output:
+    (key, n, median_x{scale}, mad_x{scale}) ordered by key."""
+    merged = grouped_value_counts(ds, key_col=key_col, val_col=val_col,
+                                  scale=scale)
+    schema = pa.schema([(key_col, pa.string()), ("n", pa.int64()),
+                        ("median_x1e4", pa.int64()),
+                        ("mad_x1e4", pa.int64())])
+    if merged is None:
+        return schema.empty_table()
+    import pyarrow.compute as pc
+    kd = pc.dictionary_encode(merged["k"].combine_chunks())
+    kcode = kd.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+    uniq = np.asarray(kd.dictionary.to_pylist())
+    order_u = np.argsort(uniq)
+    rank = np.empty(len(uniq), np.int64)
+    rank[order_u] = np.arange(len(uniq))
+    kcode, uniq = rank[kcode], uniq[order_u]
+    v = merged["v"].to_numpy(zero_copy_only=False).astype(np.int64)
+    n = merged["n"].to_numpy(zero_copy_only=False).astype(np.int64)
+    order = np.lexsort((v, kcode))
+    v, n, kc = v[order], n[order], kcode[order]
+    bnd = np.flatnonzero(np.concatenate([[True], kc[1:] != kc[:-1]]))
+    ends = np.append(bnd[1:], len(kc))
+    rows = []
+    for s, e in zip(bnd, ends):
+        cum = np.cumsum(n[s:e])
+        total = int(cum[-1])
+        r = (total * 50 + 99) // 100                # ceil(n/2)
+        med = int(v[s + int(np.searchsorted(cum, r, side="left"))])
+        dv = np.abs(v[s:e] - med)
+        dord = np.argsort(dv, kind="stable")
+        dcum = np.cumsum(n[s:e][dord])
+        mad = int(dv[dord][int(np.searchsorted(dcum, r, side="left"))])
+        rows.append({key_col: str(uniq[kc[s]]), "n": total,
+                     "median_x1e4": med, "mad_x1e4": mad})
+    rows.sort(key=lambda x: x[key_col])
+    return pa.Table.from_pylist(rows, schema=schema)

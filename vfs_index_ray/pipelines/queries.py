@@ -5242,6 +5242,63 @@ def q_sample_exact_k(sf_dir: str) -> pa.Table:
     return part.take(order.slice(0, k))
 
 
+def q_events_mad(sf_dir: str) -> pa.Table:
+    """Per-type median absolute deviation — robust dispersion the
+    variance query can't give (one planted outlier moves variance, not
+    MAD).  Both the median and the MAD come from ONE pass of (key,
+    grid, count) partials (functions/quantiles.py grouped_mad): the
+    merged grid is the full quantized multiset, so |v − median| is
+    re-ranked with its counts driver-side.  DuckDB-identical discrete
+    rank ceil(n/2)."""
+    import ray.data
+
+    from ..functions.quantiles import grouped_mad
+    _tune_context()
+    ds = ray.data.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                               columns=["event_type", "value"])
+    return grouped_mad(ds, key_col="event_type", val_col="value")
+
+
+def q_embedding_gram(sf_dir: str) -> pa.Table:
+    """Distributed Gram matrix of the embedding corpus — the
+    covariance/PCA building block (X^T X over all vectors): each batch
+    contributes one d×d integer matmul on the x1e4 grid, partials are
+    d(d+1)/2-row triangles REGARDLESS of batch size, and the merge is
+    one hash-sum over 2080 keys — a trillion vectors move only
+    tasks × 2080 rows.  Integer products keep the oracle's HUGEINT
+    self-join bit-identical.  Reference analog: none (vfs-index has no
+    vector surface); standard one-pass second-moment accumulation."""
+    import ray.data
+
+    from ..functions.boilerplate import partial_aggregate
+    _tune_context()
+    d = 64
+    iu, ju = np.triu_indices(d)
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "embeddings.parquet"),
+        columns=["embedding"])
+
+    def gram(t: pa.Table) -> pa.Table:
+        col = t["embedding"].combine_chunks()
+        flat = col.values.to_numpy(zero_copy_only=False)
+        q = np.floor(flat.astype(np.float64) * 10000.0
+                     + 0.5).astype(np.int64).reshape(-1, d)
+        g = q.T @ q
+        return pa.table({"i": pa.array(iu + 1, pa.int64()),
+                         "j": pa.array(ju + 1, pa.int64()),
+                         "s": pa.array(g[iu, ju], pa.int64())})
+
+    out = partial_aggregate(ds, ["i", "j"], [("s", "sum")], prepare=gram)
+    schema = pa.schema([("i", pa.int64()), ("j", pa.int64()),
+                        ("sum_x1e8", pa.int64())])
+    if out is None:
+        return schema.empty_table()
+    t = pa.table({"i": out["i"], "j": out["j"],
+                  "sum_x1e8": out["s_sum"]}).cast(schema)
+    return t.take(pc.sort_indices(t, sort_keys=[("i", "ascending"),
+                                                ("j", "ascending")]))
+
+
 # ---------------------------------------------------------------------------
 # registry + oracle SQL
 # ---------------------------------------------------------------------------
@@ -5411,6 +5468,8 @@ QUERIES = {
     "events_ols": q_events_ols,
     "table_checksum": q_table_checksum,
     "sample_exact_k": q_sample_exact_k,
+    "events_mad": q_events_mad,
+    "embedding_gram": q_embedding_gram,
 }
 
 _STOP_SQL = "['the','and','of','to','a','in','is','it']"
@@ -8040,5 +8099,49 @@ WITH h AS (
 )
 SELECT doc_id, priority, source, n_chars FROM h
 ORDER BY priority, doc_id LIMIT 100
+""",
+    "events_mad": """
+WITH q AS (
+  SELECT event_type,
+         CAST(floor(value * 10000 + 0.5) AS BIGINT) AS v
+  FROM events WHERE value IS NOT NULL
+), m AS (
+  SELECT event_type, v,
+         row_number() OVER (PARTITION BY event_type ORDER BY v) AS rn,
+         count(*) OVER (PARTITION BY event_type) AS n
+  FROM q
+), med AS (
+  SELECT event_type, n, v AS med FROM m
+  WHERE rn = (n * 50 + 99) // 100
+), d AS (
+  SELECT q.event_type, abs(q.v - med.med) AS dv
+  FROM q JOIN med USING (event_type)
+), m2 AS (
+  SELECT event_type, dv,
+         row_number() OVER (PARTITION BY event_type ORDER BY dv) AS rn,
+         count(*) OVER (PARTITION BY event_type) AS n
+  FROM d
+)
+SELECT m2.event_type, med.n::BIGINT AS n, med.med AS median_x1e4,
+       m2.dv AS mad_x1e4
+FROM m2 JOIN med USING (event_type)
+WHERE m2.rn = (m2.n * 50 + 99) // 100
+ORDER BY m2.event_type
+""",
+    "embedding_gram": """
+WITH e AS (
+  SELECT vec_id,
+         list_transform(embedding,
+           x -> CAST(floor(CAST(x AS DOUBLE) * 10000 + 0.5)
+                     AS BIGINT)) AS q
+  FROM embeddings
+), u AS (
+  SELECT vec_id, gs AS i, q[gs] AS v
+  FROM e, generate_series(1, 64) AS t(gs)
+)
+SELECT a.i::BIGINT AS i, b.i::BIGINT AS j,
+       sum((a.v::HUGEINT) * b.v)::BIGINT AS sum_x1e8
+FROM u a JOIN u b ON a.vec_id = b.vec_id AND b.i >= a.i
+GROUP BY 1, 2 ORDER BY 1, 2
 """,
 }
