@@ -144,3 +144,74 @@ def test_embedding_gram_matches_numpy(ray_session):
     assert got["i"].to_pylist() == list(iu + 1)
     assert got["j"].to_pylist() == list(ju + 1)
     assert got["sum_x1e8"].to_pylist() == list(g[iu, ju])
+
+
+def test_min_should_match_brackets_and_or(ray_session):
+    """m = k reproduces AND (match); m = 1 is the full OR union;
+    counts match a brute-force token scan."""
+    import re
+
+    from vfs_index_ray.pipelines.queries import get_engine
+
+    eng = get_engine(SF)
+    q = "spark shuffle window"
+    d_and = eng.match(q)
+    docs1, n1 = eng.min_should_match(q, 1)
+    docs3, n3 = eng.min_should_match(q, 3)
+    assert list(docs3) == list(d_and)
+    assert (n3 == 3).all()
+
+    t = pq.read_table(f"{SF}/documents.parquet",
+                      columns=["doc_id", "text"])
+    terms = set(q.split())
+    want = {}
+    for did, txt in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
+        toks = set(re.split(r"[^a-z0-9]+", txt.lower()))
+        c = len(terms & toks)
+        if c >= 1:
+            want[did] = c
+    assert dict(zip(docs1.tolist(), n1.tolist())) == want
+
+
+def test_kmeans_step_matches_numpy(ray_session):
+    from vfs_index_ray.pipelines.queries import q_kmeans_step
+
+    got = q_kmeans_step(SF)
+    t = pq.read_table(f"{SF}/embeddings.parquet",
+                      columns=["vec_id", "embedding"])
+    ids = t["vec_id"].to_numpy()
+    q = np.floor(np.asarray(t["embedding"].to_pylist(),
+                            dtype=np.float64) * 10000.0
+                 + 0.5).astype(np.int64)
+    seeds = q[np.argsort(ids, kind="stable")[:8]]
+    d2 = ((q[:, None, :] - seeds[None, :, :]) ** 2).sum(axis=2)
+    asg = np.argmin(d2, axis=1)
+    rows = {}
+    for c in range(8):
+        m = asg == c
+        if m.sum():
+            rows[c] = (int(m.sum()), q[m].sum(axis=0))
+    out = got.to_pylist()
+    assert len(out) == 64 * len(rows)
+    for r in out:
+        n, s = rows[r["cluster"]]
+        assert r["n"] == n
+        assert r["sum_x1e4"] == int(s[r["dim"] - 1])
+
+
+def test_corrected_search_fixes_typos(ray_session):
+    """The fuzzy top-1 corrections resolve to the intended vocabulary
+    words, and the result equals BM25 on the corrected query."""
+    from vfs_index_ray.functions.fuzzy import fuzzy_terms
+    from vfs_index_ray.pipelines.queries import (_docs_ds, get_engine,
+                                                 q_corrected_search)
+
+    ds = _docs_ds(SF, columns=["doc_id", "text"])
+    fixes = {typo: fuzzy_terms(ds, typo, k=1)["token"][0].as_py()
+             for typo in ("sparkk", "windoww", "joinz")}
+    assert fixes == {"sparkk": "spark", "windoww": "window",
+                     "joinz": "join"}
+    eng = get_engine(SF)
+    docs, scores = eng.bm25("join spark window", 10)
+    got = q_corrected_search(SF)
+    assert got["doc_id"].to_pylist() == list(docs.astype(np.int64))

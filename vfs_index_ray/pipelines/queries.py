@@ -5299,6 +5299,120 @@ def q_embedding_gram(sf_dir: str) -> pa.Table:
                                                 ("j", "ascending")]))
 
 
+def q_min_should_match(sf_dir: str) -> pa.Table:
+    """minimum_should_match retrieval: docs matching >= 2 of the three
+    query terms — the standard IR relaxation between AND and OR,
+    answered from the SAME posting lists as ``match`` with one
+    concat + sort + boundary-diff multiplicity count
+    (search.py min_should_match)."""
+    eng = get_engine(sf_dir)
+    docs, n = eng.min_should_match("spark shuffle window", 2)
+    return pa.table({"doc_id": pa.array(docs.astype(np.int64),
+                                        pa.int64()),
+                     "n_matched": pa.array(n, pa.int64())})
+
+
+def q_kmeans_step(sf_dir: str) -> pa.Table:
+    """One exact Lloyd iteration (E-step assignment + M-step sums)
+    over the embedding corpus from deterministic seeds (the k=8
+    smallest vec_ids): squared-L2 on the x1e4 integer grid via
+    ||q||² + ||c||² − 2·q·cᵀ (int64 matmul, exact), tie → smallest
+    centroid; per-batch partials are (cluster, dim) count/sum rows —
+    fixed k·d = 512 rows per batch regardless of batch size, merged by
+    one hash sum.  This is the building block the IVF index's
+    distributed k-means (similarity.py) iterates; exposed as a query
+    so the assignment arithmetic is oracle-checked end-to-end."""
+    import ray
+    import ray.data
+
+    from ..functions.boilerplate import partial_aggregate
+    _tune_context()
+    k, d = 8, 64
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "embeddings.parquet"),
+        columns=["vec_id", "embedding"])
+
+    def bottomk(t: pa.Table) -> pa.Table:
+        ids = t["vec_id"].to_numpy(zero_copy_only=False)
+        idx = np.argsort(ids, kind="stable")[:k]
+        return pa.table({"vec_id": pa.array(ids[idx], pa.int64()),
+                         "embedding": t["embedding"].take(
+                             pa.array(idx))})
+
+    seeds = _collect(ds.map_batches(bottomk, batch_format="pyarrow",
+                                    zero_copy_batch=True))
+    seeds = seeds.take(pc.sort_indices(
+        seeds, sort_keys=[("vec_id", "ascending")]).slice(0, k))
+    cent = np.floor(np.asarray(seeds["embedding"].to_pylist(),
+                               dtype=np.float64) * 10000.0
+                    + 0.5).astype(np.int64)
+    c2 = (cent * cent).sum(axis=1)
+    cent_ref = ray.put((cent, c2))
+
+    def estep(t: pa.Table) -> pa.Table:
+        c, cc2 = ray.get(cent_ref)
+        col = t["embedding"].combine_chunks()
+        q = np.floor(col.values.to_numpy(zero_copy_only=False)
+                     .astype(np.float64) * 10000.0
+                     + 0.5).astype(np.int64).reshape(-1, d)
+        # exact int64: argmin over ||q-c||² = q² + c² - 2qc; ties →
+        # smallest cluster index (np.argmin picks first occurrence)
+        d2 = (q * q).sum(axis=1)[:, None] + cc2[None, :] - 2 * (q @ c.T)
+        asg = np.argmin(d2, axis=1)
+        rows_c, rows_d, rows_n, rows_s = [], [], [], []
+        for ci in range(len(c)):
+            mask = asg == ci
+            n = int(mask.sum())
+            if not n:
+                continue
+            s = q[mask].sum(axis=0)
+            rows_c.extend([ci] * d)
+            rows_d.extend(range(1, d + 1))
+            rows_n.extend([n] * d)
+            rows_s.extend(s.tolist())
+        return pa.table({"cluster": pa.array(rows_c, pa.int64()),
+                         "dim": pa.array(rows_d, pa.int64()),
+                         "n": pa.array(rows_n, pa.int64()),
+                         "s": pa.array(rows_s, pa.int64())})
+
+    out = partial_aggregate(ds, ["cluster", "dim"],
+                            [("n", "sum"), ("s", "sum")], prepare=estep)
+    schema = pa.schema([("cluster", pa.int64()), ("dim", pa.int64()),
+                        ("n", pa.int64()), ("sum_x1e4", pa.int64())])
+    if out is None:
+        return schema.empty_table()
+    t = pa.table({"cluster": out["cluster"], "dim": out["dim"],
+                  "n": out["n_sum"], "sum_x1e4": out["s_sum"]}
+                 ).cast(schema)
+    return t.take(pc.sort_indices(t, sort_keys=[
+        ("cluster", "ascending"), ("dim", "ascending")]))
+
+
+def q_corrected_search(sf_dir: str) -> pa.Table:
+    """Did-you-mean search: each misspelled query token is corrected
+    to the top vocabulary token by trigram Jaccard (functions/fuzzy.py
+    — jacc_x1e6 desc, token asc, so the pick is deterministic), the
+    corrected DISTINCT term set feeds standard BM25.  At corpus scale
+    the vocabulary pass would read the token_df artifact instead of
+    re-scanning text; the arithmetic is identical."""
+    from ..functions.fuzzy import fuzzy_terms
+    _tune_context()
+    ds = _docs_ds(sf_dir, columns=["doc_id", "text"])
+    corrected = []
+    for typo in ("sparkk", "windoww", "joinz"):
+        top = fuzzy_terms(ds, typo, k=1)
+        if top.num_rows:
+            corrected.append(top["token"][0].as_py())
+    corrected = sorted(set(corrected))
+    eng = get_engine(sf_dir)
+    docs, scores = eng.bm25(" ".join(corrected), 10)
+    return pa.table({
+        "doc_id": pa.array(docs.astype(np.int64), pa.int64()),
+        "score_x1e4": pa.array(
+            np.floor(scores * 10000.0 + 0.5).astype(np.int64),
+            pa.int64())})
+
+
 # ---------------------------------------------------------------------------
 # registry + oracle SQL
 # ---------------------------------------------------------------------------
@@ -5470,6 +5584,9 @@ QUERIES = {
     "sample_exact_k": q_sample_exact_k,
     "events_mad": q_events_mad,
     "embedding_gram": q_embedding_gram,
+    "min_should_match": q_min_should_match,
+    "kmeans_step": q_kmeans_step,
+    "corrected_search": q_corrected_search,
 }
 
 _STOP_SQL = "['the','and','of','to','a','in','is','it']"
@@ -8143,5 +8260,106 @@ SELECT a.i::BIGINT AS i, b.i::BIGINT AS j,
        sum((a.v::HUGEINT) * b.v)::BIGINT AS sum_x1e8
 FROM u a JOIN u b ON a.vec_id = b.vec_id AND b.i >= a.i
 GROUP BY 1, 2 ORDER BY 1, 2
+""",
+    "min_should_match": """
+WITH m AS (
+  SELECT doc_id,
+         (CASE WHEN list_contains(toks, 'spark') THEN 1 ELSE 0 END
+        + CASE WHEN list_contains(toks, 'shuffle') THEN 1 ELSE 0 END
+        + CASE WHEN list_contains(toks, 'window') THEN 1 ELSE 0 END)
+           AS n_matched
+  FROM (SELECT doc_id,
+               list_filter(regexp_split_to_array(lower(text),
+                                                 '[^a-z0-9]+'),
+                           x -> x <> '') AS toks
+        FROM documents)
+)
+SELECT doc_id, n_matched::BIGINT AS n_matched FROM m
+WHERE n_matched >= 2 ORDER BY doc_id
+""",
+    "kmeans_step": """
+WITH e AS (
+  SELECT vec_id,
+         list_transform(embedding,
+           x -> CAST(floor(CAST(x AS DOUBLE) * 10000 + 0.5)
+                     AS BIGINT)) AS q
+  FROM embeddings
+), seeds AS (
+  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS c, q AS cq
+  FROM e ORDER BY vec_id LIMIT 8
+), u AS (
+  SELECT vec_id, gs AS dim, q[gs] AS v
+  FROM e, generate_series(1, 64) t(gs)
+), su AS (
+  SELECT c, gs AS dim, cq[gs] AS cv
+  FROM seeds, generate_series(1, 64) t(gs)
+), dist AS (
+  SELECT u.vec_id, su.c, sum((u.v - su.cv) * (u.v - su.cv)) AS d2
+  FROM u JOIN su USING (dim) GROUP BY 1, 2
+), asg AS (
+  SELECT vec_id, c FROM (
+    SELECT vec_id, c,
+           row_number() OVER (PARTITION BY vec_id
+                              ORDER BY d2, c) AS rn
+    FROM dist)
+  WHERE rn = 1
+)
+SELECT a.c::BIGINT AS cluster, u.dim::BIGINT AS dim,
+       count(*)::BIGINT AS n, sum(u.v)::BIGINT AS sum_x1e4
+FROM asg a JOIN u USING (vec_id) GROUP BY 1, 2 ORDER BY 1, 2
+""",
+    "corrected_search": """
+WITH v AS (
+  SELECT DISTINCT unnest(list_filter(regexp_split_to_array(lower(text),
+    '[^a-z0-9]+'), x -> x <> '')) AS tok FROM documents
+), tg AS (
+  SELECT tok, list_distinct(list_transform(range(1, length(tok) - 1),
+                                           i -> substr(tok,
+                                                       CAST(i AS INT),
+                                                       3))) AS gs
+  FROM v WHERE length(tok) >= 3
+), q(qtok, qg) AS (
+  VALUES ('sparkk', ['spa', 'par', 'ark', 'rkk']),
+         ('windoww', ['win', 'ind', 'ndo', 'dow', 'oww']),
+         ('joinz', ['joi', 'oin', 'inz'])
+), sc AS (
+  SELECT q.qtok, tg.tok,
+         len(list_intersect(tg.gs, q.qg)) AS inter,
+         len(tg.gs) + len(q.qg) - len(list_intersect(tg.gs, q.qg))
+           AS un
+  FROM tg, q
+), best AS (
+  SELECT tok FROM (
+    SELECT qtok, tok,
+           row_number() OVER (PARTITION BY qtok
+             ORDER BY (inter * 1000000) // un DESC, tok ASC) AS rn
+    FROM sc WHERE inter >= 1)
+  WHERE rn = 1
+), ct AS (SELECT DISTINCT tok FROM best),
+tokd AS (
+  SELECT doc_id, unnest(list_filter(regexp_split_to_array(lower(text),
+    '[^a-z0-9]+'), x -> x <> '')) AS tok FROM documents
+), tf AS (
+  SELECT doc_id, tok, count(*)::DOUBLE AS tf FROM tokd
+  WHERE tok IN (SELECT tok FROM ct) GROUP BY doc_id, tok
+), dl AS (
+  SELECT doc_id, count(*)::DOUBLE AS dl FROM tokd GROUP BY doc_id
+), stats AS (
+  SELECT (SELECT count(*) FROM documents)::DOUBLE AS n,
+         (SELECT count(*) FROM tokd)::DOUBLE /
+         (SELECT count(*) FROM documents)::DOUBLE AS avgdl
+), df AS (
+  SELECT tok, count(*)::DOUBLE AS df FROM tf GROUP BY tok
+), scores AS (
+  SELECT tf.doc_id,
+         sum(ln(1 + (stats.n - df.df + 0.5)/(df.df + 0.5)) *
+             (tf.tf*2.2/(tf.tf + 1.2*(1 - 0.75 +
+                                      0.75*dl.dl/stats.avgdl))))
+           AS score
+  FROM tf JOIN df USING(tok) JOIN dl USING(doc_id) CROSS JOIN stats
+  GROUP BY tf.doc_id
+)
+SELECT doc_id, CAST(floor(score*10000 + 0.5) AS BIGINT) AS score_x1e4
+FROM scores ORDER BY score DESC, doc_id LIMIT 10
 """,
 }

@@ -449,6 +449,42 @@ class SearchEngine:
     def count(self, q: str) -> int:
         return int(len(self.match(q)))
 
+    def min_should_match(self, q: str, m: int = 2
+                         ) -> tuple[np.ndarray, np.ndarray]:
+        """OR-retrieval with a term-overlap threshold — 'match at
+        least ``m`` of the query terms' (the minimum_should_match
+        relaxation between AND (``match``) and pure OR): posting lists
+        for the distinct query terms are concatenated and the per-doc
+        multiplicity comes from ONE sort + boundary diff (never
+        np.unique — the lists are already sorted).  Returns
+        (ascending live doc_ids, n_matched per doc).  Reference
+        analog: query.go only has AND; this is the standard IR
+        relaxation over the same postings."""
+        tids = sorted(set(self.query_term_ids(q)))
+        empty = (np.empty(0, np.uint64), np.empty(0, np.int64))
+        if not tids:
+            return empty
+        loaded = self.load_terms(tids)
+        arrs = [loaded[t].decode().docs for t in tids]
+        arrs = [a for a in arrs if len(a)]
+        if not arrs:
+            return empty
+        alld = np.concatenate(arrs)
+        alld.sort(kind="stable")
+        starts = np.flatnonzero(
+            np.concatenate([[True], alld[1:] != alld[:-1]]))
+        counts = np.diff(np.append(starts, len(alld)))
+        docs = alld[starts]
+        keep = counts >= m
+        docs, counts = docs[keep], counts[keep]
+        tomb = self.tombstones
+        if len(tomb) and len(docs):
+            pos = np.minimum(np.searchsorted(tomb, docs),
+                             len(tomb) - 1)
+            live = tomb[pos] != docs
+            docs, counts = docs[live], counts[live]
+        return docs, counts.astype(np.int64)
+
     # ------------------------------------------------------------------
     def _term_score(self, tf: np.ndarray, dl: np.ndarray, df: int) -> np.ndarray:
         # grouping matches the oracle exactly: idf * (tf*(k1+1) / denom)
