@@ -215,3 +215,76 @@ def test_corrected_search_fixes_typos(ray_session):
     docs, scores = eng.bm25("join spark window", 10)
     got = q_corrected_search(SF)
     assert got["doc_id"].to_pylist() == list(docs.astype(np.int64))
+
+
+def test_weighted_median_matches_bruteforce(ray_session):
+    from vfs_index_ray.pipelines.queries import q_weighted_median
+
+    got = q_weighted_median(SF).to_pylist()
+    t = pq.read_table(
+        f"{SF}/lineitem.parquet",
+        columns=["l_returnflag", "l_extendedprice", "l_quantity"])
+    v = np.floor(t["l_extendedprice"].to_numpy() * 10000.0
+                 + 0.5).astype(np.int64)
+    w = np.floor(t["l_quantity"].to_numpy() + 0.5).astype(np.int64)
+    fl = np.asarray(t["l_returnflag"].to_pylist())
+    for r in got:
+        m = fl == r["l_returnflag"]
+        order = np.argsort(v[m], kind="stable")
+        vv, ww = v[m][order], w[m][order]
+        cum = np.cumsum(ww)
+        total = int(cum[-1])
+        rk = (total * 50 + 99) // 100
+        med = int(vv[int(np.searchsorted(cum, rk, side="left"))])
+        assert (r["total_w"], r["wmedian_x1e4"]) == (total, med)
+
+
+def test_events_iqr_matches_bruteforce(ray_session):
+    from vfs_index_ray.pipelines.queries import q_events_iqr
+
+    got = q_events_iqr(SF).to_pylist()
+    t = pq.read_table(f"{SF}/events.parquet",
+                      columns=["event_type", "value"])
+    v = np.floor(t["value"].to_numpy() * 10000.0 + 0.5).astype(np.int64)
+    et = np.asarray(t["event_type"].to_pylist())
+    for r in got:
+        g = np.sort(v[et == r["event_type"]])
+        n = len(g)
+        q1 = int(g[(n * 25 + 99) // 100 - 1])
+        q3 = int(g[(n * 75 + 99) // 100 - 1])
+        out = int(((2 * g < 5 * q1 - 3 * q3)
+                   | (2 * g > 5 * q3 - 3 * q1)).sum())
+        assert (r["n"], r["q1_x1e4"], r["q3_x1e4"],
+                r["n_outliers"]) == (n, q1, q3, out)
+
+
+def test_kmv_overlap_accuracy_and_exact_small(ray_session):
+    """Saturated sketches estimate the true overlap within KMV error
+    (~1/sqrt(k)); under-k sets are EXACT by the CASE both engines
+    share."""
+    import ray.data
+
+    from vfs_index_ray.functions.sketches import kmv_overlap
+
+    rng = np.random.default_rng(11)
+    a_ids = rng.choice(100_000, 3000, replace=False).astype(np.int64)
+    b_ids = np.concatenate([a_ids[:1500],
+                            rng.choice(np.arange(100_000, 200_000),
+                                       1500,
+                                       replace=False).astype(np.int64)])
+    t = pa.table({
+        "side": pa.array(["a"] * len(a_ids) + ["b"] * len(b_ids)),
+        "id": pa.array(np.concatenate([a_ids, b_ids]), pa.int64())})
+    est = kmv_overlap(ray.data.from_arrow(t), id_col="id",
+                      side_col="side", side_a="a", side_b="b",
+                      k=256).to_pylist()[0]
+    true_inter, true_union = 1500, 4500
+    assert abs(est["inter_est"] - true_inter) < 0.35 * true_inter
+    assert abs(est["union_est"] - true_union) < 0.2 * true_union
+    # exact path: both sets below k
+    small = pa.table({"side": pa.array(["a", "a", "b", "b", "b"]),
+                      "id": pa.array([1, 2, 2, 3, 4], pa.int64())})
+    e2 = kmv_overlap(ray.data.from_arrow(small), id_col="id",
+                     side_col="side", side_a="a", side_b="b",
+                     k=64).to_pylist()[0]
+    assert e2["union_est"] == 4 and e2["inter_est"] == 1

@@ -35,14 +35,18 @@ from .boilerplate import _group_counts
 
 
 def grouped_value_counts(ds, *, key_col: str, val_col: str,
-                         scale: int = 10_000) -> pa.Table | None:
+                         scale: int = 10_000,
+                         weight_col: str | None = None
+                         ) -> pa.Table | None:
     """The shared substrate of every exact grid statistic (quantiles,
-    MAD): merged (k, v, n) counts of ``floor(val*scale + 0.5)`` per
-    key — per-batch Arrow hash-agg partials collected as object-store
-    Arrow refs (never per-row dicts; measured 121 s -> ~15 s at 10M
-    events), one driver-side merge.  Nulls excluded.  Returns None on
-    an empty input; the result is keys × grid-points sized, NOT input
-    sized."""
+    MAD, weighted median, IQR outliers): merged (k, v, n) counts of
+    ``floor(val*scale + 0.5)`` per key — per-batch Arrow hash-agg
+    partials collected as object-store Arrow refs (never per-row
+    dicts; measured 121 s -> ~15 s at 10M events), one driver-side
+    merge.  With ``weight_col``, n sums ``floor(w + 0.5)`` instead of
+    row counts (integer weights — the weighted-statistics grid).
+    Nulls excluded.  Returns None on an empty input; the result is
+    keys × grid-points sized, NOT input sized."""
     import ray
 
     def partial(batch: pa.Table) -> pa.Table:
@@ -52,6 +56,16 @@ def grouped_value_counts(ds, *, key_col: str, val_col: str,
         v = batch[val_col].to_numpy(zero_copy_only=False)
         ok = ~np.isnan(v)
         vq = np.floor(v[ok] * scale + 0.5).astype(np.int64)
+        if weight_col is not None:
+            w = batch[weight_col].to_numpy(zero_copy_only=False)
+            wq = np.floor(w[ok].astype(np.float64)
+                          + 0.5).astype(np.int64)
+            t = pa.table({"k": k.filter(pa.array(ok)),
+                          "v": pa.array(vq, pa.int64()),
+                          "w": pa.array(wq, pa.int64())})
+            g = _group_counts(t, ["k", "v"], [("w", "sum")])
+            return pa.table({"k": g["k"], "v": g["v"],
+                             "n": g["w_sum"].cast(pa.int64())})
         t = pa.table({"k": k.filter(pa.array(ok)),
                       "v": pa.array(vq, pa.int64())})
         g = _group_counts(t, ["k", "v"], [("v", "count")])
@@ -134,6 +148,89 @@ def grouped_quantiles(ds, *, key_col: str = "event_type",
         ("value_x1e6" if interpolated else "value_x1e4"):
             pa.array(out_v, pa.int64()),
     })
+
+
+def _key_groups(merged: pa.Table):
+    """Yield (key_str, v_sorted, n) per key from a merged (k, v, n)
+    grid table — the shared factorize + lexsort + boundary-diff
+    scaffolding of the driver-side closing arithmetic (never a Python
+    dict per row; the grid can be millions of points)."""
+    import pyarrow.compute as pc
+    kd = pc.dictionary_encode(merged["k"].combine_chunks())
+    kcode = kd.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+    uniq = np.asarray(kd.dictionary.to_pylist())
+    order_u = np.argsort(uniq)
+    rank = np.empty(len(uniq), np.int64)
+    rank[order_u] = np.arange(len(uniq))
+    kcode, uniq = rank[kcode], uniq[order_u]
+    v = merged["v"].to_numpy(zero_copy_only=False).astype(np.int64)
+    n = merged["n"].to_numpy(zero_copy_only=False).astype(np.int64)
+    order = np.lexsort((v, kcode))
+    v, n, kc = v[order], n[order], kcode[order]
+    bnd = np.flatnonzero(np.concatenate([[True], kc[1:] != kc[:-1]]))
+    ends = np.append(bnd[1:], len(kc))
+    for s, e in zip(bnd, ends):
+        yield str(uniq[kc[s]]), v[s:e], n[s:e]
+
+
+def grouped_weighted_median(ds, *, key_col: str, val_col: str,
+                            weight_col: str,
+                            scale: int = 10_000) -> pa.Table:
+    """Per-key WEIGHTED median: the smallest grid value whose
+    cumulative integer weight reaches ceil(W/2) — same single-pass
+    (key, grid, Σw) substrate as the quantiles, same DuckDB-identical
+    discrete rank ``(W*50 + 99) // 100`` on the weight axis.  Output:
+    (key, total_w, wmedian_x1e4) ordered by key."""
+    merged = grouped_value_counts(ds, key_col=key_col, val_col=val_col,
+                                  scale=scale, weight_col=weight_col)
+    schema = pa.schema([(key_col, pa.string()),
+                        ("total_w", pa.int64()),
+                        ("wmedian_x1e4", pa.int64())])
+    if merged is None:
+        return schema.empty_table()
+    rows = []
+    for key, v, n in _key_groups(merged):
+        cum = np.cumsum(n)
+        total = int(cum[-1])
+        r = (total * 50 + 99) // 100
+        med = int(v[int(np.searchsorted(cum, r, side="left"))])
+        rows.append({key_col: key, "total_w": total,
+                     "wmedian_x1e4": med})
+    rows.sort(key=lambda x: x[key_col])
+    return pa.Table.from_pylist(rows, schema=schema)
+
+
+def grouped_iqr_outliers(ds, *, key_col: str, val_col: str,
+                         scale: int = 10_000) -> pa.Table:
+    """Per-key Tukey-fence outlier counts (v outside
+    [Q1 − 1.5·IQR, Q3 + 1.5·IQR]) from the SAME one pass as the
+    quantiles: Q1/Q3 by discrete rank on the merged grid, then the
+    outlier count is a masked sum over the grid COUNTS — no second
+    pass over the data.  The 1.5 factor stays integer by comparing
+    2·v against 5·Q1 − 3·Q3 / 5·Q3 − 3·Q1 (both sides of the oracle
+    evaluate the identical cross-multiplied inequality).  Output:
+    (key, n, q1_x1e4, q3_x1e4, n_outliers) ordered by key."""
+    merged = grouped_value_counts(ds, key_col=key_col, val_col=val_col,
+                                  scale=scale)
+    schema = pa.schema([(key_col, pa.string()), ("n", pa.int64()),
+                        ("q1_x1e4", pa.int64()), ("q3_x1e4", pa.int64()),
+                        ("n_outliers", pa.int64())])
+    if merged is None:
+        return schema.empty_table()
+    rows = []
+    for key, v, n in _key_groups(merged):
+        cum = np.cumsum(n)
+        total = int(cum[-1])
+        q1 = int(v[int(np.searchsorted(
+            cum, (total * 25 + 99) // 100, side="left"))])
+        q3 = int(v[int(np.searchsorted(
+            cum, (total * 75 + 99) // 100, side="left"))])
+        out = (2 * v < 5 * q1 - 3 * q3) | (2 * v > 5 * q3 - 3 * q1)
+        rows.append({key_col: key, "n": total, "q1_x1e4": q1,
+                     "q3_x1e4": q3,
+                     "n_outliers": int(n[out].sum())})
+    rows.sort(key=lambda x: x[key_col])
+    return pa.Table.from_pylist(rows, schema=schema)
 
 
 def grouped_mad(ds, *, key_col: str = "event_type",

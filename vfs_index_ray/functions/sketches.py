@@ -303,3 +303,70 @@ SELECT raw.g AS {group_col},
 FROM raw LEFT JOIN lc ON lc.zeros = raw.zeros
 ORDER BY {group_col}
 """
+
+
+def kmv_overlap(ds, *, id_col: str, side_col: str, side_a: str,
+                side_b: str, k: int = 64, prepare=None) -> pa.Table:
+    """Bottom-k (KMV) distinct sketches of two id sets + the
+    closed-form overlap estimate — approximate set intersection /
+    Jaccard WITHOUT shuffling either set: each batch ships at most
+    2k (side, hash) rows, the driver merges sketches, and every step
+    (mix32 hash, k smallest distinct, theta, the (k-1)·2^32 // theta
+    union estimator, c/k Jaccard) is integer arithmetic a SQL oracle
+    reproduces bit-for-bit.  When the true union is smaller than k the
+    sketches are exhaustive and the estimate is exact by construction
+    (the CASE both sides evaluate).  Beinat/Bar-Yossef et al.'s KMV;
+    the companion to the HLL group-by above when the question is
+    BETWEEN-set overlap rather than per-group cardinality.  Output:
+    one row (k_eff, theta, c, union_est, jacc_x1e6, inter_est)."""
+    import ray
+
+    def partial(t: pa.Table) -> pa.Table:
+        if prepare is not None:
+            t = prepare(t)
+        side = t[side_col]
+        if isinstance(side, pa.ChunkedArray):
+            side = side.combine_chunks()
+        ids = t[id_col].to_numpy(zero_copy_only=False)
+        h = mix32(ids)
+        out_s, out_h = [], []
+        for name in (side_a, side_b):
+            m = pc.equal(side, name).to_numpy(zero_copy_only=False)
+            hs = np.unique(h[m])[:k]          # distinct + k smallest
+            out_s.extend([name] * len(hs))
+            out_h.extend(hs.tolist())
+        return pa.table({"side": pa.array(out_s, pa.string()),
+                         "h": pa.array(out_h, pa.int64())})
+
+    parts = [t for t in ray.get(
+        ds.map_batches(partial, batch_format="pyarrow",
+                       zero_copy_batch=True).to_arrow_refs())
+        if t.num_rows]
+    schema = pa.schema([("k_eff", pa.int64()), ("theta", pa.int64()),
+                        ("c", pa.int64()), ("union_est", pa.int64()),
+                        ("jacc_x1e6", pa.int64()),
+                        ("inter_est", pa.int64())])
+    if not parts:
+        return schema.empty_table()
+    t = pa.concat_tables(parts).combine_chunks()
+    side = t["side"]
+    h = t["h"].to_numpy(zero_copy_only=False)
+    sk = {}
+    for name in (side_a, side_b):
+        m = pc.equal(side, name).to_numpy(zero_copy_only=False)
+        sk[name] = set(np.unique(h[m])[:k].tolist())
+    u = np.array(sorted(sk[side_a] | sk[side_b]), np.int64)[:k]
+    if len(u) == 0:
+        return schema.empty_table()
+    k_eff, theta = len(u), int(u[-1])
+    both = sk[side_a] & sk[side_b]
+    c = sum(1 for x in u.tolist() if x in both)
+    union_est = (k_eff if k_eff < k
+                 else ((k_eff - 1) * 4294967296) // theta)
+    return pa.table({
+        "k_eff": pa.array([k_eff], pa.int64()),
+        "theta": pa.array([theta], pa.int64()),
+        "c": pa.array([c], pa.int64()),
+        "union_est": pa.array([union_est], pa.int64()),
+        "jacc_x1e6": pa.array([c * 1_000_000 // k_eff], pa.int64()),
+        "inter_est": pa.array([c * union_est // k_eff], pa.int64())})

@@ -5413,6 +5413,67 @@ def q_corrected_search(sf_dir: str) -> pa.Table:
             pa.int64())})
 
 
+def q_weighted_median(sf_dir: str) -> pa.Table:
+    """Per-returnflag QUANTITY-WEIGHTED median of the extended price —
+    the weighted-statistics variant of the exact grid quantiles: the
+    single (key, grid, Σw) pass makes the cumulative-weight rank
+    ceil(W/2) exact at any scale (functions/quantiles.py
+    grouped_weighted_median)."""
+    import ray.data
+
+    from ..functions.quantiles import grouped_weighted_median
+    _tune_context()
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_returnflag", "l_extendedprice", "l_quantity"])
+    return grouped_weighted_median(
+        ds, key_col="l_returnflag", val_col="l_extendedprice",
+        weight_col="l_quantity")
+
+
+def q_events_iqr(sf_dir: str) -> pa.Table:
+    """Per-type Tukey-fence outlier counts (1.5·IQR rule) — the robust
+    row-level anomaly flag next to the hourly 2-sigma volume check
+    (events_anomaly): Q1/Q3 and the outlier count all come from ONE
+    (key, grid, count) pass; the 1.5 factor stays integer via the
+    cross-multiplied 2v vs 5Q1−3Q3 inequality both engines share."""
+    import ray.data
+
+    from ..functions.quantiles import grouped_iqr_outliers
+    _tune_context()
+    ds = ray.data.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                               columns=["event_type", "value"])
+    return grouped_iqr_outliers(ds, key_col="event_type",
+                                val_col="value")
+
+
+def q_kmv_overlap(sf_dir: str) -> pa.Table:
+    """Approximate audience overlap via bottom-k (KMV) sketches: how
+    many users both clicked AND purchased at value > 300, without
+    shuffling either user set — batches ship ≤2k hash rows, and the
+    closed-form integer estimator (union ≈ (k−1)·2³² / θ, overlap =
+    c/k of the union sketch) is reproduced exactly by the oracle.
+    The sketch-family companion to the HLL per-group cardinality
+    (events_approx_users) for BETWEEN-set questions."""
+    import ray.data
+
+    from ..functions.sketches import kmv_overlap
+    _tune_context()
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["event_type", "user_id", "value"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        v = np.floor(t["value"].to_numpy(zero_copy_only=False)
+                     * 10000.0 + 0.5).astype(np.int64)
+        keep = pa.array(v > 3_000_000)
+        return t.filter(keep)
+
+    return kmv_overlap(ds, id_col="user_id", side_col="event_type",
+                       side_a="purchase", side_b="click", k=64,
+                       prepare=prep)
+
+
 # ---------------------------------------------------------------------------
 # registry + oracle SQL
 # ---------------------------------------------------------------------------
@@ -5587,6 +5648,9 @@ QUERIES = {
     "min_should_match": q_min_should_match,
     "kmeans_step": q_kmeans_step,
     "corrected_search": q_corrected_search,
+    "weighted_median": q_weighted_median,
+    "events_iqr": q_events_iqr,
+    "kmv_overlap": q_kmv_overlap,
 }
 
 _STOP_SQL = "['the','and','of','to','a','in','is','it']"
@@ -8361,5 +8425,83 @@ tokd AS (
 )
 SELECT doc_id, CAST(floor(score*10000 + 0.5) AS BIGINT) AS score_x1e4
 FROM scores ORDER BY score DESC, doc_id LIMIT 10
+""",
+    "weighted_median": """
+WITH q AS (
+  SELECT l_returnflag AS k,
+         CAST(floor(l_extendedprice * 10000 + 0.5) AS BIGINT) AS v,
+         CAST(floor(l_quantity + 0.5) AS BIGINT) AS w
+  FROM lineitem
+), g AS (
+  SELECT k, v, sum(w)::BIGINT AS w FROM q GROUP BY 1, 2
+), c AS (
+  SELECT k, v, sum(w) OVER (PARTITION BY k ORDER BY v) AS cw,
+         sum(w) OVER (PARTITION BY k) AS tw
+  FROM g
+)
+SELECT k AS l_returnflag, min(tw)::BIGINT AS total_w,
+       min(v)::BIGINT AS wmedian_x1e4
+FROM c WHERE cw >= (tw * 50 + 99) // 100
+GROUP BY k ORDER BY k
+""",
+    "events_iqr": """
+WITH q AS (
+  SELECT event_type,
+         CAST(floor(value * 10000 + 0.5) AS BIGINT) AS v
+  FROM events WHERE value IS NOT NULL
+), m AS (
+  SELECT event_type, v,
+         row_number() OVER (PARTITION BY event_type ORDER BY v) AS rn,
+         count(*) OVER (PARTITION BY event_type) AS n
+  FROM q
+), qs AS (
+  SELECT event_type, n,
+         min(CASE WHEN rn = (n * 25 + 99) // 100 THEN v END) AS q1,
+         min(CASE WHEN rn = (n * 75 + 99) // 100 THEN v END) AS q3
+  FROM m GROUP BY 1, 2
+)
+SELECT q.event_type, qs.n::BIGINT AS n, qs.q1 AS q1_x1e4,
+       qs.q3 AS q3_x1e4,
+       count(*) FILTER (2 * q.v < 5 * qs.q1 - 3 * qs.q3
+                        OR 2 * q.v > 5 * qs.q3 - 3 * qs.q1)::BIGINT
+         AS n_outliers
+FROM q JOIN qs USING (event_type)
+GROUP BY 1, 2, 3, 4 ORDER BY 1
+""",
+    "kmv_overlap": """
+WITH f AS (
+  SELECT event_type AS side, user_id FROM events
+  WHERE event_type IN ('purchase', 'click')
+    AND CAST(floor(value * 10000 + 0.5) AS BIGINT) > 3000000
+), uh AS (
+  SELECT DISTINCT side, xor(v2, v2 >> 13) AS h FROM (
+    SELECT side,
+           CAST((CAST(xor(v1, v1 >> 16) AS HUGEINT) * 2246822519)
+                % 4294967296 AS BIGINT) AS v2
+    FROM (SELECT side,
+                 CAST((CAST(user_id AS HUGEINT) * 2654435761)
+                      % 4294967296 AS BIGINT) AS v1 FROM f))
+), a AS (SELECT h FROM uh WHERE side = 'purchase'
+         ORDER BY h LIMIT 64),
+b AS (SELECT h FROM uh WHERE side = 'click' ORDER BY h LIMIT 64),
+u AS (SELECT DISTINCT h
+      FROM (SELECT h FROM a UNION ALL SELECT h FROM b)
+      ORDER BY h LIMIT 64),
+s AS (
+  SELECT count(*)::BIGINT AS k_eff, max(h)::BIGINT AS theta,
+         (SELECT count(*) FROM u
+          WHERE h IN (SELECT h FROM a)
+            AND h IN (SELECT h FROM b))::BIGINT AS c
+  FROM u
+)
+SELECT k_eff, theta, c,
+  (CASE WHEN k_eff < 64 THEN k_eff
+        ELSE ((k_eff - 1) * 4294967296) // theta END)::BIGINT
+    AS union_est,
+  (c * 1000000 // k_eff)::BIGINT AS jacc_x1e6,
+  (c * (CASE WHEN k_eff < 64 THEN k_eff
+             ELSE ((k_eff - 1) * 4294967296) // theta END)
+   // k_eff)::BIGINT AS inter_est
+FROM s
 """,
 }
