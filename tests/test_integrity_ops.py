@@ -288,3 +288,45 @@ def test_kmv_overlap_accuracy_and_exact_small(ray_session):
                      side_col="side", side_a="a", side_b="b",
                      k=64).to_pylist()[0]
     assert e2["union_est"] == 4 and e2["inter_est"] == 1
+
+
+def test_sample_k_per_group_quota_and_priority(ray_session):
+    from vfs_index_ray.hashing import mix32
+    from vfs_index_ray.pipelines.queries import q_sample_k_per_group
+
+    got = q_sample_k_per_group(SF)
+    t = pq.read_table(f"{SF}/documents.parquet",
+                      columns=["doc_id", "lang"])
+    ids = t["doc_id"].to_numpy()
+    langs = np.asarray(t["lang"].to_pylist())
+    pri = mix32(ids)
+    out = got.to_pylist()
+    for lg in np.unique(langs):
+        m = langs == lg
+        order = np.lexsort((ids[m], pri[m]))[:20]
+        want = list(ids[m][order])
+        have = [r["doc_id"] for r in out if r["lang"] == lg]
+        assert have == want
+
+
+def test_fk_orphans_detects_planted(ray_session, tmp_path):
+    import shutil
+
+    from vfs_index_ray.pipelines.queries import q_fk_orphans
+
+    clean = q_fk_orphans(SF).to_pylist()
+    assert all(r["n_orphans"] == 0 for r in clean)
+
+    work = tmp_path / "sf"
+    work.mkdir()
+    for f in ("lineitem", "orders", "customer"):
+        shutil.copy(f"{SF}/{f}.parquet", work / f"{f}.parquet")
+    li = pq.read_table(f"{SF}/lineitem.parquet")
+    keys = li["l_orderkey"].to_numpy(zero_copy_only=False).copy()
+    keys[:7] = 10_000_000_000          # no such order
+    li = li.set_column(li.schema.get_field_index("l_orderkey"),
+                       "l_orderkey", pa.array(keys))
+    pq.write_table(li, work / "lineitem.parquet")
+    got = {r["relation"]: r for r in q_fk_orphans(str(work)).to_pylist()}
+    assert got["lineitem->orders"]["n_orphans"] == 7
+    assert got["orders->customer"]["n_orphans"] == 0

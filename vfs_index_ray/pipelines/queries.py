@@ -5474,6 +5474,92 @@ def q_kmv_overlap(sf_dir: str) -> pa.Table:
                        prepare=prep)
 
 
+def q_sample_k_per_group(sf_dir: str) -> pa.Table:
+    """Balanced deterministic sampling: EXACTLY k=20 documents per
+    language by (mix32(doc_id), doc_id) priority — the per-stratum
+    variant of ``sample_exact_k`` (quota sampling for balanced eval
+    sets).  Per batch each group ships at most k rows (one lexsort +
+    boundary-diff cumcount, no per-group Python loop); the driver
+    merge reruns the same kernel on groups × tasks × k rows."""
+    import ray.data
+
+    from ..hashing import mix32
+    _tune_context()
+    k = 20
+
+    def bottomk(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        pri = t["priority"].to_numpy(zero_copy_only=False) \
+            if "priority" in t.column_names else mix32(ids)
+        lang = t["lang"]
+        if isinstance(lang, pa.ChunkedArray):
+            lang = lang.combine_chunks()
+        code = pc.dictionary_encode(lang).indices \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.lexsort((ids, pri, code))
+        gc = code[order]
+        starts = np.flatnonzero(
+            np.concatenate([[True], gc[1:] != gc[:-1]]))
+        # within-group ordinal: position − start of its group run
+        pos = np.arange(len(gc)) - np.repeat(
+            starts, np.diff(np.append(starts, len(gc))))
+        keep = order[pos < k]
+        return pa.table({"lang": lang.take(pa.array(keep)),
+                         "doc_id": pa.array(ids[keep], pa.int64()),
+                         "priority": pa.array(pri[keep], pa.int64())})
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["doc_id", "lang"])
+    part = _collect(ds.map_batches(bottomk, batch_format="pyarrow",
+                                   zero_copy_batch=True))
+    schema = pa.schema([("lang", pa.string()), ("doc_id", pa.int64()),
+                        ("priority", pa.int64())])
+    if part.num_rows == 0:
+        return schema.empty_table()
+    out = bottomk(part)
+    return out.take(pc.sort_indices(out, sort_keys=[
+        ("lang", "ascending"), ("priority", "ascending"),
+        ("doc_id", "ascending")])).cast(schema)
+
+
+def q_fk_orphans(sf_dir: str) -> pa.Table:
+    """Referential-integrity audit: child rows whose foreign key has
+    no parent (lineitem→orders, orders→customer), counted through the
+    REAL co-partitioned LEFT ANTI join with a per-partition count
+    kernel — partitions ship one count row each, the orphan rows
+    themselves never reach the driver.  Zero on healthy data; the unit
+    test plants orphans and watches them surface."""
+    import ray.data
+
+    from ..functions.joins import hash_join
+    _tune_context()
+    specs = [("lineitem->orders", "lineitem.parquet", "l_orderkey",
+              "orders.parquet", "o_orderkey"),
+             ("orders->customer", "orders.parquet", "o_custkey",
+              "customer.parquet", "c_custkey")]
+    rows = []
+    for name, cf, ck, pf, pk in specs:
+        child = ray.data.read_parquet(os.path.join(sf_dir, cf),
+                                      columns=[ck])
+        parent = ray.data.read_parquet(os.path.join(sf_dir, pf),
+                                       columns=[pk])
+        n_child = child.count()
+        res = hash_join(
+            child, parent, left_on=ck, right_on=pk, how="left anti",
+            post=lambda t: pa.table({"n": pa.array([t.num_rows],
+                                                   pa.int64())}))
+        part = _collect(res)
+        orphans = int(pc.sum(part["n"]).as_py() or 0) \
+            if part.num_rows else 0
+        rows.append({"relation": name, "n_child": int(n_child),
+                     "n_orphans": orphans})
+    rows.sort(key=lambda r: r["relation"])
+    return pa.Table.from_pylist(rows, schema=pa.schema(
+        [("relation", pa.string()), ("n_child", pa.int64()),
+         ("n_orphans", pa.int64())]))
+
+
 # ---------------------------------------------------------------------------
 # registry + oracle SQL
 # ---------------------------------------------------------------------------
@@ -5651,6 +5737,8 @@ QUERIES = {
     "weighted_median": q_weighted_median,
     "events_iqr": q_events_iqr,
     "kmv_overlap": q_kmv_overlap,
+    "sample_k_per_group": q_sample_k_per_group,
+    "fk_orphans": q_fk_orphans,
 }
 
 _STOP_SQL = "['the','and','of','to','a','in','is','it']"
@@ -8503,5 +8591,39 @@ SELECT k_eff, theta, c,
              ELSE ((k_eff - 1) * 4294967296) // theta END)
    // k_eff)::BIGINT AS inter_est
 FROM s
+""",
+    "sample_k_per_group": """
+WITH h AS (
+  SELECT lang, doc_id, xor(v2, v2 >> 13) AS priority FROM (
+    SELECT lang, doc_id,
+           CAST((CAST(xor(v1, v1 >> 16) AS HUGEINT) * 2246822519)
+                % 4294967296 AS BIGINT) AS v2
+    FROM (SELECT lang, doc_id,
+                 CAST((CAST(doc_id AS HUGEINT) * 2654435761)
+                      % 4294967296 AS BIGINT) AS v1
+          FROM documents))
+)
+SELECT lang, doc_id, priority FROM (
+  SELECT lang, doc_id, priority,
+         row_number() OVER (PARTITION BY lang
+                            ORDER BY priority, doc_id) AS rn
+  FROM h)
+WHERE rn <= 20 ORDER BY lang, priority, doc_id
+""",
+    "fk_orphans": """
+SELECT 'lineitem->orders' AS relation,
+       (SELECT count(*) FROM lineitem)::BIGINT AS n_child,
+       (SELECT count(*) FROM lineitem l
+        WHERE NOT EXISTS (SELECT 1 FROM orders o
+                          WHERE o.o_orderkey = l.l_orderkey))::BIGINT
+         AS n_orphans
+UNION ALL
+SELECT 'orders->customer' AS relation,
+       (SELECT count(*) FROM orders)::BIGINT AS n_child,
+       (SELECT count(*) FROM orders o
+        WHERE NOT EXISTS (SELECT 1 FROM customer c
+                          WHERE c.c_custkey = o.o_custkey))::BIGINT
+         AS n_orphans
+ORDER BY relation
 """,
 }
