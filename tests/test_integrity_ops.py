@@ -330,3 +330,36 @@ def test_fk_orphans_detects_planted(ray_session, tmp_path):
     got = {r["relation"]: r for r in q_fk_orphans(str(work)).to_pylist()}
     assert got["lineitem->orders"]["n_orphans"] == 7
     assert got["orders->customer"]["n_orphans"] == 0
+
+
+def test_corr_matrix_matches_numpy(ray_session):
+    from vfs_index_ray.pipelines.queries import q_lineitem_corr_matrix
+
+    got = q_lineitem_corr_matrix(SF).to_pylist()
+    t = pq.read_table(f"{SF}/lineitem.parquet")
+    v = {"qty": np.floor(t["l_quantity"].to_numpy() * 100 + 0.5),
+         "price": np.floor(t["l_extendedprice"].to_numpy() + 0.5),
+         "disc": np.floor(t["l_discount"].to_numpy() * 100 + 0.5),
+         "tax": np.floor(t["l_tax"].to_numpy() * 100 + 0.5)}
+    assert len(got) == 6
+    for r in got:
+        c = np.corrcoef(v[r["var_a"]], v[r["var_b"]])[0, 1]
+        assert abs(r["corr_x1e6"] / 1e6 - c) < 2e-6
+        assert r["n"] == t.num_rows
+
+
+def test_events_ewma_matches_sequential(ray_session):
+    from vfs_index_ray.pipelines.queries import q_events_ewma
+
+    got = q_events_ewma(SF).to_pylist()
+    t = pq.read_table(f"{SF}/events.parquet",
+                      columns=["event_type", "ts"])
+    w = t["ts"].cast(pa.int64()).to_numpy() // 3_600_000_000
+    et = np.asarray(t["event_type"].to_pylist())
+    for r in got:
+        hrs, counts = np.unique(w[et == r["event_type"]],
+                                return_counts=True)
+        s = int(counts[0])
+        for x in counts[1:]:
+            s = (int(x) + s) // 2
+        assert (r["n_hours"], r["ewma"]) == (len(hrs), s)

@@ -5560,6 +5560,123 @@ def q_fk_orphans(sf_dir: str) -> pa.Table:
          ("n_orphans", pa.int64())]))
 
 
+def q_lineitem_corr_matrix(sf_dir: str) -> pa.Table:
+    """Pairwise correlation MATRIX over four lineitem measures from
+    ONE pass of integer moment partials (n, four sums, ten second
+    moments) — the table-profiling generalization of corr_stats; the
+    closing Pearson arithmetic per pair is the identical
+    HUGEINT-difference → fp64 → one-division expression tree the
+    oracle evaluates.  Grids are per-column (price in whole units,
+    the rest x100) so every second-moment SUM stays inside int64 at
+    fixture scales; the 100-TB upgrade is a decimal128 merge, same
+    partials."""
+    import math
+
+    import ray.data
+
+    from ..functions.boilerplate import partial_aggregate
+    _tune_context()
+    line = ray.data.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_quantity", "l_extendedprice", "l_discount",
+                 "l_tax"])
+    names = ["disc", "price", "qty", "tax"]
+
+    def prep(t: pa.Table) -> pa.Table:
+        v = {"qty": np.floor(t["l_quantity"]
+                             .to_numpy(zero_copy_only=False)
+                             * 100.0 + 0.5).astype(np.int64),
+             "price": np.floor(t["l_extendedprice"]
+                               .to_numpy(zero_copy_only=False)
+                               + 0.5).astype(np.int64),
+             "disc": np.floor(t["l_discount"]
+                              .to_numpy(zero_copy_only=False)
+                              * 100.0 + 0.5).astype(np.int64),
+             "tax": np.floor(t["l_tax"].to_numpy(zero_copy_only=False)
+                             * 100.0 + 0.5).astype(np.int64)}
+        cols = {"one": pa.array(np.ones(len(v["qty"]), np.int64))}
+        for a in names:
+            cols[f"s_{a}"] = pa.array(v[a], pa.int64())
+        for i, a in enumerate(names):
+            for b in names[i:]:
+                cols[f"m_{a}_{b}"] = pa.array(v[a] * v[b], pa.int64())
+        return pa.table(cols)
+
+    aggs = [("one", "count")]
+    aggs += [(f"s_{a}", "sum") for a in names]
+    aggs += [(f"m_{a}_{b}", "sum")
+             for i, a in enumerate(names) for b in names[i:]]
+
+    # partial_aggregate needs >= 1 key; a constant group column makes
+    # the whole table one group (partials are still one row per batch)
+    def prep_keyed(t: pa.Table) -> pa.Table:
+        t = prep(t)
+        return t.append_column("g", pa.array(["x"] * t.num_rows))
+
+    out = partial_aggregate(line, ["g"], aggs, prepare=prep_keyed)
+    schema = pa.schema([("var_a", pa.string()), ("var_b", pa.string()),
+                        ("n", pa.int64()), ("corr_x1e6", pa.int64())])
+    if out is None:
+        return schema.empty_table()
+    n = int(out["one_count"][0].as_py())
+    s = {a: int(out[f"s_{a}_sum"][0].as_py()) for a in names}
+    m = {(a, b): int(out[f"m_{a}_{b}_sum"][0].as_py())
+         for i, a in enumerate(names) for b in names[i:]}
+    rows = []
+    for i, a in enumerate(names):
+        for b in names[i + 1:]:
+            num = float(n * m[(a, b)] - s[a] * s[b])
+            den = (math.sqrt(float(n * m[(a, a)] - s[a] * s[a]))
+                   * math.sqrt(float(n * m[(b, b)] - s[b] * s[b])))
+            c = num / den if den else 0.0
+            rows.append({"var_a": a, "var_b": b, "n": n,
+                         "corr_x1e6": int(np.floor(c * 1e6 + 0.5))})
+    rows.sort(key=lambda r: (r["var_a"], r["var_b"]))
+    return pa.Table.from_pylist(rows, schema=schema)
+
+
+def q_events_ewma(sf_dir: str) -> pa.Table:
+    """Integer EWMA (alpha = 1/2) over each type's hourly event
+    counts — time-series smoothing whose recursion ``s_t = (c_t +
+    s_{t-1}) // 2`` stays exactly reproducible: the DISTRIBUTED work
+    is the (type, hour) count partials; the recursion itself runs on
+    the tiny hour series driver-side here and as a recursive CTE in
+    the oracle — same floor division, same order."""
+    import ray.data
+
+    from ..functions.boilerplate import partial_aggregate
+    _tune_context()
+    ds = ray.data.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                               columns=["event_type", "ts"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        w = (t["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+             // 3_600_000_000)
+        return pa.table({"event_type": t["event_type"],
+                         "w": pa.array(w, pa.int64())})
+
+    out = partial_aggregate(ds, ["event_type", "w"], [("w", "count")],
+                            prepare=prep)
+    schema = pa.schema([("event_type", pa.string()),
+                        ("n_hours", pa.int64()), ("ewma", pa.int64())])
+    if out is None:
+        return schema.empty_table()
+    et = np.asarray(out["event_type"].to_pylist())
+    w = out["w"].to_numpy(zero_copy_only=False)
+    c = out["w_count"].to_numpy(zero_copy_only=False)
+    rows = []
+    for e in np.unique(et):
+        m = et == e
+        cc = c[m][np.argsort(w[m], kind="stable")]
+        s = int(cc[0])
+        for x in cc[1:]:
+            s = (int(x) + s) // 2
+        rows.append({"event_type": str(e), "n_hours": int(m.sum()),
+                     "ewma": s})
+    rows.sort(key=lambda r: r["event_type"])
+    return pa.Table.from_pylist(rows, schema=schema)
+
+
 # ---------------------------------------------------------------------------
 # registry + oracle SQL
 # ---------------------------------------------------------------------------
@@ -5739,6 +5856,8 @@ QUERIES = {
     "kmv_overlap": q_kmv_overlap,
     "sample_k_per_group": q_sample_k_per_group,
     "fk_orphans": q_fk_orphans,
+    "lineitem_corr_matrix": q_lineitem_corr_matrix,
+    "events_ewma": q_events_ewma,
 }
 
 _STOP_SQL = "['the','and','of','to','a','in','is','it']"
@@ -8625,5 +8744,84 @@ SELECT 'orders->customer' AS relation,
                           WHERE c.c_custkey = o.o_custkey))::BIGINT
          AS n_orphans
 ORDER BY relation
+""",
+    "lineitem_corr_matrix": """
+WITH b AS (
+  SELECT CAST(floor(l_quantity * 100 + 0.5) AS BIGINT) AS qty,
+         CAST(floor(l_extendedprice + 0.5) AS BIGINT) AS price,
+         CAST(floor(l_discount * 100 + 0.5) AS BIGINT) AS disc,
+         CAST(floor(l_tax * 100 + 0.5) AS BIGINT) AS tax
+  FROM lineitem
+), m AS (
+  SELECT count(*)::BIGINT AS n,
+         sum(disc)::BIGINT AS s_disc, sum(price)::BIGINT AS s_price,
+         sum(qty)::BIGINT AS s_qty, sum(tax)::BIGINT AS s_tax,
+         sum(disc * disc)::BIGINT AS m_dd,
+         sum(price * price)::BIGINT AS m_pp,
+         sum(qty * qty)::BIGINT AS m_qq,
+         sum(tax * tax)::BIGINT AS m_tt,
+         sum(disc * price)::BIGINT AS m_dp,
+         sum(disc * qty)::BIGINT AS m_dq,
+         sum(disc * tax)::BIGINT AS m_dt,
+         sum(price * qty)::BIGINT AS m_pq,
+         sum(price * tax)::BIGINT AS m_pt,
+         sum(qty * tax)::BIGINT AS m_qt
+  FROM b
+)
+SELECT 'disc' AS var_a, 'price' AS var_b, n,
+  CAST(floor(((n::HUGEINT * m_dp - s_disc::HUGEINT * s_price)::DOUBLE
+    / (sqrt((n::HUGEINT * m_dd - s_disc::HUGEINT * s_disc)::DOUBLE)
+     * sqrt((n::HUGEINT * m_pp - s_price::HUGEINT * s_price)::DOUBLE)))
+    * 1000000 + 0.5) AS BIGINT) AS corr_x1e6 FROM m
+UNION ALL
+SELECT 'disc', 'qty', n,
+  CAST(floor(((n::HUGEINT * m_dq - s_disc::HUGEINT * s_qty)::DOUBLE
+    / (sqrt((n::HUGEINT * m_dd - s_disc::HUGEINT * s_disc)::DOUBLE)
+     * sqrt((n::HUGEINT * m_qq - s_qty::HUGEINT * s_qty)::DOUBLE)))
+    * 1000000 + 0.5) AS BIGINT) FROM m
+UNION ALL
+SELECT 'disc', 'tax', n,
+  CAST(floor(((n::HUGEINT * m_dt - s_disc::HUGEINT * s_tax)::DOUBLE
+    / (sqrt((n::HUGEINT * m_dd - s_disc::HUGEINT * s_disc)::DOUBLE)
+     * sqrt((n::HUGEINT * m_tt - s_tax::HUGEINT * s_tax)::DOUBLE)))
+    * 1000000 + 0.5) AS BIGINT) FROM m
+UNION ALL
+SELECT 'price', 'qty', n,
+  CAST(floor(((n::HUGEINT * m_pq - s_price::HUGEINT * s_qty)::DOUBLE
+    / (sqrt((n::HUGEINT * m_pp - s_price::HUGEINT * s_price)::DOUBLE)
+     * sqrt((n::HUGEINT * m_qq - s_qty::HUGEINT * s_qty)::DOUBLE)))
+    * 1000000 + 0.5) AS BIGINT) FROM m
+UNION ALL
+SELECT 'price', 'tax', n,
+  CAST(floor(((n::HUGEINT * m_pt - s_price::HUGEINT * s_tax)::DOUBLE
+    / (sqrt((n::HUGEINT * m_pp - s_price::HUGEINT * s_price)::DOUBLE)
+     * sqrt((n::HUGEINT * m_tt - s_tax::HUGEINT * s_tax)::DOUBLE)))
+    * 1000000 + 0.5) AS BIGINT) FROM m
+UNION ALL
+SELECT 'qty', 'tax', n,
+  CAST(floor(((n::HUGEINT * m_qt - s_qty::HUGEINT * s_tax)::DOUBLE
+    / (sqrt((n::HUGEINT * m_qq - s_qty::HUGEINT * s_qty)::DOUBLE)
+     * sqrt((n::HUGEINT * m_tt - s_tax::HUGEINT * s_tax)::DOUBLE)))
+    * 1000000 + 0.5) AS BIGINT) FROM m
+ORDER BY var_a, var_b
+""",
+    "events_ewma": """
+WITH RECURSIVE h AS (
+  SELECT event_type, epoch_us(ts) // 3600000000 AS w,
+         count(*)::BIGINT AS c
+  FROM events GROUP BY 1, 2
+), o AS (
+  SELECT event_type, c,
+         row_number() OVER (PARTITION BY event_type ORDER BY w) AS rn,
+         count(*) OVER (PARTITION BY event_type) AS nh
+  FROM h
+), r AS (
+  SELECT event_type, rn, nh, c AS s FROM o WHERE rn = 1
+  UNION ALL
+  SELECT o.event_type, o.rn, o.nh, (o.c + r.s) // 2
+  FROM r JOIN o ON o.event_type = r.event_type AND o.rn = r.rn + 1
+)
+SELECT event_type, nh::BIGINT AS n_hours, s::BIGINT AS ewma
+FROM r WHERE rn = nh ORDER BY event_type
 """,
 }
