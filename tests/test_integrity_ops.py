@@ -363,3 +363,51 @@ def test_events_ewma_matches_sequential(ray_session):
         for x in counts[1:]:
             s = (int(x) + s) // 2
         assert (r["n_hours"], r["ewma"]) == (len(hrs), s)
+
+
+def test_pq_codes_matches_numpy(ray_session):
+    from vfs_index_ray.pipelines.queries import q_pq_codes
+
+    got = q_pq_codes(SF)
+    t = pq.read_table(f"{SF}/embeddings.parquet",
+                      columns=["vec_id", "embedding"])
+    ids = t["vec_id"].to_numpy()
+    q = np.floor(np.asarray(t["embedding"].to_pylist(),
+                            dtype=np.float64) * 10000.0
+                 + 0.5).astype(np.int64).reshape(-1, 8, 8)
+    cent = q[np.argsort(ids, kind="stable")[:16]]
+    order = np.argsort(ids, kind="stable")
+    want = {}
+    for vi in range(len(ids)):
+        for s in range(8):
+            d2 = ((cent[:, s, :] - q[vi, s, :]) ** 2).sum(axis=1)
+            want[(int(ids[vi]), s)] = int(np.argmin(d2))
+    out = got.to_pylist()
+    assert len(out) == len(ids) * 8
+    for r in out:
+        assert r["code"] == want[(r["vec_id"], r["sub"])]
+    # compression sanity: codes use the full range
+    assert len({r["code"] for r in out}) > 4
+
+
+def test_feature_vectors_matches_bruteforce(ray_session):
+    import re
+
+    from vfs_index_ray.pipelines.queries import q_feature_vectors
+
+    got = q_feature_vectors(SF).to_pylist()
+    t = pq.read_table(f"{SF}/documents.parquet",
+                      columns=["doc_id", "text"])
+    vocab = sorted({tok for txt in t["text"].to_pylist()
+                    for tok in re.split(r"[^a-z0-9]+", txt.lower())
+                    if tok})
+    rank = {tok: i % 64 for i, tok in enumerate(vocab)}
+    want = {}
+    for did, txt in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
+        if did % 50:
+            continue
+        for tok in re.split(r"[^a-z0-9]+", txt.lower()):
+            if tok:
+                key = (did, rank[tok])
+                want[key] = want.get(key, 0) + 1
+    assert {(r["doc_id"], r["slot"]): r["n"] for r in got} == want

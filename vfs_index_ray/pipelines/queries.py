@@ -5677,6 +5677,124 @@ def q_events_ewma(sf_dir: str) -> pa.Table:
     return pa.Table.from_pylist(rows, schema=schema)
 
 
+def q_pq_codes(sf_dir: str) -> pa.Table:
+    """Product-quantization encoding of the embedding corpus — the
+    vector-compression step an IVF-PQ index runs after bucketing: the
+    64-dim grid vector splits into 8 subspaces of 8 dims; each
+    subvector maps to its nearest of 16 deterministic seed centroids
+    (the 16 smallest vec_ids, as in kmeans_step) via the exact int64
+    ||q||²+||c||²−2qc form per subspace — ties to the smallest code.
+    8 bytes/vector instead of 256.  Output long-form (vec_id, sub,
+    code)."""
+    import ray
+    import ray.data
+    _tune_context()
+    k, d, subs = 16, 64, 8
+    sd = d // subs
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "embeddings.parquet"),
+        columns=["vec_id", "embedding"])
+
+    def bottomk(t: pa.Table) -> pa.Table:
+        ids = t["vec_id"].to_numpy(zero_copy_only=False)
+        idx = np.argsort(ids, kind="stable")[:k]
+        return pa.table({"vec_id": pa.array(ids[idx], pa.int64()),
+                         "embedding": t["embedding"].take(
+                             pa.array(idx))})
+
+    seeds = _collect(ds.map_batches(bottomk, batch_format="pyarrow",
+                                    zero_copy_batch=True))
+    seeds = seeds.take(pc.sort_indices(
+        seeds, sort_keys=[("vec_id", "ascending")]).slice(0, k))
+    cent = np.floor(np.asarray(seeds["embedding"].to_pylist(),
+                               dtype=np.float64) * 10000.0
+                    + 0.5).astype(np.int64).reshape(k, subs, sd)
+    cent_ref = ray.put(cent)
+
+    def encode(t: pa.Table) -> pa.Table:
+        c = ray.get(cent_ref)
+        ids = t["vec_id"].to_numpy(zero_copy_only=False)
+        col = t["embedding"].combine_chunks()
+        q = np.floor(col.values.to_numpy(zero_copy_only=False)
+                     .astype(np.float64) * 10000.0
+                     + 0.5).astype(np.int64).reshape(-1, subs, sd)
+        codes = np.empty((len(ids), subs), np.int64)
+        for s in range(subs):
+            qs, cs = q[:, s, :], c[:, s, :]
+            d2 = ((qs * qs).sum(axis=1)[:, None]
+                  + (cs * cs).sum(axis=1)[None, :]
+                  - 2 * (qs @ cs.T))
+            codes[:, s] = np.argmin(d2, axis=1)
+        return pa.table({
+            "vec_id": pa.array(np.repeat(ids, subs), pa.int64()),
+            "sub": pa.array(np.tile(np.arange(subs, dtype=np.int64),
+                                    len(ids)), pa.int64()),
+            "code": pa.array(codes.reshape(-1), pa.int64())})
+
+    out = _collect(ds.map_batches(encode, batch_format="pyarrow",
+                                  zero_copy_batch=True))
+    schema = pa.schema([("vec_id", pa.int64()), ("sub", pa.int64()),
+                        ("code", pa.int64())])
+    if out.num_rows == 0:
+        return schema.empty_table()
+    return out.take(pc.sort_indices(out, sort_keys=[
+        ("vec_id", "ascending"), ("sub", "ascending")])).cast(schema)
+
+
+def q_feature_vectors(sf_dir: str) -> pa.Table:
+    """Count-vectorizer (hashed bag-of-words) for ML feature
+    extraction: token → slot = vocabulary-rank mod 64, where the rank
+    is the position in the byte-sorted corpus vocabulary (the
+    keywords-family broadcast convention — deterministic and
+    SQL-reproducible, unlike a string hash).  Sparse (doc_id, slot,
+    n) triples for the doc_id % 50 == 0 sample; each doc's text lives
+    in one row, so per-batch counts are final — no merge.  The vocab
+    itself comes from the distributed df pass
+    (boilerplate.unit_doc_frequencies)."""
+    import ray
+
+    from ..functions.boilerplate import unit_doc_frequencies
+    from ..tokenizer import word_tokens_flat
+    _tune_context()
+    ds = _docs_ds(sf_dir, columns=["doc_id", "text"])
+    vocab = unit_doc_frequencies(ds, unit="token")
+    toks = vocab["unit"].combine_chunks()
+    order = pc.sort_indices(toks)          # byte order (ASCII corpus)
+    sorted_vocab = toks.take(order)
+    vocab_ref = ray.put(sorted_vocab)
+
+    def vectorize(t: pa.Table) -> pa.Table:
+        voc = ray.get(vocab_ref)
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        keep = ids % 50 == 0
+        if not keep.any():
+            return pa.table({"doc_id": pa.array([], pa.int64()),
+                             "slot": pa.array([], pa.int64()),
+                             "n": pa.array([], pa.int64())})
+        sub = t.filter(pa.array(keep))
+        sids = sub["doc_id"].to_numpy(zero_copy_only=False)
+        flat, parent, _ = word_tokens_flat(sub["text"])
+        rank = pc.index_in(flat, value_set=voc) \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        slot = rank % 64
+        key = parent * 64 + slot
+        cnt = np.bincount(key, minlength=len(sids) * 64)
+        nz = np.flatnonzero(cnt)
+        return pa.table({
+            "doc_id": pa.array(sids[nz // 64], pa.int64()),
+            "slot": pa.array(nz % 64, pa.int64()),
+            "n": pa.array(cnt[nz], pa.int64())})
+
+    out = _collect(ds.map_batches(vectorize, batch_format="pyarrow",
+                                  zero_copy_batch=True))
+    schema = pa.schema([("doc_id", pa.int64()), ("slot", pa.int64()),
+                        ("n", pa.int64())])
+    if out.num_rows == 0:
+        return schema.empty_table()
+    return out.take(pc.sort_indices(out, sort_keys=[
+        ("doc_id", "ascending"), ("slot", "ascending")])).cast(schema)
+
+
 # ---------------------------------------------------------------------------
 # registry + oracle SQL
 # ---------------------------------------------------------------------------
@@ -5858,6 +5976,8 @@ QUERIES = {
     "fk_orphans": q_fk_orphans,
     "lineitem_corr_matrix": q_lineitem_corr_matrix,
     "events_ewma": q_events_ewma,
+    "pq_codes": q_pq_codes,
+    "feature_vectors": q_feature_vectors,
 }
 
 _STOP_SQL = "['the','and','of','to','a','in','is','it']"
@@ -8823,5 +8943,48 @@ WITH RECURSIVE h AS (
 )
 SELECT event_type, nh::BIGINT AS n_hours, s::BIGINT AS ewma
 FROM r WHERE rn = nh ORDER BY event_type
+""",
+    "pq_codes": """
+WITH e AS (
+  SELECT vec_id,
+         list_transform(embedding,
+           x -> CAST(floor(CAST(x AS DOUBLE) * 10000 + 0.5)
+                     AS BIGINT)) AS q
+  FROM embeddings
+), seeds AS (
+  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS c, q AS cq
+  FROM e ORDER BY vec_id LIMIT 16
+), u AS (
+  SELECT vec_id, (gs - 1) // 8 AS sub, gs AS dim, q[gs] AS v
+  FROM e, generate_series(1, 64) t(gs)
+), su AS (
+  SELECT c, gs AS dim, cq[gs] AS cv
+  FROM seeds, generate_series(1, 64) t(gs)
+), dist AS (
+  SELECT u.vec_id, u.sub, su.c,
+         sum((u.v - su.cv) * (u.v - su.cv)) AS d2
+  FROM u JOIN su USING (dim) GROUP BY 1, 2, 3
+)
+SELECT vec_id, sub::BIGINT AS sub, c::BIGINT AS code FROM (
+  SELECT vec_id, sub, c,
+         row_number() OVER (PARTITION BY vec_id, sub
+                            ORDER BY d2, c) AS rn
+  FROM dist)
+WHERE rn = 1 ORDER BY vec_id, sub
+""",
+    "feature_vectors": """
+WITH tok AS (
+  SELECT doc_id, unnest(list_filter(regexp_split_to_array(lower(text),
+    '[^a-z0-9]+'), x -> x <> '')) AS tok FROM documents
+), v AS (
+  SELECT DISTINCT tok FROM tok
+), r AS (
+  SELECT tok, (row_number() OVER (ORDER BY tok) - 1) % 64 AS slot
+  FROM v
+)
+SELECT doc_id, r.slot::BIGINT AS slot, count(*)::BIGINT AS n
+FROM tok JOIN r USING (tok)
+WHERE doc_id % 50 = 0
+GROUP BY 1, 2 ORDER BY doc_id, slot
 """,
 }
