@@ -137,6 +137,9 @@ def main(argv=None) -> int:
     ap.add_argument("--cpus", type=int, default=32)
     ap.add_argument("--rounds", type=int, default=2)
     ap.add_argument("--filtered", action="store_true")
+    ap.add_argument("--matrix", action="store_true",
+                    help="time gram_matrix / kmeans_iteration / "
+                         "pq_encode at --vecs scale")
     ap.add_argument("--centroids", type=int, default=64)
     ap.add_argument("--nprobe", type=int, default=8)
     args = ap.parse_args(argv)
@@ -152,6 +155,32 @@ def main(argv=None) -> int:
 
     if args.filtered:
         return run_filtered(args)
+    if args.matrix:
+        import ray.data
+
+        from vfs_index_ray.functions.similarity import (
+            gram_matrix, kmeans_iteration, pq_encode)
+
+        d = _vec_file(args.vecs, args.dim)
+        times = {}
+        t0 = time.perf_counter()
+        g = gram_matrix(ray.data.read_parquet(
+            d, columns=["embedding"]), dim=args.dim)
+        times["gram"] = round(time.perf_counter() - t0, 2)
+        t0 = time.perf_counter()
+        km = kmeans_iteration(ray.data.read_parquet(d), k=8,
+                              dim=args.dim)
+        times["kmeans_step"] = round(time.perf_counter() - t0, 2)
+        t0 = time.perf_counter()
+        n_codes = pq_encode(ray.data.read_parquet(d), subs=8, k=16,
+                            dim=args.dim).count()
+        times["pq_encode"] = round(time.perf_counter() - t0, 2)
+        print(json.dumps({"vecs": args.vecs, "dim": args.dim,
+                          "cpus": args.cpus, "sec": times,
+                          "gram_rows": g.num_rows if g else 0,
+                          "pq_rows": n_codes}))
+        ray.shutdown()
+        return 0
 
     from vfs_index_ray.functions.similarity import ann_cosine_topk
 

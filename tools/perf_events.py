@@ -170,6 +170,44 @@ def main(argv=None) -> int:
         t0 = time.perf_counter()
         t = grouped_quantiles(ds(["event_type", "value"]))
         times["quantiles"] = round(time.perf_counter() - t0, 3)
+    if "mad" in args.ops:
+        from vfs_index_ray.functions.quantiles import grouped_mad
+        t0 = time.perf_counter()
+        t = grouped_mad(ds(["event_type", "value"]))
+        times["mad"] = round(time.perf_counter() - t0, 3)
+    if "iqr" in args.ops:
+        from vfs_index_ray.functions.quantiles import (
+            grouped_iqr_outliers)
+        t0 = time.perf_counter()
+        t = grouped_iqr_outliers(ds(["event_type", "value"]),
+                                 key_col="event_type",
+                                 val_col="value")
+        times["iqr"] = round(time.perf_counter() - t0, 3)
+    if "ols" in args.ops:
+        import numpy as np
+        import pyarrow as pa
+
+        from vfs_index_ray.functions.boilerplate import (
+            partial_aggregate)
+
+        def prep_ols(t):
+            x = (t["ts"].cast(pa.int64())
+                 .to_numpy(zero_copy_only=False)
+                 // 60_000_000) - 28_401_120
+            y = np.floor(t["value"].to_numpy(zero_copy_only=False)
+                         * 10000.0 + 0.5).astype(np.int64)
+            return pa.table({"event_type": t["event_type"],
+                             "x": pa.array(x, pa.int64()),
+                             "y": pa.array(y, pa.int64()),
+                             "xx": pa.array(x * x, pa.int64()),
+                             "xy": pa.array(x * y, pa.int64())})
+
+        t0 = time.perf_counter()
+        t = partial_aggregate(
+            ds(["event_type", "ts", "value"]), ["event_type"],
+            [("x", "count"), ("x", "sum"), ("y", "sum"),
+             ("xx", "sum"), ("xy", "sum")], prepare=prep_ols)
+        times["ols"] = round(time.perf_counter() - t0, 3)
     if "sort" in args.ops:
         from vfs_index_ray.functions.sort import order_by
         t0 = time.perf_counter()

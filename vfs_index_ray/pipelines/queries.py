@@ -5270,25 +5270,12 @@ def q_embedding_gram(sf_dir: str) -> pa.Table:
     vector surface); standard one-pass second-moment accumulation."""
     import ray.data
 
-    from ..functions.boilerplate import partial_aggregate
+    from ..functions.similarity import gram_matrix
     _tune_context()
-    d = 64
-    iu, ju = np.triu_indices(d)
     ds = ray.data.read_parquet(
         os.path.join(sf_dir, "embeddings.parquet"),
         columns=["embedding"])
-
-    def gram(t: pa.Table) -> pa.Table:
-        col = t["embedding"].combine_chunks()
-        flat = col.values.to_numpy(zero_copy_only=False)
-        q = np.floor(flat.astype(np.float64) * 10000.0
-                     + 0.5).astype(np.int64).reshape(-1, d)
-        g = q.T @ q
-        return pa.table({"i": pa.array(iu + 1, pa.int64()),
-                         "j": pa.array(ju + 1, pa.int64()),
-                         "s": pa.array(g[iu, ju], pa.int64())})
-
-    out = partial_aggregate(ds, ["i", "j"], [("s", "sum")], prepare=gram)
+    out = gram_matrix(ds, vec_col="embedding", dim=64)
     schema = pa.schema([("i", pa.int64()), ("j", pa.int64()),
                         ("sum_x1e8", pa.int64())])
     if out is None:
@@ -5322,61 +5309,15 @@ def q_kmeans_step(sf_dir: str) -> pa.Table:
     one hash sum.  This is the building block the IVF index's
     distributed k-means (similarity.py) iterates; exposed as a query
     so the assignment arithmetic is oracle-checked end-to-end."""
-    import ray
     import ray.data
 
-    from ..functions.boilerplate import partial_aggregate
+    from ..functions.similarity import kmeans_iteration
     _tune_context()
-    k, d = 8, 64
     ds = ray.data.read_parquet(
         os.path.join(sf_dir, "embeddings.parquet"),
         columns=["vec_id", "embedding"])
-
-    def bottomk(t: pa.Table) -> pa.Table:
-        ids = t["vec_id"].to_numpy(zero_copy_only=False)
-        idx = np.argsort(ids, kind="stable")[:k]
-        return pa.table({"vec_id": pa.array(ids[idx], pa.int64()),
-                         "embedding": t["embedding"].take(
-                             pa.array(idx))})
-
-    seeds = _collect(ds.map_batches(bottomk, batch_format="pyarrow",
-                                    zero_copy_batch=True))
-    seeds = seeds.take(pc.sort_indices(
-        seeds, sort_keys=[("vec_id", "ascending")]).slice(0, k))
-    cent = np.floor(np.asarray(seeds["embedding"].to_pylist(),
-                               dtype=np.float64) * 10000.0
-                    + 0.5).astype(np.int64)
-    c2 = (cent * cent).sum(axis=1)
-    cent_ref = ray.put((cent, c2))
-
-    def estep(t: pa.Table) -> pa.Table:
-        c, cc2 = ray.get(cent_ref)
-        col = t["embedding"].combine_chunks()
-        q = np.floor(col.values.to_numpy(zero_copy_only=False)
-                     .astype(np.float64) * 10000.0
-                     + 0.5).astype(np.int64).reshape(-1, d)
-        # exact int64: argmin over ||q-c||² = q² + c² - 2qc; ties →
-        # smallest cluster index (np.argmin picks first occurrence)
-        d2 = (q * q).sum(axis=1)[:, None] + cc2[None, :] - 2 * (q @ c.T)
-        asg = np.argmin(d2, axis=1)
-        rows_c, rows_d, rows_n, rows_s = [], [], [], []
-        for ci in range(len(c)):
-            mask = asg == ci
-            n = int(mask.sum())
-            if not n:
-                continue
-            s = q[mask].sum(axis=0)
-            rows_c.extend([ci] * d)
-            rows_d.extend(range(1, d + 1))
-            rows_n.extend([n] * d)
-            rows_s.extend(s.tolist())
-        return pa.table({"cluster": pa.array(rows_c, pa.int64()),
-                         "dim": pa.array(rows_d, pa.int64()),
-                         "n": pa.array(rows_n, pa.int64()),
-                         "s": pa.array(rows_s, pa.int64())})
-
-    out = partial_aggregate(ds, ["cluster", "dim"],
-                            [("n", "sum"), ("s", "sum")], prepare=estep)
+    out = kmeans_iteration(ds, id_col="vec_id", vec_col="embedding",
+                           k=8, dim=64)
     schema = pa.schema([("cluster", pa.int64()), ("dim", pa.int64()),
                         ("n", pa.int64()), ("sum_x1e4", pa.int64())])
     if out is None:
@@ -5686,53 +5627,15 @@ def q_pq_codes(sf_dir: str) -> pa.Table:
     ||q||²+||c||²−2qc form per subspace — ties to the smallest code.
     8 bytes/vector instead of 256.  Output long-form (vec_id, sub,
     code)."""
-    import ray
     import ray.data
+
+    from ..functions.similarity import pq_encode
     _tune_context()
-    k, d, subs = 16, 64, 8
-    sd = d // subs
     ds = ray.data.read_parquet(
         os.path.join(sf_dir, "embeddings.parquet"),
         columns=["vec_id", "embedding"])
-
-    def bottomk(t: pa.Table) -> pa.Table:
-        ids = t["vec_id"].to_numpy(zero_copy_only=False)
-        idx = np.argsort(ids, kind="stable")[:k]
-        return pa.table({"vec_id": pa.array(ids[idx], pa.int64()),
-                         "embedding": t["embedding"].take(
-                             pa.array(idx))})
-
-    seeds = _collect(ds.map_batches(bottomk, batch_format="pyarrow",
-                                    zero_copy_batch=True))
-    seeds = seeds.take(pc.sort_indices(
-        seeds, sort_keys=[("vec_id", "ascending")]).slice(0, k))
-    cent = np.floor(np.asarray(seeds["embedding"].to_pylist(),
-                               dtype=np.float64) * 10000.0
-                    + 0.5).astype(np.int64).reshape(k, subs, sd)
-    cent_ref = ray.put(cent)
-
-    def encode(t: pa.Table) -> pa.Table:
-        c = ray.get(cent_ref)
-        ids = t["vec_id"].to_numpy(zero_copy_only=False)
-        col = t["embedding"].combine_chunks()
-        q = np.floor(col.values.to_numpy(zero_copy_only=False)
-                     .astype(np.float64) * 10000.0
-                     + 0.5).astype(np.int64).reshape(-1, subs, sd)
-        codes = np.empty((len(ids), subs), np.int64)
-        for s in range(subs):
-            qs, cs = q[:, s, :], c[:, s, :]
-            d2 = ((qs * qs).sum(axis=1)[:, None]
-                  + (cs * cs).sum(axis=1)[None, :]
-                  - 2 * (qs @ cs.T))
-            codes[:, s] = np.argmin(d2, axis=1)
-        return pa.table({
-            "vec_id": pa.array(np.repeat(ids, subs), pa.int64()),
-            "sub": pa.array(np.tile(np.arange(subs, dtype=np.int64),
-                                    len(ids)), pa.int64()),
-            "code": pa.array(codes.reshape(-1), pa.int64())})
-
-    out = _collect(ds.map_batches(encode, batch_format="pyarrow",
-                                  zero_copy_batch=True))
+    out = _collect(pq_encode(ds, id_col="vec_id", vec_col="embedding",
+                             subs=8, k=16, dim=64))
     schema = pa.schema([("vec_id", pa.int64()), ("sub", pa.int64()),
                         ("code", pa.int64())])
     if out.num_rows == 0:
