@@ -411,3 +411,51 @@ def test_feature_vectors_matches_bruteforce(ray_session):
                 key = (did, rank[tok])
                 want[key] = want.get(key, 0) + 1
     assert {(r["doc_id"], r["slot"]): r["n"] for r in got} == want
+
+
+def test_multi_vector_search_is_maxpool(ray_session):
+    from vfs_index_ray.pipelines.queries import q_multi_vector_search
+
+    got = q_multi_vector_search(SF)
+    t = pq.read_table(f"{SF}/embeddings.parquet",
+                      columns=["vec_id", "embedding"])
+    ids = t["vec_id"].to_numpy()
+    m = np.asarray(t["embedding"].to_pylist(), dtype=np.float64)
+    m = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-30)
+    qm = m[np.isin(ids, [0, 1, 2])]
+    sims = (qm @ m.T).max(axis=0)
+    mask = ~np.isin(ids, [0, 1, 2])
+    idx = np.flatnonzero(mask)
+    top = idx[np.lexsort((ids[idx], -sims[idx]))[:10]]
+    assert got["vec_id"].to_pylist() == list(ids[top])
+    assert got["rank"].to_pylist() == list(range(1, 11))
+
+
+def test_collocations_lift_matches_bruteforce(ray_session):
+    import itertools
+    import re
+
+    from vfs_index_ray.pipelines.queries import q_collocations
+
+    got = q_collocations(SF).to_pylist()
+    t = pq.read_table(f"{SF}/documents.parquet",
+                      columns=["doc_id", "text"])
+    docs = [set(x for x in re.split(r"[^a-z0-9]+", txt.lower()) if x)
+            for txt in t["text"].to_pylist()]
+    df = {}
+    for d in docs:
+        for tok in d:
+            df[tok] = df.get(tok, 0) + 1
+    top = sorted(df, key=lambda k: (-df[k], k))[:50]
+    tops = set(top)
+    n = len(docs)
+    rows = []
+    for a, b in itertools.combinations(sorted(tops), 2):
+        pair = sum(1 for d in docs if a in d and b in d)
+        if pair >= 5:
+            rows.append((pair * n * 10**6 // (df[a] * df[b]), a, b,
+                         pair))
+    rows.sort(key=lambda r: (-r[0], r[1], r[2]))
+    want = [{"tok_a": a, "tok_b": b, "pair": p, "lift_x1e6": lf}
+            for lf, a, b, p in rows[:20]]
+    assert got == want

@@ -1082,3 +1082,63 @@ def pq_encode(ds, *, id_col: str = "vec_id",
 
     return ds.map_batches(encode, batch_format="pyarrow",
                           zero_copy_batch=True)
+
+
+def multi_vector_topk(ds, query_ids: list[int], k: int = 10,
+                      vec_col: str = "embedding",
+                      id_col: str = "vec_id") -> pa.Table:
+    """Late-interaction retrieval (ColBERT-style max-pool): a doc's
+    score is the MAX cosine over the query's vectors, so a doc strong
+    on any one aspect of a multi-part query surfaces.  Same broadcast
+    + per-batch-matmul shape as ann_cosine_topk (each batch ships one
+    k-row partial); per-pair cosine arithmetic identical to
+    BruteForceTopK, max-pool is exact (no accumulation).  Returns
+    (vec_id, rank, sim_x1e4)."""
+    qid_arr = pa.array(query_ids, pa.int64())
+
+    def grab(t: pa.Table) -> pa.Table:
+        return t.filter(pc.is_in(t[id_col], value_set=qid_arr))
+
+    qrows = ds.map_batches(grab, batch_format="pyarrow").take_all()
+    qrows.sort(key=lambda r: query_ids.index(r[id_col]))
+    qmat = np.array([r[vec_col] for r in qrows], np.float64)
+    qn = np.linalg.norm(qmat, axis=1, keepdims=True)
+    ref = ray.put(qmat / np.maximum(qn, 1e-30))
+
+    def partial(batch: pa.Table) -> pa.Table:
+        q = ray.get(ref)
+        mat = _embedding_matrix(batch, vec_col)
+        ids = batch[id_col].to_numpy(zero_copy_only=False)
+        empty = pa.table({"vec_id": pa.array([], pa.int64()),
+                          "sim": pa.array([], pa.float64())})
+        if mat.shape[0] == 0:
+            return empty
+        norms = np.linalg.norm(mat, axis=1, keepdims=True)
+        mat = mat / np.maximum(norms, 1e-30)
+        sims = (q @ mat.T).max(axis=0)
+        mask = ~np.isin(ids, np.asarray(query_ids, np.int64))
+        idx = np.flatnonzero(mask)
+        if len(idx) == 0:
+            return empty
+        top = idx[np.lexsort((ids[idx], -sims[idx]))[:k]]
+        return pa.table({"vec_id": pa.array(ids[top], pa.int64()),
+                         "sim": pa.array(sims[top], pa.float64())})
+
+    parts = [t for t in ray.get(
+        ds.map_batches(partial, batch_format="pyarrow",
+                       zero_copy_batch=True).to_arrow_refs())
+        if t.num_rows]
+    schema = pa.schema([("vec_id", pa.int64()), ("rank", pa.int64()),
+                        ("sim_x1e4", pa.int64())])
+    if not parts:
+        return schema.empty_table()
+    t = pa.concat_tables(parts).combine_chunks()
+    va = t["vec_id"].to_numpy(zero_copy_only=False)
+    sa = t["sim"].to_numpy(zero_copy_only=False)
+    order = np.lexsort((va, -sa))[:k]
+    return pa.table({
+        "vec_id": pa.array(va[order], pa.int64()),
+        "rank": pa.array(np.arange(1, len(order) + 1), pa.int64()),
+        "sim_x1e4": pa.array(
+            np.floor(sa[order] * 10000 + 0.5).astype(np.int64),
+            pa.int64())})

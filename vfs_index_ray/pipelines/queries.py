@@ -5698,6 +5698,85 @@ def q_feature_vectors(sf_dir: str) -> pa.Table:
         ("doc_id", "ascending"), ("slot", "ascending")])).cast(schema)
 
 
+def q_multi_vector_search(sf_dir: str) -> pa.Table:
+    """Late-interaction (max-pool) retrieval: a doc scores the MAX
+    cosine over query vectors 0/1/2, so a doc strong on any one aspect
+    of a multi-part query surfaces (functions/similarity.py
+    multi_vector_topk — same broadcast + per-batch matmul shape as
+    ann_cosine_topk; max-pool adds no accumulation, so fp parity with
+    the oracle is per-pair)."""
+    import ray.data
+
+    from ..functions.similarity import multi_vector_topk
+    _tune_context()
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "embeddings.parquet"))
+    return multi_vector_topk(ds, [0, 1, 2], k=10)
+
+
+def q_collocations(sf_dir: str) -> pa.Table:
+    """Collocation mining by LIFT over the 50 most frequent tokens:
+    pair_df·N / (df_a·df_b) ranks pairs that co-occur MORE than their
+    popularity predicts (the symmetric counterpart to related_terms'
+    directional confidence).  The candidate space is the top-50 df
+    tokens, so the pair statistics come from ONE presence-matrix
+    matmul per batch (n_docs×50 0/1 matrix → 50×50 co-occurrence —
+    fixed 1275-row partials at ANY corpus size); df pass reuses the
+    distributed vocabulary shuffle (unit_doc_frequencies)."""
+    import ray
+    import ray.data
+
+    from ..functions.boilerplate import (partial_aggregate,
+                                         unit_doc_frequencies)
+    from ..tokenizer import word_tokens_flat
+    _tune_context()
+    topn, min_pair = 50, 5
+    ds = _docs_ds(sf_dir, columns=["doc_id", "text"])
+    n_docs = ds.count()
+    vocab = unit_doc_frequencies(ds, unit="token")
+    vt = sorted(zip(vocab["unit"].to_pylist(),
+                    vocab["df"].to_pylist()),
+                key=lambda p: (-p[1], p[0]))[:topn]
+    # candidate tokens in BYTE order so pair (i < j) == (tok_i < tok_j)
+    toks = sorted(t for t, _ in vt)
+    dfs = dict(vt)
+    tok_arr = pa.array(toks, pa.string())
+    tok_ref = ray.put(tok_arr)
+    iu, ju = np.triu_indices(len(toks), k=1)
+
+    def pairs(t: pa.Table) -> pa.Table:
+        cand = ray.get(tok_ref)
+        flat, parent, _ = word_tokens_flat(t["text"])
+        rank = pc.index_in(flat, value_set=cand).fill_null(-1) \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        hit = rank >= 0
+        m = np.zeros((t.num_rows, len(cand)), np.float64)
+        m[parent[hit], rank[hit]] = 1.0
+        g = (m.T @ m).astype(np.int64)      # exact: 0/1 entries
+        return pa.table({"ia": pa.array(iu, pa.int64()),
+                         "ib": pa.array(ju, pa.int64()),
+                         "c": pa.array(g[iu, ju], pa.int64())})
+
+    out = partial_aggregate(ds, ["ia", "ib"], [("c", "sum")],
+                            prepare=pairs)
+    schema = pa.schema([("tok_a", pa.string()), ("tok_b", pa.string()),
+                        ("pair", pa.int64()), ("lift_x1e6", pa.int64())])
+    if out is None:
+        return schema.empty_table()
+    rows = []
+    for ia, ib, c in zip(out["ia"].to_pylist(), out["ib"].to_pylist(),
+                         out["c_sum"].to_pylist()):
+        c = int(c)
+        if c < min_pair:
+            continue
+        a, b = toks[ia], toks[ib]
+        lift = c * n_docs * 1_000_000 // (dfs[a] * dfs[b])
+        rows.append({"tok_a": a, "tok_b": b, "pair": c,
+                     "lift_x1e6": lift})
+    rows.sort(key=lambda r: (-r["lift_x1e6"], r["tok_a"], r["tok_b"]))
+    return pa.Table.from_pylist(rows[:20], schema=schema)
+
+
 # ---------------------------------------------------------------------------
 # registry + oracle SQL
 # ---------------------------------------------------------------------------
@@ -5881,6 +5960,8 @@ QUERIES = {
     "events_ewma": q_events_ewma,
     "pq_codes": q_pq_codes,
     "feature_vectors": q_feature_vectors,
+    "multi_vector_search": q_multi_vector_search,
+    "collocations": q_collocations,
 }
 
 _STOP_SQL = "['the','and','of','to','a','in','is','it']"
@@ -8889,5 +8970,49 @@ SELECT doc_id, r.slot::BIGINT AS slot, count(*)::BIGINT AS n
 FROM tok JOIN r USING (tok)
 WHERE doc_id % 50 = 0
 GROUP BY 1, 2 ORDER BY doc_id, slot
+""",
+    "multi_vector_search": """
+WITH q AS (
+  SELECT embedding AS qe FROM embeddings WHERE vec_id IN (0, 1, 2)
+), sims AS (
+  SELECT e.vec_id,
+         max(list_cosine_similarity(q.qe::DOUBLE[],
+                                    e.embedding::DOUBLE[])) AS sim
+  FROM q CROSS JOIN embeddings e
+  WHERE e.vec_id NOT IN (0, 1, 2)
+  GROUP BY 1
+)
+SELECT vec_id,
+       row_number() OVER (ORDER BY sim DESC, vec_id)::BIGINT AS rank,
+       CAST(floor(sim * 10000 + 0.5) AS BIGINT) AS sim_x1e4
+FROM sims QUALIFY rank <= 10 ORDER BY rank
+""",
+    "collocations": """
+WITH tok AS (
+  SELECT doc_id,
+         unnest(list_distinct(list_filter(regexp_split_to_array(
+           lower(text), '[^a-z0-9]+'), x -> x <> ''))) AS tok
+  FROM documents
+), df AS (
+  SELECT tok, count(*)::BIGINT AS df FROM tok GROUP BY 1
+), top AS (
+  SELECT tok, df FROM df ORDER BY df DESC, tok LIMIT 50
+), p AS (
+  SELECT a.tok AS tok_a, b.tok AS tok_b, count(*)::BIGINT AS pair
+  FROM tok a JOIN tok b USING (doc_id)
+  WHERE a.tok < b.tok
+    AND a.tok IN (SELECT tok FROM top)
+    AND b.tok IN (SELECT tok FROM top)
+  GROUP BY 1, 2
+), n AS (SELECT count(*)::HUGEINT AS nd FROM documents)
+SELECT tok_a, tok_b, pair,
+       (pair::HUGEINT * nd * 1000000
+        // (ta.df::HUGEINT * tb.df))::BIGINT AS lift_x1e6
+FROM p
+JOIN top ta ON ta.tok = p.tok_a
+JOIN top tb ON tb.tok = p.tok_b
+CROSS JOIN n
+WHERE pair >= 5
+ORDER BY lift_x1e6 DESC, tok_a, tok_b LIMIT 20
 """,
 }
