@@ -459,3 +459,43 @@ def test_collocations_lift_matches_bruteforce(ray_session):
     want = [{"tok_a": a, "tok_b": b, "pair": p, "lift_x1e6": lf}
             for lf, a, b, p in rows[:20]]
     assert got == want
+
+
+def test_conversion_lag_matches_bruteforce(ray_session):
+    from vfs_index_ray.pipelines.queries import q_conversion_lag
+
+    got = {r["user_id"]: r["lag_s"]
+           for r in q_conversion_lag(SF).to_pylist()}
+    t = pq.read_table(f"{SF}/events.parquet",
+                      columns=["user_id", "event_type", "ts"])
+    uid = t["user_id"].to_numpy()
+    ts = t["ts"].cast(pa.int64()).to_numpy()
+    et = np.asarray(t["event_type"].to_pylist())
+    want = {}
+    for u in np.unique(uid):
+        m = uid == u
+        clicks = ts[m & (et == "click")]
+        if not len(clicks):
+            continue
+        mc = clicks.min()
+        purch = ts[m & (et == "purchase")]
+        purch = purch[purch >= mc]
+        if len(purch):
+            want[int(u)] = int((purch.min() - mc) // 1_000_000)
+    assert got == want
+
+
+def test_benford_prices_shares(ray_session):
+    from vfs_index_ray.pipelines.queries import q_benford_prices
+
+    got = q_benford_prices(SF).to_pylist()
+    t = pq.read_table(f"{SF}/orders.parquet", columns=["o_totalprice"])
+    cents = np.floor(t["o_totalprice"].to_numpy() * 100 + 0.5
+                     ).astype(np.int64)
+    digits = np.array([int(str(c)[0]) for c in cents])
+    total = len(digits)
+    for r in got:
+        n = int((digits == r["digit"]).sum())
+        assert r["n"] == n
+        assert r["share_x1e6"] == n * 10**6 // total
+    assert sum(r["n"] for r in got) == total

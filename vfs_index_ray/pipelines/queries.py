@@ -5777,6 +5777,146 @@ def q_collocations(sf_dir: str) -> pa.Table:
     return pa.Table.from_pylist(rows[:20], schema=schema)
 
 
+def q_equi_depth_bins(sf_dir: str) -> pa.Table:
+    """Equi-depth histogram bin edges (decile upper bounds) per event
+    type — the bucketing a histogram-based optimizer or equi-depth
+    partitioner needs; exactly the grid-quantile substrate evaluated
+    at 10..100 (grouped_quantiles, one pass, no shuffle)."""
+    import ray.data
+
+    from ..functions.quantiles import grouped_quantiles
+    _tune_context()
+    ds = ray.data.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                               columns=["event_type", "value"])
+    return grouped_quantiles(
+        ds, key_col="event_type", val_col="value",
+        pcts=tuple(range(10, 101, 10))).cast(pa.schema([
+            ("event_type", pa.string()), ("pct", pa.int64()),
+            ("value_x1e4", pa.int64())]))
+
+
+def q_conversion_lag(sf_dir: str) -> pa.Table:
+    """Per-user click→purchase conversion lag (seconds from the FIRST
+    click to the first purchase at-or-after it) in TWO mergeable
+    streaming passes — no shuffle, no co-location: pass 1 reduces
+    min(click ts) per user (a true min-merge), pass 2 broadcasts that
+    small table and reduces min(purchase ts ≥ first click) per user.  At
+    a user dimension too big to broadcast this becomes one
+    co-partitioned pass (windows.py substrate); the arithmetic is
+    unchanged."""
+    import ray
+    import ray.data
+
+    from ..functions.boilerplate import _group_counts
+    _tune_context()
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["user_id", "event_type", "ts"])
+
+    def min_click(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.equal(t["event_type"], "click"))
+        if t.num_rows == 0:
+            return pa.table({"user_id": pa.array([], pa.int64()),
+                             "mc": pa.array([], pa.int64())})
+        g = _group_counts(pa.table({
+            "user_id": t["user_id"],
+            "mc": t["ts"].cast(pa.int64())}), ["user_id"],
+            [("mc", "min")])
+        return pa.table({"user_id": g["user_id"],
+                         "mc": g["mc_min"].cast(pa.int64())})
+
+    parts = [t for t in ray.get(
+        ds.map_batches(min_click, batch_format="pyarrow",
+                       zero_copy_batch=True).to_arrow_refs())
+        if t.num_rows]
+    schema = pa.schema([("user_id", pa.int64()), ("lag_s", pa.int64())])
+    if not parts:
+        return schema.empty_table()
+    mc = _group_counts(pa.concat_tables(parts).combine_chunks(),
+                       ["user_id"], [("mc", "min")])
+    mc = pa.table({"user_id": mc["user_id"],
+                   "mc": mc["mc_min"].cast(pa.int64())})
+    mc_ref = ray.put(mc)
+
+    def min_purchase(t: pa.Table) -> pa.Table:
+        m = ray.get(mc_ref)
+        t = t.filter(pc.equal(t["event_type"], "purchase"))
+        empty = pa.table({"user_id": pa.array([], pa.int64()),
+                          "lag": pa.array([], pa.int64())})
+        if t.num_rows == 0:
+            return empty
+        idx = pc.index_in(t["user_id"], value_set=m["user_id"])
+        ok = pc.is_valid(idx)
+        t, idx = t.filter(ok), idx.filter(ok)
+        if t.num_rows == 0:
+            return empty
+        mcv = m["mc"].take(idx).to_numpy(zero_copy_only=False)
+        ts = t["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        keep = ts >= mcv
+        if not keep.any():
+            return empty
+        g = _group_counts(pa.table({
+            "user_id": t["user_id"].filter(pa.array(keep)),
+            "lag": pa.array(ts[keep] - mcv[keep], pa.int64())}),
+            ["user_id"], [("lag", "min")])
+        return pa.table({"user_id": g["user_id"],
+                         "lag": g["lag_min"].cast(pa.int64())})
+
+    parts = [t for t in ray.get(
+        ds.map_batches(min_purchase, batch_format="pyarrow",
+                       zero_copy_batch=True).to_arrow_refs())
+        if t.num_rows]
+    if not parts:
+        return schema.empty_table()
+    lag = _group_counts(pa.concat_tables(parts).combine_chunks(),
+                        ["user_id"], [("lag", "min")])
+    out = pa.table({
+        "user_id": lag["user_id"].cast(pa.int64()),
+        "lag_s": pc.divide(lag["lag_min"].cast(pa.int64()),
+                           pa.scalar(1_000_000, pa.int64()))})
+    return out.take(pc.sort_indices(out, sort_keys=[
+        ("user_id", "ascending")])).cast(schema)
+
+
+def q_benford_prices(sf_dir: str) -> pa.Table:
+    """Benford leading-digit audit of order totals — the classic
+    fabricated-data screen: the distribution of the first digit of
+    the integer cents, per-batch digit-count partials (string slice
+    of the decimal rendering — exact, no float log10 edge cases),
+    shares on the x1e6 grid."""
+    import ray.data
+
+    from ..functions.boilerplate import partial_aggregate
+    _tune_context()
+    ds = ray.data.read_parquet(os.path.join(sf_dir, "orders.parquet"),
+                               columns=["o_totalprice"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        cents = np.floor(t["o_totalprice"]
+                         .to_numpy(zero_copy_only=False)
+                         * 100.0 + 0.5).astype(np.int64)
+        s = pc.cast(pa.array(cents, pa.int64()), pa.string())
+        digit = pc.cast(pc.utf8_slice_codeunits(s, 0, 1), pa.int64())
+        return pa.table({"digit": digit})
+
+    out = partial_aggregate(ds, ["digit"], [("digit", "count")],
+                            prepare=prep)
+    schema = pa.schema([("digit", pa.int64()), ("n", pa.int64()),
+                        ("share_x1e6", pa.int64())])
+    if out is None:
+        return schema.empty_table()
+    d = out["digit"].to_numpy(zero_copy_only=False)
+    n = out["digit_count"].to_numpy(zero_copy_only=False)
+    total = int(n.sum())
+    order = np.argsort(d, kind="stable")
+    return pa.table({
+        "digit": pa.array(d[order], pa.int64()),
+        "n": pa.array(n[order], pa.int64()),
+        "share_x1e6": pa.array(
+            [int(x) * 1_000_000 // total for x in n[order]],
+            pa.int64())}).cast(schema)
+
+
 # ---------------------------------------------------------------------------
 # registry + oracle SQL
 # ---------------------------------------------------------------------------
@@ -5962,6 +6102,9 @@ QUERIES = {
     "feature_vectors": q_feature_vectors,
     "multi_vector_search": q_multi_vector_search,
     "collocations": q_collocations,
+    "equi_depth_bins": q_equi_depth_bins,
+    "conversion_lag": q_conversion_lag,
+    "benford_prices": q_benford_prices,
 }
 
 _STOP_SQL = "['the','and','of','to','a','in','is','it']"
@@ -9014,5 +9157,62 @@ JOIN top tb ON tb.tok = p.tok_b
 CROSS JOIN n
 WHERE pair >= 5
 ORDER BY lift_x1e6 DESC, tok_a, tok_b LIMIT 20
+""",
+    "equi_depth_bins": """
+WITH v AS (
+  SELECT event_type,
+         CAST(floor(value * 10000 + 0.5) AS BIGINT) AS vq
+  FROM events WHERE value IS NOT NULL
+)
+SELECT event_type, pct, value_x1e4 FROM (
+  SELECT event_type, 10::BIGINT AS pct,
+         quantile_disc(vq, 0.10) AS value_x1e4 FROM v GROUP BY 1
+  UNION ALL SELECT event_type, 20::BIGINT, quantile_disc(vq, 0.20)
+  FROM v GROUP BY 1
+  UNION ALL SELECT event_type, 30::BIGINT, quantile_disc(vq, 0.30)
+  FROM v GROUP BY 1
+  UNION ALL SELECT event_type, 40::BIGINT, quantile_disc(vq, 0.40)
+  FROM v GROUP BY 1
+  UNION ALL SELECT event_type, 50::BIGINT, quantile_disc(vq, 0.50)
+  FROM v GROUP BY 1
+  UNION ALL SELECT event_type, 60::BIGINT, quantile_disc(vq, 0.60)
+  FROM v GROUP BY 1
+  UNION ALL SELECT event_type, 70::BIGINT, quantile_disc(vq, 0.70)
+  FROM v GROUP BY 1
+  UNION ALL SELECT event_type, 80::BIGINT, quantile_disc(vq, 0.80)
+  FROM v GROUP BY 1
+  UNION ALL SELECT event_type, 90::BIGINT, quantile_disc(vq, 0.90)
+  FROM v GROUP BY 1
+  UNION ALL SELECT event_type, 100::BIGINT, quantile_disc(vq, 1.00)
+  FROM v GROUP BY 1
+)
+ORDER BY event_type, pct
+""",
+    "conversion_lag": """
+WITH c AS (
+  SELECT user_id, min(ts) AS mc FROM events
+  WHERE event_type = 'click' GROUP BY 1
+), p AS (
+  SELECT e.user_id,
+         min(epoch_us(e.ts) - epoch_us(c.mc)) AS lag_us
+  FROM events e JOIN c USING (user_id)
+  WHERE e.event_type = 'purchase' AND e.ts >= c.mc
+  GROUP BY 1
+)
+SELECT user_id, (lag_us // 1000000)::BIGINT AS lag_s
+FROM p ORDER BY user_id
+""",
+    "benford_prices": """
+WITH d AS (
+  SELECT CAST(substr(CAST(CAST(floor(o_totalprice * 100 + 0.5)
+                               AS BIGINT) AS VARCHAR), 1, 1)
+              AS BIGINT) AS digit
+  FROM orders
+), g AS (
+  SELECT digit, count(*)::BIGINT AS n FROM d GROUP BY 1
+), t AS (SELECT sum(n)::HUGEINT AS total FROM g)
+SELECT digit, n, (n::HUGEINT * 1000000 // total)::BIGINT
+         AS share_x1e6
+FROM g CROSS JOIN t ORDER BY digit
 """,
 }
