@@ -52,8 +52,9 @@ def test_parse_negation():
         parse("!")
     with pytest.raises(ValueError):
         parse("! && a == 1")
-    with pytest.raises(ValueError):
-        parse("!!a == 1")
+    # double negation cancels (NNF pushdown) — round-5 paren grammar
+    p2 = parse("!!a == 1")
+    assert [x.negated for x in p2.predicates] == [False]
 
 
 def test_parse_or_groups():
@@ -469,3 +470,45 @@ def test_federated_background_compaction(ray_session, tmp_path):
         fd, fs = fed.bm25(q, 10)          # post-swap: merged engine
         assert fd.tolist() == expected[q][0].tolist()
         assert fs.tolist() == expected[q][1].tolist()
+
+
+def test_parse_parens_and_de_morgan():
+    # (a || b) && c distributes to two groups each carrying c
+    p = parse('(a == 1 || b == 2) && c == 3')
+    assert [[(x.column, x.value, x.negated) for x in g]
+            for g in p.groups] == [
+        [("a", 1, False), ("c", 3, False)],
+        [("b", 2, False), ("c", 3, False)]]
+    # !(a || b) pushes to a conjunction of negations (De Morgan)
+    p = parse('c == 3 && !(a == 1 || b == 2)')
+    assert [[(x.column, x.negated) for x in g] for g in p.groups] == \
+        [[("c", False), ("a", True), ("b", True)]]
+    # !(a && b) becomes an OR of negations -> two groups
+    p = parse('c == 3 && !(a == 1 && b == 2)')
+    assert [[(x.column, x.negated) for x in g] for g in p.groups] == \
+        [[("c", False), ("a", True)], [("c", False), ("b", True)]]
+    # nesting + precedence: parens override && over ||
+    p = parse('a == 1 && (b == 2 || (c == 3 && d == 4))')
+    assert [[x.column for x in g] for g in p.groups] == \
+        [["a", "b"], ["a", "c", "d"]]
+    with pytest.raises(ValueError):
+        parse('(a == 1 && b == 2')
+    with pytest.raises(ValueError):
+        parse('a == 1) && b == 2')
+
+
+def test_paren_executor_matches_flat_dnf(ray_session):
+    """A parenthesized expression and its hand-distributed DNF give
+    identical doc sets through the executor."""
+    from vfs_index_ray.pipelines.queries import (_doc_file, get_engine)
+    from vfs_index_ray.planner import QueryExecutor
+
+    sf = "/root/testdata/sf0.001"
+    eng = get_engine(sf)
+    ex = QueryExecutor(eng, [_doc_file(sf)], text_col="text",
+                       id_col="doc_id")
+    a = ex.execute('(text.search("spark") || text.search("batch"))'
+                   ' && !text.search("window")')
+    b = ex.execute('text.search("spark") && !text.search("window") ||'
+                   ' text.search("batch") && !text.search("window")')
+    assert list(a) == list(b)

@@ -5917,6 +5917,24 @@ def q_benford_prices(sf_dir: str) -> pa.Table:
             pa.int64())}).cast(schema)
 
 
+def q_paren_query(sf_dir: str) -> pa.Table:
+    """Parenthesized boolean grouping (planner.py round-5 grammar):
+    ``(spark || batch) && !(window || merge) && n_chars >= 300`` —
+    the parser pushes the negated parenthesis to the leaves by De
+    Morgan and distributes AND over OR, so execution stays the same
+    DNF machinery (two groups, each with the AND-NOT pair inside)."""
+    from ..planner import QueryExecutor
+    eng = get_engine(sf_dir)
+    ex = QueryExecutor(eng, [_doc_file(sf_dir)], text_col="text",
+                       id_col="doc_id")
+    docs = ex.execute(
+        '(text.search("spark") || text.search("batch")) && '
+        '!(text.search("window") || text.search("merge")) && '
+        'n_chars >= 300')
+    return pa.table({"doc_id": pa.array(docs.astype(np.int64),
+                                        pa.int64())})
+
+
 # ---------------------------------------------------------------------------
 # registry + oracle SQL
 # ---------------------------------------------------------------------------
@@ -6105,6 +6123,7 @@ QUERIES = {
     "equi_depth_bins": q_equi_depth_bins,
     "conversion_lag": q_conversion_lag,
     "benford_prices": q_benford_prices,
+    "paren_query": q_paren_query,
 }
 
 _STOP_SQL = "['the','and','of','to','a','in','is','it']"
@@ -9214,5 +9233,19 @@ WITH d AS (
 SELECT digit, n, (n::HUGEINT * 1000000 // total)::BIGINT
          AS share_x1e6
 FROM g CROSS JOIN t ORDER BY digit
+""",
+    "paren_query": """
+WITH d AS (
+  SELECT doc_id, n_chars,
+         list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                     x -> x <> '') AS toks
+  FROM documents
+)
+SELECT doc_id FROM d
+WHERE (list_contains(toks, 'spark') OR list_contains(toks, 'batch'))
+  AND NOT (list_contains(toks, 'window')
+           OR list_contains(toks, 'merge'))
+  AND n_chars >= 300
+ORDER BY doc_id
 """,
 }

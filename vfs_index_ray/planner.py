@@ -53,26 +53,18 @@ _TOKEN_RE = re.compile(
     r"""\s*(?:
         (?P<and>&&) |
         (?P<or>\|\|) |
-        (?P<neg>!)\s*(?=\w) |
+        (?P<lp>\() |
+        (?P<rp>\)) |
+        (?P<neg>!) |
         (?P<search>(?P<scol>\w+)\.search\(\s*"(?P<sval>[^"]*)"\s*\)) |
         (?P<cmp>(?P<col>\w+)\s*(?P<op>==|<=|>=|<|>)\s*
-            (?P<val>"[^"]*"|\S+))
+            (?P<val>"[^"]*"|[^\s()&|!]+))
     )""", re.VERBOSE)
 
 
-def parse(q: str) -> Plan:
-    """Parse ``andexpr (|| andexpr)*`` with ``andexpr := [!]expr (&&
-    [!]expr)*`` (&& binds tighter than ||; ``!`` negates one predicate)
-    into a DNF Plan. Raises ValueError on junk. The reference grammar is
-    AND-only (expr/expr.peg:8-31); ``||`` and ``!`` are documented
-    extensions (SURVEY §7.6) — a search engine needs disjunction and
-    AND-NOT, both cheap sorted-doc-id merges. ``!`` is only valid inside
-    a group that has a positive predicate (enforced at execution)."""
-    plan = Plan()
-    group: list[Predicate] = []
+def _lex(q: str) -> list[tuple[str, object]]:
+    toks: list[tuple[str, object]] = []
     pos = 0
-    expect_expr = True
-    negate = False
     while pos < len(q):
         m = _TOKEN_RE.match(q, pos)
         if not m:
@@ -80,55 +72,123 @@ def parse(q: str) -> Plan:
                 break
             raise ValueError(f"parse error at {q[pos:]!r}")
         pos = m.end()
-        if m.group("and"):
-            if expect_expr:
-                raise ValueError("unexpected &&")
-            expect_expr = True
-            continue
-        if m.group("or"):
-            if expect_expr:
-                raise ValueError("unexpected ||")
-            plan.groups.append(group)
-            group = []
-            expect_expr = True
-            continue
-        if m.group("neg"):
-            if not expect_expr or negate:
-                raise ValueError("misplaced !")
-            negate = True
-            continue
-        if not expect_expr:
-            raise ValueError("expected && between expressions")
-        expect_expr = False
-        if m.group("search"):
-            pred = Predicate(m.group("scol"), "search", m.group("sval"),
-                             negated=negate)
-            negate = False
-            plan.predicates.append(pred)
-            group.append(pred)
+        for kind in ("and", "or", "lp", "rp", "neg"):
+            if m.group(kind):
+                toks.append((kind, None))
+                break
         else:
-            val: str | int | float = m.group("val")
-            if val.startswith('"'):
-                val = val[1:-1]
+            if m.group("search"):
+                toks.append(("pred", Predicate(m.group("scol"),
+                                               "search",
+                                               m.group("sval"))))
             else:
-                try:
-                    val = int(val)
-                except ValueError:
+                val: str | int | float = m.group("val")
+                if val.startswith('"'):
+                    val = val[1:-1]
+                else:
                     try:
-                        val = float(val)
+                        val = int(val)
                     except ValueError:
-                        pass
-            pred = Predicate(m.group("col"), m.group("op"), val,
-                             negated=negate)
-            negate = False
-            plan.predicates.append(pred)
-            group.append(pred)
-    if negate:
-        raise ValueError("dangling !")
-    if expect_expr and plan.predicates:
-        raise ValueError("dangling && or ||")
-    if group or not plan.groups:
-        plan.groups.append(group)
+                        try:
+                            val = float(val)
+                        except ValueError:
+                            pass
+                toks.append(("pred", Predicate(m.group("col"),
+                                               m.group("op"), val)))
+    return toks
+
+
+def parse(q: str) -> Plan:
+    """Parse the full boolean grammar
+    ``orexpr := andexpr (|| andexpr)*``,
+    ``andexpr := unary (&& unary)*``,
+    ``unary := ! unary | ( orexpr ) | predicate``
+    into a DNF Plan (negations pushed to the leaves by De Morgan, AND
+    distributed over OR).  Raises ValueError on junk.  The reference
+    grammar is AND-only (expr/expr.peg:8-31); ``||``, ``!`` and
+    parenthesized grouping are documented extensions (SURVEY §7.6) —
+    all three lower to the same sorted-doc-id merges.  A group whose
+    predicates are ALL negated is rejected at execution (an AND-NOT
+    needs a positive side)."""
+    toks = _lex(q)
+    if not toks:
+        plan = Plan()
+        plan.groups.append([])
+        return plan
+    pos = 0
+
+    def peek():
+        return toks[pos][0] if pos < len(toks) else None
+
+    def orexpr():
+        nonlocal pos
+        node = andexpr()
+        while peek() == "or":
+            pos += 1
+            node = ("or", [node, andexpr()])
+        return node
+
+    def andexpr():
+        nonlocal pos
+        node = unary()
+        while peek() == "and":
+            pos += 1
+            node = ("and", [node, unary()])
+        return node
+
+    def unary():
+        nonlocal pos
+        k = peek()
+        if k == "neg":
+            pos += 1
+            return ("not", unary())
+        if k == "lp":
+            pos += 1
+            node = orexpr()
+            if peek() != "rp":
+                raise ValueError("missing )")
+            pos += 1
+            return node
+        if k == "pred":
+            p = toks[pos][1]
+            pos += 1
+            return ("pred", p)
+        raise ValueError(f"expected expression, got {k or 'end'}")
+
+    ast = orexpr()
+    if pos != len(toks):
+        raise ValueError(f"unexpected {toks[pos][0]!r} after expression")
+
+    def nnf(node, neg: bool):
+        kind = node[0]
+        if kind == "pred":
+            p: Predicate = node[1]
+            return ("pred", Predicate(p.column, p.op, p.value,
+                                      negated=p.negated ^ neg))
+        if kind == "not":
+            return nnf(node[1], not neg)
+        kids = [nnf(c, neg) for c in node[1]]
+        if neg:                               # De Morgan
+            kind = "or" if kind == "and" else "and"
+        return (kind, kids)
+
+    def dnf(node) -> list[list[Predicate]]:
+        kind = node[0]
+        if kind == "pred":
+            return [[node[1]]]
+        if kind == "or":
+            out: list[list[Predicate]] = []
+            for c in node[1]:
+                out.extend(dnf(c))
+            return out
+        groups: list[list[Predicate]] = [[]]
+        for c in node[1]:                     # and: distribute
+            groups = [g + h for g in groups for h in dnf(c)]
+        return groups
+
+    plan = Plan()
+    plan.groups = dnf(nnf(ast, False))
+    plan.predicates = [p for g in plan.groups for p in g]
     return plan
 
 
