@@ -512,3 +512,31 @@ def test_paren_executor_matches_flat_dnf(ray_session):
     b = ex.execute('text.search("spark") && !text.search("window") ||'
                    ' text.search("batch") && !text.search("window")')
     assert list(a) == list(b)
+
+
+def test_parse_phrase_predicate():
+    p = parse('text.phrase("big slow sort") && a == 1')
+    assert p.predicates[0] == Predicate("text", "phrase",
+                                        "big slow sort")
+    # phrase composes with parens and negation
+    p = parse('!(text.phrase("a b") || c == 2) && d == 3')
+    assert [[(x.op, x.negated) for x in g] for g in p.groups] == \
+        [[("phrase", True), ("==", True), ("==", False)]]
+
+
+def test_phrase_executor_matches_positional(ray_session):
+    from vfs_index_ray.pipelines.queries import _doc_file, get_engine
+    from vfs_index_ray.planner import QueryExecutor
+
+    sf = "/root/testdata/sf0.001"
+    eng = get_engine(sf)
+    ex = QueryExecutor(eng, [_doc_file(sf)], text_col="text",
+                       id_col="doc_id")
+    got = ex.execute('text.phrase("order sort table")')
+    want = np.sort(eng.phrase_match_positional("order sort table"))
+    assert list(got) == list(want)
+    # AND-NOT with a phrase on the negative side
+    both = ex.execute('text.search("order") && '
+                      '!text.phrase("order sort table")')
+    assert set(both.tolist()) == \
+        set(eng.match("order").tolist()) - set(want.tolist())

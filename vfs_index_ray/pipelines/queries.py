@@ -5935,6 +5935,23 @@ def q_paren_query(sf_dir: str) -> pa.Table:
                                         pa.int64())})
 
 
+def q_phrase_bool(sf_dir: str) -> pa.Table:
+    """Phrase predicates inside the boolean planner (round-5 grammar):
+    ``text.phrase("table hash") && !text.phrase("merge group") ||
+    text.phrase("order sort table")`` — exact positional adjacency
+    (phrase_match_positional) composed through the same DNF
+    intersection/AND-NOT/union machinery as term predicates."""
+    from ..planner import QueryExecutor
+    eng = get_engine(sf_dir)
+    ex = QueryExecutor(eng, [_doc_file(sf_dir)], text_col="text",
+                       id_col="doc_id")
+    docs = ex.execute(
+        'text.phrase("table hash") && !text.phrase("merge group") || '
+        'text.phrase("order sort table")')
+    return pa.table({"doc_id": pa.array(docs.astype(np.int64),
+                                        pa.int64())})
+
+
 # ---------------------------------------------------------------------------
 # registry + oracle SQL
 # ---------------------------------------------------------------------------
@@ -6124,6 +6141,7 @@ QUERIES = {
     "conversion_lag": q_conversion_lag,
     "benford_prices": q_benford_prices,
     "paren_query": q_paren_query,
+    "phrase_bool": q_phrase_bool,
 }
 
 _STOP_SQL = "['the','and','of','to','a','in','is','it']"
@@ -9247,5 +9265,37 @@ WHERE (list_contains(toks, 'spark') OR list_contains(toks, 'batch'))
            OR list_contains(toks, 'merge'))
   AND n_chars >= 300
 ORDER BY doc_id
+""",
+    "phrase_bool": """
+WITH t AS (
+  SELECT doc_id, list_filter(regexp_split_to_array(lower(text),
+    '[^a-z0-9]+'), x -> x <> '') AS toks FROM documents
+), p AS (
+  SELECT doc_id, unnest(toks) AS tok,
+         generate_subscripts(toks, 1) AS ord FROM t
+), th AS (
+  SELECT DISTINCT p1.doc_id FROM p p1
+  JOIN p p2 ON p2.doc_id = p1.doc_id AND p2.ord = p1.ord + 1
+           AND p2.tok = 'hash'
+  WHERE p1.tok = 'table'
+), mg AS (
+  SELECT DISTINCT p1.doc_id FROM p p1
+  JOIN p p2 ON p2.doc_id = p1.doc_id AND p2.ord = p1.ord + 1
+           AND p2.tok = 'group'
+  WHERE p1.tok = 'merge'
+), ost AS (
+  SELECT DISTINCT p1.doc_id FROM p p1
+  JOIN p p2 ON p2.doc_id = p1.doc_id AND p2.ord = p1.ord + 1
+           AND p2.tok = 'sort'
+  JOIN p p3 ON p3.doc_id = p1.doc_id AND p3.ord = p1.ord + 2
+           AND p3.tok = 'table'
+  WHERE p1.tok = 'order'
+)
+SELECT doc_id FROM (
+  SELECT doc_id FROM th
+  WHERE doc_id NOT IN (SELECT doc_id FROM mg)
+  UNION
+  SELECT doc_id FROM ost
+) ORDER BY doc_id
 """,
 }

@@ -57,6 +57,7 @@ _TOKEN_RE = re.compile(
         (?P<rp>\)) |
         (?P<neg>!) |
         (?P<search>(?P<scol>\w+)\.search\(\s*"(?P<sval>[^"]*)"\s*\)) |
+        (?P<phrase>(?P<pcol>\w+)\.phrase\(\s*"(?P<pval>[^"]*)"\s*\)) |
         (?P<cmp>(?P<col>\w+)\s*(?P<op>==|<=|>=|<|>)\s*
             (?P<val>"[^"]*"|[^\s()&|!]+))
     )""", re.VERBOSE)
@@ -81,6 +82,10 @@ def _lex(q: str) -> list[tuple[str, object]]:
                 toks.append(("pred", Predicate(m.group("scol"),
                                                "search",
                                                m.group("sval"))))
+            elif m.group("phrase"):
+                toks.append(("pred", Predicate(m.group("pcol"),
+                                               "phrase",
+                                               m.group("pval"))))
             else:
                 val: str | int | float = m.group("val")
                 if val.startswith('"'):
@@ -268,19 +273,27 @@ class QueryExecutor:
         text_preds = [p for p in pos
                       if p.op == "search" or
                       (p.op == "==" and p.column == self.text_col)]
+        phrase_preds = [p for p in pos if p.op == "phrase"]
         range_preds = [p for p in pos
                        if p.column == self.text_col and p.op in
                        ("<", "<=", ">", ">=") and isinstance(p.value, str)]
         other = [p for p in pos
-                 if p not in text_preds and p not in range_preds]
-        needs_engine = text_preds or range_preds or any(
-            p.op == "search" or p.column == self.text_col for p in neg)
+                 if p not in text_preds and p not in phrase_preds
+                 and p not in range_preds]
+        needs_engine = text_preds or phrase_preds or range_preds or any(
+            p.op in ("search", "phrase") or p.column == self.text_col
+            for p in neg)
         if needs_engine and self.engine is None:
             raise ValueError("expression has text predicates but this "
                              "executor was built without an index engine")
         doc_sets = []
         for p in text_preds:
             doc_sets.append(self.engine.match(str(p.value)))
+        for p in phrase_preds:
+            # exact adjacency via the positional index; ascending ids
+            doc_sets.append(np.sort(
+                self.engine.phrase_match_positional(str(p.value))
+                .astype(np.uint64)))
         for p in range_preds:
             doc_sets.append(self._string_range_docs(p))
         if other:
@@ -302,6 +315,10 @@ class QueryExecutor:
         """Doc set of one predicate (used for negations)."""
         if p.op == "search" or (p.op == "==" and p.column == self.text_col):
             return self.engine.match(str(p.value))
+        if p.op == "phrase":
+            return np.sort(
+                self.engine.phrase_match_positional(str(p.value))
+                .astype(np.uint64))
         if (p.column == self.text_col and p.op in ("<", "<=", ">", ">=")
                 and isinstance(p.value, str)):
             return self._string_range_docs(p)
