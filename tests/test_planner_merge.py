@@ -540,3 +540,27 @@ def test_phrase_executor_matches_positional(ray_session):
                       '!text.phrase("order sort table")')
     assert set(both.tolist()) == \
         set(eng.match("order").tolist()) - set(want.tolist())
+
+
+def test_parse_near_predicate():
+    p = parse('text.near("big sort", 7) && a == 1')
+    assert p.predicates[0].op == "near"
+    assert p.predicates[0].value == "big sort"
+    assert p.predicates[0].arg == 7
+    # arg survives De Morgan re-wrapping
+    p = parse('a == 1 && !(text.near("x y", 2))')
+    near = [x for x in p.predicates if x.op == "near"][0]
+    assert near.negated and near.arg == 2
+
+
+def test_near_executor_matches_proximity(ray_session):
+    from vfs_index_ray.pipelines.queries import _doc_file, get_engine
+    from vfs_index_ray.planner import QueryExecutor
+
+    sf = "/root/testdata/sf0.001"
+    eng = get_engine(sf)
+    ex = QueryExecutor(eng, [_doc_file(sf)], text_col="text",
+                       id_col="doc_id")
+    got = ex.execute('text.near("spark window", 4)')
+    want = np.sort(np.asarray(eng.proximity_match("spark window", 4)))
+    assert list(got) == list(want)

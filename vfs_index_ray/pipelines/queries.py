@@ -5952,6 +5952,21 @@ def q_phrase_bool(sf_dir: str) -> pa.Table:
                                         pa.int64())})
 
 
+def q_near_bool(sf_dir: str) -> pa.Table:
+    """Windowed-proximity predicates in the boolean planner:
+    ``text.near("spark window", 4) && !text.near("slow key", 3)`` —
+    the positional minimal-range scan (proximity_match) composed
+    through the same DNF machinery, negation included."""
+    from ..planner import QueryExecutor
+    eng = get_engine(sf_dir)
+    ex = QueryExecutor(eng, [_doc_file(sf_dir)], text_col="text",
+                       id_col="doc_id")
+    docs = ex.execute('text.near("spark window", 4) && '
+                      '!text.near("slow key", 3)')
+    return pa.table({"doc_id": pa.array(docs.astype(np.int64),
+                                        pa.int64())})
+
+
 # ---------------------------------------------------------------------------
 # registry + oracle SQL
 # ---------------------------------------------------------------------------
@@ -6142,6 +6157,7 @@ QUERIES = {
     "benford_prices": q_benford_prices,
     "paren_query": q_paren_query,
     "phrase_bool": q_phrase_bool,
+    "near_bool": q_near_bool,
 }
 
 _STOP_SQL = "['the','and','of','to','a','in','is','it']"
@@ -9297,5 +9313,27 @@ SELECT doc_id FROM (
   UNION
   SELECT doc_id FROM ost
 ) ORDER BY doc_id
+""",
+    "near_bool": """
+WITH t AS (
+  SELECT doc_id, list_filter(regexp_split_to_array(lower(text),
+    '[^a-z0-9]+'), x -> x <> '') AS toks FROM documents
+), p AS (
+  SELECT doc_id, unnest(toks) AS tok,
+         generate_subscripts(toks, 1) AS ord FROM t
+), a AS (
+  SELECT DISTINCT p1.doc_id FROM p p1
+  JOIN p p2 ON p2.doc_id = p1.doc_id AND p2.tok = 'window'
+           AND abs(p1.ord - p2.ord) <= 4
+  WHERE p1.tok = 'spark'
+), b AS (
+  SELECT DISTINCT p1.doc_id FROM p p1
+  JOIN p p2 ON p2.doc_id = p1.doc_id AND p2.tok = 'key'
+           AND abs(p1.ord - p2.ord) <= 3
+  WHERE p1.tok = 'slow'
+)
+SELECT doc_id FROM a
+WHERE doc_id NOT IN (SELECT doc_id FROM b)
+ORDER BY doc_id
 """,
 }

@@ -34,9 +34,10 @@ OPS = ("==", "<=", ">=", "<", ">")
 @dataclass
 class Predicate:
     column: str
-    op: str                 # one of OPS or "search"
+    op: str                 # one of OPS, "search", "phrase" or "near"
     value: str | int | float
     negated: bool = False   # `!expr`: AND-NOT within its group
+    arg: int | None = None  # near window (op == "near" only)
 
 
 @dataclass
@@ -58,6 +59,8 @@ _TOKEN_RE = re.compile(
         (?P<neg>!) |
         (?P<search>(?P<scol>\w+)\.search\(\s*"(?P<sval>[^"]*)"\s*\)) |
         (?P<phrase>(?P<pcol>\w+)\.phrase\(\s*"(?P<pval>[^"]*)"\s*\)) |
+        (?P<near>(?P<ncol>\w+)\.near\(\s*"(?P<nval>[^"]*)"\s*,\s*
+            (?P<nwin>\d+)\s*\)) |
         (?P<cmp>(?P<col>\w+)\s*(?P<op>==|<=|>=|<|>)\s*
             (?P<val>"[^"]*"|[^\s()&|!]+))
     )""", re.VERBOSE)
@@ -86,6 +89,10 @@ def _lex(q: str) -> list[tuple[str, object]]:
                 toks.append(("pred", Predicate(m.group("pcol"),
                                                "phrase",
                                                m.group("pval"))))
+            elif m.group("near"):
+                toks.append(("pred", Predicate(
+                    m.group("ncol"), "near", m.group("nval"),
+                    arg=int(m.group("nwin")))))
             else:
                 val: str | int | float = m.group("val")
                 if val.startswith('"'):
@@ -169,7 +176,8 @@ def parse(q: str) -> Plan:
         if kind == "pred":
             p: Predicate = node[1]
             return ("pred", Predicate(p.column, p.op, p.value,
-                                      negated=p.negated ^ neg))
+                                      negated=p.negated ^ neg,
+                                      arg=p.arg))
         if kind == "not":
             return nnf(node[1], not neg)
         kids = [nnf(c, neg) for c in node[1]]
@@ -273,7 +281,7 @@ class QueryExecutor:
         text_preds = [p for p in pos
                       if p.op == "search" or
                       (p.op == "==" and p.column == self.text_col)]
-        phrase_preds = [p for p in pos if p.op == "phrase"]
+        phrase_preds = [p for p in pos if p.op in ("phrase", "near")]
         range_preds = [p for p in pos
                        if p.column == self.text_col and p.op in
                        ("<", "<=", ">", ">=") and isinstance(p.value, str)]
@@ -290,10 +298,9 @@ class QueryExecutor:
         for p in text_preds:
             doc_sets.append(self.engine.match(str(p.value)))
         for p in phrase_preds:
-            # exact adjacency via the positional index; ascending ids
-            doc_sets.append(np.sort(
-                self.engine.phrase_match_positional(str(p.value))
-                .astype(np.uint64)))
+            # exact adjacency / windowed proximity via the positional
+            # index; ascending ids
+            doc_sets.append(self._positional_docs(p))
         for p in range_preds:
             doc_sets.append(self._string_range_docs(p))
         if other:
@@ -311,14 +318,22 @@ class QueryExecutor:
                                assume_unique=True)
         return out
 
+    def _positional_docs(self, p: Predicate) -> np.ndarray:
+        """Doc set of a positional predicate (phrase adjacency or
+        windowed proximity) — ascending uint64 ids."""
+        if p.op == "near":
+            docs = self.engine.proximity_match(str(p.value),
+                                               int(p.arg))
+        else:
+            docs = self.engine.phrase_match_positional(str(p.value))
+        return np.sort(np.asarray(docs).astype(np.uint64))
+
     def _pred_docs(self, p: Predicate) -> np.ndarray:
         """Doc set of one predicate (used for negations)."""
         if p.op == "search" or (p.op == "==" and p.column == self.text_col):
             return self.engine.match(str(p.value))
-        if p.op == "phrase":
-            return np.sort(
-                self.engine.phrase_match_positional(str(p.value))
-                .astype(np.uint64))
+        if p.op in ("phrase", "near"):
+            return self._positional_docs(p)
         if (p.column == self.text_col and p.op in ("<", "<=", ">", ">=")
                 and isinstance(p.value, str)):
             return self._string_range_docs(p)
