@@ -140,6 +140,9 @@ def main(argv=None) -> int:
     ap.add_argument("--matrix", action="store_true",
                     help="time gram_matrix / kmeans_iteration / "
                          "pq_encode at --vecs scale")
+    ap.add_argument("--pq", action="store_true",
+                    help="PQSearcher ADC recall + latency vs brute "
+                         "force at --vecs scale")
     ap.add_argument("--centroids", type=int, default=64)
     ap.add_argument("--nprobe", type=int, default=8)
     args = ap.parse_args(argv)
@@ -155,6 +158,49 @@ def main(argv=None) -> int:
 
     if args.filtered:
         return run_filtered(args)
+    if args.pq:
+        import numpy as np
+        import pyarrow.parquet as pq
+        import ray.data
+
+        from vfs_index_ray.functions.similarity import PQSearcher
+
+        d = _vec_file(args.vecs, args.dim)
+        t0 = time.perf_counter()
+        s = PQSearcher(ray.data.read_parquet(d), subs=16, k=256,
+                       dim=args.dim)
+        build_s = round(time.perf_counter() - t0, 2)
+        t = pq.read_table(d, columns=["vec_id", "embedding"])
+        ids = t["vec_id"].to_numpy()
+        mat = np.asarray(t["embedding"].to_pylist(), np.float64)
+        grid = np.floor(mat * 10000 + 0.5).astype(np.int64)
+        pos = {int(i): j for j, i in enumerate(ids)}
+
+        def lookup(want):
+            return mat[[pos[int(w)] for w in want]]
+
+        qids = [0, 101, 9999, 123456, 777777]
+        hits, lat = 0, []
+        for qi in qids:
+            qvec = mat[pos[qi]]
+            t0 = time.perf_counter()
+            got, _ = s.search(qvec, k=5, rerank=1024,
+                              exact_lookup=lookup, exclude_ids=[qi])
+            lat.append(round((time.perf_counter() - t0) * 1000, 1))
+            qg = grid[pos[qi]]
+            d2 = ((grid - qg[None, :]) ** 2).sum(axis=1)
+            m = ids != qi
+            want = set(ids[m][np.lexsort((ids[m], d2[m]))[:5]]
+                       .tolist())
+            hits += len(want & set(got.tolist()))
+        print(json.dumps({
+            "vecs": args.vecs, "cpus": args.cpus,
+            "pq_build_sec": build_s,
+            "codes_mb": round(s.codes.nbytes / 1e6, 1),
+            "adc_query_ms": lat,
+            "recall_at_5": hits / (5 * len(qids))}))
+        ray.shutdown()
+        return 0
     if args.matrix:
         import ray.data
 
