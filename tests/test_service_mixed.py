@@ -43,7 +43,9 @@ def mixed_setup(tmp_path_factory, ray_session):
     ivf_dir = str(d / "ivf")
     IVFIndex.build(ray.data.from_arrow(emb), ivf_dir, num_centroids=8,
                    seed_centroids=True, keep_cols=["label"])
-    return src, idx, ivf_dir, mats
+    emb_file = str(d / "emb.parquet")
+    pq.write_table(emb, emb_file)
+    return src, idx, ivf_dir, mats, emb_file
 
 
 def test_mixed_service_matches_direct_paths(ray_session, mixed_setup):
@@ -52,7 +54,7 @@ def test_mixed_service_matches_direct_paths(ray_session, mixed_setup):
     from vfs_index_ray.search import SearchEngine
     from vfs_index_ray.service import QueryService
 
-    src, idx, ivf_dir, mats = mixed_setup
+    src, idx, ivf_dir, mats, emb_file = mixed_setup
     svc = QueryService(idx, replicas=2, corpus_files=[src],
                        ann_dir=ivf_dir)
     try:
@@ -91,5 +93,41 @@ def test_mixed_service_matches_direct_paths(ray_session, mixed_setup):
                                          nprobe=4, exclude_id=e)
             assert ids.tolist() == wi.tolist()
             np.testing.assert_array_equal(sims, ws)
+    finally:
+        svc.shutdown()
+
+
+def test_service_pq_batch_matches_direct(ray_session, mixed_setup):
+    """Resident PQ/ADC in the replica pool: service results equal a
+    driver-side PQSearcher with the same state and re-rank budget."""
+    import ray.data
+
+    from vfs_index_ray.functions.similarity import PQSearcher
+    from vfs_index_ray.service import QueryService
+
+    src, idx, ivf_dir, mats, emb_file = mixed_setup
+    ds = ray.data.read_parquet(emb_file,
+                               columns=["vec_id", "embedding"])
+    searcher = PQSearcher(ds, subs=4, k=16, dim=16)
+    svc = QueryService(idx, replicas=2, corpus_files=[src],
+                       pq_state=searcher.state(), emb_file=emb_file)
+    try:
+        t = pq.read_table(emb_file, columns=["vec_id", "embedding"])
+        ids_all = t["vec_id"].to_numpy()
+        mat = np.asarray(t["embedding"].to_pylist(), np.float64)
+        pos = {int(i): j for j, i in enumerate(ids_all)}
+
+        def lookup(want):
+            return mat[[pos[int(w)] for w in want]]
+
+        qids = [7, 21, 40]
+        got = svc.pq_batch([mats[i] for i in qids], k=5, rerank=64,
+                           exclude_ids=qids)
+        for (ids, d2), qi in zip(got, qids):
+            wi, wd = searcher.search(mats[qi], 5, rerank=64,
+                                     exact_lookup=lookup,
+                                     exclude_ids=[qi])
+            assert ids.tolist() == wi.tolist()
+            assert d2.tolist() == wd.tolist()
     finally:
         svc.shutdown()

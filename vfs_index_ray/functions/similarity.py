@@ -1216,6 +1216,27 @@ class PQSearcher:
         self.ids = ids[order][::subs].copy()
         self.codes = code[order].reshape(n, subs).astype(np.uint8)
 
+    def state(self) -> dict:
+        """Portable built state (centroids + ids + codes + params) —
+        build ONCE on the driver, ``ray.put`` it, and hydrate replicas
+        with ``from_state`` (the 1.2M build is ~13 s; hydration is a
+        zero-copy object-store read)."""
+        return {"cent": self.cent, "ids": self.ids,
+                "codes": self.codes, "subs": self.subs, "k": self.k,
+                "dim": self.dim, "scale": self.scale,
+                "id_col": self.id_col, "vec_col": self.vec_col}
+
+    @classmethod
+    def from_state(cls, state: dict) -> "PQSearcher":
+        s = cls.__new__(cls)
+        s.cent, s.ids, s.codes = (state["cent"], state["ids"],
+                                  state["codes"])
+        s.subs, s.k, s.dim, s.scale = (state["subs"], state["k"],
+                                       state["dim"], state["scale"])
+        s.id_col, s.vec_col = state["id_col"], state["vec_col"]
+        s.sd = s.dim // s.subs
+        return s
+
     def _quant(self, vec) -> np.ndarray:
         return np.floor(np.asarray(vec, np.float64) * self.scale
                         + 0.5).astype(np.int64)

@@ -41,7 +41,8 @@ class QueryWorker:
     def __init__(self, index_dir: str, corpus_files=None,
                  id_col: str = "doc_id", ann_dir: str | None = None,
                  text_col: str = "text",
-                 ann_cache_bytes: int = 256 << 20):
+                 ann_cache_bytes: int = 256 << 20,
+                 pq_state=None, emb_file: str | None = None):
         from .search import SearchEngine
         self.engine = SearchEngine(index_dir, corpus_files=corpus_files,
                                    id_col=id_col, io_threads=False)
@@ -52,6 +53,16 @@ class QueryWorker:
             # probes of a hot bucket are matmuls, not parquet reads —
             # the ANN analog of the warm postings cache
             self.ivf = IVFIndex(ann_dir, cache_bytes=ann_cache_bytes)
+        self.pq = None
+        self._emb_file = emb_file
+        if pq_state is not None:
+            from .functions.similarity import PQSearcher
+            # hydrate from the driver-built state (zero-copy
+            # object-store read of the 16-bytes/vector code matrix)
+            self.pq = PQSearcher.from_state(
+                ray.get(pq_state) if isinstance(pq_state,
+                                                ray.ObjectRef)
+                else pq_state)
         self._executor = None
         self._corpus_files = corpus_files
         self._id_col = id_col
@@ -96,6 +107,41 @@ class QueryWorker:
             out.append((ids.tolist(), sims.tolist()))
         return out
 
+    def pq_batch(self, vecs, k: int = 5, rerank: int = 1024,
+                 exclude_ids=None):
+        """Resident PQ/ADC search for a batch of query vectors: the
+        LUT-gather scan runs on the in-actor code matrix; the exact
+        re-rank gathers only the candidate rows from the embeddings
+        parquet (vec-id in-list pushdown)."""
+        import pyarrow.compute as _pc
+        import pyarrow.parquet as _pq
+        if self.pq is None:
+            raise RuntimeError("replica has no PQ state (pass "
+                               "pq_state + emb_file)")
+        self.n_calls += 1
+
+        def lookup(ids):
+            t = _pq.read_table(
+                self._emb_file,
+                columns=[self.pq.id_col, self.pq.vec_col],
+                filters=[(self.pq.id_col, "in",
+                          [int(x) for x in ids])])
+            got = t[self.pq.id_col].to_numpy(zero_copy_only=False)
+            mat = np.asarray(t[self.pq.vec_col].to_pylist(),
+                             np.float64)
+            pos = {int(i): j for j, i in enumerate(got)}
+            return mat[[pos[int(i)] for i in ids]]
+
+        out = []
+        ex = exclude_ids or [None] * len(vecs)
+        for v, e in zip(vecs, ex):
+            ids, d2 = self.pq.search(
+                np.asarray(v, np.float64), k, rerank=rerank,
+                exact_lookup=lookup,
+                exclude_ids=[] if e is None else [e])
+            out.append((ids.tolist(), d2.tolist()))
+        return out
+
     def execute(self, expr: str, limit: int | None = None) -> list[int]:
         """Expression-planner query (``a && b``, ``||``, ``!``, ranges)
         — the planner is built once per actor and kept resident."""
@@ -127,7 +173,9 @@ class QueryService:
                  num_cpus: float = 1,
                  scheduling_strategy: str | None = "SPREAD",
                  ann_dir: str | None = None, text_col: str = "text",
-                 ann_cache_bytes: int = 256 << 20):
+                 ann_cache_bytes: int = 256 << 20,
+                 pq_state: dict | None = None,
+                 emb_file: str | None = None):
         # max_restarts: a crashed replica restarts and rebuilds its
         # caches from the index on shared storage (workers hold no
         # unrecoverable state); in-flight calls on the dead actor fail
@@ -137,11 +185,15 @@ class QueryService:
         opts = dict(num_cpus=num_cpus, max_restarts=2)
         if scheduling_strategy is not None:
             opts["scheduling_strategy"] = scheduling_strategy
+        # PQ state ships ONCE through the object store; every replica
+        # hydrates from the same ref (zero-copy on the same node)
+        pq_ref = ray.put(pq_state) if pq_state is not None else None
         self.workers = [
             QueryWorker.options(**opts).remote(
                 index_dir, corpus_files=corpus_files, id_col=id_col,
                 ann_dir=ann_dir, text_col=text_col,
-                ann_cache_bytes=ann_cache_bytes)
+                ann_cache_bytes=ann_cache_bytes,
+                pq_state=pq_ref, emb_file=emb_file)
             for _ in range(replicas)]
         # fail fast if the index is unreadable (actor init raises lazily)
         ray.get([w.calls.remote() for w in self.workers])
@@ -205,6 +257,27 @@ class QueryService:
             for i, (ids, sims) in zip(idxs, ray.get(futs[w])):
                 out[i] = (np.array(ids, np.int64),
                           np.array(sims, np.float64))
+        return out
+
+    def pq_batch(self, vecs, k: int = 5, rerank: int = 1024,
+                 exclude_ids=None):
+        """PQ/ADC search over the replica pool (round-robin like
+        ann_batch; the code matrix is resident in every replica).
+        Returns [(ids, exact_d2), ...] in input order."""
+        n = len(self.workers)
+        by_worker: dict[int, list[int]] = {}
+        for i in range(len(vecs)):
+            by_worker.setdefault(i % n, []).append(i)
+        ex = exclude_ids or [None] * len(vecs)
+        futs = {w: self.workers[w].pq_batch.remote(
+            [vecs[i] for i in idxs], k, rerank,
+            [ex[i] for i in idxs])
+            for w, idxs in by_worker.items()}
+        out: list = [None] * len(vecs)
+        for w, idxs in by_worker.items():
+            for i, (ids, d2) in zip(idxs, ray.get(futs[w])):
+                out[i] = (np.array(ids, np.int64),
+                          np.array(d2, np.int64))
         return out
 
     def calls_per_worker(self) -> list[int]:
