@@ -499,3 +499,45 @@ def test_benford_prices_shares(ray_session):
         assert r["n"] == n
         assert r["share_x1e6"] == n * 10**6 // total
     assert sum(r["n"] for r in got) == total
+
+
+def test_grouped_search_is_per_facet_filtered(ray_session):
+    """Each facet's rows equal the filtered ranked path for that
+    facet, and scores are the GLOBAL BM25 scores (model unchanged by
+    the facet filter)."""
+    from vfs_index_ray.pipelines.queries import (_doc_file, get_engine,
+                                                 q_grouped_search)
+    from vfs_index_ray.planner import QueryExecutor
+
+    got = q_grouped_search(SF).to_pylist()
+    eng = get_engine(SF)
+    ex = QueryExecutor(eng, [_doc_file(SF)], text_col="text",
+                       id_col="doc_id")
+    langs = {r["lang"] for r in got}
+    assert len(langs) >= 2
+    for lg in langs:
+        docs, scores = ex.ranked(
+            f'text.search("spark join") && lang == "{lg}"', k=3)
+        rows = [r for r in got if r["lang"] == lg]
+        assert [r["doc_id"] for r in rows] == list(docs)
+        assert [r["rank"] for r in rows] == list(range(1, len(rows) + 1))
+
+
+def test_events_wow_matches_bruteforce(ray_session):
+    from vfs_index_ray.pipelines.queries import _sdiv, q_events_wow
+
+    got = q_events_wow(SF).to_pylist()
+    t = pq.read_table(f"{SF}/events.parquet",
+                      columns=["event_type", "ts"])
+    w = t["ts"].cast(pa.int64()).to_numpy() // 604_800_000_000
+    et = np.asarray(t["event_type"].to_pylist())
+    want = []
+    for e in np.unique(et):
+        wk, cnt = np.unique(w[et == e], return_counts=True)
+        for i in range(1, len(wk)):
+            want.append({"event_type": str(e), "week": int(wk[i]),
+                         "n": int(cnt[i]),
+                         "chg_x1e6": _sdiv((int(cnt[i])
+                                            - int(cnt[i - 1]))
+                                           * 10**6, int(cnt[i - 1]))})
+    assert got == want

@@ -5967,6 +5967,85 @@ def q_near_bool(sf_dir: str) -> pa.Table:
                                         pa.int64())})
 
 
+def q_grouped_search(sf_dir: str) -> pa.Table:
+    """Diversified (per-facet) retrieval: the BM25 top-3 PER LANGUAGE
+    for one query — result diversification by running the filtered
+    ranked path once per facet value (global corpus statistics; the
+    facet narrows candidates, not the model — planner.ranked).  Facet
+    values come from a distinct-scan partial, so nothing is
+    hardcoded."""
+    import ray
+
+    from ..planner import QueryExecutor
+    _tune_context()
+    ds = _docs_ds(sf_dir, columns=["lang"])
+
+    def uniq(t: pa.Table) -> pa.Table:
+        return pa.table({"lang": pc.unique(t["lang"].combine_chunks())})
+
+    langs = sorted(set(pa.concat_tables(
+        [t for t in ray.get(ds.map_batches(
+            uniq, batch_format="pyarrow").to_arrow_refs())
+         if t.num_rows])["lang"].to_pylist()))
+    eng = get_engine(sf_dir)
+    ex = QueryExecutor(eng, [_doc_file(sf_dir)], text_col="text",
+                       id_col="doc_id")
+    rows = []
+    for lg in langs:
+        docs, scores = ex.ranked(
+            f'text.search("spark join") && lang == "{lg}"', k=3)
+        for r, (d, s) in enumerate(zip(docs, scores), 1):
+            rows.append({"lang": lg, "rank": r, "doc_id": int(d),
+                         "score_x1e4": int(np.floor(s * 10000.0
+                                                    + 0.5))})
+    return pa.Table.from_pylist(rows, schema=pa.schema(
+        [("lang", pa.string()), ("rank", pa.int64()),
+         ("doc_id", pa.int64()), ("score_x1e4", pa.int64())]))
+
+
+def q_events_wow(sf_dir: str) -> pa.Table:
+    """Week-over-week volume change per event type on the x1e6 grid —
+    the trend-report shape: distributed (type, week) count partials,
+    then the lag/percent arithmetic on the tiny weekly series
+    driver-side with the same sign-safe floor division the oracle's
+    window expression evaluates."""
+    import ray.data
+
+    from ..functions.boilerplate import partial_aggregate
+    _tune_context()
+    ds = ray.data.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                               columns=["event_type", "ts"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        w = (t["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+             // 604_800_000_000)
+        return pa.table({"event_type": t["event_type"],
+                         "w": pa.array(w, pa.int64())})
+
+    out = partial_aggregate(ds, ["event_type", "w"], [("w", "count")],
+                            prepare=prep)
+    schema = pa.schema([("event_type", pa.string()), ("week", pa.int64()),
+                        ("n", pa.int64()), ("chg_x1e6", pa.int64())])
+    if out is None:
+        return schema.empty_table()
+    et = np.asarray(out["event_type"].to_pylist())
+    w = out["w"].to_numpy(zero_copy_only=False)
+    c = out["w_count"].to_numpy(zero_copy_only=False)
+    rows = []
+    for e in np.unique(et):
+        m = et == e
+        order = np.argsort(w[m], kind="stable")
+        ws, cs = w[m][order], c[m][order]
+        for i in range(1, len(ws)):
+            cur, prev = int(cs[i]), int(cs[i - 1])
+            rows.append({"event_type": str(e), "week": int(ws[i]),
+                         "n": cur,
+                         "chg_x1e6": _sdiv((cur - prev) * 1_000_000,
+                                           prev)})
+    rows.sort(key=lambda r: (r["event_type"], r["week"]))
+    return pa.Table.from_pylist(rows, schema=schema)
+
+
 # ---------------------------------------------------------------------------
 # registry + oracle SQL
 # ---------------------------------------------------------------------------
@@ -6158,6 +6237,8 @@ QUERIES = {
     "paren_query": q_paren_query,
     "phrase_bool": q_phrase_bool,
     "near_bool": q_near_bool,
+    "grouped_search": q_grouped_search,
+    "events_wow": q_events_wow,
 }
 
 _STOP_SQL = "['the','and','of','to','a','in','is','it']"
@@ -9335,5 +9416,59 @@ WITH t AS (
 SELECT doc_id FROM a
 WHERE doc_id NOT IN (SELECT doc_id FROM b)
 ORDER BY doc_id
+""",
+    "grouped_search": """
+WITH tok AS (
+  SELECT doc_id, unnest(list_filter(regexp_split_to_array(lower(text),
+    '[^a-z0-9]+'), x -> x <> '')) AS tok FROM documents
+), tf AS (
+  SELECT doc_id, tok, count(*)::DOUBLE AS tf FROM tok
+  WHERE tok IN ('spark', 'join') GROUP BY doc_id, tok
+), dl AS (
+  SELECT doc_id, count(*)::DOUBLE AS dl FROM tok GROUP BY doc_id
+), stats AS (
+  SELECT (SELECT count(*) FROM documents)::DOUBLE AS n,
+         (SELECT count(*) FROM tok)::DOUBLE /
+         (SELECT count(*) FROM documents)::DOUBLE AS avgdl
+), df AS (
+  SELECT tok, count(*)::DOUBLE AS df FROM tf GROUP BY tok
+), scores AS (
+  SELECT tf.doc_id,
+         sum(ln(1 + (stats.n - df.df + 0.5)/(df.df + 0.5)) *
+             (tf.tf*2.2/(tf.tf + 1.2*(1 - 0.75 +
+                                      0.75*dl.dl/stats.avgdl))))
+           AS score
+  FROM tf JOIN df USING(tok) JOIN dl USING(doc_id) CROSS JOIN stats
+  GROUP BY tf.doc_id
+), el AS (
+  SELECT d.doc_id, d.lang FROM documents d
+  WHERE list_contains(list_filter(regexp_split_to_array(lower(text),
+          '[^a-z0-9]+'), x -> x <> ''), 'spark')
+    AND list_contains(list_filter(regexp_split_to_array(lower(text),
+          '[^a-z0-9]+'), x -> x <> ''), 'join')
+), r AS (
+  SELECT el.lang, s.doc_id, s.score,
+         row_number() OVER (PARTITION BY el.lang
+                            ORDER BY s.score DESC, s.doc_id) AS rank
+  FROM scores s JOIN el USING (doc_id)
+)
+SELECT lang, rank::BIGINT AS rank, doc_id,
+       CAST(floor(score * 10000 + 0.5) AS BIGINT) AS score_x1e4
+FROM r WHERE rank <= 3 ORDER BY lang, rank
+""",
+    "events_wow": """
+WITH h AS (
+  SELECT event_type, epoch_us(ts) // 604800000000 AS w,
+         count(*)::BIGINT AS c
+  FROM events GROUP BY 1, 2
+), l AS (
+  SELECT event_type, w, c,
+         lag(c) OVER (PARTITION BY event_type ORDER BY w) AS p
+  FROM h
+)
+SELECT event_type, w::BIGINT AS week, c AS n,
+  (CASE WHEN c >= p THEN ((c - p) * 1000000) // p
+        ELSE -(((p - c) * 1000000) // p) END)::BIGINT AS chg_x1e6
+FROM l WHERE p IS NOT NULL ORDER BY event_type, week
 """,
 }
