@@ -541,3 +541,39 @@ def test_events_wow_matches_bruteforce(ray_session):
                                             - int(cnt[i - 1]))
                                            * 10**6, int(cnt[i - 1]))})
     assert got == want
+
+
+def test_events_peak_matches_bruteforce(ray_session):
+    from vfs_index_ray.pipelines.queries import q_events_peak
+
+    got = q_events_peak(SF).to_pylist()
+    t = pq.read_table(f"{SF}/events.parquet",
+                      columns=["event_type", "ts"])
+    us = t["ts"].cast(pa.int64()).to_numpy()
+    et = np.asarray(t["event_type"].to_pylist())
+    hop = 300_000_000
+    for r in got:
+        tt = us[et == r["event_type"]]
+        wins = {}
+        for x in tt:
+            base = (int(x) // hop) * hop
+            for k in range(6):
+                w = base - k * hop
+                wins[w] = wins.get(w, 0) + 1
+        best = min(((-n, w) for w, n in wins.items()))
+        assert (r["window_us"], r["peak_n"]) == (best[1], -best[0])
+
+
+def test_pareto_users_matches_bruteforce(ray_session):
+    from vfs_index_ray.pipelines.queries import q_pareto_users
+
+    got = q_pareto_users(SF).to_pylist()
+    t = pq.read_table(f"{SF}/events.parquet", columns=["user_id"])
+    u, c = np.unique(t["user_id"].to_numpy(), return_counts=True)
+    order = np.lexsort((u, -c))
+    cs = c[order]
+    total = int(cs.sum())
+    for r in got:
+        top = int(cs[:r["k"]].sum())
+        assert r["events"] == top
+        assert r["share_x1e6"] == top * 10**6 // total

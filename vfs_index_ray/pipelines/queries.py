@@ -6046,6 +6046,69 @@ def q_events_wow(sf_dir: str) -> pa.Table:
     return pa.Table.from_pylist(rows, schema=schema)
 
 
+def q_events_peak(sf_dir: str) -> pa.Table:
+    """Peak-load report: the busiest sliding 30-minute window (hop 5)
+    per event type — the hopping-window partials (each batch ships one
+    row per (type, window) it saw) plus one argmax per type on the
+    tiny window series (tie → earliest window), matching the oracle's
+    rank-1 row."""
+    import ray.data
+
+    from ..functions.windows import hopping_aggregate
+    _tune_context()
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["event_type", "ts", "value"])
+    t = hopping_aggregate(ds, window_minutes=30, hop_minutes=5)
+    schema = pa.schema([("event_type", pa.string()),
+                        ("window_us", pa.int64()),
+                        ("peak_n", pa.int64())])
+    if t.num_rows == 0:
+        return schema.empty_table()
+    et = np.asarray(t["event_type"].to_pylist())
+    w = t["window_us"].to_numpy(zero_copy_only=False)
+    n = t["n"].to_numpy(zero_copy_only=False)
+    rows = []
+    for e in np.unique(et):
+        m = et == e
+        order = np.lexsort((w[m], -n[m]))
+        rows.append({"event_type": str(e),
+                     "window_us": int(w[m][order[0]]),
+                     "peak_n": int(n[m][order[0]])})
+    rows.sort(key=lambda r: r["event_type"])
+    return pa.Table.from_pylist(rows, schema=schema)
+
+
+def q_pareto_users(sf_dir: str) -> pa.Table:
+    """Concentration report: what share of all events do the top-k
+    most active users generate (k = 1, 10, 50)?  Per-user count
+    partials (user dimension bounded), one driver sort — shares on
+    the x1e6 grid with the deterministic (count desc, user asc)
+    ordering the oracle's window rank uses."""
+    import ray.data
+
+    from ..functions.boilerplate import partial_aggregate
+    _tune_context()
+    ds = ray.data.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                               columns=["user_id"])
+    out = partial_aggregate(ds, ["user_id"], [("user_id", "count")])
+    schema = pa.schema([("k", pa.int64()), ("events", pa.int64()),
+                        ("share_x1e6", pa.int64())])
+    if out is None:
+        return schema.empty_table()
+    u = out["user_id"].to_numpy(zero_copy_only=False)
+    c = out["user_id_count"].to_numpy(zero_copy_only=False)
+    order = np.lexsort((u, -c))
+    cs = c[order]
+    total = int(cs.sum())
+    rows = []
+    for k in (1, 10, 50):
+        top = int(cs[:k].sum())
+        rows.append({"k": k, "events": top,
+                     "share_x1e6": top * 1_000_000 // total})
+    return pa.Table.from_pylist(rows, schema=schema)
+
+
 # ---------------------------------------------------------------------------
 # registry + oracle SQL
 # ---------------------------------------------------------------------------
@@ -6239,6 +6302,8 @@ QUERIES = {
     "near_bool": q_near_bool,
     "grouped_search": q_grouped_search,
     "events_wow": q_events_wow,
+    "events_peak": q_events_peak,
+    "pareto_users": q_pareto_users,
 }
 
 _STOP_SQL = "['the','and','of','to','a','in','is','it']"
@@ -9470,5 +9535,38 @@ SELECT event_type, w::BIGINT AS week, c AS n,
   (CASE WHEN c >= p THEN ((c - p) * 1000000) // p
         ELSE -(((p - c) * 1000000) // p) END)::BIGINT AS chg_x1e6
 FROM l WHERE p IS NOT NULL ORDER BY event_type, week
+""",
+    "events_peak": """
+WITH e AS (
+  SELECT event_type,
+         ((epoch_us(ts) // 300000000) - gs) * 300000000 AS window_us
+  FROM events, generate_series(0, 5) t(gs)
+), g AS (
+  SELECT event_type, window_us, count(*)::BIGINT AS n
+  FROM e GROUP BY 1, 2
+), r AS (
+  SELECT event_type, window_us, n,
+         row_number() OVER (PARTITION BY event_type
+                            ORDER BY n DESC, window_us) AS rk
+  FROM g
+)
+SELECT event_type, window_us, n AS peak_n
+FROM r WHERE rk = 1 ORDER BY event_type
+""",
+    "pareto_users": """
+WITH u AS (
+  SELECT user_id, count(*)::BIGINT AS c FROM events GROUP BY 1
+), r AS (
+  SELECT c, row_number() OVER (ORDER BY c DESC, user_id) AS rk FROM u
+), t AS (SELECT sum(c)::HUGEINT AS total FROM u)
+SELECT k, events,
+       (events::HUGEINT * 1000000 // total)::BIGINT AS share_x1e6
+FROM (
+  SELECT 1::BIGINT AS k, sum(c)::BIGINT AS events FROM r WHERE rk <= 1
+  UNION ALL
+  SELECT 10::BIGINT, sum(c)::BIGINT FROM r WHERE rk <= 10
+  UNION ALL
+  SELECT 50::BIGINT, sum(c)::BIGINT FROM r WHERE rk <= 50
+) CROSS JOIN t ORDER BY k
 """,
 }
