@@ -577,3 +577,31 @@ def test_pareto_users_matches_bruteforce(ray_session):
         top = int(cs[:r["k"]].sum())
         assert r["events"] == top
         assert r["share_x1e6"] == top * 10**6 // total
+
+
+def test_orders_rfm_matches_duckdb(ray_session):
+    import duckdb
+
+    from vfs_index_ray.pipelines.queries import q_orders_rfm
+
+    got = q_orders_rfm(SF).to_pylist()
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW orders AS SELECT * FROM "
+                f"read_parquet('{SF}/orders.parquet')")
+    want = con.sql("""
+WITH c AS (
+  SELECT o_custkey, max(epoch_us(o_orderdate)) AS last_us,
+         count(*)::BIGINT AS cnt,
+         sum(CAST(floor(o_totalprice*100+0.5) AS BIGINT))::BIGINT
+           AS cents
+  FROM orders GROUP BY 1
+), b AS (
+  SELECT ntile(5) OVER (ORDER BY last_us DESC, o_custkey) AS r,
+         ntile(5) OVER (ORDER BY cnt DESC, o_custkey) AS f,
+         ntile(5) OVER (ORDER BY cents DESC, o_custkey) AS m
+  FROM c)
+SELECT r::BIGINT AS r, f::BIGINT AS f, m::BIGINT AS m,
+       count(*)::BIGINT AS n_customers
+FROM b GROUP BY 1,2,3 ORDER BY 1,2,3""").df().to_dict("records")
+    assert got == want
+    assert sum(x["n_customers"] for x in got) > 0

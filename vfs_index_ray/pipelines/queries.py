@@ -6109,6 +6109,84 @@ def q_pareto_users(sf_dir: str) -> pa.Table:
     return pa.Table.from_pylist(rows, schema=schema)
 
 
+def q_orders_rfm(sf_dir: str) -> pa.Table:
+    """RFM customer segmentation: per-customer (last order date,
+    order count, total cents) from ONE pass of mergeable partials
+    (max/count/sum), then NTILE(5) buckets per dimension with SQL's
+    exact remainder rule ``((rank−1)·5) // n + 1`` over the
+    deterministic (value desc, custkey asc) order — output is the
+    (r, f, m) segment histogram.  The per-customer table is customer-
+    dimension sized; at a customer dimension too big for the driver
+    the bucket ranks come from the same grid-quantile substrate."""
+    import ray
+    import ray.data
+
+    from ..functions.boilerplate import _group_counts
+    _tune_context()
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_custkey", "o_orderdate", "o_totalprice"])
+
+    # NOT partial_aggregate: its merge step sums every partial, which
+    # is wrong for the max(last-order) column — merge with matching
+    # fns (max/sum/sum) instead
+    def prep(t: pa.Table) -> pa.Table:
+        cents = np.floor(t["o_totalprice"]
+                         .to_numpy(zero_copy_only=False)
+                         * 100.0 + 0.5).astype(np.int64)
+        g = _group_counts(pa.table({
+            "o_custkey": t["o_custkey"],
+            "last": t["o_orderdate"].cast(pa.int64()),
+            "cnt": pa.array(np.ones(t.num_rows, np.int64)),
+            "cents": pa.array(cents, pa.int64())}), ["o_custkey"],
+            [("last", "max"), ("cnt", "sum"), ("cents", "sum")])
+        return g
+
+    parts = [t for t in ray.get(
+        ds.map_batches(prep, batch_format="pyarrow",
+                       zero_copy_batch=True).to_arrow_refs())
+        if t.num_rows]
+    schema = pa.schema([("r", pa.int64()), ("f", pa.int64()),
+                        ("m", pa.int64()), ("n_customers", pa.int64())])
+    if not parts:
+        return schema.empty_table()
+    out = _group_counts(pa.concat_tables(parts).combine_chunks(),
+                        ["o_custkey"],
+                        [("last_max", "max"), ("cnt_sum", "sum"),
+                         ("cents_sum", "sum")])
+    out = pa.table({"o_custkey": out["o_custkey"],
+                    "last_max": out["last_max_max"],
+                    "cnt_sum": out["cnt_sum_sum"],
+                    "cents_sum": out["cents_sum_sum"]})
+    ck = out["o_custkey"].to_numpy(zero_copy_only=False)
+    n = len(ck)
+
+    def ntile5(vals: np.ndarray) -> np.ndarray:
+        order = np.lexsort((ck, -vals))
+        i = np.empty(n, np.int64)
+        i[order] = np.arange(n)
+        # SQL NTILE remainder rule: first n%5 buckets get n//5 + 1
+        q, r = n // 5, n % 5
+        big = r * (q + 1)
+        return np.where(i < big, i // max(q + 1, 1),
+                        r + (i - big) // max(q, 1)) + 1
+
+    r = ntile5(out["last_max"].to_numpy(zero_copy_only=False)
+               .astype(np.int64))
+    f = ntile5(out["cnt_sum"].to_numpy(zero_copy_only=False)
+               .astype(np.int64))
+    m = ntile5(out["cents_sum"].to_numpy(zero_copy_only=False)
+               .astype(np.int64))
+    key = r * 100 + f * 10 + m
+    uk, cnt = np.unique(key, return_counts=True)
+    return pa.table({
+        "r": pa.array(uk // 100, pa.int64()),
+        "f": pa.array(uk // 10 % 10, pa.int64()),
+        "m": pa.array(uk % 10, pa.int64()),
+        "n_customers": pa.array(cnt.astype(np.int64), pa.int64()),
+    }).cast(schema)
+
+
 # ---------------------------------------------------------------------------
 # registry + oracle SQL
 # ---------------------------------------------------------------------------
@@ -6304,6 +6382,7 @@ QUERIES = {
     "events_wow": q_events_wow,
     "events_peak": q_events_peak,
     "pareto_users": q_pareto_users,
+    "orders_rfm": q_orders_rfm,
 }
 
 _STOP_SQL = "['the','and','of','to','a','in','is','it']"
@@ -9568,5 +9647,22 @@ FROM (
   UNION ALL
   SELECT 50::BIGINT, sum(c)::BIGINT FROM r WHERE rk <= 50
 ) CROSS JOIN t ORDER BY k
+""",
+    "orders_rfm": """
+WITH c AS (
+  SELECT o_custkey, max(epoch_us(o_orderdate)) AS last_us,
+         count(*)::BIGINT AS cnt,
+         sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))::BIGINT
+           AS cents
+  FROM orders GROUP BY 1
+), b AS (
+  SELECT ntile(5) OVER (ORDER BY last_us DESC, o_custkey) AS r,
+         ntile(5) OVER (ORDER BY cnt DESC, o_custkey) AS f,
+         ntile(5) OVER (ORDER BY cents DESC, o_custkey) AS m
+  FROM c
+)
+SELECT r::BIGINT AS r, f::BIGINT AS f, m::BIGINT AS m,
+       count(*)::BIGINT AS n_customers
+FROM b GROUP BY 1, 2, 3 ORDER BY 1, 2, 3
 """,
 }
