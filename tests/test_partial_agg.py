@@ -296,3 +296,28 @@ def test_resample_fills_gaps(ray_session):
     assert rows[("a", 3 * q)] == (1, 20000)
     assert rows[("b", 0)] == (1, 30000)
     assert len(rows) == 5
+
+
+def test_partial_aggregate_minmax_multibatch(ray_session):
+    """min/max partials must merge by min/max across batches — the
+    old blanket sum-merge returned a sum of per-batch maxes (latent in
+    rollup/cube; single-batch tests hid it)."""
+    import numpy as np
+    import pyarrow as pa
+    import pytest
+    import ray.data
+
+    from vfs_index_ray.functions.boilerplate import partial_aggregate
+
+    t = pa.table({"k": ["a"] * 100 + ["b"] * 100,
+                  "v": list(range(100)) + list(range(1000, 1100))})
+    # MANY blocks so the merge really crosses batches
+    ds = ray.data.from_arrow(t).repartition(8)
+    out = partial_aggregate(ds, ["k"], [("v", "max"), ("v", "min"),
+                                        ("v", "sum")])
+    got = {r["k"]: r for r in out.to_pylist()}
+    assert got["a"]["v_max"] == 99 and got["a"]["v_min"] == 0
+    assert got["b"]["v_max"] == 1099 and got["b"]["v_min"] == 1000
+    assert got["a"]["v_sum"] == sum(range(100))
+    with pytest.raises(ValueError, match="non-mergeable"):
+        partial_aggregate(ds, ["k"], [("v", "mean")])

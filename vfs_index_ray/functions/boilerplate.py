@@ -44,6 +44,9 @@ def _group_counts(t: pa.Table, keys: list[str], agg: list[tuple]) -> pa.Table:
         return pa.TableGroupBy(t, keys).aggregate(agg)
 
 
+_MERGE_FN = {"count": "sum", "sum": "sum", "min": "min", "max": "max"}
+
+
 def partial_aggregate(ds, keys: list[str], aggs: list[tuple[str, str]],
                       prepare=None) -> pa.Table | None:
     """Distributed aggregation for SMALL output spaces (keys × groups
@@ -56,6 +59,10 @@ def partial_aggregate(ds, keys: list[str], aggs: list[tuple[str, str]],
     ``{col}_{fn}``.  Returns None on an empty input."""
     import ray
 
+    bad = [f for _, f in aggs if f not in _MERGE_FN]
+    if bad:
+        raise ValueError(f"non-mergeable aggregate fns: {bad}")
+
     pnames = [f"{c}_{f}" for c, f in aggs]
 
     def partial(t: pa.Table) -> pa.Table:
@@ -67,15 +74,17 @@ def partial_aggregate(ds, keys: list[str], aggs: list[tuple[str, str]],
     tbls = [t for t in ray.get(out.to_arrow_refs()) if t.num_rows]
     if not tbls:
         return None
+    # merge with MATCHING fns: a count/sum partial merges by sum, a
+    # min/max partial by min/max — a blanket sum-merge silently
+    # corrupted multi-batch min/max (found via orders_rfm: the merged
+    # "max" was a sum of per-batch maxes; single-batch tests hid it)
+    merge = [(p, _MERGE_FN[f]) for p, (_, f) in zip(pnames, aggs)]
     m = _group_counts(pa.concat_tables(tbls).combine_chunks(),
-                      list(keys), [(p, "sum") for p in pnames])
+                      list(keys), merge)
     cols = {k: m[k] for k in keys}
-    for p in pnames:
-        cols[p] = m[f"{p}_sum"]
+    for p, (_, f) in zip(pnames, aggs):
+        cols[p] = m[f"{p}_{_MERGE_FN[f]}"]
     return pa.table(cols)
-
-
-_MERGE_FN = {"count": "sum", "sum": "sum", "min": "min", "max": "max"}
 
 
 def hash_aggregate(ds, keys: list[str], aggs: list[tuple[str, str]],

@@ -6118,46 +6118,35 @@ def q_orders_rfm(sf_dir: str) -> pa.Table:
     (r, f, m) segment histogram.  The per-customer table is customer-
     dimension sized; at a customer dimension too big for the driver
     the bucket ranks come from the same grid-quantile substrate."""
-    import ray
     import ray.data
 
-    from ..functions.boilerplate import _group_counts
+    from ..functions.boilerplate import partial_aggregate
     _tune_context()
     ds = ray.data.read_parquet(
         os.path.join(sf_dir, "orders.parquet"),
         columns=["o_custkey", "o_orderdate", "o_totalprice"])
 
-    # NOT partial_aggregate: its merge step sums every partial, which
-    # is wrong for the max(last-order) column — merge with matching
-    # fns (max/sum/sum) instead
     def prep(t: pa.Table) -> pa.Table:
         cents = np.floor(t["o_totalprice"]
                          .to_numpy(zero_copy_only=False)
                          * 100.0 + 0.5).astype(np.int64)
-        g = _group_counts(pa.table({
+        return pa.table({
             "o_custkey": t["o_custkey"],
             "last": t["o_orderdate"].cast(pa.int64()),
             "cnt": pa.array(np.ones(t.num_rows, np.int64)),
-            "cents": pa.array(cents, pa.int64())}), ["o_custkey"],
-            [("last", "max"), ("cnt", "sum"), ("cents", "sum")])
-        return g
+            "cents": pa.array(cents, pa.int64())})
 
-    parts = [t for t in ray.get(
-        ds.map_batches(prep, batch_format="pyarrow",
-                       zero_copy_batch=True).to_arrow_refs())
-        if t.num_rows]
+    out = partial_aggregate(ds, ["o_custkey"],
+                            [("last", "max"), ("cnt", "sum"),
+                             ("cents", "sum")], prepare=prep)
     schema = pa.schema([("r", pa.int64()), ("f", pa.int64()),
                         ("m", pa.int64()), ("n_customers", pa.int64())])
-    if not parts:
+    if out is None:
         return schema.empty_table()
-    out = _group_counts(pa.concat_tables(parts).combine_chunks(),
-                        ["o_custkey"],
-                        [("last_max", "max"), ("cnt_sum", "sum"),
-                         ("cents_sum", "sum")])
     out = pa.table({"o_custkey": out["o_custkey"],
-                    "last_max": out["last_max_max"],
-                    "cnt_sum": out["cnt_sum_sum"],
-                    "cents_sum": out["cents_sum_sum"]})
+                    "last_max": out["last_max"],
+                    "cnt_sum": out["cnt_sum"],
+                    "cents_sum": out["cents_sum"]})
     ck = out["o_custkey"].to_numpy(zero_copy_only=False)
     n = len(ck)
 
