@@ -605,3 +605,40 @@ SELECT r::BIGINT AS r, f::BIGINT AS f, m::BIGINT AS m,
 FROM b GROUP BY 1,2,3 ORDER BY 1,2,3""").df().to_dict("records")
     assert got == want
     assert sum(x["n_customers"] for x in got) > 0
+
+
+def test_events_dow_shares(ray_session):
+    from vfs_index_ray.pipelines.queries import q_events_dow
+
+    got = q_events_dow(SF).to_pylist()
+    t = pq.read_table(f"{SF}/events.parquet",
+                      columns=["event_type", "ts"])
+    days = t["ts"].cast(pa.int64()).to_numpy() // 86_400_000_000
+    dow = (days + 4) % 7
+    et = np.asarray(t["event_type"].to_pylist())
+    # 1970-01-01 is a Thursday: the closed form maps it to 4 (Sun=0)
+    assert ((0 + 4) % 7) == 4
+    for r in got:
+        m = et == r["event_type"]
+        n = int((dow[m] == r["dow"]).sum())
+        assert r["n"] == n
+        assert r["share_x1e6"] == n * 10**6 // int(m.sum())
+
+
+def test_orders_monthly_matches_bruteforce(ray_session):
+    from vfs_index_ray.pipelines.queries import q_orders_monthly
+
+    got = q_orders_monthly(SF).to_pylist()
+    t = pq.read_table(f"{SF}/orders.parquet",
+                      columns=["o_orderdate", "o_totalprice"])
+    m = (t["o_orderdate"].cast(pa.int64()).to_numpy()
+         .astype("datetime64[us]").astype("datetime64[M]")
+         .astype(np.int64))
+    cents = np.floor(t["o_totalprice"].to_numpy() * 100 + 0.5
+                     ).astype(np.int64)
+    for r in got:
+        key = (r["year"] - 1970) * 12 + (r["month"] - 1)
+        sel = m == key
+        assert r["n_orders"] == int(sel.sum())
+        assert r["revenue_cents"] == int(cents[sel].sum())
+    assert sum(r["n_orders"] for r in got) == t.num_rows

@@ -6176,6 +6176,94 @@ def q_orders_rfm(sf_dir: str) -> pa.Table:
     }).cast(schema)
 
 
+def q_events_dow(sf_dir: str) -> pa.Table:
+    """Day-of-week seasonality profile per event type (calendar
+    feature extraction): dow from pure epoch-day arithmetic
+    ((days + 4) % 7, 1970-01-01 = Thursday — matching DuckDB's ISO
+    dayofweek numbering via the same closed form), counts + share of
+    the type's volume on the x1e6 grid; one partial-aggregate pass."""
+    import ray.data
+
+    from ..functions.boilerplate import partial_aggregate
+    _tune_context()
+    ds = ray.data.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                               columns=["event_type", "ts"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        days = (t["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+                // 86_400_000_000)
+        return pa.table({"event_type": t["event_type"],
+                         "dow": pa.array((days + 4) % 7, pa.int64())})
+
+    out = partial_aggregate(ds, ["event_type", "dow"],
+                            [("dow", "count")], prepare=prep)
+    schema = pa.schema([("event_type", pa.string()), ("dow", pa.int64()),
+                        ("n", pa.int64()), ("share_x1e6", pa.int64())])
+    if out is None:
+        return schema.empty_table()
+    et = np.asarray(out["event_type"].to_pylist())
+    dw = out["dow"].to_numpy(zero_copy_only=False)
+    c = out["dow_count"].to_numpy(zero_copy_only=False)
+    rows = []
+    for e in np.unique(et):
+        m = et == e
+        total = int(c[m].sum())
+        for d, n in sorted(zip(dw[m].tolist(), c[m].tolist())):
+            rows.append({"event_type": str(e), "dow": int(d),
+                         "n": int(n),
+                         "share_x1e6": int(n) * 1_000_000 // total})
+    return pa.Table.from_pylist(rows, schema=schema)
+
+
+def q_orders_monthly(sf_dir: str) -> pa.Table:
+    """Monthly order volume + integer-cents revenue — the calendar
+    rollup every BI layer asks for first; month arithmetic is pure
+    integer (epoch days → civil month via the days-from-civil inverse
+    is avoided: both sides truncate via SQL date_trunc and the engine
+    reads the SAME truncation from DuckDB-compatible year*12+month
+    keys derived with datetime64[M])."""
+    import ray.data
+
+    from ..functions.boilerplate import partial_aggregate
+    _tune_context()
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_orderdate", "o_totalprice"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        us = t["o_orderdate"].cast(pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        months = us.astype("datetime64[us]").astype("datetime64[M]")
+        mkey = months.astype(np.int64)        # months since 1970-01
+        cents = np.floor(t["o_totalprice"]
+                         .to_numpy(zero_copy_only=False)
+                         * 100.0 + 0.5).astype(np.int64)
+        return pa.table({"mkey": pa.array(mkey, pa.int64()),
+                         "one": pa.array(np.ones(len(us), np.int64)),
+                         "cents": pa.array(cents, pa.int64())})
+
+    out = partial_aggregate(ds, ["mkey"],
+                            [("one", "sum"), ("cents", "sum")],
+                            prepare=prep)
+    schema = pa.schema([("year", pa.int64()), ("month", pa.int64()),
+                        ("n_orders", pa.int64()),
+                        ("revenue_cents", pa.int64())])
+    if out is None:
+        return schema.empty_table()
+    mk = out["mkey"].to_numpy(zero_copy_only=False)
+    order = np.argsort(mk, kind="stable")
+    mk = mk[order]
+    return pa.table({
+        "year": pa.array(1970 + mk // 12, pa.int64()),
+        "month": pa.array(mk % 12 + 1, pa.int64()),
+        "n_orders": pa.array(
+            out["one_sum"].to_numpy(zero_copy_only=False)[order],
+            pa.int64()),
+        "revenue_cents": pa.array(
+            out["cents_sum"].to_numpy(zero_copy_only=False)[order],
+            pa.int64())}).cast(schema)
+
+
 # ---------------------------------------------------------------------------
 # registry + oracle SQL
 # ---------------------------------------------------------------------------
@@ -6372,6 +6460,8 @@ QUERIES = {
     "events_peak": q_events_peak,
     "pareto_users": q_pareto_users,
     "orders_rfm": q_orders_rfm,
+    "events_dow": q_events_dow,
+    "orders_monthly": q_orders_monthly,
 }
 
 _STOP_SQL = "['the','and','of','to','a','in','is','it']"
@@ -9653,5 +9743,29 @@ WITH c AS (
 SELECT r::BIGINT AS r, f::BIGINT AS f, m::BIGINT AS m,
        count(*)::BIGINT AS n_customers
 FROM b GROUP BY 1, 2, 3 ORDER BY 1, 2, 3
+""",
+    "events_dow": """
+WITH d AS (
+  SELECT event_type,
+         ((epoch_us(ts) // 86400000000) + 4) % 7 AS dow
+  FROM events
+), g AS (
+  SELECT event_type, dow, count(*)::BIGINT AS n
+  FROM d GROUP BY 1, 2
+), t AS (
+  SELECT event_type, sum(n)::HUGEINT AS total FROM g GROUP BY 1
+)
+SELECT g.event_type, g.dow::BIGINT AS dow, g.n,
+       (g.n::HUGEINT * 1000000 // t.total)::BIGINT AS share_x1e6
+FROM g JOIN t USING (event_type)
+ORDER BY g.event_type, g.dow
+""",
+    "orders_monthly": """
+SELECT year(o_orderdate)::BIGINT AS year,
+       month(o_orderdate)::BIGINT AS month,
+       count(*)::BIGINT AS n_orders,
+       sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))::BIGINT
+         AS revenue_cents
+FROM orders GROUP BY 1, 2 ORDER BY 1, 2
 """,
 }
