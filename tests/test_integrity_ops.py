@@ -642,3 +642,26 @@ def test_orders_monthly_matches_bruteforce(ray_session):
         assert r["n_orders"] == int(sel.sum())
         assert r["revenue_cents"] == int(cents[sel].sum())
     assert sum(r["n_orders"] for r in got) == t.num_rows
+
+
+def test_nation_balance_iqr_negative_values(ray_session):
+    """Per-nation robust stats match brute force (this synthetic
+    fixture has no negative balances; the grid kernel itself is
+    sign-agnostic — floor(v*1e4+0.5) on both sides)."""
+    from vfs_index_ray.pipelines.queries import q_nation_balance_iqr
+
+    got = q_nation_balance_iqr(SF).to_pylist()
+    t = pq.read_table(f"{SF}/supplier.parquet",
+                      columns=["s_nationkey", "s_acctbal"])
+    v = np.floor(t["s_acctbal"].to_numpy() * 10000.0 + 0.5
+                 ).astype(np.int64)
+    nk = t["s_nationkey"].to_numpy()
+    for r in got:
+        g = np.sort(v[nk == r["nation_key"]])
+        n = len(g)
+        q1 = int(g[(n * 25 + 99) // 100 - 1])
+        q3 = int(g[(n * 75 + 99) // 100 - 1])
+        out = int(((2 * g < 5 * q1 - 3 * q3)
+                   | (2 * g > 5 * q3 - 3 * q1)).sum())
+        assert (r["n"], r["q1_x1e4"], r["q3_x1e4"],
+                r["n_outliers"]) == (n, q1, q3, out)

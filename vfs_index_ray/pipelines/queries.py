@@ -6264,6 +6264,38 @@ def q_orders_monthly(sf_dir: str) -> pa.Table:
             pa.int64())}).cast(schema)
 
 
+def q_nation_balance_iqr(sf_dir: str) -> pa.Table:
+    """Per-nation supplier account-balance robust stats (Tukey 1.5·IQR
+    outlier counts) — the grid-IQR substrate over a second table and a
+    NEGATIVE-valued measure (acctbal can be < 0; the x1e4 grid floors
+    negatives identically on both sides)."""
+    import ray.data
+
+    from ..functions.quantiles import grouped_iqr_outliers
+    _tune_context()
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "supplier.parquet"),
+        columns=["s_nationkey", "s_acctbal"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table({"k": pc.cast(t["s_nationkey"], pa.string()),
+                         "v": t["s_acctbal"]})
+
+    out = grouped_iqr_outliers(
+        ds.map_batches(prep, batch_format="pyarrow",
+                       zero_copy_batch=True), key_col="k", val_col="v")
+    schema = pa.schema([("nation_key", pa.int64()), ("n", pa.int64()),
+                        ("q1_x1e4", pa.int64()), ("q3_x1e4", pa.int64()),
+                        ("n_outliers", pa.int64())])
+    if out.num_rows == 0:
+        return schema.empty_table()
+    rows = [{"nation_key": int(r["k"]), "n": r["n"],
+             "q1_x1e4": r["q1_x1e4"], "q3_x1e4": r["q3_x1e4"],
+             "n_outliers": r["n_outliers"]} for r in out.to_pylist()]
+    rows.sort(key=lambda r: r["nation_key"])
+    return pa.Table.from_pylist(rows, schema=schema)
+
+
 # ---------------------------------------------------------------------------
 # registry + oracle SQL
 # ---------------------------------------------------------------------------
@@ -6462,6 +6494,7 @@ QUERIES = {
     "orders_rfm": q_orders_rfm,
     "events_dow": q_events_dow,
     "orders_monthly": q_orders_monthly,
+    "nation_balance_iqr": q_nation_balance_iqr,
 }
 
 _STOP_SQL = "['the','and','of','to','a','in','is','it']"
@@ -9767,5 +9800,30 @@ SELECT year(o_orderdate)::BIGINT AS year,
        sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))::BIGINT
          AS revenue_cents
 FROM orders GROUP BY 1, 2 ORDER BY 1, 2
+""",
+    "nation_balance_iqr": """
+WITH q AS (
+  SELECT s_nationkey,
+         CAST(floor(s_acctbal * 10000 + 0.5) AS BIGINT) AS v
+  FROM supplier WHERE s_acctbal IS NOT NULL
+), m AS (
+  SELECT s_nationkey, v,
+         row_number() OVER (PARTITION BY s_nationkey
+                            ORDER BY v) AS rn,
+         count(*) OVER (PARTITION BY s_nationkey) AS n
+  FROM q
+), qs AS (
+  SELECT s_nationkey, n,
+         min(CASE WHEN rn = (n * 25 + 99) // 100 THEN v END) AS q1,
+         min(CASE WHEN rn = (n * 75 + 99) // 100 THEN v END) AS q3
+  FROM m GROUP BY 1, 2
+)
+SELECT q.s_nationkey::BIGINT AS nation_key, qs.n::BIGINT AS n,
+       qs.q1 AS q1_x1e4, qs.q3 AS q3_x1e4,
+       count(*) FILTER (2 * q.v < 5 * qs.q1 - 3 * qs.q3
+                        OR 2 * q.v > 5 * qs.q3 - 3 * qs.q1)::BIGINT
+         AS n_outliers
+FROM q JOIN qs USING (s_nationkey)
+GROUP BY 1, 2, 3, 4 ORDER BY 1
 """,
 }
